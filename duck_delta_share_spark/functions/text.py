@@ -1,0 +1,89 @@
+"""Text-analysis column functions for the LLM-data-pipeline surface
+(SURVEY.md §2C): tokenization, shingling, quality scoring, language-ID
+heuristics, fingerprinting. All pure Catalyst expressions (no UDFs) so
+they vectorize inside codegen and scale linearly with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny multilingual stopword marker sets for the n-gram/stopword language-ID
+# heuristic. Deliberately deterministic + expressible in ANSI SQL so the
+# DuckDB oracle can mirror the logic.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "des"),
+}
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish regex tokenization: words, numbers, or single punctuation —
+    a rough proxy for subword token counting without a tokenizer library."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokenize(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokenize(text)))
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """n-gram word shingles as strings; empty array when fewer than n tokens.
+    sequence(1, size-n+1) indexes 1-based starts; slice+concat_ws joins each
+    window. Used by MinHash / Jaccard dedup."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized,
+    lower-cased text. (A content-defined rolling hash would go here for
+    fuzzy chunk fingerprints; md5-of-normalized is the exact-dup key.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), " +", " "))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic quality score in [0,1]: mix of distinct-token ratio and a
+    length sweet-spot. Single-division/multiply double ops → deterministic
+    and mirrorable in the oracle SQL."""
+    toks = tokenize(text)
+    n = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    length_factor = F.least(n / F.lit(50.0), F.lit(1.0))
+    return F.round(distinct_ratio * F.lit(0.7) + length_factor * F.lit(0.3), 6)
+
+
+def language_id(text: Column | str) -> Column:
+    """Stopword-marker language-ID heuristic: first language whose marker
+    words appear in the text; 'und' (undetermined) otherwise."""
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    expr: Column = F.lit("und")
+    # Build the CASE chain in reverse so 'en' is checked first.
+    for lang, markers in reversed(list(_LANG_MARKERS.items())):
+        cond = None
+        for m in markers:
+            hit = padded.contains(f" {m} ")
+            cond = hit if cond is None else (cond | hit)
+        expr = F.when(cond, lang).otherwise(expr)
+    return expr

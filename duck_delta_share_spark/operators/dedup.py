@@ -1,0 +1,234 @@
+"""Deduplication operators for the LLM-data-pipeline surface (§2C):
+
+- exact dedup — hash-groupBy keyed on a fingerprint; one shuffle.
+- MinHash + LSH near-dup — shingle → k minhashes → band → bucket join;
+  never all-pairs: candidate pairs only form inside an LSH bucket, so the
+  shuffle key IS the band hash and skewed buckets split under AQE.
+- SimHash — 64-bit signature from token hashes; near-dups = small Hamming
+  distance within a prefix bucket.
+- n-gram Jaccard — exact set similarity, blocked to avoid O(n²).
+
+All hashing uses Spark's built-in ``xxhash64`` (JVM, codegen) — no Python
+in the hot path. Everything is deterministic (fixed seeds via literal salt),
+which is what makes these auditable pipelines at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from duck_delta_share_spark.functions.text import fingerprint, tokenize, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact (normalized) text fingerprint.
+
+    Single hash-partition shuffle on the fingerprint; at 100 TB the
+    fingerprint (16-byte md5) shuffles instead of the document body.
+    """
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """doc → k-minhash signature over word shingles.
+
+    Implemented as explode(shingles) → groupBy(doc) with k ``min(xxhash64)``
+    aggregates: one shuffle, map-side partial min, no Python. Each hash
+    function is xxhash64 salted with the hash index (deterministic).
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokenize(text_col), shingle_n)).alias("__sh"),
+    ).dropDuplicates([id_col, "__sh"])
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH banding: hash each band of the signature; docs sharing a
+    band bucket become candidate pairs. Output: (id_a, id_b, n_shared_bands).
+
+    Scale shape: explode to (band, bucket) rows → self-join per bucket.
+    The join key (band_id, bucket_hash) is high-cardinality, so the shuffle
+    spreads evenly; any hot bucket (boilerplate dups) is AQE-split.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")))
+    exploded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_jaccard_estimate(
+    signatures: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Estimate Jaccard for candidate pairs as the fraction of matching
+    minhash components (standard MinHash estimator)."""
+    sa = signatures.alias("sa")
+    sb = signatures.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_bands",
+            (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard_est"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 48) -> DataFrame:
+    """SimHash signature: per token, xxhash64 → take ``bits`` low bits; each
+    bit contributes +1/-1 weighted by token frequency; sign of the sum is
+    the signature bit. Pure expressions: explode → one groupBy(doc) with
+    ``bits`` conditional sums → bit-pack.
+
+    ``bits`` ≤ 62 keeps the packed signature positive in a BIGINT.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("__t")
+    ).withColumn("__h", F.xxhash64(F.lit("simhash"), F.col("__t")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    packed = None
+    for i in range(bits):
+        term = F.when(F.col(f"b_{i}") > 0, F.lit(1).cast("bigint") * (2**i)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        packed = term if packed is None else packed + term
+    return agg.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 8, prefix_bits: int = 12
+) -> DataFrame:
+    """Near-dup candidates: block on the signature's top ``prefix_bits``
+    (cheap LSH for SimHash), then exact Hamming distance via bit_count(xor).
+    """
+    blocked = sig.withColumn("__blk", F.shiftright(F.col("simhash"), 48 - prefix_bits))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard similarity for pairs within a block.
+
+    Blocking bounds the pair count (never global all-pairs); within a block
+    the intersection is computed by a shingle-equality join + count, i.e.
+    set intersection as a distributed hash join, not per-row set ops.
+    Output: (id_a, id_b, jaccard) with jaccard > threshold.
+    """
+    sh = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.explode(F.array_distinct(word_shingles(tokenize(text_col), shingle_n))).alias("__sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    block_cond = None
+    for c in block_cols:
+        eq = F.col(f"a.{c}") == F.col(f"b.{c}")
+        block_cond = eq if block_cond is None else (block_cond & eq)
+    inter = (
+        a.join(
+            b,
+            block_cond
+            & (F.col("a.__sh") == F.col("b.__sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__inter").cast("double")
+                / (F.col("__sza") + F.col("__szb") - F.col("__inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > threshold)
+    )

@@ -1,0 +1,13 @@
+"""Query inventory (SURVEY.md §2): every operator the engine supports is
+registered here as a (Spark callable, DuckDB oracle SQL) pair consumed by
+``__spark_entry__.py``. Import side effects populate the registry."""
+
+from duck_delta_share_spark.plans.registry import QUERIES, QueryDef, query
+
+# Register all query modules (import side effects fill QUERIES).
+from duck_delta_share_spark.plans import tpch  # noqa: E402,F401
+from duck_delta_share_spark.plans import relational  # noqa: E402,F401
+from duck_delta_share_spark.plans import functions_sweep  # noqa: E402,F401
+from duck_delta_share_spark.plans import llm_ops  # noqa: E402,F401
+
+__all__ = ["QUERIES", "QueryDef", "query"]

@@ -1,0 +1,242 @@
+"""Scalar / date / math / array / JSON function coverage (SURVEY.md §2B).
+
+The reference degrades nested types to VARCHAR
+(`/root/reference/src/duck_delta_share_extension.cpp:463-466`) and leaves all
+scalar functions to the host engine; Spark handles both natively. Every
+query below stays inside whole-stage codegen (no Python UDFs).
+
+Determinism notes: string/date/integer functions are exact on both engines.
+Transcendental math (ln/pow/sqrt-composites) may differ by 1 ulp between
+JVM and libm, so those outputs are rounded to 6 decimals on BOTH sides —
+a tie at the rounding boundary would require the true value within ~1 ulp
+of a half, which does not occur for these inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duck_delta_share_spark.catalog import load_table
+from duck_delta_share_spark.plans.registry import query
+
+
+@query(
+    "string_functions",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_name) AS uname,
+       LOWER(p_brand) AS lbrand,
+       SUBSTRING(p_type, 1, 4) AS type4,
+       p_brand || '/' || p_type AS brand_type,
+       CAST(LENGTH(p_name) AS INT) AS name_len,
+       REPLACE(p_brand, 'Brand#', 'B') AS brand_short,
+       TRIM(CONCAT('  ', p_name, '  ')) AS trimmed,
+       LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a
+FROM part
+""",
+    doc="upper/lower/substring/concat/length/replace/trim/lpad/like",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.substring("p_type", 1, 4).alias("type4"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS INT) AS yr,
+       CAST(MONTH(o_orderdate) AS INT) AS mth,
+       CAST(DAY(o_orderdate) AS INT) AS dom,
+       CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+       DATE_TRUNC('month', o_orderdate) AS month_start,
+       CAST(DATE_DIFF('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_to_2002,
+       o_orderdate + INTERVAL 30 DAY AS due_date
+FROM orders
+""",
+    doc="year/month/day/quarter/date_trunc/datediff/interval arithmetic",
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+SELECT c_custkey,
+       ROUND(c_acctbal, 1) AS bal_round,
+       ABS(c_acctbal) AS bal_abs,
+       CAST(CEIL(c_acctbal) AS DOUBLE) AS bal_ceil,
+       CAST(FLOOR(c_acctbal) AS DOUBLE) AS bal_floor,
+       ROUND(SQRT(ABS(c_acctbal)), 6) AS bal_sqrt,
+       ROUND(LN(ABS(c_acctbal) + 1), 6) AS bal_ln,
+       ROUND(POWER(c_acctbal / 1000, 2), 6) AS bal_pow,
+       CAST(c_custkey % 7 AS BIGINT) AS mod7,
+       CASE WHEN c_acctbal < 0 THEN -1 WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS sgn
+FROM customer
+""",
+    doc="round/abs/ceil/floor/sqrt/ln/power/mod/sign (transcendentals rounded)",
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.round(bal, 1).alias("bal_round"),
+        F.abs(bal).alias("bal_abs"),
+        F.ceil(bal).cast("double").alias("bal_ceil"),
+        F.floor(bal).cast("double").alias("bal_floor"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("bal_sqrt"),
+        F.round(F.log(F.abs(bal) + 1), 6).alias("bal_ln"),
+        F.round(F.pow(bal / 1000, 2), 6).alias("bal_pow"),
+        (F.col("c_custkey") % 7).alias("mod7"),
+        F.when(bal < 0, -1).when(bal > 0, 1).otherwise(0).alias("sgn"),
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+SELECT vec_id,
+       CAST(LEN(embedding) AS INT) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_dim,
+       CAST(embedding[64] AS DOUBLE) AS last_dim,
+       CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_positive
+FROM embeddings
+""",
+    doc="array size / element_at / higher-order filter on array<float>",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_dim"),
+        F.element_at("embedding", 64).cast("double").alias("last_dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "explode_unnest",
+    oracle="""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+) t
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 25
+""",
+    doc="explode/unnest of tokenized text + count (lateral view semantics)",
+)
+def explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(25)
+    )
+
+
+@query(
+    "json_functions",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+       CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS has_k
+FROM events
+""",
+    doc="JSON field extraction from the events.props string column",
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.cast("int").alias("k_val"),
+        F.when(k.isNotNull(), 1).otherwise(0).alias("has_k"),
+    )
+
+
+@query(
+    "conditional_functions",
+    oracle="""
+SELECT e.event_id,
+       COALESCE(NULLIF(e.event_type, 'error'), 'ERR') AS etype,
+       CASE WHEN e.value >= 200 THEN 'high'
+            WHEN e.value >= 100 THEN 'mid'
+            ELSE 'low' END AS value_band,
+       GREATEST(e.value, 50.0) AS val_floor50,
+       LEAST(e.value, 250.0) AS val_cap250,
+       IF(e.user_id % 2 = 0, 'even', 'odd') AS user_parity
+FROM events e
+""",
+    doc="coalesce/nullif/case/greatest/least/if",
+)
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("ERR")).alias("etype"),
+        F.when(F.col("value") >= 200, "high")
+        .when(F.col("value") >= 100, "mid")
+        .otherwise("low")
+        .alias("value_band"),
+        F.greatest(F.col("value"), F.lit(50.0)).alias("val_floor50"),
+        F.least(F.col("value"), F.lit(250.0)).alias("val_cap250"),
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias("user_parity"),
+    )
+
+
+@query(
+    "events_windowed_agg",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS hour_bucket,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY DATE_TRUNC('hour', ts), event_type
+""",
+    doc="time-bucketed aggregation — batch twin of the streaming pipeline "
+    "in streaming/events.py (same logical plan under a watermark)",
+)
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.plans.registry import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+    )

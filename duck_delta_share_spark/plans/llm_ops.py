@@ -1,0 +1,353 @@
+"""LLM-data-pipeline queries (SURVEY.md §2C): dedup family, similarity
+search, text analysis, multimodal columns — over the `documents` and
+`embeddings` fixtures. Driver-mandated extensions beyond the reference's
+own surface (BASELINE.json north_star).
+
+Oracle notes: hashing-based ops (MinHash/LSH/SimHash) use Spark xxhash64,
+which DuckDB lacks → registered without oracle SQL (driver rows-only
+check), but they are deterministic and unit-tested. Everything else ships
+an exact DuckDB twin, with float discipline per plans/registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duck_delta_share_spark.catalog import load_table
+from duck_delta_share_spark.functions.text import (
+    distinct_token_count,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    tokenize,
+)
+from duck_delta_share_spark.operators import dedup as dd
+from duck_delta_share_spark.operators import similarity as sim
+from duck_delta_share_spark.plans.registry import query
+
+_NORM = "regexp_replace(trim(lower(text)), ' +', ' ', 'g')"
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=f"""
+SELECT md5({_NORM}) AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_cnt
+FROM documents
+GROUP BY fp
+""",
+    doc="exact-dup groups keyed by normalized-text md5 fingerprint",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+@query(
+    "dedup_exact_rows",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+  FROM documents
+) t
+WHERE rn = 1
+""",
+    doc="surviving rows after exact dedup (lowest doc_id per fingerprint)",
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+       CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INT) AS n_distinct,
+       ROUND(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+             / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 6) AS distinct_ratio,
+       n_chars
+FROM documents
+""",
+    doc="per-doc token counting (whitespace) + type/token ratio",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        distinct_token_count("text").alias("n_distinct"),
+        F.round(
+            distinct_token_count("text").cast("double") / token_count("text").cast("double"), 6
+        ).alias("distinct_ratio"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+SELECT doc_id,
+       ROUND(
+         (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+          / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)) * 0.7
+         + LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.3,
+       6) AS quality
+FROM documents
+""",
+    doc="heuristic quality score: distinct-token ratio + length factor",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "text_langid_heuristic",
+    oracle="""
+SELECT doc_id, lang,
+       CASE
+         WHEN ' ' || text || ' ' LIKE '% the %' OR ' ' || text || ' ' LIKE '% and %'
+              OR ' ' || text || ' ' LIKE '% of %' THEN 'en'
+         WHEN ' ' || text || ' ' LIKE '% der %' OR ' ' || text || ' ' LIKE '% und %'
+              OR ' ' || text || ' ' LIKE '% die %' THEN 'de'
+         WHEN ' ' || text || ' ' LIKE '% el %' OR ' ' || text || ' ' LIKE '% los %'
+              OR ' ' || text || ' ' LIKE '% que %' THEN 'es'
+         WHEN ' ' || text || ' ' LIKE '% le %' OR ' ' || text || ' ' LIKE '% les %'
+              OR ' ' || text || ' ' LIKE '% des %' THEN 'fr'
+         ELSE 'und'
+       END AS lang_pred
+FROM documents
+""",
+    doc="stopword-marker language-ID heuristic (deterministic n-gram proxy)",
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", language_id("text").alias("lang_pred"))
+
+
+@query(
+    "text_lang_distribution",
+    oracle="""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang, source
+""",
+    doc="corpus composition: docs + chars per (lang, source)",
+)
+def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+  ) t
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS doc_freq,
+       ROUND(LN((SELECT nd FROM n) * 1.0 / COUNT(*)), 6) AS idf
+FROM tok
+GROUP BY token
+ORDER BY doc_freq DESC, token
+LIMIT 20
+""",
+    doc="document frequency + IDF per term (TF-IDF building block)",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    tok = d.select("doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            "doc_freq",
+            F.round(F.log(F.col("nd") * 1.0 / F.col("doc_freq")), 6).alias("idf"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ngram_jaccard_neardup",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id, lang, source, shingle FROM (
+    SELECT doc_id, lang, source,
+           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+                  i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents
+  ) t
+), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS xn
+  FROM sh a
+  JOIN sh b ON a.lang = b.lang AND a.source = b.source
+           AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(xn AS DOUBLE) / CAST(sa.sz + sb.sz - xn AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(xn AS DOUBLE) / CAST(sa.sz + sb.sz - xn AS DOUBLE) > 0.15
+""",
+    doc="exact 3-gram-shingle Jaccard near-dup pairs, blocked by (lang, source)",
+)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        d, block_cols=["lang", "source"], threshold=0.15, shingle_n=3
+    )
+
+
+@query(
+    "minhash_lsh_neardup",
+    oracle=None,  # xxhash64 signatures — no DuckDB twin; rows-only check
+    doc="MinHash(32)+LSH(8 bands) candidate pairs with Jaccard estimate",
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, num_hashes=32, shingle_n=3)
+    pairs = dd.lsh_candidate_pairs(sigs, num_hashes=32, bands=8)
+    return dd.minhash_jaccard_estimate(sigs, pairs, num_hashes=32).orderBy("id_a", "id_b")
+
+
+@query(
+    "simhash_signatures",
+    oracle=None,  # xxhash64-based — rows-only check
+    doc="48-bit SimHash signature per document",
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash(d, bits=48)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+_SIM_ORACLE = """
+WITH elems AS (
+  SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(RANGE(1, 65)) AS t(i)
+), norms AS (
+  SELECT vec_id, SQRT(CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+  FROM elems GROUP BY vec_id
+), dots AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         CAST(SUM(CAST(q.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM elems q JOIN elems b ON q.i = b.i
+  WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id
+  GROUP BY 1, 2
+), cos AS (
+  SELECT d.query_id, d.vec_id, d.dot / (nq.nrm * nb.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.vec_id
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM cos
+) WHERE rk <= 5
+"""
+
+
+@query(
+    "similarity_topk_exact",
+    oracle=_SIM_ORACLE,
+    doc="brute-force cosine top-5 per query vector (exact decimal dot; the "
+    "correctness baseline for ANN)",
+)
+def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5, exact=True)
+
+
+@query(
+    "similarity_ann_lsh",
+    oracle=None,  # approximate by construction — rows-only check
+    doc="sign-LSH bucketed approximate top-5 (the 100 TB scale path)",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_bucket_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=6)
+
+
+@query(
+    "embedding_neardup_blocked",
+    oracle=None,  # fast double cosine — rows-only check
+    doc="embedding-cosine near-dup pairs blocked by label",
+)
+def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(e, block_col="label", threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payload plumbing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       SHA256(text) AS sha_hex,
+       TO_BASE64(ENCODE(SUBSTRING(text, 1, 30))) AS b64_prefix
+FROM documents
+""",
+    doc="binary-column plumbing: utf8 payload bytes + digest + base64 "
+    "(decode/feature-extract stubs live in functions/multimodal.py)",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha_hex"),
+        # prefix only: Spark's base64 MIME-chunks outputs > 76 chars
+        F.base64(F.substring(F.col("text"), 1, 30).cast("binary")).alias("b64_prefix"),
+    )

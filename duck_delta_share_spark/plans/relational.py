@@ -1,0 +1,548 @@
+"""Relational-surface inventory (SURVEY.md §2B): every query-processing
+category the reference delegates to its host engine, expressed with the
+Spark DataFrame API so Catalyst owns the physical plan.
+
+Reference evidence that these are host-engine capabilities: the extension
+returns raw scan chunks into the engine pipeline
+(`/root/reference/src/duck_delta_share_extension.cpp:563,621`) and performs
+no joins/aggs/windows/sorts itself.
+
+Scale notes: every query here avoids driver-side loops and cross joins;
+top-k-per-group uses window ranking (single shuffle on the partition key);
+the as-of join uses the union+window technique (one shuffle, no range
+explosion) rather than a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duck_delta_share_spark.catalog import load_table, load_tables
+from duck_delta_share_spark.plans.registry import DEC, dsum, query, sql_dsum
+
+# ---------------------------------------------------------------------------
+# Projection + filter (pushdown surface, §A10-A12 analogue on local parquet)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_projection",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0
+""",
+    doc="filter + column pruning; both reach the parquet scan",
+)
+def filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000.0)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
+    "filter_in_between_null",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE l_returnflag IN ('A', 'R')
+  AND l_quantity BETWEEN 10 AND 20
+  AND l_discount IS NOT NULL
+  AND NOT (l_linestatus = 'O')
+""",
+    doc="IN / BETWEEN / IS NULL / NOT — the reference's §A11 predicate forms",
+)
+def filter_in_between_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").between(10, 20)
+        & F.col("l_discount").isNotNull()
+        & ~(F.col("l_linestatus") == "O")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+""",
+    doc="global top-k: Spark TakeOrderedAndProject, no full sort",
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal, rn
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) t
+WHERE rn <= 3
+""",
+    doc="top-k per group via ranking window — one shuffle on the group key",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS order_cnt
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+    doc="left outer join preserving unmatched rows + count of non-null",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+)
+""",
+    doc="left semi join (EXISTS)",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o.filter(F.col("o_orderstatus") == "P"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_semi",
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '2000-01-01'
+)
+""",
+    doc="left anti join (NOT EXISTS)",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+SELECT n_nationkey, n_name, cust_cnt
+FROM nation
+FULL OUTER JOIN (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cust_cnt
+  FROM customer GROUP BY c_nationkey
+) c ON n_nationkey = c_nationkey
+""",
+    doc="full outer join keeping both unmatched sides",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+    )
+    return n.join(c, F.col("n_nationkey") == F.col("c_nationkey"), "full").select(
+        "n_nationkey", "n_name", "cust_cnt"
+    )
+
+
+@query(
+    "join_theta_band",
+    oracle=f"""
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_dsum('l_quantity')} AS qty
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+GROUP BY p_brand
+""",
+    doc="equi join with theta residual (l_quantity > p_size)",
+)
+def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(
+            F.broadcast(p),
+            (F.col("l_partkey") == F.col("p_partkey")) & (F.col("l_quantity") > F.col("p_size")),
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_quantity").alias("qty"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    doc="as-of join: latest click at-or-before each purchase, per user. "
+    "Spark impl: union + last(ignorenulls) over an ordered window — one "
+    "shuffle on user_id, no range cross product; scales linearly.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value="ts",
+        value_alias="click_ts",
+    ).select("event_id", "user_id", "ts", "click_ts")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family: distinct, rollup, cube, grouping sets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="multi distinct aggregation (expand + two-phase agg in Spark)",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="rollup: hierarchical subtotals incl. grand total",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('l_quantity')} AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="cube: all grouping-set combinations",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc="explicit grouping sets via Spark SQL",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               {_spark_sql_dsum('o_totalprice')} AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def _spark_sql_dsum(expr: str) -> str:
+    """Spark-SQL text rendering of registry.dsum (same decimal discipline)."""
+    return f"CAST(SUM(CAST(({expr}) AS {DEC})) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Window functions: ranking, analytic, frames
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_ranking",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+    doc="ranking window functions with deterministic tie-break",
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="lag/lead/first_value analytic windows",
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+    )
+
+
+@query(
+    "window_frames",
+    oracle=f"""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS moving_avg3
+FROM orders
+""",
+    doc="frame-bounded running sum + moving average (exact decimal inside)",
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(run).cast("double").alias("running_total"),
+        (
+            F.sum(F.col("o_totalprice").cast(DEC)).over(mov).cast("double")
+            / F.count(F.lit(1)).over(mov)
+        ).alias("moving_avg3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    doc="UNION (distinct)",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    doc="INTERSECT",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    doc="EXCEPT (distinct)",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (decorrelated by Catalyst)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_subquery",
+    oracle=f"""
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (
+  SELECT {sql_dsum('c_acctbal')} / COUNT(c_acctbal) FROM customer
+)
+""",
+    doc="scalar subquery against an exact-decimal global mean",
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) / COUNT(c_acctbal)
+          FROM customer
+        )
+        """
+    )
+
+
+@query(
+    "correlated_in_subquery",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49
+)
+""",
+    doc="IN subquery → left semi join after decorrelation",
+)
+def correlated_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49
+        )
+        """
+    )

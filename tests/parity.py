@@ -1,0 +1,90 @@
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Mirrors the documented compare: row count + schema (column names) +
+order-insensitive values — but stricter where we can afford it: values are
+compared exactly (after sorting columns by name and rows by all columns),
+so any nondeterminism or engine mismatch fails HERE before the driver
+sees it.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+from duck_delta_share_spark.catalog import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        s = df[c]
+        # tz-aware → naive UTC (Spark LTZ vs DuckDB naive)
+        if isinstance(s.dtype, pd.DatetimeTZDtype):
+            df[c] = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: str(v) if v is not None and not isinstance(v, (str, bytes)) else v)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    errs: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        errs.append(f"{name}: row count {len(spark_pdf)} != {len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        errs.append(f"{name}: columns {sc} != {dc}")
+        return errs
+    if errs:
+        return errs
+    a = _normalize(spark_pdf)
+    b = _normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x is None or (isinstance(x, float) and math.isnan(x)):
+                ok = y is None or (isinstance(y, float) and math.isnan(y))
+            elif isinstance(x, float) and isinstance(y, float):
+                ok = x == y  # exact — the driver hashes values
+            else:
+                ok = x == y or str(x) == str(y)
+            if not ok:
+                errs.append(f"{name}.{c}[{i}]: spark={x!r} duck={y!r}")
+                if len(errs) > 8:
+                    return errs
+    return errs
+
+
+def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, list[str]]:
+    from duck_delta_share_spark.plans import QUERIES
+
+    con = duck_connection(sf_dir)
+    failures: dict[str, list[str]] = {}
+    for qname, qd in QUERIES.items():
+        if names and qname not in names:
+            continue
+        if qd.oracle is None:
+            # rows-only: just materialize to prove the plan executes
+            n = qd.spark_fn(spark, sf_dir).count()
+            if n < 0:
+                failures[qname] = ["negative count?"]
+            continue
+        spark_pdf = qd.spark_fn(spark, sf_dir).toPandas()
+        duck_pdf = con.execute(qd.oracle).df()
+        errs = compare_frames(spark_pdf, duck_pdf, qname)
+        if errs:
+            failures[qname] = errs
+    return failures
