@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver-side result materialization cost), after a warmup that triggers JVM
++ codegen warm paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Headline set: scan-agg, multi-join, window, dedup, similarity — the shapes
+# that dominate both the reference's workload and the §2C pipeline.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "topk_per_group",
+    "window_frames",
+    "join_asof",
+    "agg_distinct",
+    "dedup_exact_rows",
+    "minhash_lsh_neardup",
+    "similarity_topk_exact",
+    "similarity_ann_lsh",
+    "text_token_stats",
+]
+
+
+def _force(df) -> None:
+    """Materialize the full result without collecting it to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from duck_delta_share_spark.plans import QUERIES
+    from duck_delta_share_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # Warmup: small run to JIT the scan/agg/codegen paths out of the timings.
+    QUERIES["q1_pricing_summary"].spark_fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = QUERIES[name]
+        t0 = time.perf_counter()
+        _force(qd.spark_fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
