@@ -1,0 +1,234 @@
+"""Delta Sharing REST client: transport + endpoints.
+
+Covers the reference client (`/root/reference/src/delta_sharing_client.cpp`):
+
+- transport (cpp:86-161): GET/POST/HEAD with ``Authorization: Bearer``,
+  ``Content-Type: application/json`` and
+  ``delta-sharing-capabilities: responseformat=parquet`` headers; empty
+  POST body sent as ``{}``; non-2xx mapped to an error carrying the JSON
+  ``message`` when present (cpp:149-158).
+- NDJSON (cpp:163-181): split lines, JSON-parse each.
+- endpoints: list shares/schemas/tables/all-tables (+pagination via
+  maxResults/pageToken, cpp:184-191), get share, table version, table
+  metadata, table query (jsonPredicateHints / predicateHints / limitHint /
+  version, cpp:371-465).
+
+Uses stdlib ``urllib`` so the module stays dependency-free on executors;
+retries with backoff on transient failures (the reference has none).
+
+Deliberate deviations from reference quirks (SURVEY.md §2D): we never send
+the junk ``predicateHints: ["string"]`` / ``version: 0`` placeholder fields
+(cpp:382-384); hints are real or absent.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from typing import Any, Iterable
+
+from duck_delta_share_spark.client.models import (
+    FileAction,
+    Protocol,
+    Schema,
+    Share,
+    Table,
+    TableFiles,
+    TableMetadata,
+)
+from duck_delta_share_spark.client.profile import DeltaSharingProfile
+
+
+class DeltaSharingError(RuntimeError):
+    """HTTP or protocol-level error; carries status and server message."""
+
+    def __init__(self, status: int, message: str, url: str = ""):
+        super().__init__(f"HTTP {status}: {message}" + (f" ({url})" if url else ""))
+        self.status = status
+        self.server_message = message
+
+
+def parse_ndjson(body: str) -> list[dict[str, Any]]:
+    """Parse newline-delimited JSON (reference ParseNDJson, cpp:163-181)."""
+    return [json.loads(line) for line in body.splitlines() if line.strip()]
+
+
+class DeltaSharingClient:
+    """Synchronous Delta Sharing protocol client."""
+
+    def __init__(
+        self,
+        profile: DeltaSharingProfile,
+        max_retries: int = 3,
+        timeout_sec: float = 60.0,
+    ):
+        self.profile = profile
+        self.max_retries = max_retries
+        self.timeout_sec = timeout_sec
+
+    # -- transport ----------------------------------------------------------
+
+    def _headers(self) -> dict[str, str]:
+        return {
+            "Authorization": f"Bearer {self.profile.bearer_token}",
+            "Content-Type": "application/json",
+            # request parquet-format responses, like the reference (cpp:124)
+            "delta-sharing-capabilities": "responseformat=parquet",
+        }
+
+    def _request(
+        self,
+        method: str,
+        path: str,
+        query: dict[str, str] | None = None,
+        body: dict[str, Any] | None = None,
+    ) -> str:
+        url = self.profile.endpoint + path
+        if query:
+            url += "?" + urllib.parse.urlencode(query)
+        data = None
+        if method == "POST":
+            data = json.dumps(body if body is not None else {}).encode()
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            req = urllib.request.Request(url, data=data, headers=self._headers(), method=method)
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
+                    return resp.read().decode()
+            except urllib.error.HTTPError as e:
+                raw = e.read().decode(errors="replace")
+                message = raw
+                try:
+                    message = json.loads(raw).get("message", raw)
+                except (ValueError, AttributeError):
+                    pass
+                err = DeltaSharingError(e.code, message, url)
+                if e.code in (429, 500, 502, 503, 504) and attempt < self.max_retries:
+                    last_err = err
+                    time.sleep(min(2**attempt * 0.2, 2.0))
+                    continue
+                raise err from None
+            except urllib.error.URLError as e:
+                last_err = DeltaSharingError(0, str(e.reason), url)
+                if attempt < self.max_retries:
+                    time.sleep(min(2**attempt * 0.2, 2.0))
+                    continue
+                raise last_err from None
+        raise last_err  # pragma: no cover
+
+    def _paged_items(self, path: str, max_results: int | None = None) -> Iterable[dict[str, Any]]:
+        """GET a listing endpoint, following nextPageToken pagination
+        (reference only forwards caller paging params, cpp:184-191; we
+        iterate to exhaustion)."""
+        token: str | None = None
+        while True:
+            query: dict[str, str] = {}
+            if max_results is not None:
+                query["maxResults"] = str(max_results)
+            if token:
+                query["pageToken"] = token
+            obj = json.loads(self._request("GET", path, query or None))
+            yield from obj.get("items", [])
+            token = obj.get("nextPageToken")
+            if not token:
+                return
+
+    # -- catalog discovery (A1-A5) -------------------------------------------
+
+    def list_shares(self, max_results: int | None = None) -> list[Share]:
+        return [Share.from_json(o) for o in self._paged_items("/shares", max_results)]
+
+    def get_share(self, name: str) -> Share:
+        obj = json.loads(self._request("GET", f"/shares/{urllib.parse.quote(name)}"))
+        return Share.from_json(obj.get("share", obj))
+
+    def list_schemas(self, share: str, max_results: int | None = None) -> list[Schema]:
+        path = f"/shares/{urllib.parse.quote(share)}/schemas"
+        return [Schema.from_json(o, share=share) for o in self._paged_items(path, max_results)]
+
+    def list_tables(
+        self, share: str, schema: str, max_results: int | None = None
+    ) -> list[Table]:
+        path = (
+            f"/shares/{urllib.parse.quote(share)}/schemas/{urllib.parse.quote(schema)}/tables"
+        )
+        return [
+            Table.from_json(o, share=share, schema=schema)
+            for o in self._paged_items(path, max_results)
+        ]
+
+    def list_all_tables(self, share: str, max_results: int | None = None) -> list[Table]:
+        path = f"/shares/{urllib.parse.quote(share)}/all-tables"
+        return [Table.from_json(o, share=share) for o in self._paged_items(path, max_results)]
+
+    # -- table metadata / version (A6, A7) -----------------------------------
+
+    def _table_path(self, share: str, schema: str, table: str) -> str:
+        return (
+            f"/shares/{urllib.parse.quote(share)}"
+            f"/schemas/{urllib.parse.quote(schema)}"
+            f"/tables/{urllib.parse.quote(table)}"
+        )
+
+    def query_table_metadata(self, share: str, schema: str, table: str) -> tuple[Protocol, TableMetadata]:
+        """GET .../metadata → NDJSON: line 0 protocol, line 1 metaData
+        (cpp:305-355)."""
+        body = self._request("GET", self._table_path(share, schema, table) + "/metadata")
+        protocol = Protocol()
+        metadata = TableMetadata()
+        for line in parse_ndjson(body):
+            if "protocol" in line:
+                protocol = Protocol.from_json(line["protocol"])
+            elif "metaData" in line:
+                metadata = TableMetadata.from_json(line["metaData"])
+        return protocol, metadata
+
+    def query_table_version(self, share: str, schema: str, table: str) -> int:
+        """Table version probe. The reference HEADs then re-fetches metadata,
+        ignoring the Delta-Table-Version header (cpp:357-369); we return the
+        metadata version directly (one round trip, same answer)."""
+        _, metadata = self.query_table_metadata(share, schema, table)
+        return metadata.version
+
+    # -- table query (A8 REST half, A13, A14) ---------------------------------
+
+    def query_table(
+        self,
+        share: str,
+        schema: str,
+        table: str,
+        json_predicate_hints: dict[str, Any] | None = None,
+        predicate_hints: list[str] | None = None,
+        limit_hint: int | None = None,
+        version: int | None = None,
+    ) -> TableFiles:
+        """POST .../query → protocol + metaData + file actions (cpp:371-465).
+
+        Hints are advisory per the protocol: the server may ignore them, so
+        the reader must (and does) re-apply every filter — unlike the
+        reference, which drops filters from the plan (§2D filter swallowing).
+        """
+        body: dict[str, Any] = {}
+        if json_predicate_hints is not None:
+            body["jsonPredicateHints"] = json.dumps(json_predicate_hints)
+        if predicate_hints:
+            body["predicateHints"] = predicate_hints
+        if limit_hint is not None and limit_hint >= 0:
+            body["limitHint"] = limit_hint
+        if version is not None and version >= 0:
+            body["version"] = version
+        resp = self._request("POST", self._table_path(share, schema, table) + "/query", body=body)
+        protocol = Protocol()
+        metadata = TableMetadata()
+        files: list[FileAction] = []
+        for line in parse_ndjson(resp):
+            if "protocol" in line:
+                protocol = Protocol.from_json(line["protocol"])
+            elif "metaData" in line:
+                metadata = TableMetadata.from_json(line["metaData"])
+            elif "file" in line:
+                files.append(FileAction.from_json(line["file"]))
+        return TableFiles(protocol=protocol, metadata=metadata, files=tuple(files))

@@ -9,5 +9,6 @@ from duck_delta_share_spark.plans import tpch  # noqa: E402,F401
 from duck_delta_share_spark.plans import relational  # noqa: E402,F401
 from duck_delta_share_spark.plans import functions_sweep  # noqa: E402,F401
 from duck_delta_share_spark.plans import llm_ops  # noqa: E402,F401
+from duck_delta_share_spark.plans import datasource_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QueryDef", "query"]

@@ -1,0 +1,48 @@
+"""Correctness-gate coverage for the ``deltashare`` DataSource itself:
+scan the synthetic tables through the DataSource in direct mode (file list
++ schemaString, no server) so the driver's DuckDB oracle verifies the
+reader path — schema from schemaString, executor-side parquet fetch, and
+filter re-application (§A8/§A9 + §2D fixes)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from duck_delta_share_spark.plans.registry import query
+
+_SUPPLIER_DDL = "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+
+
+def _register(spark: SparkSession) -> None:
+    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DeltaShareDataSource)
+
+
+@query(
+    "delta_share_scan",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier
+WHERE s_acctbal > 0
+""",
+    doc="deltashare DataSource scan (direct mode): schemaString-driven "
+    "schema, per-file input partitions, pushed + re-applied filter",
+)
+def delta_share_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark)
+    schema = StructType.fromDDL(_SUPPLIER_DDL)
+    files = [{"url": f"{sf_dir.rstrip('/')}/supplier.parquet", "partitionValues": {}}]
+    return (
+        spark.read.format("deltashare")
+        .option("files", json.dumps(files))
+        .option("schemaString", schema.json())
+        .load()
+        .filter(F.col("s_acctbal") > 0)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )

@@ -47,6 +47,8 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        # Python DataSource filter pushdown (deltashare source, §A10)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- Python boundary: always Arrow-batched, never row-at-a-time ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

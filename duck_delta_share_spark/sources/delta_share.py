@@ -1,0 +1,280 @@
+"""``deltashare`` — a Spark 4 Python DataSource that scans Delta-Shared
+tables natively: the Spark-first re-design of the reference's
+``delta_share_read`` table function (`/root/reference/src/
+duck_delta_share_extension.cpp:495-629`).
+
+Plan shape (SURVEY.md §3.2 "Spark trace"):
+
+- driver: metadata GET → ``StructType.fromJson(schemaString)`` (lossless,
+  §A9), query POST with jsonPredicateHints (§A10) → FileActions; partition
+  + stats pruning happens HERE, before task scheduling, so pruned files
+  never become tasks.
+- one ``InputPartition`` per surviving FileAction → with N executors the
+  scan parallelizes per file, vs. the reference's sequential single-cursor
+  loop (extension.cpp:569-575). At 100 TB / thousands of files this is the
+  entire difference between hours and minutes.
+- executors: fetch their presigned URL (pyarrow over an in-memory buffer;
+  data plane goes straight to object storage, never through the sharing
+  server), attach partition values as typed constant columns (fixing the
+  reference quirk of declaring-but-never-populating partition columns,
+  §2D), and yield Arrow record batches.
+- every pushed filter is ALSO kept in Spark's plan (``pushFilters`` returns
+  all filters), so server/scan-side filtering is purely an optimization —
+  fixing the reference's filter swallowing (extension.cpp:492).
+
+Usage (REST mode):
+
+    spark.dataSource.register(DeltaShareDataSource)
+    df = (spark.read.format("deltashare")
+          .option("endpoint", "https://...")
+          .option("bearerToken", "...")
+          .load("share.schema.table"))
+
+Direct mode (no server; local/offline scans, tests, and the driver's
+correctness gate) passes the file list + schemaString explicitly:
+
+    .option("files", json.dumps([{"url": "/path/f.parquet",
+                                  "partitionValues": {"pcol": "eu"}}]))
+    .option("schemaString", struct_type.json())
+    .option("partitionColumns", "pcol")
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from duck_delta_share_spark.sources.pushdown import (
+    filters_to_json_hints,
+    partition_matches,
+    stats_allow,
+)
+from duck_delta_share_spark.sources.schema import schema_from_string, split_partition_fields
+
+
+@dataclass
+class _FileTask(InputPartition):
+    """One file scan task: everything an executor needs, picklable."""
+
+    url: str
+    partition_values: dict[str, str | None]
+    data_schema_json: str
+    partition_schema_json: str
+    full_schema_json: str
+
+
+def _parse_table_path(path: str | None, options: dict[str, str]) -> tuple[str, str, str]:
+    raw = path or options.get("table", "")
+    parts = raw.split(".")
+    if len(parts) != 3:
+        raise ValueError(
+            f"deltashare path must be 'share.schema.table', got {raw!r}"
+        )
+    return parts[0], parts[1], parts[2]
+
+
+class DeltaShareDataSource(DataSource):
+    """Entry point; resolves the table schema at planning time (driver)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deltashare"
+
+    def schema(self) -> StructType:
+        if "schemaString" in self.options:
+            return schema_from_string(self.options["schemaString"])
+        share, schema, table = _parse_table_path(self.options.get("path"), self.options)
+        client = _make_client(self.options)
+        _, metadata = client.query_table_metadata(share, schema, table)
+        return schema_from_string(metadata.schema_string)
+
+    def reader(self, schema: StructType) -> "DeltaShareReader":
+        return DeltaShareReader(dict(self.options), schema)
+
+
+def _make_client(options: dict[str, str]):
+    from duck_delta_share_spark.client import DeltaSharingClient, DeltaSharingProfile
+
+    if "profile" in options:
+        profile = DeltaSharingProfile.from_file(options["profile"])
+    else:
+        profile = DeltaSharingProfile(
+            endpoint=options.get("endpoint", ""),
+            bearer_token=options.get("bearertoken", options.get("bearerToken", "")),
+        )
+    return DeltaSharingClient(profile)
+
+
+class DeltaShareReader(DataSourceReader):
+    def __init__(self, options: dict[str, str], schema: StructType):
+        self.options = options
+        self.schema = schema
+        self.pushed: list[Filter] = []
+        self.partition_columns = tuple(
+            c for c in options.get("partitioncolumns", options.get("partitionColumns", "")).split(",") if c
+        )
+
+    # -- pushdown (§A10): store filters, forward ALL of them to Spark -------
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        self.pushed = list(filters)
+        # Hints are advisory; Spark re-applies everything (no swallowing).
+        yield from filters
+
+    # -- planning: REST query or direct file list, then pruning --------------
+
+    def _file_actions(self) -> tuple[list[dict[str, Any]], tuple[str, ...]]:
+        if "files" in self.options:
+            files = json.loads(self.options["files"])
+            return files, self.partition_columns
+        share, schema, table = _parse_table_path(self.options.get("path"), self.options)
+        client = _make_client(self.options)
+        version = self.options.get("versionasof", self.options.get("versionAsOf"))
+        limit = self.options.get("limithint", self.options.get("limitHint"))
+        result = client.query_table(
+            share,
+            schema,
+            table,
+            json_predicate_hints=filters_to_json_hints(self.pushed),
+            limit_hint=int(limit) if limit is not None else None,
+            version=int(version) if version is not None else None,
+        )
+        files = [
+            {
+                "url": f.url,
+                "partitionValues": dict(f.partition_values),
+                "stats": f.stats,
+            }
+            for f in result.files
+        ]
+        return files, tuple(result.metadata.partition_columns) or self.partition_columns
+
+    def partitions(self) -> list[_FileTask]:
+        files, part_cols = self._file_actions()
+        data_fields, part_fields = split_partition_fields(self.schema, part_cols)
+        data_schema = StructType(data_fields)
+        part_schema = StructType(part_fields)
+
+        tasks: list[_FileTask] = []
+        for f in files:
+            pvals = f.get("partitionValues") or {}
+            if not partition_matches(self.pushed, pvals):
+                continue  # partition pruning: file never becomes a task
+            stats_raw = f.get("stats") or ""
+            if stats_raw:
+                try:
+                    stats = json.loads(stats_raw) if isinstance(stats_raw, str) else stats_raw
+                except ValueError:
+                    stats = {}
+                if not stats_allow(self.pushed, stats):
+                    continue  # min/max stats pruning
+            tasks.append(
+                _FileTask(
+                    url=f["url"],
+                    partition_values=pvals,
+                    data_schema_json=data_schema.json(),
+                    partition_schema_json=part_schema.json(),
+                    full_schema_json=self.schema.json(),
+                )
+            )
+        return tasks
+
+    # -- execution (runs on executors) ---------------------------------------
+
+    def read(self, partition: _FileTask) -> Iterator[Any]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        data_schema = StructType.fromJson(json.loads(partition.data_schema_json))
+        part_schema = StructType.fromJson(json.loads(partition.partition_schema_json))
+        full_schema = StructType.fromJson(json.loads(partition.full_schema_json))
+        arrow_full = to_arrow_schema(full_schema)
+
+        table = _fetch_parquet(partition.url, [f.name for f in data_schema.fields])
+
+        # Attach partition values as typed constant columns (the reference
+        # never does this — §2D "partition values never re-attached").
+        n = table.num_rows
+        columns: dict[str, pa.Array] = {c: table.column(c) for c in table.column_names}
+        for f in part_schema.fields:
+            target = arrow_full.field(f.name).type
+            raw = partition.partition_values.get(f.name)
+            scalar = pa.scalar(None, type=target) if raw is None else pa.scalar(
+                _cast_partition_value(raw, target), type=target
+            )
+            columns[f.name] = pa.nulls(n, type=target) if raw is None else pa.array(
+                [scalar.as_py()] * n, type=target
+            )
+
+        # Emit in declared schema order, casting data columns to the
+        # declared types (presigned files may use narrower physical types).
+        arrays = []
+        for f in full_schema.fields:
+            target = arrow_full.field(f.name).type
+            col = columns[f.name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if col.type != target:
+                col = col.cast(target)
+            arrays.append(col)
+        out = pa.table(dict(zip([f.name for f in full_schema.fields], arrays)))
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def _cast_partition_value(raw: str, target: "pa.DataType") -> Any:  # noqa: F821
+    import datetime as dt
+
+    import pyarrow as pa
+
+    if pa.types.is_integer(target):
+        return int(raw)
+    if pa.types.is_floating(target):
+        return float(raw)
+    if pa.types.is_boolean(target):
+        return str(raw).lower() == "true"
+    if pa.types.is_date(target):
+        return dt.date.fromisoformat(str(raw)[:10])
+    if pa.types.is_timestamp(target):
+        return dt.datetime.fromisoformat(str(raw).replace("Z", "+00:00")).replace(tzinfo=None)
+    return str(raw)
+
+
+def _fetch_parquet(url: str, columns: list[str]) -> "pa.Table":  # noqa: F821
+    """Read one parquet file: presigned http(s) URL or local path.
+
+    Column pruning is applied at the read (only the data columns of the
+    declared schema are materialized). For http(s) the object is fetched
+    into memory — presigned-URL stores (S3 etc.) serve whole objects
+    efficiently and Delta files are sized for single-task reads; a
+    range-request lazy reader is a drop-in upgrade here if needed.
+    Retries once on a 403 to survive URL expiry mid-job.
+    """
+    import pyarrow.parquet as pq
+
+    if url.startswith(("http://", "https://")):
+        import urllib.request
+
+        last: Exception | None = None
+        for _ in range(2):
+            try:
+                with urllib.request.urlopen(url, timeout=300) as resp:
+                    buf = io.BytesIO(resp.read())
+                break
+            except Exception as e:  # expired presigned URL or transient
+                last = e
+        else:
+            raise last  # type: ignore[misc]
+        return pq.read_table(buf, columns=columns)
+    path = url[7:] if url.startswith("file://") else url
+    return pq.read_table(path, columns=columns)

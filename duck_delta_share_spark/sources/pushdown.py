@@ -1,0 +1,274 @@
+"""Catalyst filter → Delta Sharing JSON predicate hints, plus file-level
+pruning (partition values and min/max stats).
+
+Reference analogue: ``ParseExpressionHint``/``GetPredicateHints``
+(`/root/reference/src/duck_delta_share_extension.cpp:318-425`) emit the
+JSON grammar {column, literal, equal, lessThan, greaterThan,
+lessThanOrEqual, greaterThanOrEqual, not, isNull, and, or}. Differences
+by design:
+
+- valueType is spec-correct per the public Delta Sharing protocol
+  ("boolean"/"int"/"long"/"float"/"double"/"string"/"date"/"timestamp") —
+  the reference mislabels doubles as "int"
+  (`duck_delta_share_extension.cpp:271-277,289-295`, SURVEY.md §2D).
+- Hints are ADVISORY: every filter stays in Spark's plan and is re-applied
+  after the scan, fixing the reference's filter swallowing
+  (`duck_delta_share_extension.cpp:492`).
+- Partition pruning actually prunes: predicates on partition columns are
+  evaluated against ``FileAction.partition_values`` and files are skipped
+  — the reference parses partition values but never uses them
+  (`delta_sharing_client.cpp:445-446`).
+- File-stats min/max pruning: the reference parses ``stats`` and ignores
+  them (`delta_sharing_client.cpp:450-451`); we skip files whose ranges
+  exclude the predicate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any
+
+from pyspark.sql.datasource import (
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+)
+
+# ---------------------------------------------------------------------------
+# Filter → JSON hint tree
+# ---------------------------------------------------------------------------
+
+
+def _value_type(value: Any) -> str:
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, int):
+        return "int" if -(2**31) <= value < 2**31 else "long"
+    if isinstance(value, float):
+        return "double"
+    if isinstance(value, dt.datetime):
+        return "timestamp"
+    if isinstance(value, dt.date):
+        return "date"
+    return "string"
+
+
+def _attr_name(f: Filter) -> str:
+    # ColumnPath is a tuple of name parts; hints address top-level columns.
+    return ".".join(f.attribute)
+
+
+def _column(name: str, value_type: str) -> dict[str, Any]:
+    return {"op": "column", "name": name, "valueType": value_type}
+
+
+def _literal(value: Any) -> dict[str, Any]:
+    return {"op": "literal", "value": _literal_str(value), "valueType": _value_type(value)}
+
+
+def _literal_str(value: Any) -> str:
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, dt.datetime):
+        return value.isoformat(sep="T")
+    return str(value)
+
+
+def _binary(op: str, f: Filter) -> dict[str, Any]:
+    name = _attr_name(f)
+    return {
+        "op": op,
+        "children": [_column(name, _value_type(f.value)), _literal(f.value)],
+    }
+
+
+def filter_to_hint(f: Filter) -> dict[str, Any] | None:
+    """Translate one pushed Filter to a hint subtree; None if untranslatable
+    (the filter still runs in Spark either way)."""
+    if isinstance(f, (EqualTo, EqualNullSafe)):
+        return _binary("equal", f)
+    if isinstance(f, LessThan):
+        return _binary("lessThan", f)
+    if isinstance(f, LessThanOrEqual):
+        return _binary("lessThanOrEqual", f)
+    if isinstance(f, GreaterThan):
+        return _binary("greaterThan", f)
+    if isinstance(f, GreaterThanOrEqual):
+        return _binary("greaterThanOrEqual", f)
+    if isinstance(f, IsNull):
+        return {"op": "isNull", "children": [_column(_attr_name(f), "string")]}
+    if isinstance(f, IsNotNull):
+        return {
+            "op": "not",
+            "children": [{"op": "isNull", "children": [_column(_attr_name(f), "string")]}],
+        }
+    if isinstance(f, In):
+        children = [
+            {
+                "op": "equal",
+                "children": [
+                    _column(_attr_name(f), _value_type(v)),
+                    _literal(v),
+                ],
+            }
+            for v in f.value
+        ]
+        if not children:
+            return None
+        return children[0] if len(children) == 1 else {"op": "or", "children": children}
+    if isinstance(f, Not):
+        child = filter_to_hint(f.child)
+        return {"op": "not", "children": [child]} if child else None
+    # StringStartsWith/EndsWith/Contains have no hint-grammar equivalent.
+    return None
+
+
+def filters_to_json_hints(filters: list[Filter]) -> dict[str, Any] | None:
+    """AND-combine translatable filters into one jsonPredicateHints tree."""
+    hints = [h for h in (filter_to_hint(f) for f in filters) if h is not None]
+    if not hints:
+        return None
+    return hints[0] if len(hints) == 1 else {"op": "and", "children": hints}
+
+
+# ---------------------------------------------------------------------------
+# File pruning: partition values + stats
+# ---------------------------------------------------------------------------
+
+
+def _coerce(raw: Any, sample: Any) -> Any:
+    """Coerce a partition-value/stats string to the comparison value's type;
+    None → not comparable (never prune on uncertainty)."""
+    if raw is None:
+        return None
+    try:
+        if isinstance(sample, bool):
+            return str(raw).lower() == "true"
+        if isinstance(sample, int):
+            return int(raw)
+        if isinstance(sample, float):
+            return float(raw)
+        if isinstance(sample, dt.datetime):
+            if isinstance(raw, dt.datetime):
+                return raw
+            return dt.datetime.fromisoformat(str(raw).replace("Z", "+00:00")).replace(tzinfo=None)
+        if isinstance(sample, dt.date):
+            if isinstance(raw, dt.date):
+                return raw
+            return dt.date.fromisoformat(str(raw)[:10])
+        return str(raw)
+    except (ValueError, TypeError):
+        return None
+
+
+def _compare_ok(f: Filter, actual: Any) -> bool:
+    """Can a row with column value ``actual`` satisfy the filter? Unknown →
+    True (never prune on uncertainty)."""
+    value = getattr(f, "value", None)
+    if isinstance(f, (EqualTo, EqualNullSafe)):
+        coerced = _coerce(actual, value)
+        return coerced is None or coerced == value
+    if isinstance(f, LessThan):
+        coerced = _coerce(actual, value)
+        return coerced is None or coerced < value
+    if isinstance(f, LessThanOrEqual):
+        coerced = _coerce(actual, value)
+        return coerced is None or coerced <= value
+    if isinstance(f, GreaterThan):
+        coerced = _coerce(actual, value)
+        return coerced is None or coerced > value
+    if isinstance(f, GreaterThanOrEqual):
+        coerced = _coerce(actual, value)
+        return coerced is None or coerced >= value
+    if isinstance(f, In):
+        coerced = _coerce(actual, next(iter(f.value), None))
+        return coerced is None or coerced in f.value
+    if isinstance(f, IsNull):
+        return actual is None
+    if isinstance(f, IsNotNull):
+        return actual is not None
+    return True
+
+
+def partition_matches(filters: list[Filter], partition_values: dict[str, Any]) -> bool:
+    """True if a file with these partition values can contain matching rows.
+    Only filters naming a partition column participate; everything else is
+    the parquet scan's job."""
+    for f in filters:
+        attr = getattr(f, "attribute", None) or getattr(
+            getattr(f, "child", None), "attribute", None
+        )
+        if attr is None:
+            continue
+        name = ".".join(attr)
+        if name not in partition_values:
+            continue
+        if isinstance(f, Not):
+            if _definitely_matches(f.child, partition_values[name]):
+                return False
+            continue
+        if not _compare_ok(f, partition_values[name]):
+            return False
+    return True
+
+
+def _definitely_matches(f: Filter, actual: Any) -> bool:
+    """For Not-pruning we need 'every row definitely matches child' — for a
+    constant partition value the row set is uniform, so child-match is
+    decidable the same way (unknown → False, never prune)."""
+    value = getattr(f, "value", None)
+    if isinstance(f, (EqualTo, EqualNullSafe)):
+        coerced = _coerce(actual, value)
+        return coerced is not None and coerced == value
+    if isinstance(f, In):
+        coerced = _coerce(actual, next(iter(f.value), None))
+        return coerced is not None and coerced in f.value
+    if isinstance(f, IsNull):
+        return actual is None
+    if isinstance(f, IsNotNull):
+        return actual is not None
+    return False
+
+
+def stats_allow(filters: list[Filter], stats: dict[str, Any]) -> bool:
+    """Min/max file-stats pruning: False → no row in the file can match.
+    ``stats`` is the parsed FileAction.stats JSON with minValues/maxValues.
+    """
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if attr is None:
+            continue
+        name = ".".join(attr)
+        value = getattr(f, "value", None)
+        lo = _coerce(mins.get(name), value)
+        hi = _coerce(maxs.get(name), value)
+        if isinstance(f, EqualTo):
+            if lo is not None and value < lo:
+                return False
+            if hi is not None and value > hi:
+                return False
+        elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+            if hi is not None and (value > hi or (isinstance(f, GreaterThan) and value >= hi)):
+                return False
+        elif isinstance(f, (LessThan, LessThanOrEqual)):
+            if lo is not None and (value < lo or (isinstance(f, LessThan) and value <= lo)):
+                return False
+        elif isinstance(f, In):
+            if lo is not None and hi is not None and not any(
+                lo <= v <= hi for v in f.value
+            ):
+                return False
+    return True

@@ -1,0 +1,82 @@
+"""Streaming pipelines over the events table.
+
+Batch/stream parity: ``windowed_counts`` is the streaming twin of the
+batch query ``events_windowed_agg`` (plans/functions_sweep.py) — same
+logical aggregation, executed incrementally with a watermark for late
+data. At scale this runs as a continuous job over a file/kafka source with
+state in the checkpoint; here tests drive it with ``availableNow`` over
+the parquet fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet physical schema under nanosAsLong: ts arrives as long ns.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture with ts normalized to a
+    proper timestamp (ns → µs floor, matching the batch catalog loader)."""
+    # file streams take a directory; glob-filter to the events fixture
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windows per event type with a late-data watermark.
+    State size is bounded by (windows in watermark horizon × event types);
+    Spark drops state for windows older than the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, query_name: str = "events_windowed"
+) -> None:
+    """Drain all available input (batch-like execution of the streaming
+    plan) into an in-memory sink for inspection/tests."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,205 @@
+"""In-process mock Delta Sharing server (stdlib http.server) serving canned
+protocol responses shaped exactly like the reference's parsers expect
+(FIXTURES.md §B; parser citations in delta_sharing_client.cpp:199-203,
+317-348, 437-458), plus parquet file bytes for end-to-end scans."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "val", "type": "double", "nullable": True, "metadata": {}},
+            {"name": "tag", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "pcol", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+class MockDeltaSharingServer:
+    """share 'sales' / schema 'web' / table 'clicks': two files partitioned
+    by pcol (eu/us), with min/max stats on id."""
+
+    def __init__(self, data_dir: Path, token: str = "secret-token"):
+        self.data_dir = data_dir
+        self.token = token
+        self.requests: list[tuple[str, str, str]] = []  # (method, path, body)
+        self.httpd: HTTPServer | None = None
+        self.port: int = 0
+
+    # NDJSON /query and /metadata bodies -------------------------------------
+
+    def _metadata_lines(self) -> str:
+        return "\n".join(
+            [
+                json.dumps({"protocol": {"minReaderVersion": 1}}),
+                json.dumps(
+                    {
+                        "metaData": {
+                            "id": "tbl-1",
+                            "name": "clicks",
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": SCHEMA_STRING,
+                            "partitionColumns": ["pcol"],
+                            "configuration": {},
+                            "version": 3,
+                        }
+                    }
+                ),
+            ]
+        )
+
+    def _query_lines(self) -> str:
+        base = f"http://127.0.0.1:{self.port}/data"
+        files = [
+            {
+                "url": f"{base}/eu.parquet",
+                "id": "f-eu",
+                "partitionValues": {"pcol": "eu"},
+                "size": 1000,
+                "stats": json.dumps(
+                    {"numRecords": 3, "minValues": {"id": 1, "val": 1.0},
+                     "maxValues": {"id": 3, "val": 3.0}}
+                ),
+                "version": 3,
+                "timestamp": 1700000000000,
+            },
+            {
+                "url": f"{base}/us.parquet",
+                "id": "f-us",
+                "partitionValues": {"pcol": "us"},
+                "size": 1000,
+                "stats": json.dumps(
+                    {"numRecords": 3, "minValues": {"id": 10, "val": 10.0},
+                     "maxValues": {"id": 12, "val": 12.0}}
+                ),
+                "version": 3,
+                "timestamp": 1700000000000,
+            },
+        ]
+        return self._metadata_lines() + "\n" + "\n".join(
+            json.dumps({"file": f}) for f in files
+        )
+
+    # server ----------------------------------------------------------------
+
+    def start(self) -> "MockDeltaSharingServer":
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _reply(self, status: int, body: bytes, ctype: str = "application/json"):
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _check_auth(self) -> bool:
+                if self.headers.get("Authorization") != f"Bearer {outer.token}":
+                    self._reply(401, json.dumps({"message": "unauthorized"}).encode())
+                    return False
+                return True
+
+            def do_GET(self):
+                parsed = urlparse(self.path)
+                path, qs = parsed.path, parse_qs(parsed.query)
+                outer.requests.append(("GET", self.path, ""))
+                if path.startswith("/data/"):
+                    p = outer.data_dir / path.split("/")[-1]
+                    if not p.exists():
+                        self._reply(404, json.dumps({"message": "no such file"}).encode())
+                        return
+                    self._reply(200, p.read_bytes(), "application/octet-stream")
+                    return
+                if not self._check_auth():
+                    return
+                if path == "/shares":
+                    # two-page listing to exercise pagination
+                    if qs.get("pageToken", [""])[0] == "p2":
+                        body = {"items": [{"name": "marketing", "id": "sh-2"}]}
+                    else:
+                        body = {"items": [{"name": "sales", "id": "sh-1"}], "nextPageToken": "p2"}
+                    self._reply(200, json.dumps(body).encode())
+                elif path == "/shares/sales":
+                    self._reply(200, json.dumps({"share": {"name": "sales", "id": "sh-1"}}).encode())
+                elif path == "/shares/sales/schemas":
+                    self._reply(
+                        200,
+                        json.dumps({"items": [{"name": "web", "share": "sales", "id": None}]}).encode(),
+                    )
+                elif path == "/shares/sales/schemas/web/tables":
+                    self._reply(
+                        200,
+                        json.dumps(
+                            {"items": [{"name": "clicks", "schema": "web", "share": "sales", "id": "t-1"}]}
+                        ).encode(),
+                    )
+                elif path == "/shares/sales/all-tables":
+                    self._reply(
+                        200,
+                        json.dumps(
+                            {"items": [{"name": "clicks", "schema": "web", "share": "sales"}]}
+                        ).encode(),
+                    )
+                elif path == "/shares/sales/schemas/web/tables/clicks/metadata":
+                    self._reply(200, outer._metadata_lines().encode(), "application/x-ndjson")
+                else:
+                    self._reply(404, json.dumps({"message": f"not found: {path}"}).encode())
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length).decode()
+                outer.requests.append(("POST", self.path, body))
+                if not self._check_auth():
+                    return
+                if self.path == "/shares/sales/schemas/web/tables/clicks/query":
+                    self._reply(200, outer._query_lines().encode(), "application/x-ndjson")
+                else:
+                    self._reply(404, json.dumps({"message": f"not found: {self.path}"}).encode())
+
+        self.httpd = HTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.httpd.server_address[1]
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+        return self
+
+    @property
+    def endpoint(self) -> str:
+        return f"http://127.0.0.1:{self.port}"
+
+    def stop(self) -> None:
+        if self.httpd:
+            self.httpd.shutdown()
+
+    def last_query_body(self) -> dict:
+        for method, path, body in reversed(self.requests):
+            if method == "POST" and path.endswith("/query"):
+                return json.loads(body)
+        return {}
+
+
+def write_fixture_files(data_dir: Path) -> None:
+    """Two parquet files WITHOUT the partition column (as Delta stores
+    them), so the reader must attach pcol from partitionValues."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data_dir.mkdir(parents=True, exist_ok=True)
+    eu = pa.table({"id": pa.array([1, 2, 3], "int64"),
+                   "val": pa.array([1.0, 2.0, 3.0], "float64"),
+                   "tag": pa.array(["a", "b", "c"])})
+    us = pa.table({"id": pa.array([10, 11, 12], "int64"),
+                   "val": pa.array([10.0, 11.0, 12.0], "float64"),
+                   "tag": pa.array(["x", "y", "z"])})
+    pq.write_table(eu, data_dir / "eu.parquet")
+    pq.write_table(us, data_dir / "us.parquet")

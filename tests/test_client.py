@@ -1,0 +1,122 @@
+"""Delta Sharing REST client tests against the in-process mock server
+(reference behaviors cited in duck_delta_share_spark/client/rest.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from duck_delta_share_spark.client import (
+    DeltaSharingClient,
+    DeltaSharingError,
+    DeltaSharingProfile,
+)
+from tests.mock_server import MockDeltaSharingServer, write_fixture_files
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    data_dir = tmp_path_factory.mktemp("dsdata")
+    write_fixture_files(data_dir)
+    srv = MockDeltaSharingServer(data_dir).start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture()
+def client(server):
+    return DeltaSharingClient(
+        DeltaSharingProfile(endpoint=server.endpoint + "/", bearer_token="secret-token")
+    )
+
+
+def test_profile_requires_endpoint_and_token():
+    with pytest.raises(ValueError):
+        DeltaSharingProfile(endpoint="", bearer_token="x")
+    with pytest.raises(ValueError):
+        DeltaSharingProfile(endpoint="http://x", bearer_token="")
+
+
+def test_profile_strips_trailing_slash():
+    p = DeltaSharingProfile(endpoint="http://x/", bearer_token="t")
+    assert p.endpoint == "http://x"
+
+
+def test_profile_from_file(tmp_path):
+    f = tmp_path / "profile.json"
+    f.write_text(
+        json.dumps(
+            {"shareCredentialsVersion": 1, "endpoint": "http://h/", "bearerToken": "tok"}
+        )
+    )
+    p = DeltaSharingProfile.from_file(f)
+    assert p.endpoint == "http://h" and p.bearer_token == "tok"
+
+
+def test_list_shares_pagination(client):
+    shares = client.list_shares()
+    assert [s.name for s in shares] == ["sales", "marketing"]
+    assert shares[0].id == "sh-1"
+
+
+def test_get_share(client):
+    assert client.get_share("sales").name == "sales"
+
+
+def test_list_schemas_null_id_coalesced(client):
+    schemas = client.list_schemas("sales")
+    assert schemas[0].name == "web"
+    assert schemas[0].share == "sales"
+    assert schemas[0].id == ""  # null id → "" like extension.cpp:109-110
+
+
+def test_list_tables(client):
+    tables = client.list_tables("sales", "web")
+    assert tables[0].name == "clicks"
+    assert tables[0].share == "sales" and tables[0].schema == "web"
+
+
+def test_list_all_tables(client):
+    assert [t.name for t in client.list_all_tables("sales")] == ["clicks"]
+
+
+def test_metadata_and_version(client):
+    protocol, metadata = client.query_table_metadata("sales", "web", "clicks")
+    assert protocol.min_reader_version == 1
+    assert metadata.partition_columns == ("pcol",)
+    assert metadata.version == 3
+    assert "schemaString" not in metadata.schema_string  # raw inner JSON
+    assert client.query_table_version("sales", "web", "clicks") == 3
+
+
+def test_query_table_files_and_hints(client, server):
+    hints = {"op": "equal", "children": []}
+    result = client.query_table(
+        "sales", "web", "clicks", json_predicate_hints=hints, limit_hint=10
+    )
+    assert len(result.files) == 2
+    assert result.files[0].partition_values == {"pcol": "eu"}
+    assert result.files[0].parsed_stats()["maxValues"]["id"] == 3
+    body = server.last_query_body()
+    assert json.loads(body["jsonPredicateHints"]) == hints
+    assert body["limitHint"] == 10
+    # no junk placeholder fields (reference quirk §2D)
+    assert "predicateHints" not in body
+    assert "version" not in body
+
+
+def test_error_mapping(client):
+    with pytest.raises(DeltaSharingError) as ei:
+        client.get_share("nope")
+    assert ei.value.status == 404
+    assert "not found" in ei.value.server_message
+
+
+def test_auth_error(server):
+    bad = DeltaSharingClient(
+        DeltaSharingProfile(endpoint=server.endpoint, bearer_token="wrong")
+    )
+    with pytest.raises(DeltaSharingError) as ei:
+        bad.list_shares()
+    assert ei.value.status == 401

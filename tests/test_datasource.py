@@ -1,0 +1,215 @@
+"""End-to-end tests of the ``deltashare`` Python DataSource: REST mode
+against the mock server (presigned-URL fetch in executors, partition-value
+attachment) and direct mode; unit tests of pruning and hint translation."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    In,
+    IsNotNull,
+    LessThan,
+    Not,
+    StringStartsWith,
+)
+
+from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource, DeltaShareReader
+from duck_delta_share_spark.sources.pushdown import (
+    filters_to_json_hints,
+    partition_matches,
+    stats_allow,
+)
+from duck_delta_share_spark.sources.schema import schema_from_string
+from tests.mock_server import SCHEMA_STRING, MockDeltaSharingServer, write_fixture_files
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    data_dir = tmp_path_factory.mktemp("dsdata")
+    write_fixture_files(data_dir)
+    srv = MockDeltaSharingServer(data_dir).start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(DeltaShareDataSource)
+    return spark
+
+
+# ---------------------------------------------------------------------------
+# REST mode end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_rest_scan_attaches_partition_values(registered, server):
+    df = (
+        registered.read.format("deltashare")
+        .option("endpoint", server.endpoint)
+        .option("bearerToken", "secret-token")
+        .load("sales.web.clicks")
+    )
+    assert [f.name for f in df.schema.fields] == ["id", "val", "tag", "pcol"]
+    rows = {(r.id, r.pcol) for r in df.collect()}
+    assert rows == {(1, "eu"), (2, "eu"), (3, "eu"), (10, "us"), (11, "us"), (12, "us")}
+
+
+def test_rest_scan_filter_correct_and_hinted(registered, server):
+    server.requests.clear()
+    df = (
+        registered.read.format("deltashare")
+        .option("endpoint", server.endpoint)
+        .option("bearerToken", "secret-token")
+        .load("sales.web.clicks")
+        .filter("pcol = 'eu' AND id > 1")
+    )
+    rows = sorted((r.id, r.pcol) for r in df.collect())
+    assert rows == [(2, "eu"), (3, "eu")]
+    body = server.last_query_body()
+    hints = json.loads(body.get("jsonPredicateHints", "{}"))
+    ops = json.dumps(hints)
+    assert "pcol" in ops and "greaterThan" in ops
+
+
+def test_rest_scan_projection(registered, server):
+    df = (
+        registered.read.format("deltashare")
+        .option("endpoint", server.endpoint)
+        .option("bearerToken", "secret-token")
+        .load("sales.web.clicks")
+        .select("val")
+    )
+    assert sorted(r.val for r in df.collect()) == [1.0, 2.0, 3.0, 10.0, 11.0, 12.0]
+
+
+# ---------------------------------------------------------------------------
+# Direct mode (no server)
+# ---------------------------------------------------------------------------
+
+
+def test_direct_mode_local_files(registered, tmp_path):
+    write_fixture_files(tmp_path)
+    files = [
+        {"url": str(tmp_path / "eu.parquet"), "partitionValues": {"pcol": "eu"}},
+        {"url": str(tmp_path / "us.parquet"), "partitionValues": {"pcol": "us"}},
+    ]
+    df = (
+        registered.read.format("deltashare")
+        .option("files", json.dumps(files))
+        .option("schemaString", SCHEMA_STRING)
+        .option("partitionColumns", "pcol")
+        .load()
+    )
+    assert df.count() == 6
+    assert df.filter("pcol = 'us'").count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Reader-level pruning (observable at partitions())
+# ---------------------------------------------------------------------------
+
+
+def _reader_with(filters, files):
+    reader = DeltaShareReader(
+        {
+            "files": json.dumps(files),
+            "partitioncolumns": "pcol",
+        },
+        schema_from_string(SCHEMA_STRING),
+    )
+    list(reader.pushFilters(filters))
+    return reader
+
+
+_FILES = [
+    {
+        "url": "/x/eu.parquet",
+        "partitionValues": {"pcol": "eu"},
+        "stats": json.dumps({"minValues": {"id": 1}, "maxValues": {"id": 3}}),
+    },
+    {
+        "url": "/x/us.parquet",
+        "partitionValues": {"pcol": "us"},
+        "stats": json.dumps({"minValues": {"id": 10}, "maxValues": {"id": 12}}),
+    },
+]
+
+
+def test_partition_pruning_drops_file():
+    reader = _reader_with([EqualTo(("pcol",), "eu")], _FILES)
+    parts = reader.partitions()
+    assert len(parts) == 1 and parts[0].url.endswith("eu.parquet")
+
+
+def test_partition_pruning_not():
+    reader = _reader_with([Not(EqualTo(("pcol",), "eu"))], _FILES)
+    parts = reader.partitions()
+    assert len(parts) == 1 and parts[0].url.endswith("us.parquet")
+
+
+def test_stats_pruning_drops_file():
+    reader = _reader_with([GreaterThan(("id",), 5)], _FILES)
+    parts = reader.partitions()
+    assert len(parts) == 1 and parts[0].url.endswith("us.parquet")
+
+
+def test_in_filter_prunes():
+    reader = _reader_with([In(("pcol",), ("us", "apac"))], _FILES)
+    parts = reader.partitions()
+    assert len(parts) == 1 and parts[0].url.endswith("us.parquet")
+
+
+def test_no_pruning_without_filters():
+    reader = _reader_with([], _FILES)
+    assert len(reader.partitions()) == 2
+
+
+# ---------------------------------------------------------------------------
+# Hint translation unit tests (§A10, spec-correct typing)
+# ---------------------------------------------------------------------------
+
+
+def test_hint_types_correct():
+    hints = filters_to_json_hints(
+        [EqualTo(("x",), 2.5), GreaterThan(("y",), 5), EqualTo(("s",), "eu")]
+    )
+    assert hints["op"] == "and"
+    eq_double, gt_int, eq_str = hints["children"]
+    assert eq_double["children"][1]["valueType"] == "double"  # NOT "int" (§2D fix)
+    assert gt_int["children"][1]["valueType"] == "int"
+    assert eq_str["children"][1]["valueType"] == "string"
+
+
+def test_hint_in_becomes_or_of_equals():
+    h = filters_to_json_hints([In(("p",), ("a", "b"))])
+    assert h["op"] == "or" and len(h["children"]) == 2
+
+
+def test_hint_isnotnull_is_not_isnull():
+    h = filters_to_json_hints([IsNotNull(("c",))])
+    assert h["op"] == "not" and h["children"][0]["op"] == "isNull"
+
+
+def test_untranslatable_filter_skipped():
+    assert filters_to_json_hints([StringStartsWith(("s",), "ab")]) is None
+
+
+def test_partition_matches_type_coercion():
+    assert partition_matches([GreaterThan(("pcol",), 5)], {"pcol": "7"})
+    assert not partition_matches([GreaterThan(("pcol",), 5)], {"pcol": "3"})
+    # uncoercible value → never prune
+    assert partition_matches([GreaterThan(("pcol",), 5)], {"pcol": "xyz"})
+
+
+def test_stats_allow_boundaries():
+    stats = {"minValues": {"id": 1}, "maxValues": {"id": 3}}
+    assert stats_allow([EqualTo(("id",), 3)], stats)
+    assert not stats_allow([EqualTo(("id",), 4)], stats)
+    assert stats_allow([GreaterThan(("id",), 2)], stats)
+    assert not stats_allow([GreaterThan(("id",), 3)], stats)
+    assert not stats_allow([LessThan(("id",), 1)], stats)

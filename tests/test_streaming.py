@@ -1,0 +1,48 @@
+"""Streaming/batch parity: the watermarked windowed aggregation must agree
+with the batch groupBy on the same fixture once fully drained."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duck_delta_share_spark.catalog import load_table
+from duck_delta_share_spark.streaming.events import (
+    read_events_stream,
+    run_available_now,
+    windowed_counts,
+)
+from tests.conftest import SF_DIR
+
+
+def test_windowed_counts_matches_batch(spark, tmp_path):
+    stream = windowed_counts(read_events_stream(spark, SF_DIR))
+    run_available_now(stream, str(tmp_path / "ckpt"), query_name="t_win")
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM t_win").collect()
+    }
+
+    e = load_table(spark, SF_DIR, "events")
+    batch = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .collect()
+    )
+    want = {}
+    for r in batch:
+        ws = r.window_start
+        try:
+            ws = ws.replace(tzinfo=None)
+        except (TypeError, AttributeError):
+            pass
+        want[(ws, r.event_type)] = (r.n, round(r.total_value, 6))
+    got_norm = {}
+    for (ws, et), v in got.items():
+        try:
+            ws = ws.replace(tzinfo=None)
+        except (TypeError, AttributeError):
+            pass
+        got_norm[(ws, et)] = v
+    assert got_norm == want
