@@ -1,0 +1,143 @@
+"""Multimodal column plumbing (§2C): image/audio/video as opaque ``binary``
+payloads with typed metadata structs, processed by Arrow-batched
+``mapInPandas`` pipelines.
+
+The decode step itself is STUBBED — the real image/audio libraries are not
+in this environment — behind ``decoder=`` hooks: pass a real decoder
+(PIL/av/soundfile) in production; the default is either a clearly-marked
+``NotImplementedError`` (``strict=True``) or a deterministic fake that
+exercises the full Spark plumbing (schema, partitioning, UDF signature,
+Arrow batch shapes) end-to-end in tests.
+
+Scale notes: payloads never pass through the driver; ``mapInPandas``
+streams Arrow batches executor-side, and feature extraction is
+embarrassingly parallel over input partitions (no shuffle). Batch size is
+governed by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — lower it
+for large payloads so a batch fits executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Typed metadata carried alongside every opaque payload.
+MEDIA_META_FIELDS = [
+    StructField("media_type", StringType()),  # image/audio/video
+    StructField("format", StringType()),  # png/jpeg/wav/mp4/...
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", LongType()),
+]
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha_hex", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for decode + feature-extract: a 16-d feature
+    from the payload's byte histogram — stable across runs/partitions so
+    pipelines built on it are testable."""
+    if payload is None:
+        return [0.0] * FEATURE_DIM
+    counts = [0] * FEATURE_DIM
+    for b in payload:
+        counts[b % FEATURE_DIM] += 1
+    n = max(len(payload), 1)
+    return [c / n for c in counts]
+
+
+def strict_decode(payload: bytes) -> list[float]:
+    """Marker for the real decoder: image/audio libs are not available in
+    this container."""
+    raise NotImplementedError(
+        "media decode requires an image/audio library (PIL/av/soundfile); "
+        "pass decoder=... or use fake_decode for plumbing tests"
+    )
+
+
+def with_payload(df: DataFrame, src_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary payload + metadata struct from a source
+    column (in production the payload arrives from the lake as binary)."""
+    return df.withColumn("payload", F.col(src_col).cast("binary")).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.octet_length(F.col(src_col).cast("binary")).alias("width"),
+            F.lit(1).alias("height"),
+            F.lit(0).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], list[float]] = fake_decode,
+) -> DataFrame:
+    """Decode + featurize payloads via mapInPandas (Arrow batches, no
+    shuffle). Output: (doc_id, n_bytes, sha_hex, features: array<float>).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0),
+                    "sha_hex": payloads.map(
+                        lambda p: hashlib.sha256(p or b"").hexdigest()
+                    ),
+                    "features": payloads.map(decoder),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n_bytes: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video-style frame sampling stub: split each payload into fixed-size
+    'frames' and emit one row per sampled frame (posexplode keeps frame
+    order). The chunking is real distributed plumbing; only the frame
+    *decode* is faked downstream."""
+    n_frames = F.ceil(F.octet_length(payload_col) / F.lit(every_n_bytes)).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.substring(
+            F.col(payload_col), (i * every_n_bytes + 1).cast("int"), every_n_bytes
+        ),
+    )
+    return df.select(
+        id_col, F.posexplode(frames).alias("frame_idx", "frame_payload")
+    )

@@ -48,11 +48,18 @@ def minhash_signatures(
     Implemented as explode(shingles) → groupBy(doc) with k ``min(xxhash64)``
     aggregates: one shuffle, map-side partial min, no Python. Each hash
     function is xxhash64 salted with the hash index (deterministic).
+    No shingle dedup pass: ``min`` is duplicate-insensitive, so skipping
+    it saves an entire shuffle.
+
+    The input is spread across all cores before the explode: document
+    tables often arrive as few large files, and shingling multiplies rows
+    ~100x — without the spread, one task would do all the hashing.
     """
-    shingled = df.select(
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    shingled = df.repartition(spread, id_col).select(
         F.col(id_col),
         F.explode(word_shingles(tokenize(text_col), shingle_n)).alias("__sh"),
-    ).dropDuplicates([id_col, "__sh"])
+    )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"mh_{i}")
         for i in range(num_hashes)

@@ -245,7 +245,10 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(d, num_hashes=32, shingle_n=3)
+    # Signatures feed the band self-join AND the estimate join (4 scans of
+    # the same ~k-column table): persist once — at 100 TB this is the
+    # standard "materialize the signature table" step, tiny vs. the corpus.
+    sigs = dd.minhash_signatures(d, num_hashes=32, shingle_n=3).cache()
     pairs = dd.lsh_candidate_pairs(sigs, num_hashes=32, bands=8)
     return dd.minhash_jaccard_estimate(sigs, pairs, num_hashes=32).orderBy("id_a", "id_b")
 
@@ -315,12 +318,37 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_neardup_blocked",
     oracle=None,  # fast double cosine — rows-only check
-    doc="embedding-cosine near-dup pairs blocked by label",
+    doc="embedding-cosine near-dup pairs blocked by label (threshold tuned "
+    "to the synthetic data's cosine range so the check exercises real pairs)",
 )
 def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return sim.embedding_near_dup_pairs(e, block_col="label", threshold=0.9).orderBy(
+    return sim.embedding_near_dup_pairs(e, block_col="label", threshold=0.4).orderBy(
         "id_a", "id_b"
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle=None,  # mapInPandas fake-decode — rows-only check
+    doc="multimodal decode/feature-extract plumbing: binary payloads → "
+    "Arrow-batched mapInPandas → 16-d features (decode stubbed, see "
+    "functions/multimodal.py)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.functions import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = mm.extract_features(mm.with_payload(d))
+    # emit scalars (feature norm + first component) so the result is hashable
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "sha_hex",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v * v), 6).alias(
+            "feat_sq_norm"
+        ),
+        F.element_at("features", 1).cast("double").alias("feat_0"),
     )
 
 
