@@ -240,3 +240,39 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
     )
+
+
+@query(
+    "sessionization",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR DATE_DIFF('second', LAG(ts) OVER w, ts) >= 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts, value,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM sess
+GROUP BY user_id, session_seq
+""",
+    doc="gap-based sessionization (30-min gap): lag + cumulative-sum window, "
+    "single shuffle on user_id reused by the per-session rollup; streaming "
+    "twins (session_window + applyInPandasWithState) in streaming/sessions.py",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.sessionize import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    return sessionize(e, gap_seconds=1800)

@@ -1,0 +1,144 @@
+"""Streaming sessionization — built-in ``session_window`` plus a custom
+stateful operator (``applyInPandasWithState``).
+
+Two implementations of the same semantics as ``operators/sessionize.py``:
+
+1. :func:`session_windows` — Spark's native session window aggregation.
+   Idiomatic, fully JVM-side, state bounded by the watermark. Use this
+   unless per-event custom logic is required.
+2. :func:`sessionize_with_state` — the custom-stateful-operator pattern
+   (Arrow-batched pandas per key group, explicit state + event-time
+   timeout). This is the template for session logic Spark's built-in
+   windows can't express (e.g. value-dependent gaps, per-session ML
+   features); kept deliberately close to the built-in semantics so the
+   two can be cross-checked.
+
+At 100 TB the state store shards by key across executors; the watermark
+caps state size — sessions idle past the gap are emitted and evicted via
+timeouts rather than held forever.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from duck_delta_share_spark.operators.sessionize import DEFAULT_GAP_SECONDS
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+# open-session state: (start_us, last_us, n_events, total_value)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native session-window rollup (append mode: a session emits once the
+    watermark passes its close)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum("value").alias("total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+
+
+def sessionize_with_state(
+    events: DataFrame,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful sessionization: per-user open session kept in the
+    state store, closed sessions emitted as soon as the in-batch gap proves
+    them closed; the trailing open session emits on event-time timeout."""
+    import pandas as pd  # noqa: F401 — executor-side dependency
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key: Any, pdfs: Iterator["pd.DataFrame"], state: Any) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+
+        def to_frame(sessions: list[list]) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(sessions),
+                    "session_start": [pd.Timestamp(s[0] * 1000) for s in sessions],
+                    "session_end": [pd.Timestamp(s[1] * 1000) for s in sessions],
+                    "n_events": [s[2] for s in sessions],
+                    "total_value": [s[3] for s in sessions],
+                }
+            )
+
+        if state.hasTimedOut:
+            cur = list(state.get)
+            state.remove()
+            yield to_frame([cur])
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        cur = list(state.get) if state.exists else None
+        closed: list[list] = []
+        for ts, value in zip(rows["ts"], rows["value"]):
+            us = ts.value // 1000  # pandas ns → µs
+            if cur is not None and us - cur[1] >= gap_us:
+                closed.append(cur)
+                cur = None
+            if cur is None:
+                cur = [us, us, 0, 0.0]
+            cur[1] = us
+            cur[2] += 1
+            cur[3] += float(value)
+        state.update(tuple(cur))
+        # emit the open session once the event-time watermark passes its gap
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        if closed:
+            yield to_frame(closed)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
