@@ -62,6 +62,19 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(c)), " +", " "))
 
 
+def rolling_fingerprints(text: Column | str, k: int = 8) -> Column:
+    """Rolling document fingerprints: the md5 of every character ``k``-gram
+    (Rabin-Karp-style sliding window, hash swapped for md5 so the DuckDB
+    oracle can mirror it exactly). Returns array<string>; callers reduce it
+    (min = winnowing-style representative, distinct count = content
+    richness). Pure Catalyst `transform` over `sequence` — no UDF, vectorizes
+    in codegen, and the per-row cost is O(len) independent of partitioning.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    starts = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    return F.transform(starts, lambda i: F.md5(F.substring(c, i, k)))
+
+
 def quality_score(text: Column | str) -> Column:
     """Heuristic quality score in [0,1]: mix of distinct-token ratio and a
     length sweet-spot. Single-division/multiply double ops → deterministic

@@ -7,6 +7,7 @@ from duck_delta_share_spark.plans.registry import QUERIES, QueryDef, query
 # Register all query modules (import side effects fill QUERIES).
 from duck_delta_share_spark.plans import tpch  # noqa: E402,F401
 from duck_delta_share_spark.plans import tpch_extended  # noqa: E402,F401
+from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 from duck_delta_share_spark.plans import relational  # noqa: E402,F401
 from duck_delta_share_spark.plans import functions_sweep  # noqa: E402,F401
 from duck_delta_share_spark.plans import llm_ops  # noqa: E402,F401

@@ -20,6 +20,7 @@ from duck_delta_share_spark.functions.text import (
     fingerprint,
     language_id,
     quality_score,
+    rolling_fingerprints,
     token_count,
     tokenize,
 )
@@ -100,6 +101,34 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             distinct_token_count("text").cast("double") / token_count("text").cast("double"), 6
         ).alias("distinct_ratio"),
         "n_chars",
+    )
+
+
+@query(
+    "doc_fingerprint_rolling",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LENGTH(text) - 7, 1)),
+                        i -> MD5(SUBSTR(text, i, 8))) AS fps
+  FROM documents
+)
+SELECT doc_id,
+       LIST_MIN(fps) AS fp_min,
+       CAST(LEN(LIST_DISTINCT(fps)) AS INT) AS n_distinct_grams
+FROM grams
+""",
+    doc="rolling-hash document fingerprinting: md5 over sliding char 8-grams "
+    "(Rabin-Karp shape); min gram = winnowing-style representative, distinct "
+    "count = content richness; pure codegen transform/sequence, no UDF",
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fps = rolling_fingerprints("text", k=8)
+    return d.select(
+        "doc_id",
+        F.array_min(fps).alias("fp_min"),
+        F.size(F.array_distinct(fps)).alias("n_distinct_grams"),
     )
 
 
