@@ -45,26 +45,42 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc → k-minhash signature over word shingles.
 
-    Implemented as explode(shingles) → groupBy(doc) with k ``min(xxhash64)``
-    aggregates: one shuffle, map-side partial min, no Python. Each hash
-    function is xxhash64 salted with the hash index (deterministic).
-    No shingle dedup pass: ``min`` is duplicate-insensitive, so skipping
-    it saves an entire shuffle.
+    ZERO-shuffle narrow computation: per row, k independent
+    ``array_min(transform(shingles, s -> xxhash64(i, s)))`` expressions.
+    Each hash function is xxhash64 salted with the hash index
+    (deterministic). No explode, no groupBy — the signature of a document
+    never leaves its input partition, so at 100 TB this stage is a pure
+    map over the scan (the alternative explode → k×min(groupBy) shape
+    shuffles ~100× the corpus in shingle rows). Codegen subexpression
+    elimination computes the shingle array once per row across all k
+    lambdas. ``min`` is duplicate-insensitive, so shingles are not deduped.
 
-    The input is spread across all cores before the explode: document
-    tables often arrive as few large files, and shingling multiplies rows
-    ~100x — without the spread, one task would do all the hashing.
+    The input is spread across all cores first: document tables often
+    arrive as few large files and the hashing is the hot loop.
     """
     spread = df.sparkSession.sparkContext.defaultParallelism
-    shingled = df.repartition(spread, id_col).select(
-        F.col(id_col),
-        F.explode(word_shingles(tokenize(text_col), shingle_n)).alias("__sh"),
-    )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"mh_{i}")
+
+    def _salted(i: int):
+        # Single-arg lambda: a two-arg lambda would make transform() pass
+        # the element INDEX as the second argument, clobbering the seed.
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("__sh_arr"), _salted(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    # Two projections on purpose: higher-order functions are interpreted
+    # (no codegen CSE), so the shingle array must be materialized ONCE —
+    # CollapseProject keeps the split because the alias is non-cheap and
+    # referenced k times. Docs with < n tokens have no shingles → no
+    # signature (matches the explode formulation, and keeps all-NULL rows
+    # out of the LSH buckets).
+    return (
+        df.filter(F.size(tokenize(text_col)) >= shingle_n)
+        .repartition(spread, id_col)
+        .select(F.col(id_col), word_shingles(tokenize(text_col), shingle_n).alias("__sh_arr"))
+        .select(F.col(id_col), *sig_cols)
+    )
 
 
 def lsh_candidate_pairs(

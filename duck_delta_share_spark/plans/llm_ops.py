@@ -296,29 +296,30 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding similarity search
 # ---------------------------------------------------------------------------
 
-_SIM_ORACLE = """
-WITH elems AS (
-  SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS x
-  FROM embeddings, UNNEST(RANGE(1, 65)) AS t(i)
-), norms AS (
-  SELECT vec_id, SQRT(CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
-  FROM elems GROUP BY vec_id
-), dots AS (
+# Dot/norm as per-row LEFT FOLDS over the array: the fold order is pinned
+# by the array itself (row-local, partitioning-independent), and DuckDB's
+# list_reduce folds in the same order → bit-identical doubles on both
+# engines without decimal arithmetic. float32 promoted to double BEFORE the
+# multiply (float*float products are exactly representable in double).
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+_SIM_ORACLE = f"""
+WITH scored AS (
   SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
-         CAST(SUM(CAST(q.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
-  FROM elems q JOIN elems b ON q.i = b.i
-  WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id
-  GROUP BY 1, 2
-), cos AS (
-  SELECT d.query_id, d.vec_id, d.dot / (nq.nrm * nb.nrm) AS cosine
-  FROM dots d
-  JOIN norms nq ON nq.vec_id = d.query_id
-  JOIN norms nb ON nb.vec_id = d.vec_id
+         {_DOT.format(a='q.embedding', b='b.embedding')}
+         / (SQRT({_DOT.format(a='q.embedding', b='q.embedding')})
+            * SQRT({_DOT.format(a='b.embedding', b='b.embedding')})) AS cosine
+  FROM embeddings q
+  JOIN embeddings b ON b.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
 )
 SELECT query_id, vec_id, cosine, rk FROM (
   SELECT query_id, vec_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
-  FROM cos
+  FROM scored
 ) WHERE rk <= 5
 """
 
@@ -326,12 +327,13 @@ SELECT query_id, vec_id, cosine, rk FROM (
 @query(
     "similarity_topk_exact",
     oracle=_SIM_ORACLE,
-    doc="brute-force cosine top-5 per query vector (exact decimal dot; the "
-    "correctness baseline for ANN)",
+    doc="brute-force cosine top-5 per query vector; order-pinned per-row "
+    "double fold matches the oracle bit-exactly (the correctness baseline "
+    "for ANN)",
 )
 def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return sim.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5, exact=True)
+    return sim.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5, exact=False)
 
 
 @query(
