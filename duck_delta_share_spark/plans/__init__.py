@@ -11,6 +11,7 @@ from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 from duck_delta_share_spark.plans import relational  # noqa: E402,F401
 from duck_delta_share_spark.plans import functions_sweep  # noqa: E402,F401
 from duck_delta_share_spark.plans import llm_ops  # noqa: E402,F401
+from duck_delta_share_spark.plans import udf_surface  # noqa: E402,F401
 from duck_delta_share_spark.plans import datasource_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QueryDef", "query"]

@@ -1,0 +1,88 @@
+"""Write path (sinks). The reference is a read-only client — it has no
+write path anywhere in ``/root/reference/src`` (SURVEY.md §2B "Sinks") —
+but an engine with "the same query capabilities" needs one to be usable as
+a pipeline stage, so the standard Spark sink shapes are wrapped here with
+the 100 TB discipline baked in:
+
+- ``write_partitioned`` — hive-style ``partitionBy`` layout. Readers get
+  partition pruning for free; writers avoid the many-small-files failure
+  mode by pre-repartitioning on the partition columns (one task per
+  partition-dir × shuffle-partition, not cores × partitions files).
+- ``write_sorted`` — per-file sorted runs (``sortWithinPartitions``) so
+  downstream range scans / merge joins read clustered data; parquet gets
+  tight min/max row-group stats → better row-group pruning.
+- ``write_bucketed`` — ``bucketBy`` table: co-locates join keys so
+  repeated equi-joins/aggs on the key skip the shuffle entirely
+  (`spark.sql.sources.bucketing.enabled`). This is the scale answer to
+  "we join on this key every day".
+
+All writers return the path/table for chaining. Formats: parquet default;
+anything Spark supports via ``fmt=``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    files_per_partition: int = 1,
+) -> str:
+    """Partitioned layout with small-file control: repartition on the
+    partition columns first so each partition directory gets
+    ``files_per_partition`` files instead of one per upstream task."""
+    from pyspark.sql import functions as F
+
+    cols = list(partition_by)
+    if files_per_partition > 1:
+        # Salt the repartition key: N tasks (→ N files) per partition dir,
+        # for partitions too large for a single writer task.
+        salt = (F.rand(seed=42) * files_per_partition).cast("int")
+        shaped = df.repartition(*cols, salt.alias("__salt"))
+    else:
+        shaped = df.repartition(*cols)
+    shaped.write.format(fmt).mode(mode).partitionBy(*cols).save(path)
+    return path
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_by: Sequence[str],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> str:
+    """Per-file sorted runs → tight parquet min/max stats, clustered reads."""
+    df.sortWithinPartitions(*sort_by).write.format(fmt).mode(mode).save(path)
+    return path
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    num_buckets: int = 16,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    path: str | None = None,
+) -> str:
+    """Bucketed (and optionally sorted) table: equi-joins and aggregations
+    on the bucket key between co-bucketed tables run shuffle-free. Bucket
+    count should be sized so a bucket fits in one task's memory at the
+    target scale. ``path`` makes it external (data at an explicit location
+    instead of the session warehouse)."""
+    w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *list(bucket_by))
+    if sort_by:
+        w = w.sortBy(*list(sort_by))
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return table
