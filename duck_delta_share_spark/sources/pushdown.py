@@ -253,8 +253,11 @@ def stats_allow(filters: list[Filter], stats: dict[str, Any]) -> bool:
             continue
         name = ".".join(attr)
         value = getattr(f, "value", None)
-        lo = _coerce(mins.get(name), value)
-        hi = _coerce(maxs.get(name), value)
+        # In carries a tuple; coerce stats bounds with an ELEMENT as the
+        # type sample, not the tuple (which would degrade to strings).
+        sample = next(iter(value), None) if isinstance(f, In) else value
+        lo = _coerce(mins.get(name), sample)
+        hi = _coerce(maxs.get(name), sample)
         if isinstance(f, EqualTo):
             if lo is not None and value < lo:
                 return False

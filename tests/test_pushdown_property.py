@@ -1,0 +1,189 @@
+"""Property-based tests (hypothesis) for the pushdown layer — the §5.2
+"random filter trees" item: translation and pruning must be SOUND under any
+generated filter/value combination.
+
+Invariants:
+1. Partition pruning never drops a file whose partition values satisfy the
+   filters (pruning is an optimization, not a correctness filter).
+2. Stats pruning never drops a file that contains at least one matching row.
+3. The JSON hint tree is implied by the original filters: any row that
+   passes all filters passes the hint (hints may be weaker — untranslatable
+   filters are skipped — but never stronger).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+)
+
+from duck_delta_share_spark.sources.pushdown import (
+    filters_to_json_hints,
+    partition_matches,
+    stats_allow,
+)
+
+COLS = ("a", "b")
+
+_ints = st.integers(min_value=-50, max_value=50)
+_col = st.sampled_from(COLS)
+
+
+@st.composite
+def leaf_filters(draw):
+    col = draw(_col)
+    kind = draw(st.sampled_from(["eq", "lt", "le", "gt", "ge", "in", "null", "notnull"]))
+    attr = (col,)
+    if kind == "eq":
+        return EqualTo(attr, draw(_ints))
+    if kind == "lt":
+        return LessThan(attr, draw(_ints))
+    if kind == "le":
+        return LessThanOrEqual(attr, draw(_ints))
+    if kind == "gt":
+        return GreaterThan(attr, draw(_ints))
+    if kind == "ge":
+        return GreaterThanOrEqual(attr, draw(_ints))
+    if kind == "in":
+        return In(attr, tuple(draw(st.lists(_ints, min_size=1, max_size=4))))
+    if kind == "null":
+        return IsNull(attr)
+    return IsNotNull(attr)
+
+
+@st.composite
+def filter_lists(draw):
+    leaves = draw(st.lists(leaf_filters(), min_size=1, max_size=4))
+    # sprinkle Not around negatable leaves (the grammar the planner emits)
+    out = []
+    for f in leaves:
+        if draw(st.booleans()) and isinstance(f, (EqualTo, In, IsNull, IsNotNull)):
+            out.append(Not(f))
+        else:
+            out.append(f)
+    return out
+
+
+def _eval_filter(f, row: dict) -> bool:
+    """Reference evaluator: SQL comparison semantics on a concrete row
+    (None fails every comparison; IsNull/IsNotNull see it)."""
+    if isinstance(f, Not):
+        return not _eval_filter(f.child, row)
+    v = row.get(f.attribute[0])
+    if isinstance(f, IsNull):
+        return v is None
+    if isinstance(f, IsNotNull):
+        return v is not None
+    if v is None:
+        return False
+    if isinstance(f, EqualTo):
+        return v == f.value
+    if isinstance(f, LessThan):
+        return v < f.value
+    if isinstance(f, LessThanOrEqual):
+        return v <= f.value
+    if isinstance(f, GreaterThan):
+        return v > f.value
+    if isinstance(f, GreaterThanOrEqual):
+        return v >= f.value
+    if isinstance(f, In):
+        return v in f.value
+    raise AssertionError(f"unhandled {f}")
+
+
+@given(
+    filters=filter_lists(),
+    pv=st.fixed_dictionaries({c: st.one_of(st.none(), _ints) for c in COLS}),
+)
+@settings(max_examples=300, deadline=None)
+def test_partition_pruning_sound(filters, pv):
+    # partition values arrive as strings over the wire (or None)
+    wire = {c: (None if v is None else str(v)) for c, v in pv.items()}
+    row_matches = all(_eval_filter(f, pv) for f in filters)
+    if row_matches:
+        assert partition_matches(filters, wire), (
+            f"pruned a matching file: filters={filters} pv={pv}"
+        )
+
+
+@given(
+    filters=st.lists(leaf_filters(), min_size=1, max_size=3),
+    rows=st.lists(
+        st.fixed_dictionaries({c: _ints for c in COLS}), min_size=1, max_size=8
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_stats_pruning_sound(filters, rows):
+    stats = {
+        "minValues": {c: min(r[c] for r in rows) for c in COLS},
+        "maxValues": {c: max(r[c] for r in rows) for c in COLS},
+    }
+    any_match = any(all(_eval_filter(f, r) for f in filters) for r in rows)
+    if any_match:
+        assert stats_allow(filters, stats), (
+            f"stats-pruned a file with matches: filters={filters} stats={stats}"
+        )
+
+
+def _eval_hint(node: dict, row: dict):
+    """Interpreter for the Delta Sharing jsonPredicateHints grammar."""
+    op = node["op"]
+    if op == "and":
+        return all(_eval_hint(c, row) for c in node["children"])
+    if op == "or":
+        return any(_eval_hint(c, row) for c in node["children"])
+    if op == "not":
+        return not _eval_hint(node["children"][0], row)
+    if op == "isNull":
+        col = node["children"][0]
+        return row.get(col["name"]) is None
+    # binary comparison: children = [column, literal]
+    col, lit = node["children"]
+    v = row.get(col["name"])
+    if v is None:
+        return False
+    litv = int(lit["value"]) if lit["valueType"] in ("int", "long") else lit["value"]
+    return {
+        "equal": v == litv,
+        "lessThan": v < litv,
+        "lessThanOrEqual": v <= litv,
+        "greaterThan": v > litv,
+        "greaterThanOrEqual": v >= litv,
+    }[op]
+
+
+@given(
+    filters=st.lists(leaf_filters(), min_size=1, max_size=4),
+    row=st.fixed_dictionaries({c: _ints for c in COLS}),
+)
+@settings(max_examples=300, deadline=None)
+def test_hint_tree_implied_by_filters(filters, row):
+    hints = filters_to_json_hints(filters)
+    if hints is None:
+        return
+    if all(_eval_filter(f, row) for f in filters):
+        assert _eval_hint(hints, row), f"hint rejected a matching row: {filters} {row}"
+
+
+@given(
+    f=leaf_filters(),
+    row=st.fixed_dictionaries({c: _ints for c in COLS}),
+)
+@settings(max_examples=300, deadline=None)
+def test_single_hint_exact_on_nonnull_rows(f, row):
+    """On non-null rows each translated hint is EQUIVALENT to its filter
+    (weakening only comes from skipping untranslatable filters)."""
+    hints = filters_to_json_hints([f])
+    if hints is None:
+        return
+    assert _eval_hint(hints, row) == _eval_filter(f, row)
