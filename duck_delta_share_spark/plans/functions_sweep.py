@@ -276,3 +276,91 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return sessionize(e, gap_seconds=1800)
+
+
+@query(
+    "pivot_event_types",
+    oracle="""
+SELECT user_id % 10 AS user_bucket,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY user_bucket
+""",
+    doc="pivot: long->wide event-type counts per user bucket; values list "
+    "pinned explicitly so the plan is a single pass (no distinct-scan)",
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+FROM part WHERE p_partkey < 500
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
+FROM part WHERE p_partkey < 500
+""",
+    doc="unpivot/melt: wide->long via built-in unpivot (stack); narrow scan "
+    "of only the measure columns",
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       CAST(QUANTILE_CONT(l_quantity, 0.25) AS DOUBLE) AS q25,
+       CAST(QUANTILE_CONT(l_quantity, 0.5) AS DOUBLE) AS q50,
+       CAST(QUANTILE_CONT(l_quantity, 0.75) AS DOUBLE) AS q75,
+       CAST(MAX(l_quantity) AS DOUBLE) AS q100
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="exact interpolated percentiles per group (built-in percentile "
+    "aggregate = QUANTILE_CONT); quantity domain is small ints so the "
+    "interpolation is IEEE-exact on both engines",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25D)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5D)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75D)").alias("q75"),
+        F.max("l_quantity").alias("q100"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines — rows-only check;
+    # accuracy vs exact is asserted in tests/test_approx.py
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
+    "cardinality estimation — constant memory per group vs a full "
+    "distinct shuffle",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
