@@ -364,3 +364,38 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "salted_agg_events",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value
+FROM events
+GROUP BY event_type
+""",
+    doc="two-phase salted aggregation (operators/skew.py): phase 1 on "
+    "(event_type, salt16) spreads hot keys over 16 reducers, phase 2 "
+    "merges partials — value-identical to the direct groupBy (decimal "
+    "sums associative), which is what the oracle computes",
+)
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        e,
+        keys=["event_type"],
+        aggs={
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "total_value": (
+                F.sum(F.col("value").cast("decimal(18,6)")),
+                F.sum("total_value").cast("double"),
+            ),
+            "max_value": (F.max("value"), F.max("max_value")),
+        },
+        salt_col="event_id",
+        n_salts=16,
+    )

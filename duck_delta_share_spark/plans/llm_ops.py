@@ -233,6 +233,30 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_JACCARD_PAIRS_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, lang, source, shingle FROM (
+    SELECT doc_id, lang, source,
+           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+                  i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents
+  ) t
+), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS xn
+  FROM sh a
+  JOIN sh b ON a.lang = b.lang AND a.source = b.source
+           AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(xn AS DOUBLE) / CAST(sa.sz + sb.sz - xn AS DOUBLE) > 0.15
+"""
+
+
 @query(
     "ngram_jaccard_neardup",
     oracle="""
@@ -280,6 +304,37 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dd.minhash_signatures(d, num_hashes=32, shingle_n=3).cache()
     pairs = dd.lsh_candidate_pairs(sigs, num_hashes=32, bands=8)
     return dd.minhash_jaccard_estimate(sigs, pairs, num_hashes=32).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS node, CAST(LEAST(a, MIN(b)) AS BIGINT) AS component
+FROM reach GROUP BY a
+""",
+    doc="near-dup clusters: connected components (iterative hash-min label "
+    "propagation, operators/components.py) over the exact-Jaccard pair "
+    "graph; oracle = recursive-CTE transitive closure",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        d, block_cols=["lang", "source"], threshold=0.15, shingle_n=3
+    ).select("id_a", "id_b")
+    return connected_components(pairs).select("node", "component")
 
 
 @query(
