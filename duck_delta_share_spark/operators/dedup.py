@@ -45,32 +45,55 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc → k-minhash signature over word shingles.
 
-    ZERO-shuffle narrow computation: per row, k independent
-    ``array_min(transform(shingles, s -> xxhash64(i, s)))`` expressions.
-    Each hash function is xxhash64 salted with the hash index
-    (deterministic). No explode, no groupBy — the signature of a document
-    never leaves its input partition, so at 100 TB this stage is a pure
-    map over the scan (the alternative explode → k×min(groupBy) shape
-    shuffles ~100× the corpus in shingle rows). Codegen subexpression
-    elimination computes the shingle array once per row across all k
-    lambdas. ``min`` is duplicate-insensitive, so shingles are not deduped.
+    ZERO-shuffle narrow computation, one string hash per shingle: each
+    shingle is xxhash64'd ONCE, then the k hash functions are the standard
+    universal multiply-add family over that base hash
+    (``h_i = a_i * h + b_i`` with odd ``a_i``, wrapping int64 arithmetic —
+    a fixed random permutation-ish family, deterministic across runs).
+    ``mh_i = array_min(transform(base, h -> a_i*h + b_i))``. No explode,
+    no groupBy — a document's signature never leaves its input partition,
+    so at 100 TB this stage is a pure map over the scan (the alternative
+    explode → k×min(groupBy) shape shuffles ~100× the corpus in shingle
+    rows, and salting xxhash64 itself costs k string hashes per shingle).
+    ``min`` is duplicate-insensitive, so shingles are not deduped.
 
     The input is spread across all cores first: document tables often
     arrive as few large files and the hashing is the hot loop.
     """
     spread = df.sparkSession.sparkContext.defaultParallelism
 
+    # Deterministic 31-bit multipliers/offsets (splitmix64-mixed, seeded by
+    # the hash index; multiplier odd). With the base hash masked to 31 bits,
+    # a*h + b ≤ 2^62 — no int64 overflow, so the expression is legal under
+    # ANSI mode (Spark 4 default) with no wrapping semantics needed. 31-bit
+    # minwise hashes are the classic Broder construction.
+    _M31 = 0x7FFFFFFF
+
+    def _consts(i: int) -> tuple[int, int]:
+        def mix(x: int) -> int:
+            x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+            x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
+            return x ^ (x >> 31)
+
+        return (mix(2 * i + 1) & _M31) | 1, mix(2 * i + 2) & _M31
+
+    _P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
     def _salted(i: int):
-        # Single-arg lambda: a two-arg lambda would make transform() pass
-        # the element INDEX as the second argument, clobbering the seed.
-        return lambda s: F.xxhash64(F.lit(i), s)
+        a, b = _consts(i)
+        # Carter-Wegman: ((a*h + b) mod p). The mod is what makes the map
+        # order-scrambling — without it a*h+b is monotonic in h and every
+        # hash index would pick the SAME min shingle. Single-arg lambda: a
+        # two-arg lambda would make transform() pass the element INDEX as
+        # the second argument, clobbering the salt.
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))
 
     sig_cols = [
-        F.array_min(F.transform(F.col("__sh_arr"), _salted(i))).alias(f"mh_{i}")
+        F.array_min(F.transform(F.col("__base"), _salted(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     # Two projections on purpose: higher-order functions are interpreted
-    # (no codegen CSE), so the shingle array must be materialized ONCE —
+    # (no codegen CSE), so the base-hash array must be materialized ONCE —
     # CollapseProject keeps the split because the alias is non-cheap and
     # referenced k times. Docs with < n tokens have no shingles → no
     # signature (matches the explode formulation, and keeps all-NULL rows
@@ -78,7 +101,13 @@ def minhash_signatures(
     return (
         df.filter(F.size(tokenize(text_col)) >= shingle_n)
         .repartition(spread, id_col)
-        .select(F.col(id_col), word_shingles(tokenize(text_col), shingle_n).alias("__sh_arr"))
+        .select(
+            F.col(id_col),
+            F.transform(
+                word_shingles(tokenize(text_col), shingle_n),
+                lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)),
+            ).alias("__base"),
+        )
         .select(F.col(id_col), *sig_cols)
     )
 
