@@ -399,3 +399,30 @@ def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_col="event_id",
         n_salts=16,
     )
+
+
+@query(
+    "interval_join_attribution",
+    oracle="""
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts,
+       p.value AS purchase_value
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 60 MINUTES
+""",
+    doc="interval join: purchase attributed to each preceding click by the "
+    "same user within 60 min — batch twin of the watermarked stream-stream "
+    "join in streaming/joins.py (state bounded by watermark + horizon)",
+)
+def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.streaming.joins import attribution_batch
+
+    e = load_table(spark, sf_dir, "events")
+    return attribution_batch(e, horizon_minutes=60)

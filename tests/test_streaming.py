@@ -46,3 +46,35 @@ def test_windowed_counts_matches_batch(spark, tmp_path):
             pass
         got_norm[(ws, et)] = v
     assert got_norm == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from duck_delta_share_spark.streaming.events import read_events_stream
+    from duck_delta_share_spark.streaming.joins import (
+        attribution_batch,
+        attribution_stream,
+    )
+
+    stream = attribution_stream(
+        read_events_stream(spark, SF_DIR), watermark="2 hours", horizon_minutes=60
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_attr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "attr_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM t_attr").collect()
+    }
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in attribution_batch(
+            load_table(spark, SF_DIR, "events"), horizon_minutes=60
+        ).collect()
+    }
+    assert got == want and len(want) > 0
