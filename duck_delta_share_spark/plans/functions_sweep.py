@@ -426,3 +426,65 @@ def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return attribution_batch(e, horizon_minutes=60)
+
+
+@query(
+    "stats_moments",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_qty,
+       SQRT(
+         (COUNT(*) * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+          - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+            * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE))
+         / (COUNT(*) * (COUNT(*) - 1))
+       ) AS stddev_qty,
+       ROUND(
+         (COUNT(*) * CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+          - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+            * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE))
+         / (SQRT(COUNT(*) * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE))
+            * SQRT(COUNT(*) * CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                     * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)))
+       , 9) AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="distributional statistics (mean/sample-stddev/Pearson corr) derived "
+    "from exact decimal sums with explicit closed-form formulas mirrored in "
+    "the oracle — deterministic under any partitioning, unlike built-in "
+    "stddev/corr whose streaming (Welford) accumulation is order-dependent. "
+    "corr is rounded to 9 decimals: the huge sum(p*p) magnitudes hit "
+    "engine-specific decimal→double double-rounding (±1 ulp); mean/stddev "
+    "are bit-exact unrounded",
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.plans.registry import dsum
+
+    l = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    base = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q).alias("sq"),
+        dsum(p).alias("sp"),
+        dsum(q * q).alias("sqq"),
+        dsum(p * p).alias("spp"),
+        dsum(q * p).alias("sqp"),
+    )
+    n = F.col("n")
+    var_q = (n * F.col("sqq") - F.col("sq") * F.col("sq")) / (n * (n - 1))
+    cov_num = n * F.col("sqp") - F.col("sq") * F.col("sp")
+    den = F.sqrt(n * F.col("sqq") - F.col("sq") * F.col("sq")) * F.sqrt(
+        n * F.col("spp") - F.col("sp") * F.col("sp")
+    )
+    return base.select(
+        "l_returnflag",
+        "n",
+        (F.col("sq") / n).alias("mean_qty"),
+        F.sqrt(var_q).alias("stddev_qty"),
+        F.round(cov_num / den, 9).alias("corr_qty_price"),
+    )
