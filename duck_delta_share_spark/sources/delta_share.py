@@ -64,13 +64,23 @@ from duck_delta_share_spark.sources.schema import schema_from_string, split_part
 
 @dataclass
 class _FileTask(InputPartition):
-    """One file scan task: everything an executor needs, picklable."""
+    """One file scan task: everything an executor needs, picklable.
+
+    ``file_id`` + ``refresh`` (connection options) let the executor survive
+    presigned-URL expiry (`FileAction.expiration_timestamp`, reference
+    `src/include/delta_sharing_client.hpp:69`): on a failed fetch it
+    re-queries the sharing server for a fresh URL for the same file id —
+    the control plane is cheap, the data plane retries against object
+    storage. REST mode only; direct-file mode has no server to ask.
+    """
 
     url: str
     partition_values: dict[str, str | None]
     data_schema_json: str
     partition_schema_json: str
     full_schema_json: str
+    file_id: str | None = None
+    refresh: dict | None = None
 
 
 def _parse_table_path(path: str | None, options: dict[str, str]) -> tuple[str, str, str]:
@@ -152,6 +162,7 @@ class DeltaShareReader(DataSourceReader):
         files = [
             {
                 "url": f.url,
+                "id": f.id,
                 "partitionValues": dict(f.partition_values),
                 "stats": f.stats,
             }
@@ -185,6 +196,9 @@ class DeltaShareReader(DataSourceReader):
                     data_schema_json=data_schema.json(),
                     partition_schema_json=part_schema.json(),
                     full_schema_json=self.schema.json(),
+                    file_id=f.get("id"),
+                    # direct-file mode has no server to refresh from
+                    refresh=None if "files" in self.options else dict(self.options),
                 )
             )
         return tasks
@@ -201,7 +215,14 @@ class DeltaShareReader(DataSourceReader):
         full_schema = StructType.fromJson(json.loads(partition.full_schema_json))
         arrow_full = to_arrow_schema(full_schema)
 
-        table = _fetch_parquet(partition.url, [f.name for f in data_schema.fields])
+        cols = [f.name for f in data_schema.fields]
+        try:
+            table = _fetch_parquet(partition.url, cols)
+        except Exception:
+            fresh = _refresh_url(partition)
+            if fresh is None:
+                raise
+            table = _fetch_parquet(fresh, cols)
 
         # Attach partition values as typed constant columns (the reference
         # never does this — §2D "partition values never re-attached").
@@ -230,6 +251,26 @@ class DeltaShareReader(DataSourceReader):
             arrays.append(col)
         out = pa.table(dict(zip([f.name for f in full_schema.fields], arrays)))
         yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def _refresh_url(partition: _FileTask) -> str | None:
+    """Re-query the sharing server for a fresh presigned URL for this file
+    (expired-URL recovery). Returns None when not in REST mode or the file
+    id is no longer present (e.g. table rewritten) — caller re-raises the
+    original error."""
+    if not partition.refresh or partition.file_id is None:
+        return None
+    options = partition.refresh
+    share, schema, table = _parse_table_path(options.get("path"), options)
+    client = _make_client(options)
+    version = options.get("versionasof", options.get("versionAsOf"))
+    result = client.query_table(
+        share, schema, table, version=int(version) if version is not None else None
+    )
+    for f in result.files:
+        if f.id == partition.file_id:
+            return f.url
+    return None
 
 
 def _cast_partition_value(raw: str, target: "pa.DataType") -> Any:  # noqa: F821

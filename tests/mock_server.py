@@ -34,6 +34,11 @@ class MockDeltaSharingServer:
         self.requests: list[tuple[str, str, str]] = []  # (method, path, body)
         self.httpd: HTTPServer | None = None
         self.port: int = 0
+        # When True, the FIRST /query response hands out already-expired
+        # presigned URLs (GET → 403); later queries return fresh ones —
+        # simulates FileAction.expiration_timestamp passing mid-job.
+        self.expire_first_query_urls = False
+        self._query_count = 0
 
     # NDJSON /query and /metadata bodies -------------------------------------
 
@@ -58,10 +63,15 @@ class MockDeltaSharingServer:
         )
 
     def _query_lines(self) -> str:
+        self._query_count += 1
+        expired = self.expire_first_query_urls and self._query_count == 1
         base = f"http://127.0.0.1:{self.port}/data"
+        suffix = "?tok=expired" if expired else ""
+        base_eu = f"{base}/eu.parquet{suffix}"
+        base_us = f"{base}/us.parquet{suffix}"
         files = [
             {
-                "url": f"{base}/eu.parquet",
+                "url": base_eu,
                 "id": "f-eu",
                 "partitionValues": {"pcol": "eu"},
                 "size": 1000,
@@ -73,7 +83,7 @@ class MockDeltaSharingServer:
                 "timestamp": 1700000000000,
             },
             {
-                "url": f"{base}/us.parquet",
+                "url": base_us,
                 "id": "f-us",
                 "partitionValues": {"pcol": "us"},
                 "size": 1000,
@@ -116,7 +126,10 @@ class MockDeltaSharingServer:
                 path, qs = parsed.path, parse_qs(parsed.query)
                 outer.requests.append(("GET", self.path, ""))
                 if path.startswith("/data/"):
-                    p = outer.data_dir / path.split("/")[-1]
+                    if qs.get("tok", [""])[0] == "expired":
+                        self._reply(403, json.dumps({"message": "url expired"}).encode())
+                        return
+                    p = outer.data_dir / path.split("/")[-1].split("?")[0]
                     if not p.exists():
                         self._reply(404, json.dumps({"message": "no such file"}).encode())
                         return

@@ -213,3 +213,27 @@ def test_stats_allow_boundaries():
     assert stats_allow([GreaterThan(("id",), 2)], stats)
     assert not stats_allow([GreaterThan(("id",), 3)], stats)
     assert not stats_allow([LessThan(("id",), 1)], stats)
+
+
+def test_rest_scan_recovers_from_expired_urls(registered, tmp_path_factory):
+    """First /query hands out expired presigned URLs (403 on GET); the
+    executor must re-query the server and read the fresh URL."""
+    data_dir = tmp_path_factory.mktemp("dsdata_exp")
+    write_fixture_files(data_dir)
+    srv = MockDeltaSharingServer(data_dir).start()
+    srv.expire_first_query_urls = True
+    try:
+        df = (
+            registered.read.format("deltashare")
+            .option("endpoint", srv.endpoint)
+            .option("bearerToken", "secret-token")
+            .load("sales.web.clicks")
+        )
+        rows = {(r.id, r.pcol) for r in df.collect()}
+        assert rows == {(1, "eu"), (2, "eu"), (3, "eu"), (10, "us"), (11, "us"), (12, "us")}
+        n_queries = sum(
+            1 for m, p, _ in srv.requests if m == "POST" and p.endswith("/query")
+        )
+        assert n_queries >= 2, "reader did not re-query for fresh URLs"
+    finally:
+        srv.stop()
