@@ -46,3 +46,33 @@ def delta_share_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") > 0)
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
     )
+
+
+@query(
+    "sql_text_interface",
+    oracle="""
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    doc="the SQL-text entry path: load_tables registers temp views and the "
+    "query is plain spark.sql — same Catalyst plan as the DataFrame API, "
+    "proving users can drive the whole engine from SQL strings",
+)
+def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )

@@ -80,3 +80,36 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_to_partitioned_parquet(
+    stream_df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """foreachBatch sink: each micro-batch lands as hive-partitioned
+    parquet through the batch write path (sinks.write_partitioned), giving
+    the streaming job the same layout/small-file discipline as batch
+    backfills — the lambda-architecture-free pattern: one write path for
+    both. Checkpointing makes the sink idempotent per epoch (a replayed
+    batch id overwrites nothing — parquet append + checkpoint dedupe at
+    the source).
+
+    Returns the started StreamingQuery; callers own awaitTermination.
+    """
+    from duck_delta_share_spark import sinks
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sinks.write_partitioned(batch_df, path, partition_by, mode="append")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -78,3 +78,25 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_foreachbatch_partitioned_sink(spark, tmp_path):
+    from pathlib import Path
+
+    from duck_delta_share_spark.streaming.events import (
+        read_events_stream,
+        stream_to_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "events_by_type")
+    q = stream_to_partitioned_parquet(
+        read_events_stream(spark, SF_DIR),
+        out,
+        ["event_type"],
+        str(tmp_path / "fb_ck"),
+    )
+    q.awaitTermination(300)
+    dirs = {p.name for p in Path(out).iterdir() if p.is_dir()}
+    assert any(d.startswith("event_type=") for d in dirs)
+    back = spark.read.parquet(out)
+    assert back.count() == load_table(spark, SF_DIR, "events").count()
