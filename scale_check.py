@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Scale-up sanity harness: run the heavy operators at 1× and N× the sf0.1
+data (N× = union of id-remapped copies, preserving key cardinality growth)
+and report the runtime scaling factor. A shuffle-shaped blowup shows up as
+a factor ≫ N; healthy operators stay ≈ linear (factor ≤ N plus fixed
+overhead amortization, often < N).
+
+Usage: python scale_check.py [N]   (default 8)
+Prints one JSON line per operator: {"op": ..., "t1": ..., "tN": ...,
+"factor": ...} and a trailing summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from duck_delta_share_spark.catalog import load_table
+from duck_delta_share_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def blowup(
+    df: DataFrame,
+    n: int,
+    id_cols: list[str],
+    perturb_text: str | None = None,
+) -> DataFrame:
+    """n id-remapped copies: keys stay distinct across copies so joins,
+    groupBys and windows see true cardinality growth, not n× duplicates.
+
+    ``perturb_text`` names a text column to make distinct per copy —
+    WITHOUT it, duplicated documents/embeddings have n-1 exact twins each
+    and near-dup PAIR counts grow quadratically by construction (an
+    output-size fact about the duplicated data, not an operator-scaling
+    fact). Block/label columns in id_cols likewise keep block SIZE
+    constant while block COUNT grows — the realistic corpus-growth mode.
+    """
+    parts = []
+    for i in range(n):
+        d = df
+        for c in id_cols:
+            d = d.withColumn(c, F.col(c) + F.lit(i * 100_000_000))
+        if perturb_text and i > 0:
+            d = d.withColumn(
+                perturb_text, F.concat(F.lit(f"copy{i} "), F.col(perturb_text))
+            )
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(df: DataFrame) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = get_spark(app_name="scale_check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    l1 = load_table(spark, SF_DIR, "lineitem")
+    lN = blowup(l1, n, ["l_orderkey"]).cache()
+    d1 = load_table(spark, SF_DIR, "documents")
+    dN = blowup(d1, n, ["doc_id"], perturb_text="text").cache()
+    e1 = load_table(spark, SF_DIR, "events")
+    eN = blowup(e1, n, ["event_id", "user_id"]).cache()
+    emb1 = load_table(spark, SF_DIR, "embeddings")
+    embN = blowup(emb1, n, ["vec_id", "label"]).cache()
+    lN.count(), dN.count(), eN.count(), embN.count()
+
+    def q1_shape(l):
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sq"),
+                F.sum(disc.cast("decimal(18,6)")).cast("double").alias("sd"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    def minhash_shape(d):
+        from duck_delta_share_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
+        return lsh_candidate_pairs(sigs, num_hashes=32, bands=8)
+
+    def sessionize_shape(e):
+        from duck_delta_share_spark.operators.sessionize import sessionize
+
+        return sessionize(e, gap_seconds=1800)
+
+    def neardup_shape(emb):
+        from duck_delta_share_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        return embedding_near_dup_pairs(emb, block_col="label", threshold=0.4)
+
+    ops = [
+        ("q1_agg", q1_shape, l1, lN),
+        ("minhash_lsh", minhash_shape, d1, dN),
+        ("sessionization", sessionize_shape, e1, eN),
+        ("embedding_neardup", neardup_shape, emb1, embN),
+    ]
+    results = []
+    for name, fn, small, big in ops:
+        fn(small).write.format("noop").mode("overwrite").save()  # warm
+        t1 = timed(fn(small))
+        tN = timed(fn(big))
+        factor = round(tN / t1, 2)
+        results.append({"op": name, "t1": round(t1, 2), "tN": round(tN, 2), "factor": factor})
+        print(json.dumps(results[-1]))
+    worst = max(r["factor"] for r in results)
+    print(json.dumps({"n_copies": n, "worst_factor": worst, "linear_bound": n}))
+
+
+if __name__ == "__main__":
+    main()
