@@ -394,11 +394,12 @@ def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_ann_lsh",
     oracle=None,  # approximate by construction — rows-only check
-    doc="sign-LSH bucketed approximate top-5 (the 100 TB scale path)",
+    doc="multi-table sign-LSH approximate top-5 (the 100 TB scale path); "
+    "recall tracks the (k,L)-LSH formula — see tests/test_ann_recall.py",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return sim.lsh_bucket_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=6)
+    return sim.lsh_bucket_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
 @query(
