@@ -53,8 +53,16 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # Warmup: small run to JIT the scan/agg/codegen paths out of the timings.
+    # Warmup: small run to JIT the scan/agg/codegen paths out of the
+    # timings, plus one trivial pandas UDF to spawn the Python worker pool
+    # (long-lived in any real deployment; its cold start is not a query cost).
     QUERIES["q1_pricing_summary"].spark_fn(spark, sf_dir).count()
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    warm = F.pandas_udf(lambda x: x, LongType())
+    spark.range(32).select(warm("id")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -4,15 +4,18 @@
   every base vector map-side (zero shuffle for the scoring), then a single
   window shuffle partitioned by query id for the top-k cut. This is the
   correctness baseline and is oracle-checkable.
-- ``lsh_bucket_topk`` — the 100 TB path: random-hyperplane LSH buckets
-  (deterministic planes from a seeded RNG, embedded as literal arrays);
-  candidates only form inside a bucket (multi-probe over exact + adjacent
-  sign flips optional), so scoring cost drops from O(N·Q) to O(N·Q/2^bits).
+- ``lsh_bucket_topk`` — the 100 TB path: multi-table random-hyperplane
+  (k,L)-LSH; candidates only form inside a shared bucket, so scoring cost
+  drops from O(N·Q) to the tuned candidate volume.
+- ``embedding_near_dup_pairs`` — blocked pair join + batch cosine.
 
-No UDFs: dot products are Catalyst ``zip_with``/``aggregate`` expressions
-(see functions/vectors.py). For very wide vectors a pandas_udf + numpy BLAS
-batch-matmul variant would win; at 64-d the expression path is faster than
-paying the Arrow boundary.
+Precision modes: the oracle-gated exact query keeps Catalyst expressions
+(order-pinned folds match DuckDB bit-exactly, functions/vectors.py). The
+hot loops (bucket hashing, pair scoring) default to Arrow-batched numpy —
+Catalyst higher-order functions run INTERPRETED, so one batch matmul per
+Arrow chunk beats per-row expression folds ~5× even at 64-d; an
+expression fallback (``scorer='expr'``) remains for Python-less
+deployments.
 """
 
 from __future__ import annotations
@@ -96,6 +99,7 @@ def lsh_bucket_topk(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE sign-LSH: ``n_tables`` independent
     hash tables of ``n_planes`` hyperplanes each; a base vector is a
@@ -112,26 +116,34 @@ def lsh_bucket_topk(
     (table, bucket) replaces the all-pairs cross join; candidates dedupe
     on (query, vec) before scoring so a pair found in 3 tables is scored
     once."""
-    table_buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket(vec_col, dim, n_planes, seed=42 + t).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+    # All n_tables × n_planes plane dots in ONE numpy matmul per Arrow
+    # batch (V @ P.T → signs → packed bucket per table). The expression
+    # alternative is n_tables*n_planes interpreted fold-dots per row —
+    # the dominant cost at any scale.
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.vstack(
+        [_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
+    )  # (n_tables*n_planes, dim)
+    weights = 2 ** np.arange(n_planes, dtype=np.int64)
+    # offset buckets by table so (tbl, bucket) collapses to one long
+    offsets = np.arange(n_tables, dtype=np.int64) << 32
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def table_buckets(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        bits = ((V @ planes.T) > 0).reshape(len(V), n_tables, n_planes)
+        per_table = (bits * weights).sum(axis=2) + offsets  # (rows, n_tables)
+        return pd.Series(list(per_table.astype(np.int64)))
+
+    # Bucket join on IDs ONLY — the multi-table dedupe shuffles 16-byte id
+    # pairs, not vectors; vectors re-attach after (query side broadcast,
+    # base side an equi-join AQE can broadcast when the base is small).
     b = base.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("__bv"),
-        norm_fast(vec_col).alias("__bn"),
-        F.explode(table_buckets).alias("__tb"),
+        F.col(id_col).alias("vec_id"), F.explode(table_buckets(vec_col)).alias("__tb")
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        norm_fast(vec_col).alias("__qn"),
-        F.explode(table_buckets).alias("__qtb"),
+        F.col(id_col).alias("query_id"), F.explode(table_buckets(vec_col)).alias("__qtb")
     )
     candidates = (
         b.join(
@@ -139,17 +151,19 @@ def lsh_bucket_topk(
             (F.col("__tb") == F.col("__qtb")) & (F.col("vec_id") != F.col("query_id")),
         )
         # a pair can collide in several tables — score once
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.first("__qv").alias("__qv"),
-            F.first("__bv").alias("__bv"),
-            F.first("__qn").alias("__qn"),
-            F.first("__bn").alias("__bn"),
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    bv = base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__bv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    pairs = candidates.join(bv, "vec_id").join(F.broadcast(qv), "query_id")
+    if scorer == "arrow":
+        cosine = _cosine_arrow_udf()(F.col("__qv"), F.col("__bv"))
+    else:
+        cosine = dot_fast(F.col("__qv"), F.col("__bv")) / (
+            norm_fast(F.col("__qv")) * norm_fast(F.col("__bv"))
         )
-    )
-    scored = candidates.withColumn(
-        "cosine", dot_fast(F.col("__qv"), F.col("__bv")) / (F.col("__qn") * F.col("__bn"))
-    )
+    scored = pairs.withColumn("cosine", cosine)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
