@@ -466,3 +466,59 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         # prefix only: Spark's base64 MIME-chunks outputs > 76 chars
         F.base64(F.substring(F.col("text"), 1, 30).cast("binary")).alias("b64_prefix"),
     )
+
+
+@query(
+    "pipeline_training_prep",
+    oracle=f"""
+WITH survivors AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+           ROW_NUMBER() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+    FROM documents
+  ) t WHERE rn = 1
+), scored AS (
+  SELECT doc_id, text, lang,
+         ROUND(
+           (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+            / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)) * 0.7
+           + LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.3,
+         6) AS quality
+  FROM survivors
+), kept AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks, quality
+  FROM scored WHERE quality >= 0.6 AND lang = 'en'
+)
+SELECT doc_id,
+       CAST(u.pos - 1 AS INT) AS chunk_idx,
+       ARRAY_TO_STRING(toks[(u.pos - 1) * 24 + 1 : (u.pos - 1) * 24 + 32], ' ')
+         AS chunk_text,
+       CAST(LEAST(32, LEN(toks) - (u.pos - 1) * 24) AS INT) AS n_tokens,
+       quality
+FROM kept,
+     UNNEST(GENERATE_SERIES(1, GREATEST((LEN(toks) - 32 + 24 - 1) // 24, 0) + 1))
+       AS u(pos)
+""",
+    doc="the end-to-end training-data prep pipeline as ONE query: exact "
+    "dedup (keep lowest doc_id) -> quality gate (>= 0.6) -> language "
+    "filter (en) -> overlapping 32-token context chunks (UDTF). Every "
+    "stage is the §2C operator used elsewhere; composition stays a single "
+    "Catalyst plan (dedup shuffle + narrow filters + UDTF expand)",
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.plans.udf_surface import _CHUNK_SCHEMA, _TokenChunks
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = (
+        dd.exact_dedup(d, "text", "doc_id")
+        .withColumn("quality", quality_score("text"))
+        .filter((F.col("quality") >= 0.6) & (F.col("lang") == "en"))
+    )
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register("token_chunks_prep", udtf(_TokenChunks, returnType=_CHUNK_SCHEMA))
+    kept.createOrReplaceTempView("__prep_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens, d.quality "
+        "FROM __prep_docs d, LATERAL token_chunks_prep(d.text) c"
+    )
