@@ -10,10 +10,10 @@
 
 Hashing is deterministic everywhere (fixed seeds / stable hash functions),
 which is what makes these auditable pipelines at 100 TB. MinHash signature
-generation defaults to an Arrow-batched crc32+numpy engine (Catalyst
-higher-order functions are interpreted, so the batch path wins ~2×) with a
-pure-JVM xxhash64 expression engine as fallback; SimHash and band hashing
-stay JVM-side (codegen ``xxhash64``).
+generation is a pure-JVM xxhash64 expression by default, with an
+Arrow-batched crc32+numpy engine (~2× faster once Python workers are warm;
+see minhash_signatures docstring) for long-running pipelines; SimHash and
+band hashing stay JVM-side (codegen ``xxhash64``).
 """
 
 from __future__ import annotations
@@ -114,18 +114,20 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
-    engine: str = "arrow",
+    engine: str = "expr",
 ) -> DataFrame:
     """doc → k-minhash signature over word shingles.
 
-    ``engine='arrow'`` (default): one pandas-UDF pass — crc32 per shingle
-    (C speed, run-stable) then all k Carter-Wegman minima as a single
-    numpy broadcast ``((h·A + B) mod p).min(axis=0)``; ~2× the JVM
-    expression path because Catalyst higher-order functions are
-    interpreted. ``engine='expr'`` keeps everything JVM-side (xxhash64
-    base). Both are zero-shuffle narrow maps with the same signature
-    SHAPE (columns mh_0..mh_{k-1}); the hash families differ, so pair
-    outputs are comparable but not identical across engines.
+    ``engine='expr'`` (default) keeps everything JVM-side: xxhash64 base
+    hash per shingle, k Carter-Wegman minima as array_min(transform(...)).
+    ``engine='arrow'`` is one pandas-UDF pass — crc32 per shingle (C
+    speed, run-stable) then all k minima as a single numpy broadcast;
+    ~2× faster per batch once Python workers are warm (long-running
+    pipelines), but pays worker spin-up + numpy import on one-shot jobs,
+    so the JVM path wins cold. Both are zero-shuffle narrow maps with the
+    same signature SHAPE (columns mh_0..mh_{k-1}); the hash families
+    differ, so pair outputs are comparable but not identical across
+    engines.
 
     ZERO-shuffle narrow computation, one string hash per shingle: each
     shingle is xxhash64'd ONCE, then the k hash functions are the standard

@@ -52,8 +52,15 @@ def get_spark(
         # --- Python boundary: always Arrow-batched, never row-at-a-time ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # --- scan sizing: 128 MB splits is the right default for parquet ---
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- scan sizing ---
+        # 32 MB splits: small single-node datasets still spread across all
+        # cores (splits are additionally bounded by parquet row groups).
+        # On a real cluster override SPARK_GRAFT_MAX_PARTITION_BYTES to the
+        # classic 128 MB so task count tracks data, not cores.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"),
+        )
         # quiet local runs
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
