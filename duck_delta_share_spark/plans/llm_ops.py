@@ -347,6 +347,22 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(d, bits=48)
 
 
+@query(
+    "simhash_neardup",
+    oracle=None,  # xxhash64-based signatures — rows-only check
+    doc="SimHash near-dup pairs: prefix-bit blocking (cheap LSH) + exact "
+    "Hamming distance via bit_count(xor) within each block; the Hamming "
+    "radius is the fuzziness dial (tight radius 2 here — the synthetic "
+    "docs share a small vocabulary, so token-frequency signatures cluster)",
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dd.simhash(d, bits=48)
+    return dd.simhash_near_pairs(sigs, max_hamming=2, prefix_bits=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------
