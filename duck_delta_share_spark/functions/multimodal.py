@@ -141,3 +141,67 @@ def frame_sample(
     return df.select(
         id_col, F.posexplode(frames).alias("frame_idx", "frame_payload")
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_meta", StructType(MEDIA_META_FIELDS)),
+    ]
+)
+
+
+def fake_resize(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Deterministic stand-in for image resize: nearest-neighbor byte
+    resampling to exactly ``target_w * target_h`` bytes. Preserves the
+    determinism contract (same input → same output on any partition)."""
+    n = target_w * target_h
+    if not payload:
+        return bytes(n)
+    src = len(payload)
+    return bytes(payload[(i * src) // n] for i in range(n))
+
+
+def strict_resize(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Marker for the real resizer (PIL/opencv not in this container)."""
+    raise NotImplementedError(
+        "image resize requires an imaging library (PIL/opencv); "
+        "pass resizer=... or use fake_resize for plumbing tests"
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    resizer: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Resize every image payload via mapInPandas (Arrow batches, no
+    shuffle); emits the resized payload with updated width/height metadata.
+    At scale this is the classic embarrassingly-parallel media transform:
+    cost scales with bytes scanned, batch size bounds executor memory."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf[payload_col].map(lambda p: resizer(p, target_w, target_h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": resized,
+                    "media_meta": [
+                        {
+                            "media_type": "image",
+                            "format": "raw",
+                            "width": target_w,
+                            "height": target_h,
+                            "duration_ms": 0,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, RESIZED_SCHEMA)

@@ -50,3 +50,24 @@ def test_frame_sample_chunks(payloads):
     assert total == len(orig)
     assert b"".join(r.frame_payload for r in pdf) == bytes(orig)
     assert all(len(r.frame_payload) <= 64 for r in pdf)
+
+
+def test_resize_images_shapes_and_determinism(payloads):
+    from duck_delta_share_spark.functions import multimodal as mm
+
+    out = mm.resize_images(payloads, target_w=8, target_h=4).collect()
+    assert len(out) == payloads.count()
+    for r in out:
+        assert len(r.payload) == 32
+        assert r.media_meta.width == 8 and r.media_meta.height == 4
+    again = {r.doc_id: bytes(r.payload) for r in mm.resize_images(payloads, 8, 4).collect()}
+    assert {r.doc_id: bytes(r.payload) for r in out} == again
+
+
+def test_strict_resize_raises(payloads):
+    import pytest as _pytest
+
+    from duck_delta_share_spark.functions import multimodal as mm
+
+    with _pytest.raises(Exception, match="NotImplementedError|imaging"):
+        mm.resize_images(payloads, 4, 4, resizer=mm.strict_resize).collect()
