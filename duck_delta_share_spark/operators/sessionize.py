@@ -79,3 +79,45 @@ def sessionize(
         F.max(ts_col).alias("session_end"),
         dsum(value_col).alias("total_value"),
     )
+
+
+def pack_sequences(
+    docs,
+    capacity_tokens: int = 256,
+    id_col: str = "doc_id",
+    token_count_col=None,
+):
+    """Contiguous-greedy sequence packing: assign documents (in stable
+    ``id_col`` order) to training bins of ~``capacity_tokens`` tokens.
+    ``bin_id = floor(start_offset / capacity)`` where start_offset is the
+    exclusive running token total — a document lands in the bin where it
+    begins, so each bin holds ≤ capacity + one boundary document. This is
+    the deterministic, single-window-pass approximation of first-fit
+    packing used for LLM batch assembly (exact bin packing is NP-hard and
+    order-dependent; contiguous fill keeps results reproducible and the
+    plan a single global-order window).
+
+    Scale note: the running sum needs a GLOBAL order — one range-partition
+    shuffle (Spark samples boundaries); at 100 TB pack within date/source
+    partitions instead (add the partition column to the window spec).
+    Output: (doc_id, n_tokens, bin_id, bin_offset).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from duck_delta_share_spark.functions.text import token_count
+
+    toks = token_count_col if token_count_col is not None else token_count("text")
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_tok = docs.select(F.col(id_col), toks.alias("n_tokens"))
+    return (
+        with_tok.withColumn("__end", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor((F.col("__end") - F.col("n_tokens")) / capacity_tokens)
+            .cast("int")
+            .alias("bin_id"),
+            (F.col("__end") - F.col("n_tokens")).alias("bin_offset"),
+        )
+    )

@@ -538,3 +538,32 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens, d.quality "
         "FROM __prep_docs d, LATERAL token_chunks_prep(d.text) c"
     )
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR((e - n_tokens) / 256) AS INT) AS bin_id,
+       CAST(e - n_tokens AS BIGINT) AS bin_offset
+FROM c
+""",
+    doc="LLM sequence packing: contiguous-greedy assignment of documents "
+    "to ~256-token training bins via one global-order window "
+    "(operators/sessionize.py:pack_sequences); at scale the window "
+    "partitions by date/source to avoid a global sort",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.sessionize import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, capacity_tokens=256)
