@@ -567,3 +567,19 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return pack_sequences(d, capacity_tokens=256)
+
+
+@query(
+    "stratified_sample",
+    oracle=None,  # Bernoulli sampler is engine-specific — rows-only check;
+    # per-stratum proportions asserted in tests/test_sampling.py
+    doc="stratified corpus rebalancing: seeded per-language Bernoulli "
+    "sampling (downsample dominant en, keep the rest) via df.sampleBy — "
+    "deterministic for a fixed seed, narrow map (no shuffle)",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    return d.sampleBy("lang", fractions, seed=42).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
