@@ -86,21 +86,34 @@ def pack_sequences(
     capacity_tokens: int = 256,
     id_col: str = "doc_id",
     token_count_col=None,
+    partition_cols: Sequence[str] | None = None,
+    num_range_partitions: int | None = None,
 ):
     """Contiguous-greedy sequence packing: assign documents (in stable
     ``id_col`` order) to training bins of ~``capacity_tokens`` tokens.
     ``bin_id = floor(start_offset / capacity)`` where start_offset is the
     exclusive running token total — a document lands in the bin where it
     begins, so each bin holds ≤ capacity + one boundary document. This is
-    the deterministic, single-window-pass approximation of first-fit
-    packing used for LLM batch assembly (exact bin packing is NP-hard and
-    order-dependent; contiguous fill keeps results reproducible and the
-    plan a single global-order window).
+    the deterministic approximation of first-fit packing used for LLM
+    batch assembly (exact bin packing is NP-hard and order-dependent;
+    contiguous fill keeps results reproducible).
 
-    Scale note: the running sum needs a GLOBAL order — one range-partition
-    shuffle (Spark samples boundaries); at 100 TB pack within date/source
-    partitions instead (add the partition column to the window spec).
-    Output: (doc_id, n_tokens, bin_id, bin_offset).
+    Two scale-safe execution modes (neither ever funnels the table
+    through a single task):
+
+    - ``partition_cols`` given: pack independently WITHIN each partition
+      (date/source/lang) — the window partitions by those columns, bins
+      are per-partition. This is the 100 TB default: one hash shuffle,
+      per-key sorts only.
+    - global order (``partition_cols=None``): two-pass distributed prefix
+      sum. Pass 1 range-partitions on ``id_col`` and computes per-range
+      token totals (a handful of rows — control-plane only, like the
+      connected-components iteration driver). Pass 2 windows WITHIN each
+      range partition and adds the broadcast exclusive prefix offset of
+      its range. Output is bit-identical to a global-order running sum,
+      but every window task holds one range, not the whole table.
+
+    Output: (partition_cols..., doc_id, n_tokens, bin_id, bin_offset).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -108,16 +121,59 @@ def pack_sequences(
     from duck_delta_share_spark.functions.text import token_count
 
     toks = token_count_col if token_count_col is not None else token_count("text")
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    with_tok = docs.select(F.col(id_col), toks.alias("n_tokens"))
-    return (
-        with_tok.withColumn("__end", F.sum("n_tokens").over(w))
-        .select(
+
+    def _finish(df, part_cols, end_col):
+        start = F.col(end_col) - F.col("n_tokens")
+        return df.select(
+            *part_cols,
             id_col,
             "n_tokens",
-            F.floor((F.col("__end") - F.col("n_tokens")) / capacity_tokens)
-            .cast("int")
-            .alias("bin_id"),
-            (F.col("__end") - F.col("n_tokens")).alias("bin_offset"),
+            F.floor(start / capacity_tokens).cast("int").alias("bin_id"),
+            start.cast("long").alias("bin_offset"),
         )
+
+    if partition_cols:
+        part = list(partition_cols)
+        with_tok = docs.select(*part, F.col(id_col), toks.alias("n_tokens"))
+        w = (
+            Window.partitionBy(*part)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return _finish(with_tok.withColumn("__end", F.sum("n_tokens").over(w)), part, "__end")
+
+    spark = docs.sparkSession
+    n = num_range_partitions or spark.sparkContext.defaultParallelism
+    with_tok = docs.select(F.col(id_col), toks.alias("n_tokens"))
+    # Range partitioner boundaries come from deterministic (seeded) sampling,
+    # so __pid is stable across the two passes over the same input.
+    ranged = (
+        with_tok.repartitionByRange(n, F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
+    # Pass 1: per-range totals -> exclusive prefix offsets. ≤ n rows cross the
+    # driver (control plane, not data plane).
+    totals = {
+        r["__pid"]: r["__tot"]
+        for r in ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("__tot")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(totals, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += totals.get(pid, 0) or 0
+    offset_df = spark.createDataFrame(
+        offsets or [(0, 0)], "`__pid` INT, `__off` LONG"
+    )
+    # Pass 2: window within each range + broadcast-joined prefix offset.
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        ranged.withColumn("__local_end", F.sum("n_tokens").over(w))
+        .join(F.broadcast(offset_df), "__pid")
+        .withColumn("__end", F.col("__local_end") + F.col("__off"))
+    )
+    return _finish(out, [], "__end")

@@ -557,16 +557,45 @@ SELECT doc_id, n_tokens,
        CAST(e - n_tokens AS BIGINT) AS bin_offset
 FROM c
 """,
-    doc="LLM sequence packing: contiguous-greedy assignment of documents "
-    "to ~256-token training bins via one global-order window "
-    "(operators/sessionize.py:pack_sequences); at scale the window "
-    "partitions by date/source to avoid a global sort",
+    doc="LLM sequence packing, global order: two-pass distributed prefix "
+    "sum (per-range totals -> broadcast offsets -> within-range windows) "
+    "in operators/sessionize.py:pack_sequences — bit-identical to a "
+    "global running sum with NO single-task window",
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duck_delta_share_spark.operators.sessionize import pack_sequences
 
     d = load_table(spark, sf_dir, "documents")
     return pack_sequences(d, capacity_tokens=256)
+
+
+@query(
+    "sequence_packing_partitioned",
+    oracle="""
+WITH t AS (
+  SELECT lang, doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT lang, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+  FROM t
+)
+SELECT lang, doc_id, n_tokens,
+       CAST(FLOOR((e - n_tokens) / 256) AS INT) AS bin_id,
+       CAST(e - n_tokens AS BIGINT) AS bin_offset
+FROM c
+""",
+    doc="LLM sequence packing within corpus partitions (lang): the 100 TB "
+    "default — window partitions by the corpus key, one hash shuffle, "
+    "per-key sorts only (operators/sessionize.py:pack_sequences "
+    "partition_cols mode)",
+)
+def sequence_packing_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.sessionize import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, capacity_tokens=256, partition_cols=["lang"])
 
 
 @query(

@@ -110,11 +110,17 @@ def main() -> None:
 
         return embedding_near_dup_pairs(emb, block_col="label", threshold=0.4)
 
+    def packing_shape(d):
+        from duck_delta_share_spark.operators.sessionize import pack_sequences
+
+        return pack_sequences(d, capacity_tokens=256)
+
     ops = [
         ("q1_agg", q1_shape, l1, lN),
         ("minhash_lsh", minhash_shape, d1, dN),
         ("sessionization", sessionize_shape, e1, eN),
         ("embedding_neardup", neardup_shape, emb1, embN),
+        ("sequence_packing", packing_shape, d1, dN),
     ]
     results = []
     for name, fn, small, big in ops:

@@ -64,3 +64,40 @@ def test_filter_reaches_parquet_scan(spark):
 def test_interval_join_not_cartesian(spark):
     plan = _plan(QUERIES["interval_join_attribution"].spark_fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, "interval join degenerated to cartesian"
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    """The global-order packing must never funnel the table through one
+    task: both passes window within range partitions (VERDICT r1 #1)."""
+    for name in ("sequence_packing", "sequence_packing_partitioned"):
+        plan = _plan(QUERIES[name].spark_fn(spark, SF_DIR))
+        assert "Exchange SinglePartition" not in plan, f"{name}: single-task window"
+        assert "Window" in plan
+
+
+def test_pack_sequences_two_pass_matches_naive_global(spark):
+    """Two-pass distributed prefix sum == the naive single-window global
+    running sum, bit for bit (the correctness claim of the rewrite)."""
+    from pyspark.sql import Window
+
+    from duck_delta_share_spark.operators.sessionize import pack_sequences
+
+    d = load_table(spark, SF_DIR, "documents")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(d, capacity_tokens=256, num_range_partitions=7).collect()
+    }
+    from duck_delta_share_spark.functions.text import token_count
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = (
+        d.select("doc_id", token_count("text").alias("n_tokens"))
+        .withColumn("e", F.sum("n_tokens").over(w))
+        .collect()
+    )
+    assert len(naive) == len(got) > 0
+    for r in naive:
+        n, b, off = got[r["doc_id"]]
+        assert n == r["n_tokens"]
+        assert off == r["e"] - r["n_tokens"]
+        assert b == (r["e"] - r["n_tokens"]) // 256
