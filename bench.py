@@ -72,17 +72,26 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Per-query regression guardrail: ratios vs the committed round-1
+    # snapshot (BENCH_BASELINE.json), so a single regressed query is
+    # visible even when the total stays flat. Machine variance is ±30% —
+    # rerun before believing a delta.
+    baseline_path = Path(__file__).resolve().parent / "BENCH_BASELINE.json"
+    if baseline_path.exists():
+        base = json.loads(baseline_path.read_text()).get("queries", {})
+        out["vs_baseline"] = {
+            name: round(t / base[name], 2)
+            for name, t in timings.items()
+            if base.get(name)
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

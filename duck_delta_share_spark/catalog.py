@@ -41,8 +41,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # floor division, not `div` (which truncates toward zero): pre-1970
+        # nanosecond values must round DOWN by 1µs to match DuckDB's ns→µs
+        # floor. (ts - pmod(ts, 1000)) is an exact multiple of 1000, so the
+        # div is exact — no double-precision detour for int64 nanoseconds.
         df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            "ts",
+            F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")).cast(
+                "timestamp_ntz"
+            ),
         )
     return df
 

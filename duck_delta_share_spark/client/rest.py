@@ -56,6 +56,27 @@ def parse_ndjson(body: str) -> list[dict[str, Any]]:
     return [json.loads(line) for line in body.splitlines() if line.strip()]
 
 
+# Reader features this client implements: plain parquet-file actions
+# (minReaderVersion 1). Version 2+ tables (deletion vectors, column
+# mapping) would be silently MISREAD if we proceeded — fail fast instead.
+# Reference carries the field but never checks it (hpp:41-43).
+MAX_SUPPORTED_READER_VERSION = 1
+
+
+def check_protocol(protocol: Protocol, table: str = "") -> Protocol:
+    """Fail fast on tables requiring reader features we don't implement."""
+    if protocol.min_reader_version > MAX_SUPPORTED_READER_VERSION:
+        raise DeltaSharingError(
+            0,
+            f"table{f' {table!r}' if table else ''} requires Delta Sharing "
+            f"minReaderVersion={protocol.min_reader_version}, but this client "
+            f"supports up to {MAX_SUPPORTED_READER_VERSION} (deletion vectors / "
+            "column mapping are not implemented; reading anyway would return "
+            "wrong rows)",
+        )
+    return protocol
+
+
 class DeltaSharingClient:
     """Synchronous Delta Sharing protocol client."""
 
@@ -181,7 +202,7 @@ class DeltaSharingClient:
         metadata = TableMetadata()
         for line in parse_ndjson(body):
             if "protocol" in line:
-                protocol = Protocol.from_json(line["protocol"])
+                protocol = check_protocol(Protocol.from_json(line["protocol"]), table)
             elif "metaData" in line:
                 metadata = TableMetadata.from_json(line["metaData"])
         return protocol, metadata
@@ -226,7 +247,7 @@ class DeltaSharingClient:
         files: list[FileAction] = []
         for line in parse_ndjson(resp):
             if "protocol" in line:
-                protocol = Protocol.from_json(line["protocol"])
+                protocol = check_protocol(Protocol.from_json(line["protocol"]), table)
             elif "metaData" in line:
                 metadata = TableMetadata.from_json(line["metaData"])
             elif "file" in line:

@@ -45,6 +45,7 @@ def connected_components(
         "node", F.col("node").alias("label")
     ).localCheckpoint(eager=True)
 
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -70,4 +71,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        # hash-min label propagation converges in O(diameter) rounds; an
+        # adversarial long chain can exceed max_iterations, and silently
+        # returning split components would be wrong-but-plausible output.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing) — components may "
+            "be split; raise max_iterations (graph diameter bound)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))

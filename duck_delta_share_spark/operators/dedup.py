@@ -188,6 +188,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """MinHash-LSH banding: hash each band of the signature; docs sharing a
     band bucket become candidate pairs. Output: (id_a, id_b, n_shared_bands).
@@ -195,6 +196,15 @@ def lsh_candidate_pairs(
     Scale shape: explode to (band, bucket) rows → self-join per bucket.
     The join key (band_id, bucket_hash) is high-cardinality, so the shuffle
     spreads evenly; any hot bucket (boilerplate dups) is AQE-split.
+
+    ``max_bucket_size`` caps the quadratic blowup AQE cannot shrink: a
+    degenerate bucket (empty-ish/boilerplate docs sharing a band) emits
+    |bucket|²/2 pairs. Buckets over the cap are DROPPED before pair
+    generation (one co-partitioned count + join on the same key — no
+    extra shuffle pattern). Recall impact: only pairs whose EVERY shared
+    band is degenerate are lost — such groups are "everything matches
+    everything" clusters better handled by exact dedup on a normalized
+    fingerprint; pass ``None`` to disable.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -204,6 +214,7 @@ def lsh_candidate_pairs(
     exploded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    exploded = _cap_buckets(exploded, ["band", "bucket"], max_bucket_size)
 
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -220,6 +231,21 @@ def lsh_candidate_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def _cap_buckets(
+    rows: DataFrame, bucket_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` before pair
+    generation (pair count is quadratic in bucket size — one hot bucket of
+    100k docs would emit 5e9 pairs that AQE can split but never shrink).
+    The count and the anti-join shuffle on the same key as the downstream
+    self-join, so co-partitioning is preserved."""
+    if max_bucket_size is None:
+        return rows
+    sizes = rows.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+    keep = sizes.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+    return rows.join(keep, bucket_cols, "inner")
 
 
 def minhash_jaccard_estimate(
@@ -276,12 +302,23 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 
 def simhash_near_pairs(
-    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 8, prefix_bits: int = 12
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+    bits: int = 48,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Near-dup candidates: block on the signature's top ``prefix_bits``
     (cheap LSH for SimHash), then exact Hamming distance via bit_count(xor).
+
+    ``bits`` must match the signature width passed to :func:`simhash`
+    (ADVICE r1: a hardcoded 48 silently blocked on the wrong bit range for
+    64-bit signatures). ``max_bucket_size`` drops degenerate prefix blocks
+    before the quadratic pair step — see :func:`_cap_buckets`.
     """
-    blocked = sig.withColumn("__blk", F.shiftright(F.col("simhash"), 48 - prefix_bits))
+    blocked = sig.withColumn("__blk", F.shiftright(F.col("simhash"), bits - prefix_bits))
+    blocked = _cap_buckets(blocked, ["__blk"], max_bucket_size)
     a = blocked.alias("a")
     b = blocked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

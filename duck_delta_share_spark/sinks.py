@@ -34,10 +34,12 @@ def write_partitioned(
     mode: str = "overwrite",
     fmt: str = "parquet",
     files_per_partition: int = 1,
+    options: dict[str, str] | None = None,
 ) -> str:
     """Partitioned layout with small-file control: repartition on the
     partition columns first so each partition directory gets
-    ``files_per_partition`` files instead of one per upstream task."""
+    ``files_per_partition`` files instead of one per upstream task.
+    ``options`` pass through to the writer (e.g. partitionOverwriteMode)."""
     from pyspark.sql import functions as F
 
     cols = list(partition_by)
@@ -48,7 +50,10 @@ def write_partitioned(
         shaped = df.repartition(*cols, salt.alias("__salt"))
     else:
         shaped = df.repartition(*cols)
-    shaped.write.format(fmt).mode(mode).partitionBy(*cols).save(path)
+    writer = shaped.write.format(fmt).mode(mode)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.partitionBy(*cols).save(path)
     return path
 
 

@@ -97,7 +97,20 @@ def filter_to_hint(f: Filter) -> dict[str, Any] | None:
     """Translate one pushed Filter to a hint subtree; None if untranslatable
     (the filter still runs in Spark either way)."""
     if isinstance(f, (EqualTo, EqualNullSafe)):
+        if f.value is None:
+            # `col <=> NULL` means IS NULL. Stringifying None would emit
+            # {op: equal, literal: 'None'} and let the server exclude the
+            # files that hold the matching NULL rows — unrecoverable, since
+            # Spark's re-applied filter never sees those files.
+            if isinstance(f, EqualNullSafe):
+                return {"op": "isNull", "children": [_column(_attr_name(f), "string")]}
+            return None  # col = NULL matches nothing; emit no hint
         return _binary("equal", f)
+    if (
+        isinstance(f, (LessThan, LessThanOrEqual, GreaterThan, GreaterThanOrEqual))
+        and f.value is None
+    ):
+        return None
     if isinstance(f, LessThan):
         return _binary("lessThan", f)
     if isinstance(f, LessThanOrEqual):
@@ -114,6 +127,8 @@ def filter_to_hint(f: Filter) -> dict[str, Any] | None:
             "children": [{"op": "isNull", "children": [_column(_attr_name(f), "string")]}],
         }
     if isinstance(f, In):
+        # A NULL element of an IN list matches no row — drop it rather
+        # than serialize 'None'.
         children = [
             {
                 "op": "equal",
@@ -123,6 +138,7 @@ def filter_to_hint(f: Filter) -> dict[str, Any] | None:
                 ],
             }
             for v in f.value
+            if v is not None
         ]
         if not children:
             return None
@@ -176,6 +192,10 @@ def _compare_ok(f: Filter, actual: Any) -> bool:
     """Can a row with column value ``actual`` satisfy the filter? Unknown →
     True (never prune on uncertainty)."""
     value = getattr(f, "value", None)
+    if isinstance(f, EqualNullSafe) and value is None:
+        return actual is None  # col <=> NULL: exact on constant partitions
+    if value is None and not isinstance(f, (IsNull, IsNotNull, In)):
+        return True  # comparison against NULL: never prune on uncertainty
     if isinstance(f, (EqualTo, EqualNullSafe)):
         coerced = _coerce(actual, value)
         return coerced is None or coerced == value
@@ -253,6 +273,8 @@ def stats_allow(filters: list[Filter], stats: dict[str, Any]) -> bool:
             continue
         name = ".".join(attr)
         value = getattr(f, "value", None)
+        if value is None and not isinstance(f, In):
+            continue  # NULL comparisons carry no min/max information
         # In carries a tuple; coerce stats bounds with an ELEMENT as the
         # type sample, not the tuple (which would degrade to strings).
         sample = next(iter(value), None) if isinstance(f, In) else value
@@ -271,7 +293,7 @@ def stats_allow(filters: list[Filter], stats: dict[str, Any]) -> bool:
                 return False
         elif isinstance(f, In):
             if lo is not None and hi is not None and not any(
-                lo <= v <= hi for v in f.value
+                lo <= v <= hi for v in f.value if v is not None
             ):
                 return False
     return True

@@ -43,7 +43,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # same ns→µs floor as catalog.load_table (pre-1970 values round DOWN)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+    )
 
 
 def windowed_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -93,18 +96,31 @@ def stream_to_partitioned_parquet(
     parquet through the batch write path (sinks.write_partitioned), giving
     the streaming job the same layout/small-file discipline as batch
     backfills — the lambda-architecture-free pattern: one write path for
-    both. Checkpointing makes the sink idempotent per epoch (a replayed
-    batch id overwrites nothing — parquet append + checkpoint dedupe at
-    the source).
+    both.
+
+    Idempotent per epoch (exactly-once output): every batch writes under a
+    trailing ``__batch_id=<id>`` partition level with DYNAMIC partition
+    overwrite, so a micro-batch replayed after a failure between the write
+    and the checkpoint commit REWRITES its own subdirectories instead of
+    appending duplicates (the standard foreachBatch exactly-once recipe;
+    plain append here would be at-least-once).
 
     Returns the started StreamingQuery; callers own awaitTermination.
     """
+    from pyspark.sql import functions as F
+
     from duck_delta_share_spark import sinks
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        sinks.write_partitioned(batch_df, path, partition_by, mode="append")
+        sinks.write_partitioned(
+            batch_df.withColumn("__batch_id", F.lit(batch_id)),
+            path,
+            [*partition_by, "__batch_id"],
+            mode="overwrite",
+            options={"partitionOverwriteMode": "dynamic"},
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(write_batch)

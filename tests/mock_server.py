@@ -39,13 +39,16 @@ class MockDeltaSharingServer:
         # simulates FileAction.expiration_timestamp passing mid-job.
         self.expire_first_query_urls = False
         self._query_count = 0
+        # Advertised protocol floor; tests bump it to 2+ to prove the
+        # client refuses tables whose reader features it lacks.
+        self.min_reader_version = 1
 
     # NDJSON /query and /metadata bodies -------------------------------------
 
     def _metadata_lines(self) -> str:
         return "\n".join(
             [
-                json.dumps({"protocol": {"minReaderVersion": 1}}),
+                json.dumps({"protocol": {"minReaderVersion": self.min_reader_version}}),
                 json.dumps(
                     {
                         "metaData": {

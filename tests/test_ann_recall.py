@@ -22,3 +22,45 @@ def test_ann_recall_tracks_lsh_theory(spark):
     }
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.5, f"recall@5 {recall:.2f} below LSH-theory envelope"
+
+
+def test_ann_clustered_preset_high_recall(spark):
+    """The 'clustered' preset (k=6, L=8) must reach ~0.9 recall on data
+    with tight clusters (neighbor cosine ~0.8 → p ≈ 0.8; theory 0.90).
+    Bound 0.75 is >3σ below the mean over 20 query-neighbor sets."""
+    import numpy as np
+
+    from duck_delta_share_spark.operators.similarity import lsh_bucket_topk
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 16, 20, 10
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    base = []
+    for c in range(n_clusters):
+        pts = centers[c] + 0.35 * rng.normal(size=(per, dim))
+        base.extend(
+            (c * per + i, (pts[i] / np.linalg.norm(pts[i])).tolist())
+            for i in range(per)
+        )
+    queries = [
+        (10_000 + c, (centers[c] / np.linalg.norm(centers[c])).tolist())
+        for c in range(n_clusters)
+    ]
+    bdf = spark.createDataFrame(base, ["vec_id", "embedding"])
+    qdf = spark.createDataFrame(queries, ["vec_id", "embedding"])
+
+    B = np.array([v for _, v in base])
+    exact = set()
+    for qid, qv in queries:
+        top = np.argsort(-(B @ np.array(qv)))[:5]
+        exact.update((qid, base[i][0]) for i in top)
+
+    ann = {
+        (r.query_id, r.vec_id)
+        for r in lsh_bucket_topk(
+            bdf, qdf, dim=dim, k=5, preset="clustered"
+        ).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.75, f"clustered-preset recall@5 {recall:.2f}"

@@ -120,3 +120,19 @@ def test_auth_error(server):
     with pytest.raises(DeltaSharingError) as ei:
         bad.list_shares()
     assert ei.value.status == 401
+
+
+def test_min_reader_version_gate(server, client):
+    """A table requiring reader v2+ (deletion vectors / column mapping)
+    must fail fast, not be silently misread (reference parses the field
+    and never checks it, hpp:41-43)."""
+    server.min_reader_version = 2
+    try:
+        with pytest.raises(DeltaSharingError, match="minReaderVersion=2"):
+            client.query_table_metadata("sales", "web", "clicks")
+        with pytest.raises(DeltaSharingError, match="minReaderVersion=2"):
+            client.query_table("sales", "web", "clicks")
+    finally:
+        server.min_reader_version = 1
+    protocol, _ = client.query_table_metadata("sales", "web", "clicks")
+    assert protocol.min_reader_version == 1

@@ -16,6 +16,7 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql.datasource import (
+    EqualNullSafe,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -42,10 +43,15 @@ _col = st.sampled_from(COLS)
 @st.composite
 def leaf_filters(draw):
     col = draw(_col)
-    kind = draw(st.sampled_from(["eq", "lt", "le", "gt", "ge", "in", "null", "notnull"]))
+    kind = draw(
+        st.sampled_from(["eq", "eqns", "lt", "le", "gt", "ge", "in", "null", "notnull"])
+    )
     attr = (col,)
     if kind == "eq":
         return EqualTo(attr, draw(_ints))
+    if kind == "eqns":
+        # null-safe equality may legitimately carry None (`col <=> NULL`)
+        return EqualNullSafe(attr, draw(st.one_of(st.none(), _ints)))
     if kind == "lt":
         return LessThan(attr, draw(_ints))
     if kind == "le":
@@ -55,7 +61,11 @@ def leaf_filters(draw):
     if kind == "ge":
         return GreaterThanOrEqual(attr, draw(_ints))
     if kind == "in":
-        return In(attr, tuple(draw(st.lists(_ints, min_size=1, max_size=4))))
+        # IN lists can contain NULL elements (which match no row)
+        return In(
+            attr,
+            tuple(draw(st.lists(st.one_of(st.none(), _ints), min_size=1, max_size=4))),
+        )
     if kind == "null":
         return IsNull(attr)
     return IsNotNull(attr)
@@ -84,8 +94,10 @@ def _eval_filter(f, row: dict) -> bool:
         return v is None
     if isinstance(f, IsNotNull):
         return v is not None
-    if v is None:
-        return False
+    if isinstance(f, EqualNullSafe):
+        return v is None if f.value is None else v == f.value
+    if v is None or getattr(f, "value", 0) is None:
+        return False  # SQL: any comparison against NULL is not-true
     if isinstance(f, EqualTo):
         return v == f.value
     if isinstance(f, LessThan):
@@ -164,7 +176,7 @@ def _eval_hint(node: dict, row: dict):
 
 @given(
     filters=st.lists(leaf_filters(), min_size=1, max_size=4),
-    row=st.fixed_dictionaries({c: _ints for c in COLS}),
+    row=st.fixed_dictionaries({c: st.one_of(st.none(), _ints) for c in COLS}),
 )
 @settings(max_examples=300, deadline=None)
 def test_hint_tree_implied_by_filters(filters, row):
@@ -187,3 +199,21 @@ def test_single_hint_exact_on_nonnull_rows(f, row):
     if hints is None:
         return
     assert _eval_hint(hints, row) == _eval_filter(f, row)
+
+
+def test_null_safe_equal_null_emits_is_null_hint():
+    """Regression (ADVICE r1): `col <=> NULL` must become an isNull hint,
+    never {op: equal, literal: 'None'} — a 'None'-string hint can make the
+    server exclude exactly the files holding the matching NULL rows."""
+    from duck_delta_share_spark.sources.pushdown import filter_to_hint
+
+    h = filter_to_hint(EqualNullSafe(("a",), None))
+    assert h == {
+        "op": "isNull",
+        "children": [{"op": "column", "name": "a", "valueType": "string"}],
+    }
+    assert filter_to_hint(EqualTo(("a",), None)) is None
+    assert filter_to_hint(LessThan(("a",), None)) is None
+    h = filter_to_hint(In(("a",), (None, 3)))
+    assert "None" not in str(h) and "3" in str(h)
+    assert filter_to_hint(In(("a",), (None,))) is None

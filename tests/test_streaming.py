@@ -100,3 +100,32 @@ def test_foreachbatch_partitioned_sink(spark, tmp_path):
     assert any(d.startswith("event_type=") for d in dirs)
     back = spark.read.parquet(out)
     assert back.count() == load_table(spark, SF_DIR, "events").count()
+
+
+def test_foreachbatch_sink_replay_idempotent(spark, tmp_path):
+    """A micro-batch replayed after a failure between write and checkpoint
+    commit must not duplicate rows: the sink keys a dynamic partition
+    overwrite on __batch_id, so re-writing the same batch rewrites its own
+    subdirectories (ADVICE r1: plain append was at-least-once)."""
+    from pyspark.sql import functions as F
+
+    from duck_delta_share_spark import sinks
+
+    out = str(tmp_path / "replayed")
+    batch = load_table(spark, SF_DIR, "events").limit(200)
+
+    def write(batch_df, batch_id):
+        sinks.write_partitioned(
+            batch_df.withColumn("__batch_id", F.lit(batch_id)),
+            out,
+            ["event_type", "__batch_id"],
+            mode="overwrite",
+            options={"partitionOverwriteMode": "dynamic"},
+        )
+
+    write(batch, 0)
+    n_once = spark.read.parquet(out).count()
+    write(batch, 0)  # replay of the SAME epoch
+    assert spark.read.parquet(out).count() == n_once == 200
+    write(batch, 1)  # a NEW epoch appends
+    assert spark.read.parquet(out).count() == 400
