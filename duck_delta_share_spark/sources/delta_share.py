@@ -13,8 +13,9 @@ Plan shape (SURVEY.md §3.2 "Spark trace"):
   scan parallelizes per file, vs. the reference's sequential single-cursor
   loop (extension.cpp:569-575). At 100 TB / thousands of files this is the
   entire difference between hours and minutes.
-- executors: fetch their presigned URL (pyarrow over an in-memory buffer;
-  data plane goes straight to object storage, never through the sharing
+- executors: RANGE-read their presigned URL (footer + projected column
+  chunks of row groups surviving min/max pruning — see ``range_io``; data
+  plane goes straight to object storage, never through the sharing
   server), attach partition values as typed constant columns (fixing the
   reference quirk of declaring-but-never-populating partition columns,
   §2D), and yield Arrow record batches.
@@ -41,7 +42,6 @@ correctness gate) passes the file list + schemaString explicitly:
 
 from __future__ import annotations
 
-import io
 import json
 from dataclasses import dataclass
 from typing import Any, Iterator
@@ -81,6 +81,10 @@ class _FileTask(InputPartition):
     full_schema_json: str
     file_id: str | None = None
     refresh: dict | None = None
+    # pushed Filters travel to the executor for parquet ROW-GROUP min/max
+    # pruning (file-level pruning already happened on the driver); plain
+    # pyspark dataclasses, picklable.
+    pushed: list | None = None
 
 
 def _parse_table_path(path: str | None, options: dict[str, str]) -> tuple[str, str, str]:
@@ -199,6 +203,7 @@ class DeltaShareReader(DataSourceReader):
                     file_id=f.get("id"),
                     # direct-file mode has no server to refresh from
                     refresh=None if "files" in self.options else dict(self.options),
+                    pushed=list(self.pushed),
                 )
             )
         return tasks
@@ -215,14 +220,20 @@ class DeltaShareReader(DataSourceReader):
         full_schema = StructType.fromJson(json.loads(partition.full_schema_json))
         arrow_full = to_arrow_schema(full_schema)
 
+        from duck_delta_share_spark.sources.range_io import UrlExpiredError
+
         cols = [f.name for f in data_schema.fields]
+        filters = partition.pushed or []
         try:
-            table = _fetch_parquet(partition.url, cols)
-        except Exception:
+            table = _fetch_parquet(partition.url, cols, filters)
+        except UrlExpiredError:
+            # ONLY an expired presigned URL is refreshable; a 404 (file no
+            # longer in the table) re-raising immediately avoids a
+            # control-plane stampede of pointless re-queries (r1 #4).
             fresh = _refresh_url(partition)
             if fresh is None:
                 raise
-            table = _fetch_parquet(fresh, cols)
+            table = _fetch_parquet(fresh, cols, filters)
 
         # Attach partition values as typed constant columns (the reference
         # never does this — §2D "partition values never re-attached").
@@ -253,6 +264,13 @@ class DeltaShareReader(DataSourceReader):
         yield from out.to_batches(max_chunksize=1 << 16)
 
 
+# Per-process (≈ per-executor) cache of refreshed presigned URLs: when N
+# tasks in one python worker all hit expiry, the FIRST re-queries the
+# control plane and the rest read the cached fresh URLs — one /query per
+# executor, not per task (VERDICT r1 "What's wrong #4").
+_REFRESH_CACHE: dict[tuple, dict[str, str]] = {}
+
+
 def _refresh_url(partition: _FileTask) -> str | None:
     """Re-query the sharing server for a fresh presigned URL for this file
     (expired-URL recovery). Returns None when not in REST mode or the file
@@ -262,15 +280,17 @@ def _refresh_url(partition: _FileTask) -> str | None:
         return None
     options = partition.refresh
     share, schema, table = _parse_table_path(options.get("path"), options)
-    client = _make_client(options)
     version = options.get("versionasof", options.get("versionAsOf"))
+    key = (options.get("endpoint", ""), share, schema, table, version)
+    cached = _REFRESH_CACHE.get(key, {}).get(partition.file_id)
+    if cached is not None and cached != partition.url:
+        return cached  # another task in this process already refreshed
+    client = _make_client(options)
     result = client.query_table(
         share, schema, table, version=int(version) if version is not None else None
     )
-    for f in result.files:
-        if f.id == partition.file_id:
-            return f.url
-    return None
+    _REFRESH_CACHE[key] = {f.id: f.url for f in result.files if f.id}
+    return _REFRESH_CACHE[key].get(partition.file_id)
 
 
 def _cast_partition_value(raw: str, target: "pa.DataType") -> Any:  # noqa: F821
@@ -291,31 +311,85 @@ def _cast_partition_value(raw: str, target: "pa.DataType") -> Any:  # noqa: F821
     return str(raw)
 
 
-def _fetch_parquet(url: str, columns: list[str]) -> "pa.Table":  # noqa: F821
+def _fetch_parquet(
+    url: str, columns: list[str], filters: list[Filter] | None = None
+) -> "pa.Table":  # noqa: F821
     """Read one parquet file: presigned http(s) URL or local path.
 
-    Column pruning is applied at the read (only the data columns of the
-    declared schema are materialized). For http(s) the object is fetched
-    into memory — presigned-URL stores (S3 etc.) serve whole objects
-    efficiently and Delta files are sized for single-task reads; a
-    range-request lazy reader is a drop-in upgrade here if needed.
-    Retries once on a 403 to survive URL expiry mid-job.
+    http(s) uses RANGE reads (``range_io.HttpRangeFile``): one suffix
+    request for the footer, then exactly the byte ranges of the projected
+    column chunks in row groups surviving min/max pruning — egress scales
+    with (columns read x rows matched), never bytes stored. Local paths
+    get the same row-group pruning through pyarrow's own random access.
     """
     import pyarrow.parquet as pq
 
     if url.startswith(("http://", "https://")):
-        import urllib.request
+        from duck_delta_share_spark.sources.range_io import HttpRangeFile
 
-        last: Exception | None = None
-        for _ in range(2):
-            try:
-                with urllib.request.urlopen(url, timeout=300) as resp:
-                    buf = io.BytesIO(resp.read())
-                break
-            except Exception as e:  # expired presigned URL or transient
-                last = e
-        else:
-            raise last  # type: ignore[misc]
-        return pq.read_table(buf, columns=columns)
+        f = HttpRangeFile(url)
+        pf = pq.ParquetFile(f)
+        keep = _select_row_groups(pf.metadata, filters or [])
+        f.prefetch(_column_chunk_ranges(pf.metadata, keep, columns))
+        return _read_groups(pf, keep, columns)
     path = url[7:] if url.startswith("file://") else url
-    return pq.read_table(path, columns=columns)
+    pf = pq.ParquetFile(path)
+    return _read_groups(pf, _select_row_groups(pf.metadata, filters or []), columns)
+
+
+def _select_row_groups(md: Any, filters: list[Filter]) -> list[int]:
+    """Row groups whose column-chunk min/max statistics admit the pushed
+    filters (same conservative semantics as file-level ``stats_allow`` —
+    unknown never prunes). Parquet writers truncate long string stats
+    DOWNWARD for min / UPWARD for max, so truncation stays conservative."""
+    if not filters:
+        return list(range(md.num_row_groups))
+    keep = []
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        for j in range(rg.num_columns):
+            col = rg.column(j)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except (UnicodeDecodeError, AttributeError):
+                    continue  # non-UTF8 binary stats: no pruning info
+            mins[col.path_in_schema] = mn
+            maxs[col.path_in_schema] = mx
+        if stats_allow(filters, {"minValues": mins, "maxValues": maxs}):
+            keep.append(i)
+    return keep
+
+
+def _column_chunk_ranges(
+    md: Any, row_groups: list[int], columns: list[str]
+) -> list[tuple[int, int]]:
+    """(offset, length) of each projected column chunk in the kept row
+    groups — the exact bytes the scan needs beyond the footer."""
+    wanted = set(columns)
+    ranges: list[tuple[int, int]] = []
+    for i in row_groups:
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            col = rg.column(j)
+            if col.path_in_schema.split(".")[0] not in wanted:
+                continue
+            offsets = [col.data_page_offset]
+            if col.dictionary_page_offset is not None:
+                offsets.append(col.dictionary_page_offset)
+            ranges.append((min(offsets), col.total_compressed_size))
+    return ranges
+
+
+def _read_groups(pf: Any, keep: list[int], columns: list[str]) -> "pa.Table":  # noqa: F821
+    if not keep:
+        return pf.schema_arrow.empty_table().select(columns)
+    if len(keep) == pf.metadata.num_row_groups:
+        return pf.read(columns=columns)
+    return pf.read_row_groups(keep, columns=columns)

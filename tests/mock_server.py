@@ -42,6 +42,12 @@ class MockDeltaSharingServer:
         # Advertised protocol floor; tests bump it to 2+ to prove the
         # client refuses tables whose reader features it lacks.
         self.min_reader_version = 1
+        # Range-request accounting for the range-read scan tests: every
+        # satisfied Range header is logged, and data_bytes_served counts
+        # actual payload bytes so tests can assert egress < object size.
+        self.support_range = True
+        self.range_requests: list[tuple[str, str]] = []
+        self.data_bytes_served = 0
 
     # NDJSON /query and /metadata bodies -------------------------------------
 
@@ -136,7 +142,29 @@ class MockDeltaSharingServer:
                     if not p.exists():
                         self._reply(404, json.dumps({"message": "no such file"}).encode())
                         return
-                    self._reply(200, p.read_bytes(), "application/octet-stream")
+                    data = p.read_bytes()
+                    rng = self.headers.get("Range", "")
+                    if outer.support_range and rng.startswith("bytes="):
+                        outer.range_requests.append((path, rng))
+                        start_s, _, end_s = rng[6:].partition("-")
+                        size = len(data)
+                        if start_s == "":  # suffix form bytes=-N
+                            start = max(0, size - int(end_s))
+                            end = size - 1
+                        else:
+                            start = int(start_s)
+                            end = min(int(end_s), size - 1) if end_s else size - 1
+                        chunk = data[start : end + 1]
+                        outer.data_bytes_served += len(chunk)
+                        self.send_response(206)
+                        self.send_header("Content-Type", "application/octet-stream")
+                        self.send_header("Content-Range", f"bytes {start}-{end}/{size}")
+                        self.send_header("Content-Length", str(len(chunk)))
+                        self.end_headers()
+                        self.wfile.write(chunk)
+                        return
+                    outer.data_bytes_served += len(data)
+                    self._reply(200, data, "application/octet-stream")
                     return
                 if not self._check_auth():
                     return
