@@ -71,11 +71,33 @@ def fake_decode(payload: bytes) -> list[float]:
 
 
 def strict_decode(payload: bytes) -> list[float]:
-    """Marker for the real decoder: image/audio libs are not available in
-    this container."""
+    """REAL image decode → feature vector: PIL when installed, else the
+    pure-Python PNG codec (``functions/png_codec.py``); the feature is a
+    16-bin normalized luminance histogram either way. Non-image payloads
+    raise — strict mode must never silently featurize garbage."""
+    if payload is None:
+        return [0.0] * FEATURE_DIM
+    from duck_delta_share_spark.functions import png_codec
+
+    try:
+        from PIL import Image  # real imaging lib, when the cluster has it
+
+        import io as _io
+
+        img = Image.open(_io.BytesIO(bytes(payload)))
+        img.load()
+        channels = len(img.getbands())
+        return png_codec.luminance_histogram(
+            img.tobytes(), channels, bins=FEATURE_DIM
+        )
+    except ImportError:
+        pass
+    if png_codec.is_png(bytes(payload)):
+        _, _, channels, pixels = png_codec.decode_png(bytes(payload))
+        return png_codec.luminance_histogram(pixels, channels, bins=FEATURE_DIM)
     raise NotImplementedError(
-        "media decode requires an image/audio library (PIL/av/soundfile); "
-        "pass decoder=... or use fake_decode for plumbing tests"
+        "strict decode supports PNG natively; other formats (jpeg/wav/mp4) "
+        "need an imaging/av library — pass decoder=... or use fake_decode"
     )
 
 
@@ -164,11 +186,19 @@ def fake_resize(payload: bytes, target_w: int, target_h: int) -> bytes:
 
 
 def strict_resize(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """Marker for the real resizer (PIL/opencv not in this container)."""
-    raise NotImplementedError(
-        "image resize requires an imaging library (PIL/opencv); "
-        "pass resizer=... or use fake_resize for plumbing tests"
-    )
+    """REAL image resize: decode PNG (pure-Python codec), nearest-neighbor
+    resample, re-encode PNG. Non-PNG payloads raise rather than corrupt."""
+    from duck_delta_share_spark.functions import png_codec
+
+    data = bytes(payload or b"")
+    if not png_codec.is_png(data):
+        raise NotImplementedError(
+            "strict resize supports PNG natively; other formats need an "
+            "imaging library — pass resizer=... or use fake_resize"
+        )
+    w, h, channels, pixels = png_codec.decode_png(data)
+    resized = png_codec.resize_nearest(pixels, w, h, channels, target_w, target_h)
+    return png_codec.encode_png(target_w, target_h, channels, resized)
 
 
 def resize_images(

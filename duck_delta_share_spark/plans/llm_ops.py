@@ -455,6 +455,55 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_png_strict",
+    oracle=None,  # PNG decode is not SQL-expressible — rows-only check
+    doc="REAL image path, no fakes: build PNG payloads from document bytes "
+    "(pure-Python codec, functions/png_codec.py), strict-decode to "
+    "luminance-histogram features, strict-resize to 4x4 — all executor-side "
+    "Arrow batches; deterministic (seeded by doc text)",
+)
+def multimodal_png_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from duck_delta_share_spark.functions import multimodal as mm
+    from duck_delta_share_spark.functions import png_codec as pc
+
+    width, height = 12, 8
+    need = width * height * 3
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                raw = (t or "x").encode("utf-8") or b"x"
+                payloads.append(
+                    pc.encode_png(width, height, 3, (raw * (need // len(raw) + 1))[:need])
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payload_df = d.mapInPandas(build, "doc_id long, payload binary")
+    feats = mm.extract_features(payload_df, decoder=mm.strict_decode)
+    resized = mm.resize_images(payload_df, 4, 4, resizer=mm.strict_resize).select(
+        "doc_id", F.sha2("payload", 256).alias("resized_sha")
+    )
+    return (
+        feats.join(resized, "doc_id")
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.round(F.element_at("features", 1).cast("double"), 6).alias("feat_0"),
+            "resized_sha",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (binary payload plumbing)
 # ---------------------------------------------------------------------------

@@ -56,6 +56,7 @@ from pyspark.sql.types import StructType
 
 from duck_delta_share_spark.sources.pushdown import (
     filters_to_json_hints,
+    filters_to_sql_hints,
     partition_matches,
     stats_allow,
 )
@@ -160,6 +161,9 @@ class DeltaShareReader(DataSourceReader):
             schema,
             table,
             json_predicate_hints=filters_to_json_hints(self.pushed),
+            # legacy SQL strings too: older servers ignore jsonPredicateHints
+            # and would otherwise do zero server-side filtering
+            predicate_hints=filters_to_sql_hints(self.pushed) or None,
             limit_hint=int(limit) if limit is not None else None,
             version=int(version) if version is not None else None,
         )

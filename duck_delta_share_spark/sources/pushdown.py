@@ -159,6 +159,86 @@ def filters_to_json_hints(filters: list[Filter]) -> dict[str, Any] | None:
 
 
 # ---------------------------------------------------------------------------
+# Filter → legacy SQL-string predicateHints
+# ---------------------------------------------------------------------------
+#
+# Older Delta Sharing servers predate jsonPredicateHints and only apply the
+# legacy ``predicateHints`` field: a list of SQL boolean expressions,
+# implicitly AND-ed. The reference renders these in GetPredicateHints
+# (`/root/reference/src/duck_delta_share_extension.cpp:126-262`); this
+# renderer keeps its operator surface but fixes its operand-swap bugs
+# (SURVEY.md §2D) and applies the same NULL discipline as the JSON path:
+# a hint must be IMPLIED BY the filter — when in doubt, emit nothing.
+
+
+def _sql_ident(name: str) -> str:
+    if name.replace("_", "").isalnum() and not name[:1].isdigit():
+        return name
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _sql_literal(value: Any) -> str | None:
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return str(value)
+    if isinstance(value, dt.datetime):
+        return "TIMESTAMP '" + value.isoformat(sep=" ") + "'"
+    if isinstance(value, dt.date):
+        return "DATE '" + value.isoformat() + "'"
+    if isinstance(value, str):
+        return "'" + value.replace("'", "''") + "'"
+    return None  # unknown literal type: no hint rather than a wrong hint
+
+
+def filter_to_sql(f: Filter) -> str | None:
+    """One pushed Filter as a legacy SQL hint string; None if untranslatable."""
+    value = getattr(f, "value", None)
+    if isinstance(f, IsNull):
+        return f"{_sql_ident(_attr_name(f))} IS NULL"
+    if isinstance(f, IsNotNull):
+        return f"{_sql_ident(_attr_name(f))} IS NOT NULL"
+    if isinstance(f, EqualNullSafe) and value is None:
+        return f"{_sql_ident(_attr_name(f))} IS NULL"
+    if isinstance(f, In):
+        items = [_sql_literal(v) for v in f.value if v is not None]
+        if not items or any(i is None for i in items):
+            return None
+        return f"{_sql_ident(_attr_name(f))} IN ({', '.join(items)})"
+    if isinstance(f, Not):
+        # NOT(child) as a hint requires child to be exactly decidable; the
+        # only safe case in the legacy grammar is NOT(IS NULL) and
+        # NOT(equal) on non-null values — conservatively support IsNull.
+        if isinstance(f.child, IsNull):
+            return f"{_sql_ident('.'.join(f.child.attribute))} IS NOT NULL"
+        return None
+    ops = {
+        EqualTo: "=",
+        EqualNullSafe: "=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+    }
+    for cls, op in ops.items():
+        if isinstance(f, cls):
+            if value is None:
+                return None  # comparison to NULL: matches nothing, no hint
+            lit = _sql_literal(value)
+            if lit is None:
+                return None
+            # column LEFT, literal RIGHT — the reference swaps operands for
+            # flipped comparisons without flipping the operator (cpp:227-244)
+            return f"{_sql_ident(_attr_name(f))} {op} {lit}"
+    return None  # StringStartsWith etc.: no legacy-grammar equivalent
+
+
+def filters_to_sql_hints(filters: list[Filter]) -> list[str]:
+    """All translatable filters as legacy predicateHints (AND-implied)."""
+    return [s for s in (filter_to_sql(f) for f in filters) if s is not None]
+
+
+# ---------------------------------------------------------------------------
 # File pruning: partition values + stats
 # ---------------------------------------------------------------------------
 

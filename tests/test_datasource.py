@@ -74,6 +74,9 @@ def test_rest_scan_filter_correct_and_hinted(registered, server):
     hints = json.loads(body.get("jsonPredicateHints", "{}"))
     ops = json.dumps(hints)
     assert "pcol" in ops and "greaterThan" in ops
+    # legacy SQL strings ride along for servers predating JSON hints
+    legacy = body.get("predicateHints", [])
+    assert "pcol = 'eu'" in legacy and "id > 1" in legacy
 
 
 def test_rest_scan_projection(registered, server):

@@ -71,3 +71,158 @@ def test_strict_resize_raises(payloads):
 
     with _pytest.raises(Exception, match="NotImplementedError|imaging"):
         mm.resize_images(payloads, 4, 4, resizer=mm.strict_resize).collect()
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python PNG codec + strict mode on real image bytes (VERDICT r1 #1)
+# ---------------------------------------------------------------------------
+
+
+def _make_pixels(w, h, channels, seed=0):
+    import random
+
+    rng = random.Random(seed)
+    return bytes(rng.randrange(256) for _ in range(w * h * channels))
+
+
+def test_png_roundtrip_all_channel_counts():
+    from duck_delta_share_spark.functions import png_codec as pc
+
+    for channels in (1, 2, 3, 4):
+        w, h = 13, 7
+        pixels = _make_pixels(w, h, channels, seed=channels)
+        data = pc.encode_png(w, h, channels, pixels)
+        assert pc.is_png(data)
+        rw, rh, rc, rpix = pc.decode_png(data)
+        assert (rw, rh, rc) == (w, h, channels)
+        assert rpix == pixels
+
+
+def test_png_decode_all_scanline_filters():
+    """Hand-build IDAT streams exercising filters 1-4 (our encoder only
+    emits 0); the unfilter must reconstruct the same pixels."""
+    import struct
+    import zlib
+
+    from duck_delta_share_spark.functions import png_codec as pc
+
+    w, h, channels = 5, 4, 3
+    pixels = _make_pixels(w, h, channels, seed=9)
+    stride = w * channels
+
+    def filtered_stream(ftypes):
+        out = bytearray()
+        for y, ft in enumerate(ftypes):
+            row = pixels[y * stride : (y + 1) * stride]
+            prev = pixels[(y - 1) * stride : y * stride] if y else bytes(stride)
+            out.append(ft)
+            for x in range(stride):
+                left = row[x - channels] if x >= channels else 0
+                up = prev[x]
+                ul = prev[x - channels] if x >= channels else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = left
+                elif ft == 2:
+                    pred = up
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = pc._paeth(left, up, ul)
+                out.append((row[x] - pred) & 0xFF)
+        return bytes(out)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        pc.PNG_SIGNATURE
+        + pc._chunk(b"IHDR", ihdr)
+        + pc._chunk(b"IDAT", zlib.compress(filtered_stream([1, 2, 3, 4])))
+        + pc._chunk(b"IEND", b"")
+    )
+    assert pc.decode_png(png) == (w, h, channels, pixels)
+
+
+def test_png_palette_expands_to_rgb():
+    import struct
+    import zlib
+
+    from duck_delta_share_spark.functions import png_codec as pc
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red green blue
+    idx_rows = [bytes([0, 1, 2]), bytes([2, 1, 0])]
+    stream = b"".join(b"\x00" + r for r in idx_rows)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    png = (
+        pc.PNG_SIGNATURE
+        + pc._chunk(b"IHDR", ihdr)
+        + pc._chunk(b"PLTE", palette)
+        + pc._chunk(b"IDAT", zlib.compress(stream))
+        + pc._chunk(b"IEND", b"")
+    )
+    w, h, c, pix = pc.decode_png(png)
+    assert (w, h, c) == (3, 2, 3)
+    assert pix == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 255, 0, 255, 0, 255, 0, 0]
+    )
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+
+    import pytest as _pytest
+
+    from duck_delta_share_spark.functions import png_codec as pc
+
+    with _pytest.raises(pc.UnsupportedImageError):
+        pc.decode_png(b"JFIF not a png")
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png16 = pc.PNG_SIGNATURE + pc._chunk(b"IHDR", ihdr16) + pc._chunk(b"IEND", b"")
+    with _pytest.raises(pc.UnsupportedImageError, match="bit depth"):
+        pc.decode_png(png16)
+    ihdr_il = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    png_il = pc.PNG_SIGNATURE + pc._chunk(b"IHDR", ihdr_il) + pc._chunk(b"IEND", b"")
+    with _pytest.raises(pc.UnsupportedImageError, match="interlaced"):
+        pc.decode_png(png_il)
+
+
+def test_strict_decode_real_png_features(spark):
+    """strict mode on ACTUAL image bytes end-to-end through mapInPandas:
+    features are the luminance histogram of the decoded pixels."""
+    from duck_delta_share_spark.functions import png_codec as pc
+
+    rows = []
+    for doc_id in range(8):
+        w, h = 6 + doc_id, 5
+        pixels = _make_pixels(w, h, 3, seed=doc_id)
+        rows.append((doc_id, bytearray(pc.encode_png(w, h, 3, pixels)), pixels))
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in rows], "doc_id long, payload binary"
+    )
+    feats = {
+        r.doc_id: r.features
+        for r in mm.extract_features(df, decoder=mm.strict_decode).collect()
+    }
+    assert len(feats) == 8
+    for doc_id, _, pixels in rows:
+        expected = pc.luminance_histogram(pixels, 3, bins=mm.FEATURE_DIM)
+        assert feats[doc_id] == pytest.approx(expected)
+
+
+def test_strict_resize_real_png(spark):
+    from duck_delta_share_spark.functions import png_codec as pc
+
+    w, h = 16, 12
+    pixels = _make_pixels(w, h, 3, seed=3)
+    df = spark.createDataFrame(
+        [(1, bytearray(pc.encode_png(w, h, 3, pixels)))],
+        "doc_id long, payload binary",
+    )
+    out = mm.resize_images(df, 4, 4, resizer=mm.strict_resize).collect()[0]
+    rw, rh, rc, rpix = pc.decode_png(bytes(out.payload))
+    assert (rw, rh, rc) == (4, 4, 3)
+    assert rpix == pc.resize_nearest(pixels, w, h, 3, 4, 4)
+    # solid-color image stays solid through resize
+    solid = pc.encode_png(10, 10, 3, bytes([7, 99, 200] * 100))
+    resized = mm.strict_resize(solid, 3, 3)
+    assert pc.decode_png(resized)[3] == bytes([7, 99, 200] * 9)

@@ -201,6 +201,57 @@ def test_single_hint_exact_on_nonnull_rows(f, row):
     assert _eval_hint(hints, row) == _eval_filter(f, row)
 
 
+def _duck_sql_value(v):
+    return "CAST(NULL AS BIGINT)" if v is None else str(v)
+
+
+@given(
+    filters=st.lists(leaf_filters(), min_size=1, max_size=4),
+    row=st.fixed_dictionaries({c: st.one_of(st.none(), _ints) for c in COLS}),
+)
+@settings(max_examples=200, deadline=None)
+def test_sql_hints_implied_by_filters(filters, row):
+    """Legacy SQL predicateHints must be IMPLIED BY the filters: whenever
+    the row satisfies every filter, the AND of the rendered SQL strings —
+    evaluated by DuckDB, a real SQL engine — must not be FALSE (NULL is
+    fine: servers only drop files on definite FALSE)."""
+    import duckdb
+
+    from duck_delta_share_spark.sources.pushdown import filters_to_sql_hints
+
+    sqls = filters_to_sql_hints(filters)
+    if not sqls:
+        return
+    if not all(_eval_filter(f, row) for f in filters):
+        return
+    expr = " AND ".join(f"({s})" for s in sqls)
+    sel = ", ".join(f"{_duck_sql_value(row[c])} AS {c}" for c in COLS)
+    got = duckdb.sql(f"SELECT ({expr}) FROM (SELECT {sel})").fetchone()[0]
+    assert got is not False, f"hint {expr!r} excludes matching row {row}"
+
+
+def test_sql_hint_rendering():
+    import datetime as dt
+
+    from duck_delta_share_spark.sources.pushdown import filter_to_sql
+
+    assert filter_to_sql(EqualTo(("a",), 5)) == "a = 5"
+    assert filter_to_sql(GreaterThan(("ship_date",), dt.date(2021, 3, 2))) == (
+        "ship_date > DATE '2021-03-02'"
+    )
+    assert filter_to_sql(EqualTo(("s",), "o'brien")) == "s = 'o''brien'"
+    assert filter_to_sql(In(("p",), ("eu", "us"))) == "p IN ('eu', 'us')"
+    assert filter_to_sql(In(("p",), (None, "eu"))) == "p IN ('eu')"
+    assert filter_to_sql(In(("p",), (None,))) is None
+    assert filter_to_sql(IsNull(("x",))) == "x IS NULL"
+    assert filter_to_sql(Not(IsNull(("x",)))) == "x IS NOT NULL"
+    assert filter_to_sql(EqualNullSafe(("x",), None)) == "x IS NULL"
+    assert filter_to_sql(EqualTo(("x",), None)) is None
+    assert filter_to_sql(LessThan(("x",), None)) is None
+    # non-identifier column names get quoted
+    assert filter_to_sql(EqualTo(("weird col",), 1)) == '"weird col" = 1'
+
+
 def test_null_safe_equal_null_emits_is_null_hint():
     """Regression (ADVICE r1): `col <=> NULL` must become an isNull hint,
     never {op: equal, literal: 'None'} — a 'None'-string hint can make the
