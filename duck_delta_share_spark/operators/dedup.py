@@ -239,13 +239,21 @@ def _cap_buckets(
     """Drop LSH buckets larger than ``max_bucket_size`` before pair
     generation (pair count is quadratic in bucket size — one hot bucket of
     100k docs would emit 5e9 pairs that AQE can split but never shrink).
-    The count and the anti-join shuffle on the same key as the downstream
-    self-join, so co-partitioning is preserved."""
+
+    Plan shape: one map-side-combined count per bucket, FILTERED to only
+    the oversized buckets — by construction at most |corpus|/cap rows, so
+    it broadcasts — then a broadcast ANTI join, which never re-shuffles
+    the exploded signature rows. A plain inner join against the keep-list
+    would shuffle the big side a second time for nothing."""
     if max_bucket_size is None:
         return rows
-    sizes = rows.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bsz"))
-    keep = sizes.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
-    return rows.join(keep, bucket_cols, "inner")
+    hot = (
+        rows.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket_size)
+        .select(*bucket_cols)
+    )
+    return rows.join(F.broadcast(hot), bucket_cols, "left_anti")
 
 
 def minhash_jaccard_estimate(

@@ -220,15 +220,64 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    scorer: str = "arrow",
+    scorer: str = "block",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key (e.g. a coarse
-    cluster/label or an LSH bucket): equi-join on the block, batch cosine,
-    threshold filter. Never all-pairs across blocks.
+    cluster/label or an LSH bucket). Never all-pairs across blocks.
 
-    ``scorer='arrow'`` (default) scores pairs with the vectorized numpy
-    UDF; ``'expr'`` keeps scoring JVM-side (expression fold) for
-    environments where the Python worker is undesirable."""
+    ``scorer='block'`` (default) is the 100 TB shape: ONE shuffle row per
+    vector (groupBy block → applyInPandas), one C-speed matmul per block,
+    and only surviving pairs ever materialize. The older pair-join scorers
+    shuffled |block|²/2 joined rows each carrying BOTH full vectors — at
+    8x corpus growth that's 8x pair rows x 2 vectors of wasted exchange,
+    measured super-linear in scale_check.py. Memory bound: a block must
+    fit one task (|block| x dim doubles + |block|² sims); cap or re-split
+    degenerate blocks upstream, same guidance as the LSH bucket cap.
+
+    ``scorer='arrow'`` keeps the pair join + vectorized numpy UDF;
+    ``'expr'`` scores JVM-side (expression fold) for environments where
+    the Python worker is undesirable."""
+    if scorer == "block":
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        id_type = df.schema[id_col].dataType
+        out_schema = StructType(
+            [
+                StructField("id_a", id_type),
+                StructField("id_b", id_type),
+                StructField("cosine", DoubleType()),
+            ]
+        )
+
+        def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                    {"cosine": "float64"}
+                )
+            ids = pdf[id_col].to_numpy()
+            A = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", A, A))
+            sims = (A @ A.T) / np.outer(norms, norms)
+            iu, ju = np.triu_indices(n, k=1)
+            vals = sims[iu, ju]
+            mask = vals > threshold
+            ia, ib = ids[iu[mask]], ids[ju[mask]]
+            return pd.DataFrame(
+                {
+                    "id_a": np.minimum(ia, ib),
+                    "id_b": np.maximum(ia, ib),
+                    "cosine": vals[mask],
+                }
+            )
+
+        return (
+            df.select(F.col(id_col), F.col(block_col).alias("__blk"), F.col(vec_col))
+            .groupBy("__blk")
+            .applyInPandas(score_block, out_schema)
+        )
     v = df.select(
         F.col(id_col),
         F.col(block_col).alias("__blk"),

@@ -64,3 +64,28 @@ def test_ann_clustered_preset_high_recall(spark):
     }
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.75, f"clustered-preset recall@5 {recall:.2f}"
+
+
+def test_block_scorer_matches_pair_join_scorer(spark):
+    """The applyInPandas per-block matmul (100 TB shape: one shuffle row
+    per vector, no pair-row materialization) must produce the same pair
+    set and cosines as the older pair-join scorer."""
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    block = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(
+            e, block_col="label", threshold=0.4, scorer="block"
+        ).collect()
+    }
+    joined = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(
+            e, block_col="label", threshold=0.4, scorer="arrow"
+        ).collect()
+    }
+    assert block.keys() == joined.keys() and len(block) > 0
+    for k in block:
+        assert abs(block[k] - joined[k]) < 1e-12
