@@ -191,6 +191,118 @@ def lsh_bucket_topk(
     )
 
 
+def train_ivf_centroids(
+    base: DataFrame,
+    dim: int,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_sample: int = 10_000,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means centroids for IVF, trained on a BOUNDED sample.
+
+    The collect here is deliberate and scale-safe: an IVF coarse quantizer
+    is a tiny model (n_centroids x dim floats) fitted on a bounded sample
+    (standard practice — FAISS trains IVF on ~max(10k, 50*n_centroids)
+    points regardless of corpus size). The sample is the deterministic
+    id-ordered prefix (a distributed TakeOrdered, not a full sort), so
+    training is reproducible across runs and partitionings.
+    """
+    rows = (
+        base.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(max_train_sample)
+        .collect()
+    )
+    X = np.vstack([r[1] for r in rows]).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members) == 0:  # dead centroid: reseed on a random point
+                C[c] = X[rng.randint(len(X))]
+            else:
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ivf_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    max_train_sample: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization — the
+    second ANN scale path next to :func:`lsh_bucket_topk`, and the better
+    one when the corpus is CLUSTERED (most real embedding spaces): LSH
+    buckets are data-oblivious; IVF centroids adapt to where the mass is.
+
+    Scale shape: assignment is a narrow map (one argmax per vector against
+    broadcast centroids — no shuffle); each base vector lands in exactly
+    ONE inverted list, so the candidate join on ``__cid`` touches
+    ~n_probe/n_centroids of the corpus per query and never all-pairs.
+    Recall dial: raise ``n_probe`` toward ``n_centroids`` → exact scan.
+    Centroid training collects a bounded sample (see
+    :func:`train_ivf_centroids`); pass precomputed ``centroids`` to reuse
+    a trained quantizer across queries/jobs.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = centroids if centroids is not None else train_ivf_centroids(
+        base, dim, n_centroids, id_col, vec_col, max_train_sample, seed=seed
+    )
+    n_probe = min(n_probe, len(C))
+
+    @F.pandas_udf(IntegerType())
+    def nearest_centroid(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_centroids(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(V @ C.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    b = base.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__bv"),
+        nearest_centroid(vec_col).alias("__cid"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe_centroids(vec_col)).alias("__cid"),
+    )
+    pairs = b.join(F.broadcast(q), "__cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.withColumn(
+        "cosine", _cosine_arrow_udf()(F.col("__qv"), F.col("__bv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
 def _cosine_arrow_udf():
     """Arrow-batched cosine: numpy batch matmul over the joined vector
     pairs. Pair scoring is the hot loop of blocked near-dup (|block|²/2

@@ -419,6 +419,21 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ann_ivf",
+    oracle=None,  # approximate by construction — rows-only check
+    doc="IVF (inverted-file) approximate top-5: spherical-kmeans coarse "
+    "quantizer on a bounded sample, narrow-map list assignment, multi-probe "
+    "search — the data-adaptive ANN scale path next to sign-LSH (recall "
+    "measured in tests/test_ann_recall.py)",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), dim=64, k=5, n_centroids=32, n_probe=8
+    )
+
+
+@query(
     "embedding_neardup_blocked",
     oracle=None,  # fast double cosine — rows-only check
     doc="embedding-cosine near-dup pairs blocked by label (threshold tuned "

@@ -355,9 +355,16 @@ def stats_allow(filters: list[Filter], stats: dict[str, Any]) -> bool:
         value = getattr(f, "value", None)
         if value is None and not isinstance(f, In):
             continue  # NULL comparisons carry no min/max information
-        # In carries a tuple; coerce stats bounds with an ELEMENT as the
-        # type sample, not the tuple (which would degrade to strings).
-        sample = next(iter(value), None) if isinstance(f, In) else value
+        # In carries a tuple; coerce stats bounds with a NON-NULL element
+        # as the type sample, not the tuple (which would degrade to
+        # strings — and so would a leading None element).
+        sample = (
+            next((v for v in value if v is not None), None)
+            if isinstance(f, In)
+            else value
+        )
+        if isinstance(f, In) and sample is None:
+            continue  # IN (NULL, ...only) matches nothing we can bound
         lo = _coerce(mins.get(name), sample)
         hi = _coerce(maxs.get(name), sample)
         if isinstance(f, EqualTo):

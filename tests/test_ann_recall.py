@@ -89,3 +89,69 @@ def test_block_scorer_matches_pair_join_scorer(spark):
     assert block.keys() == joined.keys() and len(block) > 0
     for k in block:
         assert abs(block[k] - joined[k]) < 1e-12
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF is the data-ADAPTIVE ANN path: on clustered data (the realistic
+    embedding-space shape) centroids land on the clusters and multi-probe
+    recall should beat the data-oblivious LSH preset. n_probe=4 of 20
+    centroids scans ~20% of the corpus; bound 0.85 is conservative for
+    structure this clean."""
+    import numpy as np
+
+    from duck_delta_share_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per = 16, 20, 10
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    base = []
+    for c in range(n_clusters):
+        pts = centers[c] + 0.35 * rng.normal(size=(per, dim))
+        base.extend(
+            (c * per + i, (pts[i] / np.linalg.norm(pts[i])).tolist())
+            for i in range(per)
+        )
+    queries = [
+        (10_000 + c, (centers[c] / np.linalg.norm(centers[c])).tolist())
+        for c in range(n_clusters)
+    ]
+    bdf = spark.createDataFrame(base, ["vec_id", "embedding"])
+    qdf = spark.createDataFrame(queries, ["vec_id", "embedding"])
+
+    B = np.array([v for _, v in base])
+    exact = set()
+    for qid, qv in queries:
+        top = np.argsort(-(B @ np.array(qv)))[:5]
+        exact.update((qid, base[i][0]) for i in top)
+
+    ann = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(
+            bdf, qdf, dim=dim, k=5, n_centroids=n_clusters, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.85, f"IVF recall@5 {recall:.2f} on clustered data"
+
+
+def test_ivf_determinism_and_probe_dial(spark):
+    """Same seed → identical results; n_probe = n_centroids → exact scan
+    (recall 1.0 vs brute force)."""
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter("vec_id < 5")
+    r1 = {(r.query_id, r.vec_id) for r in ivf_topk(e, q, dim=64, n_centroids=16, n_probe=4).collect()}
+    r2 = {(r.query_id, r.vec_id) for r in ivf_topk(e, q, dim=64, n_centroids=16, n_probe=4).collect()}
+    assert r1 == r2 and len(r1) > 0
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(e, q, dim=64, n_centroids=16, n_probe=16).collect()
+    }
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(e, q, k=5, exact=False).collect()}
+    assert full == exact, "n_probe=n_centroids must equal the exact scan"
