@@ -64,7 +64,7 @@ def _minhash_signatures_arrow(
     id_col: str,
     num_hashes: int,
     shingle_n: int,
-    spread: int,
+    spread: int | None,
 ) -> DataFrame:
     """Arrow engine: crc32 base hash per shingle + one numpy broadcast for
     all k Carter-Wegman minima. Same narrow zero-shuffle shape as the
@@ -97,9 +97,10 @@ def _minhash_signatures_arrow(
             out.append(((hs[:, None] * A + B) % _CW_P).min(axis=0))
         return pd.Series(out)
 
+    if spread is not None:
+        df = df.repartition(spread, id_col)
     return (
-        df.repartition(spread, id_col)
-        .select(F.col(id_col), sig(text_col).alias("__sig"))
+        df.select(F.col(id_col), sig(text_col).alias("__sig"))
         .filter(F.col("__sig").isNotNull())
         .select(
             F.col(id_col),
@@ -141,10 +142,16 @@ def minhash_signatures(
     rows, and salting xxhash64 itself costs k string hashes per shingle).
     ``min`` is duplicate-insensitive, so shingles are not deduped.
 
-    The input is spread across all cores first: document tables often
-    arrive as few large files and the hashing is the hot loop.
+    The input is spread across all cores ONLY when it arrives in fewer
+    partitions than cores (local small-file case): hashing is the hot
+    loop and must not idle executors. When the scan already has ≥ cores
+    partitions — always true at 100 TB — no repartition happens: an
+    unconditional repartition would shuffle the entire corpus TEXT before
+    a narrow map, the most expensive no-op possible at scale.
     """
     spread = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= spread:
+        spread = None  # already parallel enough — stay narrow
     if engine == "arrow":
         return _minhash_signatures_arrow(
             df, text_col, id_col, num_hashes, shingle_n, spread
@@ -169,9 +176,11 @@ def minhash_signatures(
     # referenced k times. Docs with < n tokens have no shingles → no
     # signature (matches the explode formulation, and keeps all-NULL rows
     # out of the LSH buckets).
+    filtered = df.filter(F.size(tokenize(text_col)) >= shingle_n)
+    if spread is not None:
+        filtered = filtered.repartition(spread, id_col)
     return (
-        df.filter(F.size(tokenize(text_col)) >= shingle_n)
-        .repartition(spread, id_col)
+        filtered
         .select(
             F.col(id_col),
             F.transform(
@@ -240,20 +249,21 @@ def _cap_buckets(
     generation (pair count is quadratic in bucket size — one hot bucket of
     100k docs would emit 5e9 pairs that AQE can split but never shrink).
 
-    Plan shape: one map-side-combined count per bucket, FILTERED to only
-    the oversized buckets — by construction at most |corpus|/cap rows, so
-    it broadcasts — then a broadcast ANTI join, which never re-shuffles
-    the exploded signature rows. A plain inner join against the keep-list
-    would shuffle the big side a second time for nothing."""
+    Plan shape: a window count partitioned on the SAME key the downstream
+    pair self-join shuffles on — so the cap adds zero exchanges (the join
+    requires hash partitioning on the bucket key anyway; the window's sort
+    is the only extra work). The alternatives both cost more: a groupBy
+    keep-list inner join re-shuffles the big side, and a broadcast anti
+    join adds a separate aggregation + broadcast barrier (measured ~2x
+    the whole pipeline at sf0.1)."""
     if max_bucket_size is None:
         return rows
-    hot = (
-        rows.groupBy(*bucket_cols)
-        .agg(F.count(F.lit(1)).alias("__bsz"))
-        .filter(F.col("__bsz") > max_bucket_size)
-        .select(*bucket_cols)
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        rows.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
     )
-    return rows.join(F.broadcast(hot), bucket_cols, "left_anti")
 
 
 def minhash_jaccard_estimate(
