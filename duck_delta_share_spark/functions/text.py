@@ -100,3 +100,59 @@ def language_id(text: Column | str) -> Column:
             cond = hit if cond is None else (cond | hit)
         expr = F.when(cond, lang).otherwise(expr)
     return expr
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# Ordered (pattern, replacement) pairs in the COMMON regex subset of Java
+# (Spark) and RE2 (DuckDB): no lookaround, no backreferences — so the
+# DuckDB oracle can apply the byte-identical patterns. Order matters:
+# emails first (their local parts contain digits/dots), IPs before
+# phone-ish digit runs, SSN-shaped ids before phones.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    (r"\+?[0-9]{1,2}[ -]\(?[0-9]{3}\)?[ -][0-9]{3}[ -][0-9]{4}", "<PHONE>"),
+)
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Replace emails / IPv4s / SSN-shaped ids / phone-shaped numbers with
+    typed placeholder tokens. Pure chained ``regexp_replace`` — codegen,
+    no UDF, linear in the scan."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pattern, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """Per-category match counts (aliased n_email/n_ip/n_ssn/n_phone), each
+    counted on the text with all EARLIER categories already redacted —
+    identical to what :func:`pii_redact` removes, so counts and redaction
+    can never disagree."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = []
+    for pattern, repl in PII_PATTERNS:
+        name = "n_" + repl.strip("<>").lower()
+        out.append(F.regexp_count(c, F.lit(pattern)).alias(name))
+        c = F.regexp_replace(c, pattern, repl)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def bigrams(tokens: Column) -> Column:
+    """Adjacent-token bigrams as strings (empty below 2 tokens)."""
+    return word_shingles(tokens, 2)
+
+
+def dup_token_fraction(text: Column | str) -> Column:
+    """1 - distinct/total tokens: the crudest repetition signal."""
+    return F.lit(1.0) - distinct_token_count(text) / token_count(text)

@@ -676,3 +676,131 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.sampleBy("lang", fractions, seed=42).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + repetition quality signals (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# PII is INJECTED deterministically from doc_id (the fixtures are clean),
+# with the identical construction on both engines, so the redaction parity
+# check exercises real matches on every row.
+_PII_INJECT_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or "
+    "10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+    "CAST((doc_id * 7) % 256 AS VARCHAR) || ' ssn 123-45-6789 tel +1 555 867-5309'"
+)
+
+
+def _pii_inject_spark():
+    return F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" ssn 123-45-6789 tel +1 555 867-5309"),
+    )
+
+
+def _pii_oracle() -> str:
+    from duck_delta_share_spark.functions.text import PII_PATTERNS
+
+    (em, _), (ip, _), (ssn, _), (ph, _) = PII_PATTERNS
+    return f"""
+WITH src AS (SELECT doc_id, {_PII_INJECT_SQL} AS t0 FROM documents),
+s1 AS (SELECT *, regexp_replace(t0, '{em}', '<EMAIL>', 'g') AS t1 FROM src),
+s2 AS (SELECT *, regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2 FROM s1),
+s3 AS (SELECT *, regexp_replace(t2, '{ssn}', '<SSN>', 'g') AS t3 FROM s2),
+s4 AS (SELECT *, regexp_replace(t3, '{ph}', '<PHONE>', 'g') AS t4 FROM s3)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t0, '{em}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t1, '{ip}')) AS INT) AS n_ip,
+       CAST(len(regexp_extract_all(t2, '{ssn}')) AS INT) AS n_ssn,
+       CAST(len(regexp_extract_all(t3, '{ph}')) AS INT) AS n_phone,
+       right(t4, 80) AS redacted_tail
+FROM s4
+"""
+
+
+@query(
+    "pii_redaction",
+    oracle=_pii_oracle(),
+    doc="PII redaction for training data: emails/IPv4/SSN-shaped/phone-shaped "
+    "spans replaced by typed tokens via chained codegen regexp_replace "
+    "(functions/text.py PII_PATTERNS — Java∩RE2 regex subset so the DuckDB "
+    "oracle runs the byte-identical patterns); counts taken after earlier "
+    "categories redact, so counts and redaction can never disagree",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.functions.text import pii_counts, pii_redact
+
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select("doc_id", _pii_inject_spark().alias("t0"))
+    return injected.select(
+        "doc_id",
+        *pii_counts(F.col("t0")),
+        F.right(pii_redact(F.col("t0")), F.lit(80)).alias("redacted_tail"),
+    )
+
+
+@query(
+    "repetition_signals",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+  FROM t WHERE len(toks) >= 2
+), e AS (
+  SELECT doc_id, unnest(bgs) AS bg FROM b
+), c AS (
+  SELECT doc_id, bg, COUNT(*) AS cnt FROM e GROUP BY doc_id, bg
+), m AS (
+  SELECT doc_id, MAX(cnt) AS mx FROM c GROUP BY doc_id
+)
+SELECT b.doc_id,
+       ROUND(CAST(m.mx AS DOUBLE) / (len(b.toks) - 1), 6) AS top_bigram_frac,
+       ROUND(1.0 - CAST(len(list_distinct(b.toks)) AS DOUBLE)
+                   / CAST(len(b.toks) AS DOUBLE), 6) AS dup_token_frac
+FROM b JOIN m ON b.doc_id = m.doc_id
+""",
+    doc="Gopher-style repetition quality signals: top-bigram fraction "
+    "(most frequent adjacent bigram / total bigrams) and duplicate-token "
+    "fraction — explode + two-level agg, the scalable shape for n-gram "
+    "repetition filters (no per-doc Python)",
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.functions.text import bigrams, dup_token_fraction
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    counts = (
+        toks.select("doc_id", F.explode(bigrams(F.col("toks"))).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("mx"))
+    )
+    base = toks.select(
+        "doc_id",
+        (F.size("toks") - 1).alias("n_bigrams"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks").cast("double"),
+            6,
+        ).alias("dup_token_frac"),
+    )
+    return base.join(counts, "doc_id").select(
+        "doc_id",
+        F.round(F.col("mx").cast("double") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+        "dup_token_frac",
+    )
