@@ -31,10 +31,25 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iterations: int = 15,
+    max_iterations: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
     """(src, dst) edge list → (node, component) with component = min node
-    id in the connected component. Nodes are the ids appearing in edges."""
+    id in the connected component. Nodes are the ids appearing in edges.
+
+    ``algorithm='star'`` (default) is the alternating large-star /
+    small-star method (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014): each round rewires every node toward its
+    neighborhood minimum, halving component diameter — O(log² n) rounds
+    WORST case on any graph, vs O(diameter) for plain hash-min label
+    propagation (a 1M-node chain needs ~40 star rounds but 1M hash-min
+    rounds). Per round it is the same shuffle shape (groupBy min + join on
+    node id); convergence is detected with a count+hash signature, one
+    tiny aggregate per round. ``algorithm='hashmin'`` keeps the simple
+    propagation — marginally cheaper per round on shallow near-dup graphs
+    whose diameter is ≤ 3-4."""
+    if algorithm == "star":
+        return _connected_components_star(edges, src, dst, max_iterations)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -85,3 +100,91 @@ def connected_components(
             stacklevel=2,
         )
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Every node's LARGER neighbors rewire to its neighborhood minimum:
+    for each u, emit (v, m) for v ∈ N(u), v > u, with m = min(N(u) ∪ {u}).
+    Output edges are oriented (bigger, smaller)."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("__mb"))
+        .select("a", F.least("a", "__mb").alias("m"))
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Every node's SMALLER-or-equal neighbors rewire to the minimum:
+    orient edges (bigger, smaller), group by the bigger endpoint, emit
+    (v, m) for each smaller neighbor v ≠ m plus the node's own (u, m)."""
+    ori = e.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).distinct()
+    mins = ori.groupBy("a").agg(F.min("b").alias("m"))
+    moved = (
+        ori.join(mins, "a")
+        .filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    kept = mins.select(F.col("a"), F.col("m").alias("b"))
+    return moved.union(kept).distinct()
+
+
+def _connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iterations: int
+) -> DataFrame:
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not e.take(1):  # no non-self edges: every edge node is its own root
+        nodes = edges.select(F.col(src).alias("node")).union(
+            edges.select(F.col(dst).alias("node"))
+        ).distinct()
+        return nodes.select("node", F.col("node").alias("component"))
+
+    def sig(d: DataFrame):
+        # count + order-independent xor of row hashes: a cheap set identity
+        # (bit_xor, not sum — summing int64 hashes overflows under ANSI)
+        r = d.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        return (r["c"], r["h"])
+
+    prev = None
+    converged = False
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = sig(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"star connected_components hit max_iterations={max_iterations} "
+            "without a stable edge set — components may be split; the bound "
+            "is O(log² n) rounds, raise max_iterations",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    # Fixpoint edges are (node, component-min) stars; centers map to
+    # themselves. Isolated-after-dedup nodes cannot occur (self loops were
+    # the only way in, and those nodes still appear as centers).
+    return (
+        e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+        .union(e.select(F.col("b").alias("node"), F.col("b").alias("component")))
+        .distinct()
+    )

@@ -19,3 +19,51 @@ def test_connected_components_known_graph(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+# ---------------------------------------------------------------------------
+# Large-star / small-star algorithm (the O(log^2 n)-round scale path)
+# ---------------------------------------------------------------------------
+
+
+def test_star_matches_hashmin_on_random_graph(spark):
+    import random
+
+    from duck_delta_share_spark.operators.components import connected_components
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(120)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    star = {
+        (r.node, r.component)
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    hashmin = {
+        (r.node, r.component)
+        for r in connected_components(df, algorithm="hashmin").collect()
+    }
+    assert star == hashmin and len(star) > 0
+
+
+def test_star_converges_on_long_chain(spark):
+    """A 300-node path has diameter 299: hash-min needs 299 rounds, the
+    star algorithm must close it within the default 25 (O(log^2 n))."""
+    from duck_delta_share_spark.operators.components import connected_components
+
+    chain = [(i, i + 1) for i in range(299)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence warning -> failure
+        out = connected_components(df, algorithm="star").collect()
+    assert len(out) == 300
+    assert {r.component for r in out} == {0}
+
+
+def test_star_self_loops_only(spark):
+    from duck_delta_share_spark.operators.components import connected_components
+
+    df = spark.createDataFrame([(7, 7), (9, 9)], ["id_a", "id_b"])
+    out = {(r.node, r.component) for r in connected_components(df, algorithm="star").collect()}
+    assert out == {(7, 7), (9, 9)}
