@@ -70,14 +70,18 @@ def windowed_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 def run_available_now(
-    stream_df: DataFrame, checkpoint_dir: str, query_name: str = "events_windowed"
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "events_windowed",
+    output_mode: str = "complete",
 ) -> None:
     """Drain all available input (batch-like execution of the streaming
-    plan) into an in-memory sink for inspection/tests."""
+    plan) into an in-memory sink for inspection/tests. ``complete`` for
+    aggregations; pass ``append`` for row streams (dedup/map pipelines)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

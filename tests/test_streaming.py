@@ -129,3 +129,51 @@ def test_foreachbatch_sink_replay_idempotent(spark, tmp_path):
     assert spark.read.parquet(out).count() == n_once == 200
     write(batch, 1)  # a NEW epoch appends
     assert spark.read.parquet(out).count() == 400
+
+
+def test_training_prep_stream_matches_batch(spark, tmp_path):
+    """The streaming training-prep twin (content dedup -> quality gate ->
+    PII redaction) must agree row-for-row with the same column functions
+    applied in batch once the bounded stream drains."""
+    from duck_delta_share_spark.functions.text import (
+        fingerprint,
+        pii_redact,
+        quality_score,
+    )
+    from duck_delta_share_spark.streaming.events import run_available_now
+    from duck_delta_share_spark.streaming.pipeline import (
+        read_documents_stream,
+        training_prep_stream,
+    )
+
+    out = training_prep_stream(read_documents_stream(spark, SF_DIR))
+    run_available_now(
+        out, str(tmp_path / "ckpt_prep"), query_name="t_prep", output_mode="append"
+    )
+    got = {
+        r.doc_id: (r.lang, r.quality, r.clean_text)
+        for r in spark.sql("SELECT * FROM t_prep").collect()
+    }
+
+    d = load_table(spark, SF_DIR, "documents")
+    from pyspark.sql import functions as F
+
+    # Streaming dedup keeps the FIRST ARRIVAL per fingerprint (arrival
+    # order across partitions is nondeterministic), batch keeps min
+    # doc_id — so compare at the level that IS deterministic: exactly one
+    # survivor per passing fingerprint group, correct per-doc payloads.
+    rows = d.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        "lang",
+        F.round(quality_score("text"), 6).alias("quality"),
+        quality_score("text").alias("q_raw"),  # the gate uses UNROUNDED
+        pii_redact(F.col("text")).alias("clean_text"),
+    ).collect()
+    per_doc = {r.doc_id: (r.fp, r.lang, r.quality, r.clean_text) for r in rows}
+    passing_fps = {r.fp for r in rows if r.q_raw >= 0.6}
+    got_fps = [per_doc[doc_id][0] for doc_id in got]
+    assert sorted(got_fps) == sorted(set(got_fps)), "duplicate fingerprint survived"
+    assert set(got_fps) == passing_fps, "wrong set of content groups survived"
+    for doc_id, payload in got.items():
+        assert payload == per_doc[doc_id][1:], f"doc {doc_id} payload mismatch"
