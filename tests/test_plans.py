@@ -101,3 +101,74 @@ def test_pack_sequences_two_pass_matches_naive_global(spark):
         assert n == r["n_tokens"]
         assert off == r["e"] - r["n_tokens"]
         assert b == (r["e"] - r["n_tokens"]) // 256
+
+
+def test_pii_redaction_stays_codegen(spark):
+    """PII redaction must be pure JVM expressions: no Python eval nodes,
+    no exchange — a narrow map over the scan."""
+    plan = _plan(QUERIES["pii_redaction"].spark_fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan, "PII redaction should not shuffle"
+
+
+def test_repetition_signals_scan_pruned(spark):
+    plan = _plan(QUERIES["repetition_signals"].spark_fn(spark, SF_DIR))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" in m.group(1)
+    assert "lang" not in m.group(1) and "source" not in m.group(1), (
+        "repetition signals must scan only doc_id+text"
+    )
+
+
+def test_lsh_cap_partitions_only_on_the_join_key(spark):
+    """The bucket cap's window partitions on the SAME (band, bucket) key
+    the pair self-join shuffles on — so every exchange the cap introduces
+    is one the join's EnsureRequirements would demand anyway (AQE reuses
+    identical exchanges at runtime). No new partitioning keys, no
+    broadcast barrier beyond what the uncapped plan already has."""
+    from duck_delta_share_spark.operators.dedup import lsh_candidate_pairs
+
+    def hash_keys(plan: str) -> set[str]:
+        return {
+            re.sub(r"#\d+L?", "", m)  # strip expr ids
+            for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        }
+
+    d = load_table(spark, SF_DIR, "documents")
+    sigs = minhash_signatures(d, num_hashes=8, shingle_n=3)
+    capped = _plan(lsh_candidate_pairs(sigs, num_hashes=8, bands=4))
+    uncapped = _plan(
+        lsh_candidate_pairs(sigs, num_hashes=8, bands=4, max_bucket_size=None)
+    )
+    extra_keys = hash_keys(capped) - hash_keys(uncapped)
+    for k in extra_keys:
+        assert "band" in k and "bucket" in k, (
+            f"cap introduced a foreign partitioning key: {k}"
+        )
+    n_bcast_capped = capped.count("BroadcastExchange")
+    n_bcast_uncapped = uncapped.count("BroadcastExchange")
+    assert n_bcast_capped <= n_bcast_uncapped, "cap added a broadcast barrier"
+
+
+def test_block_neardup_single_shuffle(spark):
+    """The per-block matmul scorer shuffles each vector exactly once
+    (groupBy block) and scores inside FlatMapGroupsInPandas — pair rows
+    never appear pre-threshold."""
+    from duck_delta_share_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(embedding_near_dup_pairs(e, block_col="label", threshold=0.4))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan, "block scorer must not materialize pair joins"
+
+
+def test_ivf_queries_broadcast(spark):
+    from duck_delta_share_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(ivf_topk(e, e.filter("vec_id < 5"), dim=64, n_centroids=8, n_probe=2))
+    assert "BroadcastHashJoin" in plan, "probe side should broadcast"
+    assert "CartesianProduct" not in plan
