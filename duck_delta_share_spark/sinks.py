@@ -91,3 +91,72 @@ def write_bucketed(
         w = w.option("path", path)
     w.saveAsTable(table)
     return table
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Small-file compaction: rewrite a (possibly partitioned) dataset so
+    each output file is ~``target_file_mb`` — the lake-hygiene op every
+    streaming/incremental sink eventually needs (thousands of KB-sized
+    micro-batch files destroy scan throughput: per-file open cost and
+    task-scheduling overhead dominate, and row-group stats fragment).
+
+    Output file count = ceil(on-disk bytes / target): sized from the
+    dataset's ACTUAL compressed footprint, not row counts, so it holds
+    for any schema/compression ratio. Partitioned datasets re-shuffle on
+    the partition columns (plus a salt when one partition needs multiple
+    files) so each directory gets its share of the budget; unpartitioned
+    data coalesces where possible (no shuffle) and falls back to a
+    round-robin repartition only when the file count must GROW.
+
+    The rewrite goes through a temp directory + atomic-ish swap so a
+    failed compaction never destroys the source. Returns a stats dict
+    {files_before, files_after, bytes}.
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    root = Path(path)
+    data_files = [
+        p for p in root.rglob("*") if p.is_file() and not p.name.startswith(("_", "."))
+    ]
+    total_bytes = sum(p.stat().st_size for p in data_files)
+    files_before = len(data_files)
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.format(fmt).load(str(root))
+    tmp = str(root.parent / (root.name + "__compacting"))
+    if partition_by:
+        n_parts = df.select(*partition_by).distinct().count()
+        per_dir = max(1, math.ceil(n_out / max(n_parts, 1)))
+        cols = [F.col(c) for c in partition_by]
+        if per_dir > 1:
+            cols.append((F.monotonically_increasing_id() % per_dir).alias("__salt"))
+        shaped = df.repartition(*cols)
+        shaped.write.format(fmt).mode("overwrite").partitionBy(*partition_by).save(tmp)
+    else:
+        shaped = df.coalesce(n_out) if n_out <= files_before else df.repartition(n_out)
+        shaped.write.format(fmt).mode("overwrite").save(tmp)
+
+    shutil.rmtree(root)
+    Path(tmp).rename(root)
+    files_after = len(
+        [
+            p
+            for p in root.rglob("*")
+            if p.is_file() and not p.name.startswith(("_", "."))
+        ]
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

@@ -83,3 +83,47 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path):
     got = spark.sql("SELECT COUNT(*) n, COUNT(DISTINCT event_id) d FROM t_dedup_stream").collect()[0]
     n_events = load_table(spark, SF_DIR, "events").count()
     assert got.n == got.d == n_events
+
+
+def test_compact_files_unpartitioned(spark, tmp_path):
+    """200 tiny files -> a handful, identical data back."""
+    from duck_delta_share_spark import sinks
+    from duck_delta_share_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "shredded")
+    src = load_table(spark, SF_DIR, "orders")
+    src.repartition(200).write.parquet(out)
+    import os
+
+    before = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert before == 200
+    stats = sinks.compact_files(spark, out, target_file_mb=128)
+    assert stats["files_before"] == 200
+    assert stats["files_after"] <= 4
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
+
+
+def test_compact_files_partitioned_keeps_layout(spark, tmp_path):
+    from duck_delta_share_spark import sinks
+    from duck_delta_share_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "shredded_p")
+    src = load_table(spark, SF_DIR, "events")
+    src.repartition(40).write.partitionBy("event_type").parquet(out)
+    stats = sinks.compact_files(
+        spark, out, target_file_mb=128, partition_by=["event_type"]
+    )
+    assert stats["files_after"] < stats["files_before"]
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    import os
+
+    dirs = [d for d in os.listdir(out) if d.startswith("event_type=")]
+    assert dirs, "hive partition layout must survive compaction"
+    # pruning still works after the rewrite
+    one = back.filter(back.event_type == back.select("event_type").first()[0])
+    assert one.count() > 0
