@@ -160,3 +160,58 @@ def compact_files(
         "files_after": files_after,
         "bytes": total_bytes,
     }
+
+
+def upsert_partitioned(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_by: Sequence[str],
+    fmt: str = "parquet",
+) -> dict:
+    """Keyed upsert into a hive-partitioned dataset WITHOUT a table format:
+    the merge-on-write primitive incremental pipelines need when the lake
+    is plain parquet (no Delta/Iceberg available).
+
+    Scale shape — the whole point is touching only the AFFECTED
+    partitions, never rewriting the dataset:
+
+    1. the updates' partition values are collected (small: one row per
+       touched partition directory) and pushed as an IN filter on the
+       existing data, so the read PRUNES to affected directories;
+    2. existing rows losing to an update are removed with a broadcast-able
+       LEFT ANTI join on the key;
+    3. survivors ∪ updates are written back with DYNAMIC partition
+       overwrite — untouched directories are never read or written.
+
+    Requires every key to map to one partition (keys must not move between
+    partition values; the standard lake-upsert contract). Returns
+    {partitions_touched, rows_written}.
+    """
+    from pyspark.sql import functions as F
+
+    part_cols = list(partition_by)
+    keys = list(key_cols)
+    touched = updates.select(*part_cols).distinct().collect()
+    existing = spark.read.format(fmt).load(path)
+    cond = None
+    for row in touched:
+        clause = None
+        for c in part_cols:
+            eq = F.col(c) == F.lit(row[c])
+            clause = eq if clause is None else (clause & eq)
+        cond = clause if cond is None else (cond | clause)
+    affected = existing.filter(cond) if cond is not None else existing.limit(0)
+    kept = affected.join(F.broadcast(updates.select(*keys)), keys, "left_anti")
+    merged = kept.unionByName(updates.select(*existing.columns))
+    n_rows = merged.count()
+    (
+        merged.repartition(*[F.col(c) for c in part_cols])
+        .write.format(fmt)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*part_cols)
+        .save(path)
+    )
+    return {"partitions_touched": len(touched), "rows_written": n_rows}

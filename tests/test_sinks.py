@@ -127,3 +127,48 @@ def test_compact_files_partitioned_keeps_layout(spark, tmp_path):
     # pruning still works after the rewrite
     one = back.filter(back.event_type == back.select("event_type").first()[0])
     assert one.count() > 0
+
+
+def test_upsert_partitioned_touches_only_affected_dirs(spark, tmp_path):
+    """Upsert must update matching keys, insert new ones, and leave
+    untouched partition directories byte-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duck_delta_share_spark import sinks
+
+    out = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "id long, part string, val double",
+    )
+    base.write.partitionBy("part").parquet(out)
+    c_files_before = {
+        f: os.path.getmtime(os.path.join(out, "part=c", f))
+        for f in os.listdir(os.path.join(out, "part=c"))
+        if f.endswith(".parquet")
+    }
+
+    updates = spark.createDataFrame(
+        [(2, "a", 99.0), (5, "b", 50.0)], "id long, part string, val double"
+    )
+    stats = sinks.upsert_partitioned(
+        spark, out, updates, key_cols=["id"], partition_by=["part"]
+    )
+    assert stats["partitions_touched"] == 2
+
+    back = {r.id: (r.part, r.val) for r in spark.read.parquet(out).collect()}
+    assert back == {
+        1: ("a", 10.0),
+        2: ("a", 99.0),  # updated
+        3: ("b", 30.0),
+        4: ("c", 40.0),  # untouched partition
+        5: ("b", 50.0),  # inserted
+    }
+    c_files_after = {
+        f: os.path.getmtime(os.path.join(out, "part=c", f))
+        for f in os.listdir(os.path.join(out, "part=c"))
+        if f.endswith(".parquet")
+    }
+    assert c_files_after == c_files_before, "untouched partition was rewritten"
