@@ -804,3 +804,30 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "dup_token_frac",
     )
+
+
+@query(
+    "heavy_hitter_terms",
+    oracle="""
+WITH tok AS (
+  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+), tot AS (SELECT COUNT(*) AS n FROM tok)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(COUNT(*) / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS frac
+FROM tok
+GROUP BY term
+HAVING COUNT(*) >= (1.0 / 128) * (SELECT n FROM tot)
+ORDER BY cnt DESC, term
+""",
+    doc="EXACT corpus heavy hitters via two-pass distributed Misra-Gries "
+    "(operators/sketches.py): O(1/theta) memory per executor candidate pass "
+    "(provably contains every theta-heavy term), then exact recount of the "
+    "tiny candidate set — the 100 TB answer to frequent terms without a "
+    "full-vocabulary groupBy; oracle is the plain groupBy+HAVING",
+)
+def heavy_hitter_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.sketches import heavy_hitter_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return heavy_hitter_terms(d, text_col="text", threshold=1 / 128)

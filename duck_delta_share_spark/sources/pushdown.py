@@ -292,7 +292,11 @@ def _compare_ok(f: Filter, actual: Any) -> bool:
         coerced = _coerce(actual, value)
         return coerced is None or coerced >= value
     if isinstance(f, In):
-        coerced = _coerce(actual, next(iter(f.value), None))
+        # type sample must be a NON-NULL element: a leading NULL in the IN
+        # list would degrade coercion to strings and wrongly prune files
+        # whose value matches a later element (NULL itself matches no row)
+        sample = next((v for v in f.value if v is not None), None)
+        coerced = _coerce(actual, sample)
         return coerced is None or coerced in f.value
     if isinstance(f, IsNull):
         return actual is None
@@ -332,7 +336,8 @@ def _definitely_matches(f: Filter, actual: Any) -> bool:
         coerced = _coerce(actual, value)
         return coerced is not None and coerced == value
     if isinstance(f, In):
-        coerced = _coerce(actual, next(iter(f.value), None))
+        sample = next((v for v in f.value if v is not None), None)
+        coerced = _coerce(actual, sample)
         return coerced is not None and coerced in f.value
     if isinstance(f, IsNull):
         return actual is None
