@@ -6,12 +6,14 @@ list/get/metadata/query endpoints with pagination, error mapping.
 """
 
 from duck_delta_share_spark.client.models import (
+    ChangeAction,
     FileAction,
     Format,
     Protocol,
     Schema,
     Share,
     Table,
+    TableChanges,
     TableFiles,
     TableMetadata,
 )
@@ -19,6 +21,7 @@ from duck_delta_share_spark.client.profile import DeltaSharingProfile
 from duck_delta_share_spark.client.rest import DeltaSharingClient, DeltaSharingError
 
 __all__ = [
+    "ChangeAction",
     "DeltaSharingClient",
     "DeltaSharingError",
     "DeltaSharingProfile",
@@ -28,6 +31,7 @@ __all__ = [
     "Schema",
     "Share",
     "Table",
+    "TableChanges",
     "TableFiles",
     "TableMetadata",
 ]

@@ -159,3 +159,24 @@ class TableFiles:
     protocol: Protocol
     metadata: TableMetadata
     files: tuple[FileAction, ...]
+
+
+@dataclass(frozen=True)
+class ChangeAction:
+    """One action from GET .../changes (change data feed). ``action_type``
+    says how the file's rows entered the table: ``add`` → inserts,
+    ``remove`` → deletes, ``cdf`` → the file itself carries a
+    ``_change_type`` column (update pre/post images). Public Delta Sharing
+    protocol surface; the reference client has no CDF counterpart."""
+
+    action_type: str
+    file: FileAction
+
+
+@dataclass(frozen=True)
+class TableChanges:
+    """Result of a /changes GET: protocol + metadata + ordered actions."""
+
+    protocol: Protocol
+    metadata: TableMetadata
+    actions: tuple[ChangeAction, ...]

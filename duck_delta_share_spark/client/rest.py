@@ -31,11 +31,13 @@ import urllib.request
 from typing import Any, Iterable
 
 from duck_delta_share_spark.client.models import (
+    ChangeAction,
     FileAction,
     Protocol,
     Schema,
     Share,
     Table,
+    TableChanges,
     TableFiles,
     TableMetadata,
 )
@@ -253,3 +255,46 @@ class DeltaSharingClient:
             elif "file" in line:
                 files.append(FileAction.from_json(line["file"]))
         return TableFiles(protocol=protocol, metadata=metadata, files=tuple(files))
+
+    # -- change data feed (beyond the reference: public /changes endpoint) ----
+
+    def query_table_changes(
+        self,
+        share: str,
+        schema: str,
+        table: str,
+        starting_version: int | None = None,
+        ending_version: int | None = None,
+        starting_timestamp: str | None = None,
+    ) -> TableChanges:
+        """GET .../changes → protocol + metaData + add/cdf/remove actions for
+        the requested version range (inclusive both ends, per the public
+        Delta Sharing protocol). The reference client has no CDF surface;
+        this powers both ``readChangeFeed`` batch reads and the streaming
+        source's per-microbatch file discovery."""
+        query: dict[str, str] = {}
+        if starting_version is not None:
+            query["startingVersion"] = str(starting_version)
+        if starting_timestamp is not None:
+            query["startingTimestamp"] = starting_timestamp
+        if ending_version is not None:
+            query["endingVersion"] = str(ending_version)
+        resp = self._request(
+            "GET", self._table_path(share, schema, table) + "/changes", query or None
+        )
+        protocol = Protocol()
+        metadata = TableMetadata()
+        actions: list[ChangeAction] = []
+        for line in parse_ndjson(resp):
+            if "protocol" in line:
+                protocol = check_protocol(Protocol.from_json(line["protocol"]), table)
+            elif "metaData" in line:
+                metadata = TableMetadata.from_json(line["metaData"])
+            else:
+                for kind in ("add", "cdf", "remove"):
+                    if kind in line:
+                        actions.append(
+                            ChangeAction(kind, FileAction.from_json(line[kind]))
+                        )
+                        break
+        return TableChanges(protocol=protocol, metadata=metadata, actions=tuple(actions))

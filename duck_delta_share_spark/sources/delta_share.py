@@ -49,6 +49,7 @@ from typing import Any, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     Filter,
     InputPartition,
 )
@@ -86,6 +87,10 @@ class _FileTask(InputPartition):
     # pruning (file-level pruning already happened on the driver); plain
     # pyspark dataclasses, picklable.
     pushed: list | None = None
+    # change-data-feed provenance: (action_type, commit_version,
+    # commit_timestamp_ms). Set only for CDF reads; the executor turns it
+    # into the _change_type/_commit_version/_commit_timestamp columns.
+    change: tuple | None = None
 
 
 def _parse_table_path(path: str | None, options: dict[str, str]) -> tuple[str, str, str]:
@@ -98,6 +103,34 @@ def _parse_table_path(path: str | None, options: dict[str, str]) -> tuple[str, s
     return parts[0], parts[1], parts[2]
 
 
+# Columns synthesized by change-data-feed reads, mirroring Delta's CDF
+# column contract so downstream MERGE/apply logic ports unchanged.
+CDF_COLUMNS = ("_change_type", "_commit_version", "_commit_timestamp")
+
+
+def _cdf_enabled(options: dict[str, str]) -> bool:
+    raw = options.get("readchangefeed", options.get("readChangeFeed", ""))
+    return str(raw).lower() in ("true", "1")
+
+
+def _with_cdf_fields(schema: StructType) -> StructType:
+    from pyspark.sql.types import LongType, StringType, StructField, TimestampType
+
+    fields = [f for f in schema.fields if f.name not in CDF_COLUMNS]
+    return StructType(
+        fields
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", LongType()),
+            StructField("_commit_timestamp", TimestampType()),
+        ]
+    )
+
+
+def _strip_cdf_fields(schema: StructType) -> StructType:
+    return StructType([f for f in schema.fields if f.name not in CDF_COLUMNS])
+
+
 class DeltaShareDataSource(DataSource):
     """Entry point; resolves the table schema at planning time (driver)."""
 
@@ -107,14 +140,19 @@ class DeltaShareDataSource(DataSource):
 
     def schema(self) -> StructType:
         if "schemaString" in self.options:
-            return schema_from_string(self.options["schemaString"])
-        share, schema, table = _parse_table_path(self.options.get("path"), self.options)
-        client = _make_client(self.options)
-        _, metadata = client.query_table_metadata(share, schema, table)
-        return schema_from_string(metadata.schema_string)
+            base = schema_from_string(self.options["schemaString"])
+        else:
+            share, schema, table = _parse_table_path(self.options.get("path"), self.options)
+            client = _make_client(self.options)
+            _, metadata = client.query_table_metadata(share, schema, table)
+            base = schema_from_string(metadata.schema_string)
+        return _with_cdf_fields(base) if _cdf_enabled(self.options) else base
 
     def reader(self, schema: StructType) -> "DeltaShareReader":
         return DeltaShareReader(dict(self.options), schema)
+
+    def streamReader(self, schema: StructType) -> "DeltaShareStreamReader":
+        return DeltaShareStreamReader(dict(self.options), schema)
 
 
 def _make_client(options: dict[str, str]):
@@ -154,6 +192,33 @@ class DeltaShareReader(DataSourceReader):
             return files, self.partition_columns
         share, schema, table = _parse_table_path(self.options.get("path"), self.options)
         client = _make_client(self.options)
+        if _cdf_enabled(self.options):
+            sv = self.options.get("startingversion", self.options.get("startingVersion"))
+            if sv is None:
+                raise ValueError(
+                    "readChangeFeed requires a startingVersion option"
+                )
+            ev = self.options.get("endingversion", self.options.get("endingVersion"))
+            changes = client.query_table_changes(
+                share,
+                schema,
+                table,
+                starting_version=int(sv),
+                ending_version=int(ev) if ev is not None else None,
+            )
+            files = [
+                {
+                    "url": a.file.url,
+                    "id": a.file.id,
+                    "partitionValues": dict(a.file.partition_values),
+                    "stats": a.file.stats,
+                    "action": a.action_type,
+                    "version": a.file.version,
+                    "timestamp": a.file.timestamp,
+                }
+                for a in changes.actions
+            ]
+            return files, tuple(changes.metadata.partition_columns) or self.partition_columns
         version = self.options.get("versionasof", self.options.get("versionAsOf"))
         limit = self.options.get("limithint", self.options.get("limitHint"))
         result = client.query_table(
@@ -180,92 +245,127 @@ class DeltaShareReader(DataSourceReader):
 
     def partitions(self) -> list[_FileTask]:
         files, part_cols = self._file_actions()
-        data_fields, part_fields = split_partition_fields(self.schema, part_cols)
-        data_schema = StructType(data_fields)
-        part_schema = StructType(part_fields)
-
-        tasks: list[_FileTask] = []
-        for f in files:
-            pvals = f.get("partitionValues") or {}
-            if not partition_matches(self.pushed, pvals):
-                continue  # partition pruning: file never becomes a task
-            stats_raw = f.get("stats") or ""
-            if stats_raw:
-                try:
-                    stats = json.loads(stats_raw) if isinstance(stats_raw, str) else stats_raw
-                except ValueError:
-                    stats = {}
-                if not stats_allow(self.pushed, stats):
-                    continue  # min/max stats pruning
-            tasks.append(
-                _FileTask(
-                    url=f["url"],
-                    partition_values=pvals,
-                    data_schema_json=data_schema.json(),
-                    partition_schema_json=part_schema.json(),
-                    full_schema_json=self.schema.json(),
-                    file_id=f.get("id"),
-                    # direct-file mode has no server to refresh from
-                    refresh=None if "files" in self.options else dict(self.options),
-                    pushed=list(self.pushed),
-                )
-            )
-        return tasks
+        refresh = None if "files" in self.options else dict(self.options)
+        return _build_tasks(files, part_cols, self.schema, self.pushed, refresh)
 
     # -- execution (runs on executors) ---------------------------------------
 
     def read(self, partition: _FileTask) -> Iterator[Any]:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
+        return _read_task(partition)
 
-        data_schema = StructType.fromJson(json.loads(partition.data_schema_json))
-        part_schema = StructType.fromJson(json.loads(partition.partition_schema_json))
-        full_schema = StructType.fromJson(json.loads(partition.full_schema_json))
-        arrow_full = to_arrow_schema(full_schema)
 
-        from duck_delta_share_spark.sources.range_io import UrlExpiredError
+def _build_tasks(
+    files: list[dict[str, Any]],
+    part_cols: tuple[str, ...],
+    schema: StructType,
+    pushed: list[Filter],
+    refresh: dict | None,
+) -> list[_FileTask]:
+    """Driver-side task planning shared by the batch and streaming readers:
+    partition + file-stats pruning, then one picklable task per file."""
+    base_schema = _strip_cdf_fields(schema)  # CDF columns are synthesized
+    data_fields, part_fields = split_partition_fields(base_schema, part_cols)
+    data_schema = StructType(data_fields)
+    part_schema = StructType(part_fields)
 
-        cols = [f.name for f in data_schema.fields]
-        filters = partition.pushed or []
-        try:
-            table = _fetch_parquet(partition.url, cols, filters)
-        except UrlExpiredError:
-            # ONLY an expired presigned URL is refreshable; a 404 (file no
-            # longer in the table) re-raising immediately avoids a
-            # control-plane stampede of pointless re-queries (r1 #4).
-            fresh = _refresh_url(partition)
-            if fresh is None:
-                raise
-            table = _fetch_parquet(fresh, cols, filters)
-
-        # Attach partition values as typed constant columns (the reference
-        # never does this — §2D "partition values never re-attached").
-        n = table.num_rows
-        columns: dict[str, pa.Array] = {c: table.column(c) for c in table.column_names}
-        for f in part_schema.fields:
-            target = arrow_full.field(f.name).type
-            raw = partition.partition_values.get(f.name)
-            scalar = pa.scalar(None, type=target) if raw is None else pa.scalar(
-                _cast_partition_value(raw, target), type=target
+    tasks: list[_FileTask] = []
+    for f in files:
+        pvals = f.get("partitionValues") or {}
+        if not partition_matches(pushed, pvals):
+            continue  # partition pruning: file never becomes a task
+        stats_raw = f.get("stats") or ""
+        if stats_raw:
+            try:
+                stats = json.loads(stats_raw) if isinstance(stats_raw, str) else stats_raw
+            except ValueError:
+                stats = {}
+            if not stats_allow(pushed, stats):
+                continue  # min/max stats pruning
+        tasks.append(
+            _FileTask(
+                url=f["url"],
+                partition_values=pvals,
+                data_schema_json=data_schema.json(),
+                partition_schema_json=part_schema.json(),
+                full_schema_json=schema.json(),
+                file_id=f.get("id"),
+                refresh=refresh,
+                pushed=list(pushed),
+                change=(f["action"], f["version"], f["timestamp"])
+                if "action" in f
+                else None,
             )
-            columns[f.name] = pa.nulls(n, type=target) if raw is None else pa.array(
-                [scalar.as_py()] * n, type=target
-            )
+        )
+    return tasks
 
-        # Emit in declared schema order, casting data columns to the
-        # declared types (presigned files may use narrower physical types).
-        arrays = []
-        for f in full_schema.fields:
-            target = arrow_full.field(f.name).type
-            col = columns[f.name]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            if col.type != target:
-                col = col.cast(target)
-            arrays.append(col)
-        out = pa.table(dict(zip([f.name for f in full_schema.fields], arrays)))
-        yield from out.to_batches(max_chunksize=1 << 16)
+
+def _read_task(partition: _FileTask) -> Iterator[Any]:
+    """Executor-side scan of one file task (batch and streaming share it)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    data_schema = StructType.fromJson(json.loads(partition.data_schema_json))
+    part_schema = StructType.fromJson(json.loads(partition.partition_schema_json))
+    full_schema = StructType.fromJson(json.loads(partition.full_schema_json))
+    arrow_full = to_arrow_schema(full_schema)
+
+    from duck_delta_share_spark.sources.range_io import UrlExpiredError
+
+    cols = [f.name for f in data_schema.fields]
+    if partition.change and partition.change[0] == "cdf":
+        # cdf-action files physically carry _change_type (update pre/post
+        # images); add/remove files get it synthesized below.
+        cols = cols + ["_change_type"]
+    filters = partition.pushed or []
+    try:
+        table = _fetch_parquet(partition.url, cols, filters)
+    except UrlExpiredError:
+        # ONLY an expired presigned URL is refreshable; a 404 (file no
+        # longer in the table) re-raising immediately avoids a
+        # control-plane stampede of pointless re-queries (r1 #4).
+        fresh = _refresh_url(partition)
+        if fresh is None:
+            raise
+        table = _fetch_parquet(fresh, cols, filters)
+
+    # Attach partition values as typed constant columns (the reference
+    # never does this — §2D "partition values never re-attached").
+    n = table.num_rows
+    columns: dict[str, pa.Array] = {c: table.column(c) for c in table.column_names}
+    for f in part_schema.fields:
+        target = arrow_full.field(f.name).type
+        raw = partition.partition_values.get(f.name)
+        scalar = pa.scalar(None, type=target) if raw is None else pa.scalar(
+            _cast_partition_value(raw, target), type=target
+        )
+        columns[f.name] = pa.nulls(n, type=target) if raw is None else pa.array(
+            [scalar.as_py()] * n, type=target
+        )
+
+    if partition.change is not None:
+        action, version, ts_ms = partition.change
+        if action != "cdf":
+            columns["_change_type"] = pa.array(
+                ["insert" if action == "add" else "delete"] * n, pa.string()
+            )
+        columns["_commit_version"] = pa.array([version] * n, pa.int64())
+        columns["_commit_timestamp"] = pa.array(
+            [ts_ms * 1000] * n, type=arrow_full.field("_commit_timestamp").type
+        )
+
+    # Emit in declared schema order, casting data columns to the
+    # declared types (presigned files may use narrower physical types).
+    arrays = []
+    for f in full_schema.fields:
+        target = arrow_full.field(f.name).type
+        col = columns[f.name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.type != target:
+            col = col.cast(target)
+        arrays.append(col)
+    out = pa.table(dict(zip([f.name for f in full_schema.fields], arrays)))
+    yield from out.to_batches(max_chunksize=1 << 16)
 
 
 # Per-process (≈ per-executor) cache of refreshed presigned URLs: when N
@@ -397,3 +497,121 @@ def _read_groups(pf: Any, keep: list[int], columns: list[str]) -> "pa.Table":  #
     if len(keep) == pf.metadata.num_row_groups:
         return pf.read(columns=columns)
     return pf.read_row_groups(keep, columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Streaming: table versions as micro-batch offsets
+# ---------------------------------------------------------------------------
+
+
+class DeltaShareStreamReader(DataSourceStreamReader):
+    """Streaming twin of the scan: Delta table VERSIONS are the offsets.
+
+    Each micro-batch covers a half-open version range [start, end): the
+    driver asks the sharing server which files those commits added
+    (``/changes``) and plans one task per file — the same per-file
+    parallelism, pruning and range-read path as the batch scan
+    (``_build_tasks`` / ``_read_task``). Offsets are checkpointed by Spark,
+    so restarts resume exactly after the last committed version: each
+    appended file is read exactly once.
+
+    Options:
+
+    - ``startingVersion``: first version to stream (e.g. ``1`` replays the
+      table's whole retained history). Default ``latest``: only commits
+      after the stream starts.
+    - ``ignoreDeletes``: skip ``remove`` actions instead of failing. The
+      default mirrors Delta's source: a delete in an append-only stream is
+      an error (silently dropping it would desync downstream state).
+    - ``readChangeFeed``: emit CDF rows (``_change_type`` /
+      ``_commit_version`` / ``_commit_timestamp``) for add, remove AND cdf
+      actions instead of append-only inserts.
+
+    At 100 TB the control plane stays O(1) per trigger (one metadata GET in
+    ``latestOffset``, one /changes GET per planned batch); the data plane
+    scales with files-per-commit across executors, never through the
+    driver. The reference client has no streaming surface at all.
+    """
+
+    def __init__(self, options: dict[str, str], schema: StructType):
+        self.options = options
+        self.schema = schema
+        self.share, self.schema_name, self.table = _parse_table_path(
+            options.get("path"), options
+        )
+        self.cdf = _cdf_enabled(options)
+        raw = options.get("ignoredeletes", options.get("ignoreDeletes", ""))
+        self.ignore_deletes = str(raw).lower() in ("true", "1")
+
+    # driver-side ------------------------------------------------------------
+
+    def _current_version(self) -> int:
+        client = _make_client(self.options)
+        return client.query_table_version(self.share, self.schema_name, self.table)
+
+    def initialOffset(self) -> dict:
+        sv = self.options.get("startingversion", self.options.get("startingVersion"))
+        if sv is None or str(sv).lower() == "latest":
+            return {"version": self._current_version() + 1}
+        return {"version": int(sv)}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._current_version() + 1}
+
+    def partitions(self, start: dict, end: dict) -> list[_FileTask]:
+        if start["version"] >= end["version"]:
+            return []
+        changes = _make_client(self.options).query_table_changes(
+            self.share,
+            self.schema_name,
+            self.table,
+            starting_version=start["version"],
+            ending_version=end["version"] - 1,
+        )
+        files = []
+        for a in changes.actions:
+            if not self.cdf:
+                if a.action_type == "remove":
+                    if self.ignore_deletes:
+                        continue
+                    raise ValueError(
+                        f"version {a.file.version} of "
+                        f"{self.share}.{self.schema_name}.{self.table} removed "
+                        f"file {a.file.id or a.file.url!r}; this stream is "
+                        "append-only. Set ignoreDeletes=true to skip deletes, "
+                        "or readChangeFeed=true to consume them as CDF rows."
+                    )
+                if a.action_type == "cdf":
+                    # change-materialized commits carry updates; without CDF
+                    # columns requested we cannot represent them
+                    raise ValueError(
+                        f"version {a.file.version} contains change-data files; "
+                        "set readChangeFeed=true to stream them"
+                    )
+            files.append(
+                {
+                    "url": a.file.url,
+                    "id": a.file.id,
+                    "partitionValues": dict(a.file.partition_values),
+                    "stats": a.file.stats,
+                    **(
+                        {
+                            "action": a.action_type,
+                            "version": a.file.version,
+                            "timestamp": a.file.timestamp,
+                        }
+                        if self.cdf
+                        else {}
+                    ),
+                }
+            )
+        part_cols = tuple(changes.metadata.partition_columns)
+        return _build_tasks(files, part_cols, self.schema, [], dict(self.options))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing server-side
+
+    # executor-side ----------------------------------------------------------
+
+    def read(self, partition: _FileTask) -> Iterator[Any]:
+        return _read_task(partition)

@@ -48,6 +48,34 @@ class MockDeltaSharingServer:
         self.support_range = True
         self.range_requests: list[tuple[str, str]] = []
         self.data_bytes_served = 0
+        # Change-data-feed history, consistent with the version-3 snapshot
+        # that /query serves: eu.parquet added at v1, us.parquet at v2,
+        # v3 a data-free commit. append_version() grows it.
+        self.table_version = 3
+        self.change_log: list[dict] = [
+            {"version": 1, "action": "add", "name": "eu.parquet", "id": "f-eu",
+             "partitionValues": {"pcol": "eu"}, "size": 1000},
+            {"version": 2, "action": "add", "name": "us.parquet", "id": "f-us",
+             "partitionValues": {"pcol": "us"}, "size": 1000},
+        ]
+
+    def append_version(
+        self,
+        action: str,
+        name: str,
+        file_id: str,
+        partition_values: dict | None = None,
+        stats: str = "",
+    ) -> int:
+        """Commit one new table version containing a single action; returns
+        the new version number. The parquet file must exist in data_dir."""
+        self.table_version += 1
+        self.change_log.append(
+            {"version": self.table_version, "action": action, "name": name,
+             "id": file_id, "partitionValues": partition_values or {},
+             "size": 1000, "stats": stats}
+        )
+        return self.table_version
 
     # NDJSON /query and /metadata bodies -------------------------------------
 
@@ -64,7 +92,7 @@ class MockDeltaSharingServer:
                             "schemaString": SCHEMA_STRING,
                             "partitionColumns": ["pcol"],
                             "configuration": {},
-                            "version": 3,
+                            "version": self.table_version,
                         }
                     }
                 ),
@@ -107,6 +135,24 @@ class MockDeltaSharingServer:
         return self._metadata_lines() + "\n" + "\n".join(
             json.dumps({"file": f}) for f in files
         )
+
+    def _changes_lines(self, start: int, end: int) -> str:
+        lines = [self._metadata_lines()]
+        for entry in self.change_log:
+            if not (start <= entry["version"] <= end):
+                continue
+            f = {
+                "url": f"http://127.0.0.1:{self.port}/data/{entry['name']}",
+                "id": entry["id"],
+                "partitionValues": entry["partitionValues"],
+                "size": entry["size"],
+                "timestamp": 1700000000000 + entry["version"] * 1000,
+                "version": entry["version"],
+            }
+            if entry.get("stats"):
+                f["stats"] = entry["stats"]
+            lines.append(json.dumps({entry["action"]: f}))
+        return "\n".join(lines)
 
     # server ----------------------------------------------------------------
 
@@ -198,6 +244,26 @@ class MockDeltaSharingServer:
                     )
                 elif path == "/shares/sales/schemas/web/tables/clicks/metadata":
                     self._reply(200, outer._metadata_lines().encode(), "application/x-ndjson")
+                elif path == "/shares/sales/schemas/web/tables/clicks/changes":
+                    start_q = qs.get("startingVersion", [""])[0]
+                    if not start_q:
+                        self._reply(
+                            400,
+                            json.dumps({"message": "startingVersion is required"}).encode(),
+                        )
+                        return
+                    start = int(start_q)
+                    end = int(qs.get("endingVersion", [str(outer.table_version)])[0])
+                    if start > outer.table_version:
+                        self._reply(
+                            400,
+                            json.dumps(
+                                {"message": f"startingVersion {start} is after the "
+                                 f"latest version {outer.table_version}"}
+                            ).encode(),
+                        )
+                        return
+                    self._reply(200, outer._changes_lines(start, end).encode(), "application/x-ndjson")
                 else:
                     self._reply(404, json.dumps({"message": f"not found: {path}"}).encode())
 
