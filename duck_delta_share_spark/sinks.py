@@ -93,6 +93,83 @@ def write_bucketed(
     return table
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    num_files: int = 16,
+    zorder: bool = False,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    clamp_quantiles: tuple[float, float] = (0.001, 0.999),
+) -> str:
+    """Cluster data across files so FILE-level min/max stats prune scans —
+    the write-side half of data skipping (the read side is
+    ``sources/pushdown.stats_allow`` / row-group pruning).
+
+    - ``zorder=False`` (linear): ``repartitionByRange`` + per-file sort on
+      the cluster keys. Files get disjoint ranges of the LEAD key — ideal
+      skipping on it, none on the trailing keys.
+    - ``zorder=True``: rows are ordered by the bit-interleaved Z-value of
+      the (quantile-clamped, equi-width bucketized) cluster keys, so each
+      file covers a small hyper-rectangle: EVERY cluster dimension prunes,
+      at the cost of slightly wider per-dimension ranges than a linear
+      sort's lead key. The standard multi-dimensional clustering answer
+      (Morton order) for "we filter on x AND y, not always both".
+
+    Scale shape: one range shuffle (``repartitionByRange`` samples instead
+    of a global sort), bucket bounds from ``approxQuantile`` (driver holds
+    2 doubles per column, never data), Z-values are pure codegen
+    shift/and/or expressions. Z-ordering needs numeric/date/timestamp
+    columns (strings would hash away the locality that makes it work).
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(cluster_by)
+    if not zorder:
+        shaped = df.repartitionByRange(num_files, *cols).sortWithinPartitions(*cols)
+        shaped.write.format(fmt).mode(mode).save(path)
+        return path
+
+    bits = min(16, 63 // max(1, len(cols)))
+    buckets = 1 << bits
+    # Equi-width buckets between clamped quantiles: outliers saturate into
+    # the edge buckets instead of stretching everyone else's range.
+    numeric = [F.col(c).cast("double") for c in cols]
+    lo_hi = (
+        df.select(
+            *[
+                F.percentile_approx(n, F.lit(list(clamp_quantiles)), 10_000).alias(str(i))
+                for i, n in enumerate(numeric)
+            ]
+        ).first()
+    )
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(numeric):
+        lo, hi = (lo_hi[str(j)] or [0.0, 1.0])[0], (lo_hi[str(j)] or [0.0, 1.0])[1]
+        if hi <= lo:
+            hi = lo + 1.0
+        q = F.least(
+            F.lit(buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((c - F.lit(lo)) / F.lit(hi - lo) * buckets).cast("long"),
+            ),
+        )
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), i * len(cols) + j)
+            )
+    shaped = (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    shaped.write.format(fmt).mode(mode).save(path)
+    return path
+
+
 def compact_files(
     spark,
     path: str,

@@ -172,3 +172,63 @@ def test_upsert_partitioned_touches_only_affected_dirs(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert c_files_after == c_files_before, "untouched partition was rewritten"
+
+
+def _file_ranges(path, cols):
+    """Per-data-file (min, max) for each column, from parquet footers."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in sorted(Path(path).rglob("*.parquet")):
+        md = pq.ParquetFile(p).metadata
+        mins = {c: None for c in cols}
+        maxs = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for j in range(g.num_columns):
+                col = g.column(j)
+                name = col.path_in_schema
+                if name in cols and col.statistics and col.statistics.has_min_max:
+                    st = col.statistics
+                    mins[name] = st.min if mins[name] is None else min(mins[name], st.min)
+                    maxs[name] = st.max if maxs[name] is None else max(maxs[name], st.max)
+        out.append({c: (mins[c], maxs[c]) for c in cols})
+    return out
+
+
+def _avg_span(ranges, col, domain):
+    spans = [(r[col][1] - r[col][0]) / domain for r in ranges]
+    return sum(spans) / len(spans)
+
+
+def test_write_clustered_zorder_prunes_all_dimensions(spark, tmp_path):
+    # two independent pseudo-uniform dimensions over [0, 1000)
+    df = spark.range(20_000).select(
+        ((F.col("id") * 2654435761) % 1000).alias("x"),
+        ((F.col("id") * 40503 + 17) % 1000).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    lin, zo = str(tmp_path / "lin"), str(tmp_path / "zo")
+    sinks.write_clustered(df, lin, ["x", "y"], num_files=16, zorder=False)
+    sinks.write_clustered(df, zo, ["x", "y"], num_files=16, zorder=True)
+
+    # nothing lost or duplicated by the rewrite
+    back = spark.read.parquet(zo)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("payload")).first()[0] == sum(range(20_000))
+
+    rl, rz = _file_ranges(lin, ["x", "y"]), _file_ranges(zo, ["x", "y"])
+    assert len(rl) >= 8 and len(rz) >= 8
+    # linear: lead key x clusters tightly, trailing key y spans everything
+    assert _avg_span(rl, "x", 1000) < 0.2
+    assert _avg_span(rl, "y", 1000) > 0.8
+    # zorder: BOTH dimensions cluster — each file is a hyper-rectangle
+    assert _avg_span(rz, "x", 1000) < 0.6
+    assert _avg_span(rz, "y", 1000) < 0.6
+
+    # the operational consequence: a point-ish predicate on y alone
+    # admits fewer files under zorder than linear layout
+    def files_admitting(ranges, col, lo, hi):
+        return sum(1 for r in ranges if not (r[col][1] < lo or r[col][0] > hi))
+
+    assert files_admitting(rz, "y", 100, 150) < files_admitting(rl, "y", 100, 150)
