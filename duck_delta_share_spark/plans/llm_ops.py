@@ -831,3 +831,92 @@ def heavy_hitter_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return heavy_hitter_terms(d, text_col="text", threshold=1 / 128)
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+SELECT vec_id,
+       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale,
+       CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+            THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(
+                embedding,
+                x -> CAST(floor(
+                    CAST(x AS DOUBLE)
+                    / (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+                    + 0.5) AS INTEGER))
+       END AS q
+FROM embeddings
+ORDER BY vec_id
+""",
+    doc="Symmetric per-vector int8 quantization (operators/embeddings.py): "
+    "scale = max|x|/127, floor(x/scale+0.5) half-up rounding pinned to "
+    "identical IEEE semantics in both engines — pure codegen transform, "
+    "zero shuffle; the compression step before ANN shipping at 100 TB",
+)
+def embedding_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.embeddings import int8_scale, quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = int8_scale("embedding")
+    return (
+        e.select(
+            "vec_id",
+            scale.alias("scale"),
+            quantize_int8("embedding", scale).alias("q"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "embedding_variance_by_dim",
+    oracle="""
+SELECT dim,
+       CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS sum_x,
+       CAST(SUM(CAST(floor(x * x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS sum_x2,
+       COUNT(*) AS n
+FROM (SELECT unnest(embedding) :: DOUBLE AS x,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings)
+GROUP BY dim
+ORDER BY dim
+""",
+    doc="Per-dimension first/second moments of the embedding matrix — the "
+    "distributed input to covariance/PCA (operators/embeddings.py:moments). "
+    "Addends are pinned to scaled integers (floor(x*1e9+0.5) as long): the "
+    "same IEEE double ops on both engines, then exact associative integer "
+    "sums — immune to the double->decimal rounding-mode ties that plain "
+    "DECIMAL casts hit at scale 12. posexplode + map-side partial sums",
+)
+def embedding_variance_by_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            (F.sum(F.floor(x * F.lit(1e9) + F.lit(0.5))).cast("double") / F.lit(1e9)).alias("sum_x"),
+            (F.sum(F.floor(x * x * F.lit(1e12) + F.lit(0.5))).cast("double") / F.lit(1e12)).alias("sum_x2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("dim")
+    )
+
+
+@query(
+    "pca_project_embeddings",
+    doc="Distributed PCA (operators/embeddings.py): zero-shuffle moment "
+    "partials (d+d^2 doubles per partition) -> bounded combine tree -> "
+    "driver eigh on the 64x64 covariance only -> broadcast matmul "
+    "projection. Sign-pinned eigenvectors for determinism. No SQL oracle "
+    "(eigendecomposition); moments are oracle-anchored by "
+    "embedding_variance_by_dim and unit-tested vs numpy",
+)
+def pca_project_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.embeddings import pca_project
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pca_project(e, "embedding", k=8).select("vec_id", "pca")

@@ -1,0 +1,98 @@
+"""Distributed PCA + int8 quantization: partials/combine-tree correctness
+vs in-memory numpy, sign-pinned determinism, quantization error bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duck_delta_share_spark.catalog import load_table
+from duck_delta_share_spark.operators.embeddings import (
+    dequantize_int8,
+    int8_scale,
+    moments,
+    pca_project,
+    principal_components,
+    quantize_int8,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def _local_matrix(emb):
+    return np.stack([np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()])
+
+
+def test_moments_match_numpy(emb):
+    mat = _local_matrix(emb)
+    n, mean, cov = moments(emb, "embedding")
+    assert n == mat.shape[0]
+    assert np.allclose(mean, mat.mean(axis=0), atol=1e-12)
+    assert np.allclose(cov, np.cov(mat, rowvar=False), atol=1e-10)
+
+
+def test_moments_survive_many_partitions_via_combine_tree(emb):
+    mat = _local_matrix(emb)
+    many = emb.repartition(97)
+    n, mean, cov = moments(many, "embedding", combine_width=8)
+    assert n == mat.shape[0]
+    assert np.allclose(cov, np.cov(mat, rowvar=False), atol=1e-10)
+
+
+def test_principal_components_properties(emb):
+    comps, ratio, mean = principal_components(emb, "embedding", k=8)
+    assert comps.shape == (64, 8)
+    # orthonormal columns
+    assert np.allclose(comps.T @ comps, np.eye(8), atol=1e-10)
+    # explained variance sorted descending, each in (0, 1]
+    assert all(ratio[i] >= ratio[i + 1] for i in range(len(ratio) - 1))
+    assert 0 < ratio.sum() <= 1 + 1e-12
+    # sign pinning: the largest-|entry| coordinate of each component is +
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        assert comps[i, j] > 0
+
+
+def test_projection_variance_ordering_and_determinism(emb):
+    out1 = pca_project(emb, "embedding", k=4).select("vec_id", "pca").collect()
+    out2 = pca_project(emb, "embedding", k=4).select("vec_id", "pca").collect()
+    a = {r.vec_id: tuple(r.pca) for r in out1}
+    b = {r.vec_id: tuple(r.pca) for r in out2}
+    assert a == b  # same covariance input -> identical projections
+
+    proj = np.stack([np.asarray(r.pca) for r in out1])
+    var = proj.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(len(var) - 1))
+    # projections are centered
+    assert np.allclose(proj.mean(axis=0), 0, atol=1e-9)
+
+
+def test_quantize_roundtrip_error_bounded(emb, spark):
+    scale = int8_scale("embedding")
+    df = emb.select(
+        "embedding",
+        scale.alias("scale"),
+        dequantize_int8(quantize_int8("embedding", scale), scale).alias("deq"),
+    )
+    err = df.select(
+        F.array_max(
+            F.zip_with(
+                "embedding", "deq", lambda x, y: F.abs(x.cast("double") - y)
+            )
+        ).alias("max_err"),
+        F.col("scale"),
+    )
+    bad = err.filter(F.col("max_err") > F.col("scale") / 2 + 1e-15).count()
+    assert bad == 0
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame([([0.0] * 4,)], "embedding array<float>")
+    scale = int8_scale("embedding")
+    row = df.select(quantize_int8("embedding", scale).alias("q")).first()
+    assert row.q == [0, 0, 0, 0]
