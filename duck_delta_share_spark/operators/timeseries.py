@@ -1,0 +1,126 @@
+"""Time-series operators over event streams: resample + gap-fill (the
+hypertable-rollup / continuous-aggregate shape) and a bucketized interval
+join (range join without a cross product).
+
+100 TB design notes:
+
+- ``resample_gapfill``: the rollup is one groupBy shuffle on
+  (group, bucket); the calendar densification generates each group's
+  bucket sequence FROM the group's own min/max (one row per group before
+  the explode), so the join back is calendar-sized, never data-sized.
+  Forward fill is a per-group running ``last(ignorenulls)`` window —
+  partitioned by group, no global window anywhere.
+- ``interval_join_bucketed``: interval containment (point BETWEEN lo AND
+  hi) is not an equi-join, and Spark's fallback is a broadcast-nested-loop
+  — quadratic and driver-bound at scale. Bucketizing makes it one: each
+  interval explodes to the time buckets it overlaps, each point maps to
+  exactly one bucket, the join is a plain distributed hash join on the
+  bucket key, and the original predicate re-applies as a residual filter.
+  Bucket granularity trades replication factor (intervals spanning many
+  buckets) against join selectivity — size it near the median interval
+  length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def epoch_seconds(ts: Column | str) -> Column:
+    """Whole seconds since 1970-01-01 for an NTZ timestamp, computed
+    entirely in NTZ space — no LTZ detour, so the result is independent of
+    the session timezone (the driver runs a vanilla session; we must not
+    assume UTC). Post-epoch timestamps only (``timestampdiff`` truncates
+    toward zero)."""
+    t = F.col(ts) if isinstance(ts, str) else ts
+    anchor = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("SECOND", anchor, t)
+
+
+def time_bucket(ts: Column | str, bucket_seconds: int) -> Column:
+    """Floor an NTZ timestamp to a fixed-width bucket (epoch-aligned)."""
+    anchor = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    b = (F.floor(epoch_seconds(ts) / bucket_seconds) * bucket_seconds).cast("long")
+    return F.timestamp_add("SECOND", b, anchor)
+
+
+def resample_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    value_col: str,
+    bucket_seconds: int,
+    agg=None,
+) -> DataFrame:
+    """Per-group fixed-width resample with dense buckets and forward fill.
+
+    Returns one row per (group, bucket) for EVERY bucket between each
+    group's first and last observation: ``n`` (0 on gaps) and
+    ``filled_value`` (last non-null aggregate carried forward; null before
+    a group's first observation). ``agg`` defaults to an exact decimal sum
+    of ``value_col`` (registry float discipline).
+    """
+    from duck_delta_share_spark.plans.registry import dsum
+
+    agg_expr = agg if agg is not None else dsum(value_col)
+    bucket = time_bucket(ts_col, bucket_seconds)
+    rolled = (
+        df.groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), agg_expr.alias("total_value"))
+    )
+    step = F.expr(f"interval {bucket_seconds} seconds")
+    calendar = (
+        rolled.groupBy(*group_cols)
+        .agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+        .select(
+            *group_cols,
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        calendar.join(rolled, [*group_cols, "bucket"], "left")
+        .select(
+            *group_cols,
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("total_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+def interval_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "win_start",
+    end_col: str = "win_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Containment join (start <= ts < end) as a distributed hash join.
+
+    Each interval is replicated to the buckets it overlaps; each point
+    joins on its single bucket; the exact predicate re-applies after.
+    Result columns: all point columns + all interval columns.
+    """
+    # bucket COVERAGE only has to be sound, not tight — the exact
+    # predicate re-applies below. Using floor(end) unconditionally may
+    # replicate an interval into one extra bucket; never misses one.
+    lo = F.floor(epoch_seconds(start_col) / bucket_seconds)
+    hi = F.floor(epoch_seconds(end_col) / bucket_seconds)
+    ints = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(lo.cast("long"), hi.cast("long")))
+    )
+    pts = points.withColumn(
+        "__bucket", F.floor(epoch_seconds(ts_col) / bucket_seconds).cast("long")
+    )
+    return (
+        pts.join(ints, "__bucket")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("__bucket")
+    )

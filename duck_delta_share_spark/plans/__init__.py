@@ -11,6 +11,7 @@ from duck_delta_share_spark.plans.registry import QUERIES, QueryDef, query
 # streaming twins' batch anchors) register FIRST; the TPC-H sweep — fully
 # hash-verified in round 1 — registers last. All queries stay registered.
 from duck_delta_share_spark.plans import llm_ops  # noqa: E402,F401
+from duck_delta_share_spark.plans import timeseries_queries  # noqa: E402,F401
 from duck_delta_share_spark.plans import udf_surface  # noqa: E402,F401
 from duck_delta_share_spark.plans import datasource_queries  # noqa: E402,F401
 from duck_delta_share_spark.plans import functions_sweep  # noqa: E402,F401

@@ -1,0 +1,103 @@
+"""Time-series operators: gap-fill density/correctness and the bucketized
+interval join vs the naive cross-product reference."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duck_delta_share_spark.catalog import load_table
+from duck_delta_share_spark.operators.timeseries import (
+    interval_join_bucketed,
+    resample_gapfill,
+    time_bucket,
+)
+from tests.conftest import SF_DIR
+
+
+def test_gapfill_buckets_are_dense_and_counts_match(spark):
+    e = load_table(spark, SF_DIR, "events")
+    out = resample_gapfill(e, "ts", ["event_type"], "value", 3600).cache()
+
+    # dense: per group, bucket count == (max-min)/3600 + 1
+    spans = (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            (
+                (F.unix_timestamp(F.max("bucket")) - F.unix_timestamp(F.min("bucket")))
+                / 3600
+                + 1
+            ).cast("long").alias("expected"),
+        )
+        .collect()
+    )
+    assert spans and all(r.rows == r.expected for r in spans)
+
+    # gap rows exist at hourly granularity on this fixture, with n=0 and a
+    # carried-forward value
+    gaps = out.filter(F.col("n") == 0)
+    assert gaps.count() > 0
+    assert gaps.filter(F.col("filled_value").isNull()).count() == 0
+
+    # total event count is preserved by the resample
+    assert out.agg(F.sum("n")).first()[0] == e.count()
+
+
+def test_gapfill_forward_fill_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:10:00", 1.0),
+            ("a", "2024-01-01 03:20:00", 5.0),  # 2 empty hours between
+        ],
+        "g string, ts string, value double",
+    ).select("g", F.col("ts").cast("timestamp_ntz").alias("ts"), "value")
+    out = resample_gapfill(df, "ts", ["g"], "value", 3600).orderBy("bucket").collect()
+    assert [r.n for r in out] == [1, 0, 0, 1]
+    assert [r.filled_value for r in out] == [1.0, 1.0, 1.0, 5.0]
+
+
+def test_interval_join_matches_naive_and_avoids_nested_loop(spark):
+    e = load_table(spark, SF_DIR, "events")
+    win = spark.sql(
+        """
+        SELECT win_start, win_start + interval 2 hours AS win_end,
+               date_format(win_start, 'yyyy-MM-dd') AS win_id
+        FROM (SELECT explode(sequence(
+                 timestamp_ntz'2024-01-01 06:00:00',
+                 timestamp_ntz'2024-01-30 06:00:00',
+                 interval 1 day)) AS win_start)
+        """
+    )
+    bucketed = interval_join_bucketed(e, win, "ts", "win_start", "win_end", 3600)
+    naive = e.crossJoin(win).filter(
+        (F.col("ts") >= F.col("win_start")) & (F.col("ts") < F.col("win_end"))
+    )
+    got = {(r.event_id, r.win_id) for r in bucketed.collect()}
+    want = {(r.event_id, r.win_id) for r in naive.collect()}
+    assert got == want and len(got) > 0
+
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # interval ending exactly on a bucket boundary must not capture a
+    # point at that boundary (end-exclusive)
+    pts = spark.createDataFrame(
+        [("2024-01-01 08:00:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp_ntz").alias("ts"))
+    hit = interval_join_bucketed(pts, win, "ts", "win_start", "win_end", 3600)
+    assert hit.count() == 0
+
+
+def test_time_bucket_is_session_tz_independent(spark):
+    df = spark.createDataFrame([("2024-03-15 10:31:07",)], "ts string").select(
+        F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        a = df.select(time_bucket("ts", 3600).alias("b")).first().b
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        b = df.select(time_bucket("ts", 3600).alias("b")).first().b
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert a == b and str(a) == "2024-03-15 10:00:00"
