@@ -115,12 +115,51 @@ def main() -> None:
 
         return pack_sequences(d, capacity_tokens=256)
 
+    def heavy_hitters_shape(d):
+        from duck_delta_share_spark.operators.sketches import heavy_hitter_terms
+
+        return heavy_hitter_terms(d, threshold=1 / 128)
+
+    def gapfill_shape(e):
+        from duck_delta_share_spark.operators.timeseries import resample_gapfill
+
+        return resample_gapfill(e, "ts", ["event_type"], "value", 3600)
+
+    def interval_join_shape(e):
+        from duck_delta_share_spark.operators.timeseries import interval_join_bucketed
+
+        win = e.sparkSession.sql(
+            """
+            SELECT win_start, win_start + interval 2 hours AS win_end
+            FROM (SELECT explode(sequence(
+                     timestamp_ntz'2024-01-01 06:00:00',
+                     timestamp_ntz'2024-01-30 06:00:00',
+                     interval 1 day)) AS win_start)
+            """
+        )
+        return interval_join_bucketed(e, win, "ts", "win_start", "win_end", 3600)
+
+    def quantize_shape(emb):
+        from duck_delta_share_spark.operators.embeddings import (
+            int8_scale,
+            quantize_int8,
+        )
+
+        scale = int8_scale("embedding")
+        return emb.select(
+            "vec_id", quantize_int8("embedding", scale).alias("q")
+        )
+
     ops = [
         ("q1_agg", q1_shape, l1, lN),
         ("minhash_lsh", minhash_shape, d1, dN),
         ("sessionization", sessionize_shape, e1, eN),
         ("embedding_neardup", neardup_shape, emb1, embN),
         ("sequence_packing", packing_shape, d1, dN),
+        ("heavy_hitters", heavy_hitters_shape, d1, dN),
+        ("resample_gapfill", gapfill_shape, e1, eN),
+        ("interval_join", interval_join_shape, e1, eN),
+        ("embedding_quantize", quantize_shape, emb1, embN),
     ]
     results = []
     for name, fn, small, big in ops:
