@@ -76,3 +76,26 @@ def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name
         """
     )
+
+
+@query(
+    "delta_log_scan",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    doc="local Delta table read WITHOUT delta-spark (sources/delta_log.py): "
+    "the region fixture is committed once into a Delta-protocol table "
+    "(_delta_log JSON + stats-bearing add actions) and scanned back through "
+    "the deltashare DataSource's direct-file mode — log replay, snapshot "
+    "and the shared pruning/read path all under the oracle gate",
+)
+def delta_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import read_delta, write_delta
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    table = Path(f"/tmp/ddss_delta_region_{key}")
+    if not (table / "_delta_log").is_dir():
+        write_delta(load_table(spark, sf_dir, "region"), table)
+    return read_delta(spark, table).select("r_regionkey", "r_name")

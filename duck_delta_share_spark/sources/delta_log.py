@@ -1,0 +1,382 @@
+"""Local Delta Lake tables WITHOUT delta-spark: log replay + a minimal
+writer, implemented against the public Delta transaction-log protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md).
+
+Reader: ``snapshot(path, version)`` reconstructs the file list by reading
+the latest parquet checkpoint at-or-below the target version and replaying
+the JSON commits after it (add/remove/metaData/protocol actions), then
+``read_delta`` scans the snapshot through the ``deltashare`` DataSource's
+direct-file mode — so partition pruning, file-stats pruning, row-group
+pruning and filter re-application all come from the SAME code path as the
+sharing reads (`sources/delta_share.py`), no second scan implementation.
+
+Writer: ``write_delta`` commits Spark-written parquet files with
+protocol/metaData/add (and remove on overwrite) actions; ``checkpoint``
+folds the log into an N.checkpoint.parquet + _last_checkpoint so logs can
+be truncated. Appends are atomic per the protocol's
+one-json-file-per-version rule (O_EXCL create).
+
+Reader-version gate: tables requiring minReaderVersion > 1 (deletion
+vectors, column mapping) fail fast via the same ``check_protocol`` as the
+REST client rather than returning wrong rows.
+
+The reference has no local-Delta surface (it reads Delta *Sharing* REST
+only, `/root/reference/src/delta_sharing_client.cpp`); this closes the
+"same data, no sharing server" gap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any
+from urllib.parse import quote, unquote
+
+from duck_delta_share_spark.client.models import Protocol
+from duck_delta_share_spark.client.rest import check_protocol
+
+
+@dataclass(frozen=True)
+class DeltaSnapshot:
+    version: int
+    schema_string: str
+    partition_columns: tuple[str, ...]
+    files: tuple[dict, ...]  # {"url", "partitionValues", "stats"}
+
+
+def _log_dir(table_path: str | Path) -> Path:
+    return Path(table_path) / "_delta_log"
+
+
+def _commit_path(table_path: str | Path, version: int) -> Path:
+    return _log_dir(table_path) / f"{version:020d}.json"
+
+
+def _list_versions(log: Path) -> tuple[list[int], list[int]]:
+    """(json commit versions, single-part checkpoint versions), sorted."""
+    commits, checkpoints = [], []
+    for p in log.iterdir():
+        name = p.name
+        if name.endswith(".json") and name[:20].isdigit():
+            commits.append(int(name[:20]))
+        elif name.endswith(".checkpoint.parquet") and name[:20].isdigit():
+            checkpoints.append(int(name[:20]))
+    return sorted(commits), sorted(checkpoints)
+
+
+def _apply_action(state: dict, action: dict, table: Path) -> None:
+    if "metaData" in action:
+        md = action["metaData"]
+        state["schema_string"] = md.get("schemaString") or state["schema_string"]
+        state["partition_columns"] = tuple(md.get("partitionColumns") or ())
+    elif "protocol" in action:
+        check_protocol(
+            Protocol(min_reader_version=int(action["protocol"].get("minReaderVersion", 1))),
+            str(table),
+        )
+    elif "add" in action:
+        a = action["add"]
+        state["files"][unquote(a["path"])] = {
+            "partitionValues": a.get("partitionValues") or {},
+            "stats": a.get("stats") or "",
+        }
+    elif "remove" in action:
+        state["files"].pop(unquote(action["remove"]["path"]), None)
+
+
+def _read_checkpoint(cp_file: Path, state: dict, table: Path) -> None:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(cp_file)
+    for row in tbl.to_pylist():
+        for key in ("metaData", "protocol", "add"):
+            a = row.get(key)
+            if a is not None and (not isinstance(a, dict) or any(v is not None for v in a.values())):
+                if key == "add" and isinstance(a.get("partitionValues"), list):
+                    # pyarrow renders map<string,string> as [(k, v), ...]
+                    a = dict(a, partitionValues=dict(a["partitionValues"]))
+                _apply_action(state, {key: a}, table)
+                break
+        # checkpoint `remove` rows are vacuum tombstones, not state
+
+
+def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapshot:
+    """Reconstruct the table state at ``version`` (default: latest)."""
+    table = Path(table_path)
+    log = _log_dir(table)
+    if not log.is_dir():
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
+    commits, checkpoints = _list_versions(log)
+    if not commits and not checkpoints:
+        raise FileNotFoundError(f"empty _delta_log in {table}")
+    latest = max(commits + checkpoints)
+    target = latest if version is None else int(version)
+    if target > latest:
+        raise ValueError(f"version {target} does not exist (latest is {latest})")
+
+    state: dict = {"schema_string": "", "partition_columns": (), "files": {}}
+    usable_cp = [v for v in checkpoints if v <= target]
+    start = 0
+    if usable_cp:
+        cp = max(usable_cp)
+        _read_checkpoint(log / f"{cp:020d}.checkpoint.parquet", state, table)
+        start = cp + 1
+    replay = [v for v in commits if start <= v <= target]
+    expected = list(range(start, target + 1))
+    if replay != expected and not (usable_cp and max(usable_cp) == target):
+        missing = sorted(set(expected) - set(replay))
+        raise ValueError(f"log is missing commit(s) {missing} for version {target}")
+    for v in replay:
+        with open(_commit_path(table, v)) as f:
+            for line in f:
+                if line.strip():
+                    _apply_action(state, json.loads(line), table)
+    files = tuple(
+        {
+            "url": str(table / rel),
+            "partitionValues": info["partitionValues"],
+            "stats": info["stats"],
+        }
+        for rel, info in sorted(state["files"].items())
+    )
+    return DeltaSnapshot(
+        version=target,
+        schema_string=state["schema_string"],
+        partition_columns=state["partition_columns"],
+        files=files,
+    )
+
+
+def read_delta(spark, table_path: str | Path, version: int | None = None):
+    """Scan a local Delta table at a version through the deltashare
+    DataSource (direct-file mode → shared pruning/read path)."""
+    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+
+    spark.dataSource.register(DeltaShareDataSource)
+    snap = snapshot(table_path, version)
+    reader = (
+        spark.read.format("deltashare")
+        .option("files", json.dumps(list(snap.files)))
+        .option("schemaString", snap.schema_string)
+    )
+    if snap.partition_columns:
+        reader = reader.option("partitionColumns", ",".join(snap.partition_columns))
+    return reader.load()
+
+
+# ---------------------------------------------------------------------------
+# Minimal writer
+# ---------------------------------------------------------------------------
+
+
+_STATS_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "string", "date")
+
+
+def _file_stats(path: Path, fields: list) -> str:
+    """numRecords + per-column min/max from the parquet footer, in the
+    Delta stats-JSON shape the sharing/pruning code already consumes."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    simple = {f.name for f in fields if f.dataType.simpleString() in _STATS_TYPES}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for j in range(g.num_columns):
+            col = g.column(j)
+            name = col.path_in_schema
+            st = col.statistics
+            if name not in simple or st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return json.dumps(
+        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs},
+        default=str,
+    )
+
+
+def _atomic_commit(table: Path, version: int, actions: list[dict]) -> None:
+    """One JSON file per version, created with O_EXCL: concurrent writers
+    race on the create and the loser must retry on a fresh snapshot —
+    exactly the protocol's optimistic-concurrency rule."""
+    path = _commit_path(table, version)
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+def write_delta(
+    df,
+    table_path: str | Path,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write a DataFrame as a Delta-protocol commit; returns the version.
+
+    Data files are written by Spark (full parallelism) into a staging dir,
+    moved into the table, and committed with add actions carrying
+    numRecords/min/max stats (so downstream snapshots prune). ``overwrite``
+    additionally emits remove actions for every prior file. First commit
+    writes protocol + metaData.
+    """
+    import shutil
+
+    table = Path(table_path)
+    log = _log_dir(table)
+    log.mkdir(parents=True, exist_ok=True)
+    commits, checkpoints = _list_versions(log)
+    have = commits + checkpoints
+    version = (max(have) + 1) if have else 0
+    part_cols = list(partition_by or ())
+    if version > 0:
+        prev = snapshot(table)
+        part_cols = list(prev.partition_columns)
+
+    staging = table / f"_staging_{uuid.uuid4().hex[:12]}"
+    writer = df.write.format("parquet").mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.save(str(staging))
+
+    data_fields = [f for f in df.schema.fields if f.name not in part_cols]
+    adds = []
+    for p in sorted(staging.rglob("*.parquet")):
+        rel = p.relative_to(staging)
+        pvals: dict[str, str | None] = {}
+        for seg in rel.parts[:-1]:
+            k, _, v = seg.partition("=")
+            pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        dest = table / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        # uuid-suffixed names: appended files can never collide
+        final = dest.with_name(f"{p.stem}-{uuid.uuid4().hex[:8]}.parquet")
+        shutil.move(str(p), final)
+        adds.append(
+            {
+                "add": {
+                    "path": quote(str(final.relative_to(table)), safe="/="),
+                    "partitionValues": pvals,
+                    "size": final.stat().st_size,
+                    "modificationTime": int(final.stat().st_mtime * 1000),
+                    "dataChange": True,
+                    "stats": _file_stats(final, data_fields),
+                }
+            }
+        )
+    shutil.rmtree(staging)
+
+    actions: list[dict] = []
+    if version == 0:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+    if version == 0 or mode == "overwrite":
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": part_cols,
+                    "configuration": {},
+                }
+            }
+        )
+    if mode == "overwrite" and version > 0:
+        for f in prev.files:
+            rel = str(Path(f["url"]).relative_to(table))
+            actions.append(
+                {"remove": {"path": quote(rel, safe="/="), "dataChange": True}}
+            )
+    elif mode != "append" and version > 0:
+        raise ValueError(f"mode must be append or overwrite, got {mode!r}")
+    actions.extend(adds)
+    _atomic_commit(table, version, actions)
+    return version
+
+
+def checkpoint(table_path: str | Path) -> int:
+    """Fold the current snapshot into N.checkpoint.parquet +
+    _last_checkpoint; commits ≤ N can then be deleted (log truncation)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = Path(table_path)
+    snap = snapshot(table)
+    rows = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+        },
+        {
+            "protocol": None,
+            "metaData": {
+                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                "schemaString": snap.schema_string,
+                "partitionColumns": list(snap.partition_columns),
+            },
+            "add": None,
+        },
+    ]
+    for f in snap.files:
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": quote(str(Path(f["url"]).relative_to(table)), safe="/="),
+                    "partitionValues": f["partitionValues"],
+                    "stats": f["stats"],
+                },
+            }
+        )
+    # explicit schema: partitionValues must be map<string,string> (an empty
+    # dict would otherwise infer an unwritable zero-field struct)
+    cp_schema = pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("stats", pa.string()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=cp_schema),
+        _log_dir(table) / f"{snap.version:020d}.checkpoint.parquet",
+    )
+    (_log_dir(table) / "_last_checkpoint").write_text(
+        json.dumps({"version": snap.version, "size": len(snap.files)})
+    )
+    return snap.version

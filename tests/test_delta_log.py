@@ -1,0 +1,121 @@
+"""Local Delta table reader/writer: log replay, time travel, overwrite,
+checkpoint + log truncation, partition pruning, reader-version gate."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from duck_delta_share_spark.catalog import load_table
+from duck_delta_share_spark.client import DeltaSharingError
+from duck_delta_share_spark.sources.delta_log import (
+    checkpoint,
+    read_delta,
+    snapshot,
+    write_delta,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def region(spark):
+    return load_table(spark, SF_DIR, "region")
+
+
+def test_write_read_roundtrip(spark, region, tmp_path):
+    t = tmp_path / "t"
+    v = write_delta(region, t)
+    assert v == 0
+    back = read_delta(spark, t)
+    assert sorted(r.r_name for r in back.collect()) == sorted(
+        r.r_name for r in region.collect()
+    )
+    assert back.schema == region.schema
+
+
+def test_append_overwrite_and_time_travel(spark, region, tmp_path):
+    t = tmp_path / "t"
+    assert write_delta(region, t) == 0
+    assert write_delta(region.limit(2), t, mode="append") == 1
+    assert read_delta(spark, t).count() == 7
+    assert write_delta(region.limit(1), t, mode="overwrite") == 2
+    assert read_delta(spark, t).count() == 1
+    # time travel
+    assert read_delta(spark, t, version=0).count() == 5
+    assert read_delta(spark, t, version=1).count() == 7
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot(t, 9)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    t = tmp_path / "p"
+    df = spark.createDataFrame(
+        [(1, "eu"), (2, "eu"), (3, "us")], "id long, pcol string"
+    )
+    write_delta(df, t, partition_by=["pcol"])
+    snap = snapshot(t)
+    assert snap.partition_columns == ("pcol",)
+    assert all(f["partitionValues"].get("pcol") in ("eu", "us") for f in snap.files)
+
+    back = read_delta(spark, t)
+    assert {(r.id, r.pcol) for r in back.collect()} == {(1, "eu"), (2, "eu"), (3, "us")}
+    # appends inherit the partitioning
+    write_delta(spark.createDataFrame([(4, "ap")], "id long, pcol string"), t)
+    assert read_delta(spark, t).filter(F.col("pcol") == "ap").count() == 1
+
+
+def test_stats_recorded_for_pruning(region, tmp_path):
+    t = tmp_path / "s"
+    write_delta(region, t)
+    stats = json.loads(snapshot(t).files[0]["stats"])
+    assert stats["numRecords"] == 5
+    assert stats["minValues"]["r_regionkey"] == 0
+    assert stats["maxValues"]["r_regionkey"] == 4
+
+
+def test_checkpoint_allows_log_truncation(spark, region, tmp_path):
+    t = tmp_path / "c"
+    write_delta(region, t)
+    write_delta(region.limit(2), t, mode="append")
+    write_delta(region.limit(1), t, mode="append")
+    v = checkpoint(t)
+    assert v == 2
+    # truncate: delete every commit <= checkpoint version
+    for n in range(v + 1):
+        (t / "_delta_log" / f"{n:020d}.json").unlink()
+    assert read_delta(spark, t).count() == 8
+    # and the log keeps working after truncation
+    write_delta(region.limit(1), t, mode="append")
+    assert read_delta(spark, t).count() == 9
+    assert snapshot(t).version == 3
+
+
+def test_missing_commit_is_an_error(region, tmp_path):
+    t = tmp_path / "m"
+    write_delta(region, t)
+    write_delta(region, t, mode="append")
+    (t / "_delta_log" / f"{0:020d}.json").unlink()
+    with pytest.raises(ValueError, match="missing commit"):
+        snapshot(t)
+
+
+def test_reader_version_gate(region, tmp_path):
+    t = tmp_path / "g"
+    write_delta(region, t)
+    log = t / "_delta_log" / f"{1:020d}.json"
+    log.write_text(json.dumps({"protocol": {"minReaderVersion": 2}}) + "\n")
+    with pytest.raises(DeltaSharingError, match="minReaderVersion=2"):
+        snapshot(t)
+
+
+def test_concurrent_commit_loses_race(region, tmp_path):
+    t = tmp_path / "r"
+    write_delta(region, t)
+    # simulate a competing writer landing version 1 first
+    (t / "_delta_log" / f"{1:020d}.json").write_text("")
+    with pytest.raises(FileExistsError):
+        from duck_delta_share_spark.sources.delta_log import _atomic_commit
+
+        _atomic_commit(t, 1, [{"add": {"path": "x"}}])
