@@ -152,18 +152,14 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
 
 def read_delta(spark, table_path: str | Path, version: int | None = None):
     """Scan a local Delta table at a version through the deltashare
-    DataSource (direct-file mode → shared pruning/read path)."""
+    DataSource (deltaPath mode → shared pruning/read path). Equivalent to
+    ``spark.read.format("deltashare").option("deltaPath", path).load()``."""
     from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
 
     spark.dataSource.register(DeltaShareDataSource)
-    snap = snapshot(table_path, version)
-    reader = (
-        spark.read.format("deltashare")
-        .option("files", json.dumps(list(snap.files)))
-        .option("schemaString", snap.schema_string)
-    )
-    if snap.partition_columns:
-        reader = reader.option("partitionColumns", ",".join(snap.partition_columns))
+    reader = spark.read.format("deltashare").option("deltaPath", str(table_path))
+    if version is not None:
+        reader = reader.option("versionAsOf", str(version))
     return reader.load()
 
 
@@ -380,3 +376,71 @@ def checkpoint(table_path: str | Path) -> int:
         json.dumps({"version": snap.version, "size": len(snap.files)})
     )
     return snap.version
+
+
+def latest_version(table_path: str | Path) -> int:
+    commits, checkpoints = _list_versions(_log_dir(table_path))
+    if not commits and not checkpoints:
+        raise FileNotFoundError(f"empty _delta_log in {table_path}")
+    return max(commits + checkpoints)
+
+
+def version_changes(
+    table_path: str | Path, start: int, end: int
+) -> list[dict]:
+    """Per-commit file actions for versions [start, end] (inclusive) — the
+    local twin of the sharing server's /changes endpoint, powering
+    streaming offsets and batch CDF over plain-filesystem Delta tables.
+
+    Each entry: {url, id, partitionValues, stats, action, version,
+    timestamp} (timestamp ms: commitInfo.timestamp if present, else the
+    commit file's mtime, per the protocol's in-commit-timestamp fallback).
+    Raises on a missing commit (truncated log → resync from a snapshot).
+    """
+    table = Path(table_path)
+    out: list[dict] = []
+    for v in range(start, end + 1):
+        cp = _commit_path(table, v)
+        if not cp.exists():
+            raise ValueError(
+                f"commit {v} is missing from {table}/_delta_log (log truncated?); "
+                "restart the stream from a fresh snapshot"
+            )
+        ts_ms = int(cp.stat().st_mtime * 1000)
+        actions = []
+        with open(cp) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+                    ts_ms = int(a["commitInfo"]["timestamp"])
+                elif "protocol" in a:
+                    check_protocol(
+                        Protocol(
+                            min_reader_version=int(
+                                a["protocol"].get("minReaderVersion", 1)
+                            )
+                        ),
+                        str(table),
+                    )
+                else:
+                    actions.append(a)
+        for a in actions:
+            for kind in ("add", "cdf", "remove"):
+                if kind in a:
+                    f_ = a[kind]
+                    rel = unquote(f_["path"])
+                    out.append(
+                        {
+                            "url": str(table / rel),
+                            "id": rel,
+                            "partitionValues": f_.get("partitionValues") or {},
+                            "stats": f_.get("stats") or "",
+                            "action": kind,
+                            "version": v,
+                            "timestamp": ts_ms,
+                        }
+                    )
+                    break
+    return out

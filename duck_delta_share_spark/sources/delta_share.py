@@ -113,6 +113,21 @@ def _cdf_enabled(options: dict[str, str]) -> bool:
     return str(raw).lower() in ("true", "1")
 
 
+def _delta_path(options: dict[str, str]) -> str | None:
+    """Local-Delta mode: an explicit deltaPath option, or a load() path
+    that is a filesystem directory containing _delta_log."""
+    p = options.get("deltapath", options.get("deltaPath"))
+    if p:
+        return p
+    path = options.get("path", "")
+    if path and "://" not in path:
+        import os.path
+
+        if os.path.isdir(os.path.join(path, "_delta_log")):
+            return path
+    return None
+
+
 def _with_cdf_fields(schema: StructType) -> StructType:
     from pyspark.sql.types import LongType, StringType, StructField, TimestampType
 
@@ -139,8 +154,16 @@ class DeltaShareDataSource(DataSource):
         return "deltashare"
 
     def schema(self) -> StructType:
+        delta = _delta_path(self.options)
         if "schemaString" in self.options:
             base = schema_from_string(self.options["schemaString"])
+        elif delta:
+            from duck_delta_share_spark.sources.delta_log import snapshot
+
+            version = self.options.get("versionasof", self.options.get("versionAsOf"))
+            base = schema_from_string(
+                snapshot(delta, int(version) if version is not None else None).schema_string
+            )
         else:
             share, schema, table = _parse_table_path(self.options.get("path"), self.options)
             client = _make_client(self.options)
@@ -190,6 +213,26 @@ class DeltaShareReader(DataSourceReader):
         if "files" in self.options:
             files = json.loads(self.options["files"])
             return files, self.partition_columns
+        delta = _delta_path(self.options)
+        if delta:
+            from duck_delta_share_spark.sources.delta_log import (
+                snapshot,
+                version_changes,
+            )
+
+            version = self.options.get("versionasof", self.options.get("versionAsOf"))
+            if _cdf_enabled(self.options):
+                sv = self.options.get("startingversion", self.options.get("startingVersion"))
+                if sv is None:
+                    raise ValueError("readChangeFeed requires a startingVersion option")
+                ev = self.options.get("endingversion", self.options.get("endingVersion"))
+                from duck_delta_share_spark.sources.delta_log import latest_version
+
+                end = int(ev) if ev is not None else latest_version(delta)
+                snap = snapshot(delta)  # partition columns + protocol gate
+                return version_changes(delta, int(sv), end), snap.partition_columns
+            snap = snapshot(delta, int(version) if version is not None else None)
+            return list(snap.files), snap.partition_columns
         share, schema, table = _parse_table_path(self.options.get("path"), self.options)
         client = _make_client(self.options)
         if _cdf_enabled(self.options):
@@ -245,8 +288,10 @@ class DeltaShareReader(DataSourceReader):
 
     def partitions(self) -> list[_FileTask]:
         files, part_cols = self._file_actions()
-        refresh = None if "files" in self.options else dict(self.options)
-        return _build_tasks(files, part_cols, self.schema, self.pushed, refresh)
+        # only REST mode has a control plane to refresh expired URLs from
+        rest = "files" not in self.options and _delta_path(self.options) is None
+        return _build_tasks(files, part_cols, self.schema, self.pushed,
+                            dict(self.options) if rest else None)
 
     # -- execution (runs on executors) ---------------------------------------
 
@@ -536,9 +581,11 @@ class DeltaShareStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict[str, str], schema: StructType):
         self.options = options
         self.schema = schema
-        self.share, self.schema_name, self.table = _parse_table_path(
-            options.get("path"), options
-        )
+        self.delta_path = _delta_path(options)
+        if self.delta_path is None:
+            self.share, self.schema_name, self.table = _parse_table_path(
+                options.get("path"), options
+            )
         self.cdf = _cdf_enabled(options)
         raw = options.get("ignoredeletes", options.get("ignoreDeletes", ""))
         self.ignore_deletes = str(raw).lower() in ("true", "1")
@@ -546,6 +593,10 @@ class DeltaShareStreamReader(DataSourceStreamReader):
     # driver-side ------------------------------------------------------------
 
     def _current_version(self) -> int:
+        if self.delta_path is not None:
+            from duck_delta_share_spark.sources.delta_log import latest_version
+
+            return latest_version(self.delta_path)
         client = _make_client(self.options)
         return client.query_table_version(self.share, self.schema_name, self.table)
 
@@ -558,55 +609,66 @@ class DeltaShareStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         return {"version": self._current_version() + 1}
 
-    def partitions(self, start: dict, end: dict) -> list[_FileTask]:
-        if start["version"] >= end["version"]:
-            return []
+    def _changes(self, start: int, end_incl: int) -> tuple[list[dict], tuple[str, ...]]:
+        """Raw per-commit file actions from either backend, in the same
+        dict shape (url/id/partitionValues/stats/action/version/timestamp)."""
+        if self.delta_path is not None:
+            from duck_delta_share_spark.sources.delta_log import (
+                snapshot,
+                version_changes,
+            )
+
+            files = version_changes(self.delta_path, start, end_incl)
+            return files, snapshot(self.delta_path).partition_columns
         changes = _make_client(self.options).query_table_changes(
             self.share,
             self.schema_name,
             self.table,
-            starting_version=start["version"],
-            ending_version=end["version"] - 1,
+            starting_version=start,
+            ending_version=end_incl,
         )
+        files = [
+            {
+                "url": a.file.url,
+                "id": a.file.id,
+                "partitionValues": dict(a.file.partition_values),
+                "stats": a.file.stats,
+                "action": a.action_type,
+                "version": a.file.version,
+                "timestamp": a.file.timestamp,
+            }
+            for a in changes.actions
+        ]
+        return files, tuple(changes.metadata.partition_columns)
+
+    def partitions(self, start: dict, end: dict) -> list[_FileTask]:
+        if start["version"] >= end["version"]:
+            return []
+        raw, part_cols = self._changes(start["version"], end["version"] - 1)
+        name = self.delta_path or f"{self.share}.{self.schema_name}.{self.table}"
         files = []
-        for a in changes.actions:
+        for f in raw:
             if not self.cdf:
-                if a.action_type == "remove":
+                if f["action"] == "remove":
                     if self.ignore_deletes:
                         continue
                     raise ValueError(
-                        f"version {a.file.version} of "
-                        f"{self.share}.{self.schema_name}.{self.table} removed "
-                        f"file {a.file.id or a.file.url!r}; this stream is "
-                        "append-only. Set ignoreDeletes=true to skip deletes, "
-                        "or readChangeFeed=true to consume them as CDF rows."
+                        f"version {f['version']} of {name} removed file "
+                        f"{f['id'] or f['url']!r}; this stream is append-only. "
+                        "Set ignoreDeletes=true to skip deletes, or "
+                        "readChangeFeed=true to consume them as CDF rows."
                     )
-                if a.action_type == "cdf":
+                if f["action"] == "cdf":
                     # change-materialized commits carry updates; without CDF
                     # columns requested we cannot represent them
                     raise ValueError(
-                        f"version {a.file.version} contains change-data files; "
+                        f"version {f['version']} contains change-data files; "
                         "set readChangeFeed=true to stream them"
                     )
-            files.append(
-                {
-                    "url": a.file.url,
-                    "id": a.file.id,
-                    "partitionValues": dict(a.file.partition_values),
-                    "stats": a.file.stats,
-                    **(
-                        {
-                            "action": a.action_type,
-                            "version": a.file.version,
-                            "timestamp": a.file.timestamp,
-                        }
-                        if self.cdf
-                        else {}
-                    ),
-                }
-            )
-        part_cols = tuple(changes.metadata.partition_columns)
-        return _build_tasks(files, part_cols, self.schema, [], dict(self.options))
+                f = {k: v for k, v in f.items() if k not in ("action", "version", "timestamp")}
+            files.append(f)
+        refresh = dict(self.options) if self.delta_path is None else None
+        return _build_tasks(files, part_cols, self.schema, [], refresh)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing server-side

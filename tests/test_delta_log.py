@@ -119,3 +119,53 @@ def test_concurrent_commit_loses_race(region, tmp_path):
         from duck_delta_share_spark.sources.delta_log import _atomic_commit
 
         _atomic_commit(t, 1, [{"add": {"path": "x"}}])
+
+
+def test_local_cdf_batch(spark, region, tmp_path):
+    t = tmp_path / "cdf"
+    write_delta(region, t)                      # v0: 5 inserts
+    write_delta(region.limit(2), t, mode="append")   # v1: 2 inserts
+    write_delta(region.limit(1), t, mode="overwrite")  # v2: removes + 1 insert
+    df = (
+        spark.read.format("deltashare")
+        .option("deltaPath", str(t))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    rows = df.collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r._commit_version, r._change_type), []).append(r.r_regionkey)
+    assert len(by[(0, "insert")]) == 5
+    assert len(by[(1, "insert")]) == 2
+    assert len(by[(2, "insert")]) == 1
+    assert len(by[(2, "delete")]) == 7  # both v0 files + v1 file removed
+
+
+def test_local_streaming_follows_appends(spark, region, tmp_path):
+    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+
+    spark.dataSource.register(DeltaShareDataSource)
+    t = tmp_path / "stream"
+    write_delta(region, t)
+    sdf = (
+        spark.readStream.format("deltashare")
+        .option("deltaPath", str(t))
+        .option("startingVersion", "0")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("delta_local_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select count(*) c from delta_local_stream").first().c == 5
+        write_delta(region.limit(3), t, mode="append")
+        q.processAllAvailable()
+        assert spark.sql("select count(*) c from delta_local_stream").first().c == 8
+    finally:
+        q.stop()
