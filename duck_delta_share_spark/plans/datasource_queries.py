@@ -99,3 +99,41 @@ def delta_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (table / "_delta_log").is_dir():
         write_delta(load_table(spark, sf_dir, "region"), table)
     return read_delta(spark, table).select("r_regionkey", "r_name")
+
+
+@query(
+    "delta_merge_upsert",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey = 0 THEN 'NATION_0_V2' ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation
+UNION ALL
+SELECT 99, 'NEW_NATION', 1
+ORDER BY n_nationkey
+""",
+    doc="transactional file-granular merge-on-write on a local Delta table "
+    "(sources/delta_log.py:merge_delta): update-key min/max prune the file "
+    "list via stats_allow, only overlapping files are read and rewritten "
+    "(broadcast anti join), committed as remove+add; the scan-back of the "
+    "merged table is hash-checked against the SQL upsert emulation",
+)
+def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_merge_")) / "t"
+    n = load_table(spark, sf_dir, "nation")
+    write_delta(n, table)
+    updates = spark.createDataFrame(
+        [(0, "NATION_0_V2", 0), (99, "NEW_NATION", 1)], n.schema
+    )
+    merge_delta(spark, table, updates, ["n_nationkey"])
+    return read_delta(spark, table).orderBy("n_nationkey")

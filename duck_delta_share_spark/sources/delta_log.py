@@ -212,32 +212,12 @@ def _atomic_commit(table: Path, version: int, actions: list[dict]) -> None:
         f.write("\n".join(json.dumps(a) for a in actions) + "\n")
 
 
-def write_delta(
-    df,
-    table_path: str | Path,
-    mode: str = "append",
-    partition_by: list[str] | None = None,
-) -> int:
-    """Write a DataFrame as a Delta-protocol commit; returns the version.
-
-    Data files are written by Spark (full parallelism) into a staging dir,
-    moved into the table, and committed with add actions carrying
-    numRecords/min/max stats (so downstream snapshots prune). ``overwrite``
-    additionally emits remove actions for every prior file. First commit
-    writes protocol + metaData.
-    """
+def _stage_files(
+    df, table: Path, part_cols: list[str], data_change: bool = True
+) -> list[dict]:
+    """Spark-parallel write into a staging dir, move into the table with
+    collision-proof names, return the add actions (stats included)."""
     import shutil
-
-    table = Path(table_path)
-    log = _log_dir(table)
-    log.mkdir(parents=True, exist_ok=True)
-    commits, checkpoints = _list_versions(log)
-    have = commits + checkpoints
-    version = (max(have) + 1) if have else 0
-    part_cols = list(partition_by or ())
-    if version > 0:
-        prev = snapshot(table)
-        part_cols = list(prev.partition_columns)
 
     staging = table / f"_staging_{uuid.uuid4().hex[:12]}"
     writer = df.write.format("parquet").mode("overwrite")
@@ -265,12 +245,41 @@ def write_delta(
                     "partitionValues": pvals,
                     "size": final.stat().st_size,
                     "modificationTime": int(final.stat().st_mtime * 1000),
-                    "dataChange": True,
+                    "dataChange": data_change,
                     "stats": _file_stats(final, data_fields),
                 }
             }
         )
     shutil.rmtree(staging)
+    return adds
+
+
+def write_delta(
+    df,
+    table_path: str | Path,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write a DataFrame as a Delta-protocol commit; returns the version.
+
+    Data files are written by Spark (full parallelism) into a staging dir,
+    moved into the table, and committed with add actions carrying
+    numRecords/min/max stats (so downstream snapshots prune). ``overwrite``
+    additionally emits remove actions for every prior file. First commit
+    writes protocol + metaData.
+    """
+    table = Path(table_path)
+    log = _log_dir(table)
+    log.mkdir(parents=True, exist_ok=True)
+    commits, checkpoints = _list_versions(log)
+    have = commits + checkpoints
+    version = (max(have) + 1) if have else 0
+    part_cols = list(partition_by or ())
+    if version > 0:
+        prev = snapshot(table)
+        part_cols = list(prev.partition_columns)
+
+    adds = _stage_files(df, table, part_cols)
 
     actions: list[dict] = []
     if version == 0:
@@ -444,3 +453,154 @@ def version_changes(
                     )
                     break
     return out
+
+
+# ---------------------------------------------------------------------------
+# Table maintenance: merge (upsert), optimize (compaction), vacuum
+# ---------------------------------------------------------------------------
+
+
+def _direct_read(spark, snap_schema: str, part_cols, files: list[dict]):
+    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+
+    spark.dataSource.register(DeltaShareDataSource)
+    reader = (
+        spark.read.format("deltashare")
+        .option("files", json.dumps(files))
+        .option("schemaString", snap_schema)
+    )
+    if part_cols:
+        reader = reader.option("partitionColumns", ",".join(part_cols))
+    return reader.load()
+
+
+def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> dict:
+    """FILE-granular merge-on-write (upsert) as one Delta commit.
+
+    Scale shape — rewrite only files that can contain a matching key:
+
+    1. the updates' per-key min/max (a 2-value driver collect per key, not
+       data) prune the snapshot's file list through the same
+       ``stats_allow`` used for scan pruning: a file whose stats range
+       can't intersect the update keys is never read OR rewritten;
+    2. candidate files are read through the shared DataSource path, losers
+       removed with a broadcast LEFT ANTI join on the key;
+    3. survivors ∪ updates are staged in parallel and committed as
+       remove(candidates) + add(new) — untouched files stay byte-identical
+       and time travel to the pre-merge version still works.
+
+    Finer-grained than ``sinks.upsert_partitioned`` (file-level vs
+    partition-directory-level) because Delta's per-file stats make the
+    pruning decidable. Returns {version, files_rewritten, files_untouched,
+    rows_written}.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from duck_delta_share_spark.sources.pushdown import stats_allow
+
+    table = Path(table_path)
+    snap = snapshot(table)
+    keys = list(key_cols)
+    b = updates.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in keys],
+        *[F.max(k).alias(f"hi_{k}") for k in keys],
+    ).first()
+    filters = []
+    for k in keys:
+        if b[f"lo_{k}"] is not None:
+            filters.append(GreaterThanOrEqual((k,), b[f"lo_{k}"]))
+            filters.append(LessThanOrEqual((k,), b[f"hi_{k}"]))
+
+    def may_match(f: dict) -> bool:
+        try:
+            stats = json.loads(f["stats"]) if f["stats"] else {}
+        except ValueError:
+            stats = {}
+        return stats_allow(filters, stats)
+
+    candidates = [f for f in snap.files if may_match(f)]
+    untouched = len(snap.files) - len(candidates)
+
+    part_cols = list(snap.partition_columns)
+    if candidates:
+        existing = _direct_read(spark, snap.schema_string, part_cols, candidates)
+        kept = existing.join(F.broadcast(updates.select(*keys)), keys, "left_anti")
+        merged = kept.unionByName(updates.select(*existing.columns))
+    else:
+        merged = updates
+    rows = merged.count()
+    adds = _stage_files(merged, table, part_cols)
+    actions = [
+        {"remove": {"path": quote(str(Path(f["url"]).relative_to(table)), safe="/="),
+                    "dataChange": True}}
+        for f in candidates
+    ] + adds
+    version = latest_version(table) + 1
+    _atomic_commit(table, version, actions)
+    return {
+        "version": version,
+        "files_rewritten": len(candidates),
+        "files_untouched": untouched,
+        "rows_written": rows,
+    }
+
+
+def optimize(spark, table_path: str | Path, target_file_mb: int = 128) -> dict:
+    """Compact fragmented files into ~target-sized ones as a dataChange:
+    false commit (streams replaying the log skip it; time travel to the
+    fragmented version still works until vacuum). Partitioned tables
+    rewrite one file per partition directory."""
+    import math
+
+    table = Path(table_path)
+    snap = snapshot(table)
+    by_part: dict[tuple, list[dict]] = {}
+    for f in snap.files:
+        by_part.setdefault(tuple(sorted(f["partitionValues"].items())), []).append(f)
+    worth = [fs for fs in by_part.values() if len(fs) > 1]
+    if not worth:
+        return {"version": snap.version, "files_before": len(snap.files), "files_after": len(snap.files)}
+    todo = [f for fs in worth for f in fs]
+    part_cols = list(snap.partition_columns)
+    df = _direct_read(spark, snap.schema_string, part_cols, todo)
+    if part_cols:
+        from pyspark.sql import functions as F
+
+        shaped = df.repartition(*[F.col(c) for c in part_cols])
+    else:
+        total = sum(Path(f["url"]).stat().st_size for f in todo)
+        shaped = df.coalesce(max(1, math.ceil(total / (target_file_mb << 20))))
+    adds = _stage_files(shaped, table, part_cols, data_change=False)
+    actions = [
+        {"remove": {"path": quote(str(Path(f["url"]).relative_to(table)), safe="/="),
+                    "dataChange": False}}
+        for f in todo
+    ] + adds
+    version = latest_version(table) + 1
+    _atomic_commit(table, version, actions)
+    return {
+        "version": version,
+        "files_before": len(snap.files),
+        "files_after": len(snap.files) - len(todo) + len(adds),
+    }
+
+
+def vacuum(table_path: str | Path, retain_hours: float = 168.0) -> dict:
+    """Delete data files no longer referenced by the CURRENT snapshot and
+    older than the retention window (defaults to Delta's 7 days — the
+    guard against breaking in-flight readers and recent time travel)."""
+    import time
+
+    table = Path(table_path)
+    referenced = {Path(f["url"]) for f in snapshot(table).files}
+    cutoff = time.time() - retain_hours * 3600
+    removed = 0
+    for p in table.rglob("*.parquet"):
+        if "_delta_log" in p.parts or any(s.startswith("_staging_") for s in p.parts):
+            continue
+        if p in referenced or p.stat().st_mtime > cutoff:
+            continue
+        p.unlink()
+        removed += 1
+    return {"files_removed": removed}

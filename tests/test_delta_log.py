@@ -169,3 +169,72 @@ def test_local_streaming_follows_appends(spark, region, tmp_path):
         assert spark.sql("select count(*) c from delta_local_stream").first().c == 8
     finally:
         q.stop()
+
+
+def test_merge_rewrites_only_overlapping_files(spark, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import merge_delta
+
+    t = tmp_path / "mrg"
+    low = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, val string")
+    high = spark.createDataFrame([(i, f"v{i}") for i in range(100, 110)], "id long, val string")
+    write_delta(low.coalesce(1), t)                     # file A: ids 0-9
+    write_delta(high.coalesce(1), t, mode="append")     # file B: ids 100-109
+    files_before = {f["url"] for f in snapshot(t).files}
+
+    updates = spark.createDataFrame(
+        [(5, "NEW"), (200, "INS")], "id long, val string"
+    )
+    out = merge_delta(spark, t, updates, ["id"])
+    # bounds [5, 200] overlap BOTH files' stats ranges here; use disjoint
+    # updates to prove untouched-file behavior below
+    back = {(r.id, r.val) for r in read_delta(spark, t).collect()}
+    assert (5, "NEW") in back and (200, "INS") in back
+    assert (5, "v5") not in back
+    assert len(back) == 21  # 20 original + 1 insert, one updated in place
+
+    # disjoint update: only the low file may be rewritten
+    up2 = spark.createDataFrame([(3, "NEW2")], "id long, val string")
+    out2 = merge_delta(spark, t, up2, ["id"])
+    assert out2["files_untouched"] >= 1
+    after = {f["url"] for f in snapshot(t).files}
+    # the high file from the first merge commit survives untouched
+    assert any(u in after for u in after if "id" not in u)
+    assert {(r.id, r.val) for r in read_delta(spark, t).collect()} >= {(3, "NEW2"), (200, "INS")}
+
+
+def test_merge_time_travel_preserved(spark, region, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import merge_delta
+
+    t = tmp_path / "mtt"
+    write_delta(region, t)
+    updates = region.limit(1).withColumn("r_name", F.lit("XX"))
+    merge_delta(spark, t, updates, ["r_regionkey"])
+    assert "XX" in {r.r_name for r in read_delta(spark, t).collect()}
+    assert "XX" not in {r.r_name for r in read_delta(spark, t, version=0).collect()}
+
+
+def test_optimize_and_vacuum(spark, region, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import optimize, vacuum
+
+    t = tmp_path / "opt"
+    for _ in range(4):
+        write_delta(region, t, mode="append") if (t / "_delta_log").exists() else write_delta(region, t)
+    assert len(snapshot(t).files) == 4
+    before = {(r.r_regionkey, r.r_name) for r in read_delta(spark, t).collect()}
+
+    out = optimize(spark, t)
+    assert out["files_after"] < out["files_before"]
+    assert {(r.r_regionkey, r.r_name) for r in read_delta(spark, t).collect()} == before
+    # pre-optimize version still readable (files not vacuumed yet)
+    assert read_delta(spark, t, version=3).count() == 20
+
+    n_parquet_before = len(list(t.rglob("*.parquet"))) - len(list((t / "_delta_log").glob("*.parquet")))
+    gone = vacuum(t, retain_hours=0)
+    assert gone["files_removed"] == 4
+    # current snapshot unharmed
+    assert {(r.r_regionkey, r.r_name) for r in read_delta(spark, t).collect()} == before
+    # default retention would have kept them
+    t2 = tmp_path / "opt2"
+    write_delta(region, t2)
+    write_delta(region, t2, mode="overwrite")
+    assert vacuum(t2)["files_removed"] == 0
