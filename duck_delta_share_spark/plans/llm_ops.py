@@ -920,3 +920,145 @@ def pca_project_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return pca_project(e, "embedding", k=8).select("vec_id", "pca")
+
+
+@query(
+    "neardup_canonical_keep",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+),
+labeled AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+         ROUND(
+           (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(d.text, ' '))) AS DOUBLE)
+            / CAST(LEN(STRING_SPLIT(d.text, ' ')) AS DOUBLE)) * 0.7
+           + LEAST(CAST(LEN(STRING_SPLIT(d.text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.3,
+         6) AS quality
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, component,
+       (ROW_NUMBER() OVER (PARTITION BY component
+                           ORDER BY quality DESC, doc_id) = 1) AS kept
+FROM labeled
+""",
+    doc="END-TO-END near-dup canonicalization: Jaccard pair graph -> "
+    "connected components -> keep the highest-quality doc per cluster "
+    "(rounded-quality then doc_id tiebreak, pinned identically in SQL). "
+    "The full dedup decision a training pipeline applies, hash-checked; "
+    "one extra shuffle over components (window by cluster id)",
+)
+def neardup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from duck_delta_share_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        d, block_cols=["lang", "source"], threshold=0.15, shingle_n=3
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    labeled = (
+        d.join(comp, d.doc_id == comp.node, "left")
+        .select(
+            d.doc_id,
+            F.coalesce("component", d.doc_id).alias("component"),
+            F.round(quality_score("text"), 6).alias("quality"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return labeled.select(
+        "doc_id",
+        "component",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
+@query(
+    "inverted_index_postings",
+    oracle="""
+WITH td AS (
+  SELECT DISTINCT term, doc_id
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term, doc_id FROM documents)
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       (list(doc_id ORDER BY doc_id))[1:20] AS postings
+FROM td
+GROUP BY term
+HAVING COUNT(*) >= 3
+ORDER BY term
+""",
+    doc="inverted index (term -> document-frequency + first-20 posting "
+    "chunk): postings are bounded BEFORE aggregation (row_number <= 20 "
+    "within term), so no unbounded collect_list ever materializes — the "
+    "chunked-postings shape a distributed index build needs; df >= 3 "
+    "bounds the emitted vocabulary",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    td = (
+        d.select(F.explode(tokenize("text")).alias("term"), "doc_id")
+        .distinct()
+    )
+    df_counts = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    first_k = (
+        td.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    return (
+        df_counts.join(first_k, "term")
+        .filter(F.col("df") >= 3)
+        .select("term", "df", "postings")
+        .orderBy("term")
+    )
+
+
+@query(
+    "per_group_deterministic_sample",
+    oracle="""
+SELECT lang, doc_id
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+ORDER BY lang, doc_id
+""",
+    doc="exactly-k-per-group sample via md5 rank — the deterministic "
+    "reservoir-sampling twin of sampleBy for when a pipeline needs EXACT "
+    "group quotas and run-to-run reproducibility (md5 is engine-identical; "
+    "xxhash64 has no DuckDB twin). One window shuffle on the group key",
+)
+def per_group_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
