@@ -56,3 +56,39 @@ def test_candidate_volume_bounded(spark):
     n_candidates = cands.filter(F.col("term").isNotNull()).count()
     assert n_candidates <= k * n_parts
     assert n_candidates < vocab, "sketch emitted the whole vocabulary"
+
+
+def test_streaming_twin_contains_all_batch_heavy_hitters(spark, tmp_path):
+    """Every exact theta-heavy term (batch) must appear among the streaming
+    MG candidates, and each shard's candidate set stays <= k."""
+    from duck_delta_share_spark.streaming.heavy_hitters import heavy_hitters_stream
+    from duck_delta_share_spark.streaming.pipeline import read_documents_stream
+
+    theta = 1 / 64
+    stream = heavy_hitters_stream(
+        read_documents_stream(spark, SF_DIR), threshold=theta, n_shards=4
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_hh_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM t_hh_stream").collect()
+    candidates = {r.term for r in rows}
+    exact = {t for (t, _) in _exact(load_table(spark, SF_DIR, "documents"), theta)}
+    assert exact and exact <= candidates
+
+    import math
+    k = math.ceil(1 / theta)
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, set()).add(r.term)
+    assert all(len(terms) <= k for terms in per_shard.values())
+
+    # lower bounds never exceed true counts
+    truth = {t: c for (t, c) in _exact(load_table(spark, SF_DIR, "documents"), 0.0)}
+    assert all(r.cnt_lower <= truth[r.term] for r in rows if r.term in truth)
