@@ -172,3 +172,61 @@ def test_ivf_queries_broadcast(spark):
     plan = _plan(ivf_topk(e, e.filter("vec_id < 5"), dim=64, n_centroids=8, n_probe=2))
     assert "BroadcastHashJoin" in plan, "probe side should broadcast"
     assert "CartesianProduct" not in plan
+
+
+def test_resample_gapfill_windows_are_partitioned(spark):
+    """Gap fill must never use a partition-less (single-task) window, and
+    the rollup's partial aggregation must be map-side (HashAggregate
+    before the exchange)."""
+    plan = _plan(QUERIES["resample_gapfill_hourly"].spark_fn(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan, "global window in gap fill"
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_interval_join_events_is_hash_join(spark):
+    plan = _plan(QUERIES["interval_join_events"].spark_fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan or "HashJoin" in plan
+
+
+def test_embedding_variance_partials_map_side(spark):
+    """posexplode + groupBy(dim) must partial-aggregate before its one
+    exchange — 64 groups shuffle partials, never exploded rows."""
+    plan = _plan(QUERIES["embedding_variance_by_dim"].spark_fn(spark, SF_DIR))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan  # agg shuffle + final orderBy range
+    assert "HashAggregate" in plan
+
+
+def test_quantize_is_pure_projection(spark):
+    """int8 quantization is a narrow map: no exchange, no aggregate except
+    the orderBy the query adds for stable output."""
+    from duck_delta_share_spark.catalog import load_table as lt
+    from duck_delta_share_spark.operators.embeddings import int8_scale, quantize_int8
+
+    e = lt(spark, SF_DIR, "embeddings")
+    scale = int8_scale("embedding")
+    df = e.select("vec_id", quantize_int8("embedding", scale).alias("q"))
+    plan = _plan(df)
+    assert "Exchange" not in plan, "quantization should be shuffle-free"
+
+
+def test_heavy_hitter_candidate_pass_zero_shuffle(spark):
+    """Misra-Gries pass 1 is a narrow mapInPandas over the token stream —
+    no exchange before the python worker."""
+    from duck_delta_share_spark.catalog import load_table as lt
+    from duck_delta_share_spark.functions.text import tokenize
+    from duck_delta_share_spark.operators.sketches import misra_gries_candidates
+
+    d = lt(spark, SF_DIR, "documents")
+    toks = d.select(F.explode(tokenize("text")).alias("term"))
+    plan = _plan(misra_gries_candidates(toks, "term", 64))
+    assert "Exchange" not in plan, "candidate pass must not shuffle"
+
+
+def test_neardup_canonical_single_extra_shuffle(spark):
+    """The canonical-keep layer adds one window over the component id on
+    top of the components plan — no cartesian/global-window regressions."""
+    plan = _plan(QUERIES["neardup_canonical_keep"].spark_fn(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
