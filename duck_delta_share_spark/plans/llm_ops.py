@@ -1062,3 +1062,54 @@ def per_group_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFram
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "unigram_perplexity_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+), freq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok GROUP BY term
+), total AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok
+), scored AS (
+  SELECT t.doc_id,
+         floor(-ln(f.cnt / (SELECT n FROM total)) * 1e9 + 0.5) AS nll_scaled
+  FROM tok t JOIN freq f USING (term)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(nll_scaled AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*), 6)
+           AS avg_nll
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    doc="CCNet-style quality signal: per-doc cross-entropy under the "
+    "corpus unigram LM (avg -ln p(token), p = corpus frequency). Two "
+    "aggregations: corpus term freqs (map-side partials over the token "
+    "stream) broadcast-joined back onto doc tokens, then a per-doc mean. "
+    "Per-token -ln p is pinned to scaled integers (floor(x*1e9+0.5)) so "
+    "the cross-engine sum is exact-associative; identical IEEE ln/div on "
+    "both engines. High avg_nll = improbable tokens = gibberish/rare-lang",
+)
+def unigram_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    total = tok.count()
+    nll = -F.log(F.col("cnt") / F.lit(float(total)))
+    scored = tok.join(F.broadcast(freq), "term").select(
+        "doc_id", F.floor(nll * F.lit(1e9) + F.lit(0.5)).alias("nll_scaled")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("nll_scaled").cast("double") / F.lit(1e9) / F.count(F.lit(1)), 6
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
