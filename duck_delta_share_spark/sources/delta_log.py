@@ -56,15 +56,34 @@ def _commit_path(table_path: str | Path, version: int) -> Path:
 
 
 def _list_versions(log: Path) -> tuple[list[int], list[int]]:
-    """(json commit versions, single-part checkpoint versions), sorted."""
+    """(json commit versions, checkpoint versions), sorted. Multi-part
+    checkpoints (``N.checkpoint.p.of.M.parquet``) count once ONLY when all
+    M parts are present — a partially-written checkpoint is ignored, the
+    snapshot falls back to the previous one + commit replay."""
     commits, checkpoints = [], []
+    parts: dict[int, tuple[int, set[int]]] = {}
     for p in log.iterdir():
         name = p.name
         if name.endswith(".json") and name[:20].isdigit():
             commits.append(int(name[:20]))
         elif name.endswith(".checkpoint.parquet") and name[:20].isdigit():
             checkpoints.append(int(name[:20]))
+        elif name.endswith(".parquet") and ".checkpoint." in name and name[:20].isdigit():
+            seg = name[:-8].split(".")  # N, 'checkpoint', part, 'of'?, total
+            if len(seg) == 4 and seg[2].isdigit() and seg[3].isdigit():
+                v, total = int(seg[0]), int(seg[3])
+                parts.setdefault(v, (total, set()))[1].add(int(seg[2]))
+    for v, (total, have) in parts.items():
+        if len(have) == total:
+            checkpoints.append(v)
     return sorted(commits), sorted(checkpoints)
+
+
+def _checkpoint_files(log: Path, version: int) -> list[Path]:
+    single = log / f"{version:020d}.checkpoint.parquet"
+    if single.exists():
+        return [single]
+    return sorted(log.glob(f"{version:020d}.checkpoint.*.*.parquet"))
 
 
 def _apply_action(state: dict, action: dict, table: Path) -> None:
@@ -122,7 +141,8 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
     start = 0
     if usable_cp:
         cp = max(usable_cp)
-        _read_checkpoint(log / f"{cp:020d}.checkpoint.parquet", state, table)
+        for part in _checkpoint_files(log, cp):
+            _read_checkpoint(part, state, table)
         start = cp + 1
     replay = [v for v in commits if start <= v <= target]
     expected = list(range(start, target + 1))

@@ -238,3 +238,32 @@ def test_optimize_and_vacuum(spark, region, tmp_path):
     write_delta(region, t2)
     write_delta(region, t2, mode="overwrite")
     assert vacuum(t2)["files_removed"] == 0
+
+
+def test_multipart_checkpoint_read(spark, region, tmp_path):
+    """Real Delta writers emit N.checkpoint.p.of.M.parquet — the reader
+    must union all parts, and ignore an INCOMPLETE part set."""
+    import pyarrow.parquet as pq
+
+    from duck_delta_share_spark.sources.delta_log import checkpoint
+
+    t = tmp_path / "mp"
+    write_delta(region, t)
+    write_delta(region.limit(2), t, mode="append")
+    v = checkpoint(t)
+    log = t / "_delta_log"
+    single = log / f"{v:020d}.checkpoint.parquet"
+    tbl = pq.read_table(single)
+    # split the checkpoint into 2 parts
+    pq.write_table(tbl.slice(0, 2), log / f"{v:020d}.checkpoint.0000000001.0000000002.parquet")
+    pq.write_table(tbl.slice(2), log / f"{v:020d}.checkpoint.0000000002.0000000002.parquet")
+    single.unlink()
+    for n in range(v + 1):
+        (log / f"{n:020d}.json").unlink()
+    assert read_delta(spark, t).count() == 7
+
+    # incomplete part set: drop part 2 -> checkpoint ignored; with the
+    # commits also gone the snapshot must fail loudly, not silently shrink
+    (log / f"{v:020d}.checkpoint.0000000002.0000000002.parquet").unlink()
+    with pytest.raises((ValueError, FileNotFoundError)):
+        snapshot(t)
