@@ -298,6 +298,15 @@ def write_delta(
     if version > 0:
         prev = snapshot(table)
         part_cols = list(prev.partition_columns)
+        if mode == "append" and prev.schema_string:
+            have = {(f["name"], f["type"]) for f in json.loads(prev.schema_string)["fields"]}
+            want = {(f["name"], f["type"]) for f in json.loads(df.schema.json())["fields"]}
+            if have != want:
+                raise ValueError(
+                    "append schema does not match the table schema "
+                    f"(table: {sorted(have)}; append: {sorted(want)}); "
+                    "use mode='overwrite' to replace the schema"
+                )
 
     adds = _stage_files(df, table, part_cols)
 

@@ -267,3 +267,14 @@ def test_multipart_checkpoint_read(spark, region, tmp_path):
     (log / f"{v:020d}.checkpoint.0000000002.0000000002.parquet").unlink()
     with pytest.raises((ValueError, FileNotFoundError)):
         snapshot(t)
+
+
+def test_append_schema_mismatch_rejected(spark, region, tmp_path):
+    t = tmp_path / "sch"
+    write_delta(region, t)
+    bad = region.withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="append schema"):
+        write_delta(bad, t, mode="append")
+    # overwrite may evolve the schema
+    write_delta(bad, t, mode="overwrite")
+    assert "extra" in read_delta(spark, t).columns
