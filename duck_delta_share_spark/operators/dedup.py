@@ -410,3 +410,81 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") > threshold)
     )
+
+
+def minhash_md5_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """ORACLE-CHECKABLE MinHash variant: ``mh_i = min(md5(i|shingle))``
+    (lexicographic minimum over lowercase-hex md5 — identical in Spark and
+    DuckDB, unlike xxhash64 which has no DuckDB twin).
+
+    Exists to put the full MinHash→banding→pair pipeline under the
+    cross-engine value-hash gate; the production engine stays
+    ``minhash_signatures`` (xxhash64 + Carter-Wegman: ONE string hash per
+    shingle instead of k). Same zero-shuffle narrow-map shape. Docs with
+    fewer than ``shingle_n`` tokens get NULL minima (no shingles), which
+    null-propagate through banding and never pair.
+    """
+
+    def salted(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    shingles = word_shingles(tokenize(text_col), shingle_n)
+    return df.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(shingles, salted(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+
+
+def minhash_md5_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """Banded candidate pairs over md5 string signatures. Band buckets are
+    ``md5(mh_a || '|' || mh_b)`` with NULL-PROPAGATING concat (concat_ws
+    would collapse all empty-signature docs into one giant '' bucket);
+    otherwise the exact same capped bucket self-join as
+    ``lsh_candidate_pairs``."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts: list = []
+        for r in range(rows):
+            if parts:
+                parts.append(F.lit("|"))
+            parts.append(F.col(f"mh_{b * rows + r}"))
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bucket"))
+        )
+    exploded = (
+        signatures.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+    )
+    exploded = _cap_buckets(exploded, ["band", "bucket"], max_bucket_size)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )

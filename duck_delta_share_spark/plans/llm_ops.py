@@ -1113,3 +1113,50 @@ def unigram_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_MD5_SIG_SQL = "\n".join(
+    f"         LIST_MIN(LIST_TRANSFORM(shingles, s -> md5('{i}|' || s))) AS mh_{i},"
+    for i in range(8)
+).rstrip(",")
+
+
+@query(
+    "minhash_md5_lsh_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+                        i -> ARRAY_TO_STRING(toks[i:i+2], ' ')) AS shingles
+  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+),
+sig AS (
+  SELECT doc_id,
+{_MD5_SIG_SQL}
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="HASH-CHECKED MinHash-LSH: md5-salted signature minima "
+    "(lexicographic, engine-identical) -> null-propagating band buckets -> "
+    "capped bucket self-join (operators/dedup.py:minhash_md5_*). Puts the "
+    "whole MinHash->banding->pairs pipeline under the cross-engine oracle "
+    "that the xxhash64 production engine cannot use; same plan shape",
+)
+def minhash_md5_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_md5_signatures(d, num_hashes=8, shingle_n=3)
+    return dd.minhash_md5_lsh_pairs(sigs, num_hashes=8, bands=4).orderBy(
+        "id_a", "id_b"
+    )
