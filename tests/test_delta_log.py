@@ -278,3 +278,38 @@ def test_append_schema_mismatch_rejected(spark, region, tmp_path):
     # overwrite may evolve the schema
     write_delta(bad, t, mode="overwrite")
     assert "extra" in read_delta(spark, t).columns
+
+
+def test_local_streaming_cdf_mode(spark, region, tmp_path):
+    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+
+    spark.dataSource.register(DeltaShareDataSource)
+    t = tmp_path / "scdf"
+    write_delta(region, t)                           # v0: 5 inserts
+    write_delta(region.limit(1), t, mode="overwrite")  # v1: 5 deletes + 1 insert
+    sdf = (
+        spark.readStream.format("deltashare")
+        .option("deltaPath", str(t))
+        .option("startingVersion", "0")
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    assert "_change_type" in [f.name for f in sdf.schema.fields]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("delta_local_cdf")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from delta_local_cdf").collect()
+        by = {}
+        for r in rows:
+            by.setdefault((r._commit_version, r._change_type), 0)
+            by[(r._commit_version, r._change_type)] += 1
+        assert by[(0, "insert")] == 5
+        assert by[(1, "delete")] == 5
+        assert by[(1, "insert")] == 1
+    finally:
+        q.stop()
