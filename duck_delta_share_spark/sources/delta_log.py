@@ -334,6 +334,19 @@ def write_delta(
     elif mode != "append" and version > 0:
         raise ValueError(f"mode must be append or overwrite, got {mode!r}")
     actions.extend(adds)
+    if mode == "append" and version > 0:
+        # Optimistic concurrency: a pure append conflicts with nothing —
+        # losing the O_EXCL race just means bumping the version and
+        # retrying the (unchanged) actions. Overwrite/merge must NOT blind
+        # retry: their remove sets were computed against a snapshot that
+        # the winning commit may have invalidated.
+        for _ in range(20):
+            try:
+                _atomic_commit(table, version, actions)
+                return version
+            except FileExistsError:
+                version += 1
+        raise RuntimeError(f"could not commit after 20 version races in {table}")
     _atomic_commit(table, version, actions)
     return version
 

@@ -55,3 +55,34 @@ def delta_share_list(
     if schema is None:
         return list_schemas_df(spark, client, share)
     return list_tables_df(spark, client, share, schema)
+
+
+def register_share(
+    spark: SparkSession,
+    client: DeltaSharingClient,
+    share: str,
+    name_format: str = "{schema}_{table}",
+) -> list[str]:
+    """Register every table of a share as a temp view, so users drive the
+    whole share from SQL text — the Spark equivalent of composing DuckDB
+    SQL over ``delta_share_read`` (the reference's primary UX,
+    `/root/reference/src/duck_delta_share_extension.cpp:495-629`).
+
+    View creation is lazy metadata only (one listing call; table schemas
+    resolve on first query). Returns the created view names.
+    """
+    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+
+    spark.dataSource.register(DeltaShareDataSource)
+    views = []
+    for t in client.list_all_tables(share):
+        view = name_format.format(share=t.share, schema=t.schema, table=t.name)
+        df = (
+            spark.read.format("deltashare")
+            .option("endpoint", client.profile.endpoint)
+            .option("bearerToken", client.profile.bearer_token)
+            .load(f"{t.share}.{t.schema}.{t.name}")
+        )
+        df.createOrReplaceTempView(view)
+        views.append(view)
+    return views

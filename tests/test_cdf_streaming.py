@@ -298,3 +298,17 @@ def test_stream_cdf_mode_emits_change_rows(registered, server, tmp_path):
         assert by_type["delete"] == {10, 11, 12}
     finally:
         q.stop()
+
+
+def test_register_share_enables_sql_text(registered, server):
+    from duck_delta_share_spark.sources.listing import register_share
+
+    client = DeltaSharingClient(
+        DeltaSharingProfile(endpoint=server.endpoint, bearer_token="secret-token")
+    )
+    views = register_share(registered, client, "sales")
+    assert views == ["web_clicks"]
+    got = registered.sql(
+        "SELECT pcol, COUNT(*) n FROM web_clicks GROUP BY pcol ORDER BY pcol"
+    ).collect()
+    assert [(r.pcol, r.n) for r in got] == [("eu", 3), ("us", 3)]

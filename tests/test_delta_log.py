@@ -313,3 +313,17 @@ def test_local_streaming_cdf_mode(spark, region, tmp_path):
         assert by[(1, "insert")] == 1
     finally:
         q.stop()
+
+
+def test_append_retries_past_version_race(spark, region, tmp_path):
+    """A competing commit landing first must not fail a pure append — it
+    bumps the version and retries; overwrite still fails loudly."""
+    t = tmp_path / "race2"
+    write_delta(region, t)
+    # competitor takes version 1
+    (t / "_delta_log" / f"{1:020d}.json").write_text(
+        json.dumps({"commitInfo": {"operation": "noop"}}) + "\n"
+    )
+    v = write_delta(region.limit(2), t, mode="append")
+    assert v == 2
+    assert read_delta(spark, t).count() == 7
