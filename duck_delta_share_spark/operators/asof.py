@@ -30,19 +30,33 @@ def asof_join(
     right_ts: str,
     right_value: str,
     value_alias: str = "asof_value",
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """Backward-looking inclusive as-of join (left.ts >= right.ts).
+    """Inclusive as-of join. ``direction='backward'`` matches the latest
+    right row with right.ts <= left.ts; ``'forward'`` the earliest with
+    right.ts >= left.ts. ``tolerance_seconds`` nulls matches farther than
+    the window (exact timestamp-interval arithmetic, no truncation).
 
     ``on`` must name the key column in BOTH frames. Returns all ``left``
-    columns plus ``value_alias`` (null when no earlier right row exists).
+    columns plus ``value_alias`` (null when no matching right row exists).
+    Plan shape is unchanged by direction/tolerance: one shuffle on the
+    key, per-partition sort, a single carried struct — never a range
+    cross product.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     payload = list(left.columns)
     rv_type = right.schema[right_value].dataType
+    # tie-breaking: the right row must fall INSIDE the frame at equal ts —
+    # backward frames look back (right sorts first), forward frames look
+    # ahead (right sorts after the left row)
+    left_side, right_side = (1, 0) if direction == "backward" else (0, 1)
 
     lhs = left.select(
         *payload,
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(left_side).alias("__side"),
         F.lit(None).cast(rv_type).alias("__rv"),
     )
     rhs = right.select(
@@ -53,18 +67,30 @@ def asof_join(
             if c != on
         ],
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(right_side).alias("__side"),
         F.col(right_value).alias("__rv"),
     )
 
-    w = (
-        Window.partitionBy(on)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = Window.partitionBy(on).orderBy("__ts", "__side")
+    carried = F.struct(F.col("__ts").alias("mts"), F.col("__rv").alias("mrv"))
+    is_right = F.col("__side") == F.lit(right_side)
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        match = F.last(F.when(is_right, carried), ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        match = F.first(F.when(is_right, carried), ignorenulls=True).over(w)
+
+    out = lhs.unionByName(rhs).withColumn("__m", match).filter(
+        F.col("__side") == left_side
     )
-    return (
-        lhs.unionByName(rhs)
-        .withColumn(value_alias, F.last("__rv", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
-        .select(*payload, value_alias)
-    )
+    value = F.col("__m.mrv")
+    if tolerance_seconds is not None:
+        bound = F.expr(f"interval {int(tolerance_seconds)} seconds")
+        in_window = (
+            F.col("__m.mts") >= F.col("__ts") - bound
+            if direction == "backward"
+            else F.col("__m.mts") <= F.col("__ts") + bound
+        )
+        value = F.when(in_window, value)
+    return out.select(*payload, value.alias(value_alias))

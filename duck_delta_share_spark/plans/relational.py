@@ -546,3 +546,47 @@ def correlated_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT max(c.ts) FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR) AS last_click_1h,
+       (SELECT min(c.ts) FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR) AS next_click_1h
+FROM events p
+WHERE p.event_type = 'purchase'
+ORDER BY event_id
+""",
+    doc="as-of join with DIRECTION and TOLERANCE (operators/asof.py): "
+    "latest click within the hour before each purchase AND earliest click "
+    "within the hour after — both directions share the one-shuffle "
+    "union+window plan (no range cross product); tolerance uses exact "
+    "timestamp-interval arithmetic so the correlated-subquery oracle "
+    "matches to the microsecond",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    back = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_value="ts", value_alias="last_click_1h",
+        direction="backward", tolerance_seconds=3600,
+    )
+    both = asof_join(
+        back, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_value="ts", value_alias="next_click_1h",
+        direction="forward", tolerance_seconds=3600,
+    )
+    return both.select(
+        "event_id", "user_id", "ts", "last_click_1h", "next_click_1h"
+    ).orderBy("event_id")
