@@ -137,3 +137,72 @@ def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_delta(spark, table, updates, ["n_nationkey"])
     return read_delta(spark, table).orderBy("n_nationkey")
+
+
+@query(
+    "incremental_rollup_cdf",
+    oracle="""
+WITH final AS (
+  SELECT s_nationkey,
+         CASE WHEN s_suppkey = 1 THEN 999.99 ELSE s_acctbal END AS bal
+  FROM supplier
+  UNION ALL
+  SELECT 0, 123.45
+)
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+FROM final
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+    doc="incremental view maintenance over the change feed "
+    "(operators/incremental.py): a count+sum rollup built at v0 is "
+    "advanced using ONLY the CDF rows of a merge commit (signed deltas, "
+    "full-outer join on changed keys) — O(changes), not O(table) — and "
+    "must hash-match the from-scratch recompute of the final state "
+    "(exact decimal sums are associative AND invertible)",
+)
+def incremental_rollup_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.operators.incremental import (
+        apply_changes_to_rollup,
+        rollup_from_scratch,
+    )
+    from duck_delta_share_spark.sources.delta_log import merge_delta, write_delta
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_ivm_")) / "t"
+    s = load_table(spark, sf_dir, "supplier")
+    write_delta(s, table)
+
+    from duck_delta_share_spark.sources.delta_log import read_delta
+
+    # rollup pinned to version 0 (lazy plans must not see the merge)
+    prev = rollup_from_scratch(
+        read_delta(spark, table, version=0), ["s_nationkey"], {"total_bal": "s_acctbal"}
+    )
+    upd = s.filter(F.col("s_suppkey") == 1).withColumn("s_acctbal", F.lit(999.99))
+    ins = (
+        s.filter(F.col("s_suppkey") == 1)
+        .withColumn("s_suppkey", F.lit(99999).cast(s.schema["s_suppkey"].dataType))
+        .withColumn("s_nationkey", F.lit(0).cast(s.schema["s_nationkey"].dataType))
+        .withColumn("s_acctbal", F.lit(123.45))
+    )
+    merge_delta(spark, table, upd.unionByName(ins), ["s_suppkey"])
+
+    changes = (
+        spark.read.format("deltashare")
+        .option("deltaPath", str(table))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    new = apply_changes_to_rollup(
+        prev, changes, ["s_nationkey"], {"total_bal": "s_acctbal"}
+    )
+    return new.select(
+        "s_nationkey", "n", F.col("total_bal").cast("double").alias("total_bal")
+    ).orderBy("s_nationkey")
