@@ -52,3 +52,65 @@ def test_empty_change_batch_is_identity(spark):
     prev = rollup_from_scratch(base, ["g"], {"total": "v"})
     empty = spark.createDataFrame([], "g string, v double, _change_type string")
     assert _collect(apply_changes_to_rollup(prev, empty, ["g"], {"total": "v"})) == _collect(prev)
+
+
+def _as_set(df):
+    return {
+        (r.s_nationkey, r.n, float(r.total_bal)) for r in df.collect()
+    }
+
+
+def test_streaming_maintained_rollup_tracks_table(spark, tmp_path):
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+    from duck_delta_share_spark.streaming.incremental import (
+        maintain_rollup_stream,
+        read_rollup,
+    )
+    from tests.conftest import SF_DIR
+
+    t = tmp_path / "tbl"
+    s = load_table(spark, SF_DIR, "supplier")
+    write_delta(s, t)
+    roll, ck = tmp_path / "rollup", tmp_path / "ck"
+
+    def expect():
+        return _as_set(
+            rollup_from_scratch(
+                read_delta(spark, t), ["s_nationkey"], {"total_bal": "s_acctbal"}
+            )
+        )
+
+    q = maintain_rollup_stream(
+        spark, t, ["s_nationkey"], {"total_bal": "s_acctbal"}, roll, ck
+    )
+    try:
+        q.processAllAvailable()
+        assert _as_set(read_rollup(spark, roll)) == expect()
+
+        # live append + merge while the stream runs
+        write_delta(s.limit(3), t, mode="append")
+        upd = s.filter(F.col("s_suppkey") == 1).withColumn(
+            "s_acctbal", F.lit(777.0)
+        )
+        merge_delta(spark, t, upd, ["s_suppkey"])
+        q.processAllAvailable()
+        assert _as_set(read_rollup(spark, roll)) == expect()
+    finally:
+        q.stop()
+
+    # change while the stream is DOWN, restart from checkpoint: rollup
+    # catches up without double-counting the already-applied history
+    write_delta(s.limit(2), t, mode="append")
+    q2 = maintain_rollup_stream(
+        spark, t, ["s_nationkey"], {"total_bal": "s_acctbal"}, roll, ck
+    )
+    try:
+        q2.processAllAvailable()
+        assert _as_set(read_rollup(spark, roll)) == expect()
+    finally:
+        q2.stop()
