@@ -646,3 +646,34 @@ def vacuum(table_path: str | Path, retain_hours: float = 168.0) -> dict:
         p.unlink()
         removed += 1
     return {"files_removed": removed}
+
+
+def version_at_timestamp(table_path: str | Path, ts_ms: int) -> int:
+    """Latest version committed at-or-before ``ts_ms`` (epoch millis) —
+    Delta's timestampAsOf resolution: commitInfo.timestamp when present,
+    else the commit file's mtime. Errors when the earliest retained commit
+    is already newer (nothing to travel to)."""
+    table = Path(table_path)
+    commits, checkpoints = _list_versions(_log_dir(table))
+    best = None
+    for v in commits:
+        cp = _commit_path(table, v)
+        t = int(cp.stat().st_mtime * 1000)
+        with open(cp) as f:
+            for line in f:
+                if line.strip():
+                    a = json.loads(line)
+                    if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+                        t = int(a["commitInfo"]["timestamp"])
+                    break
+        if t <= ts_ms:
+            best = v
+    if best is None:
+        # a checkpoint older than every retained commit still counts
+        older_cp = [v for v in checkpoints if not commits or v < min(commits)]
+        if older_cp:
+            return max(older_cp)
+        raise ValueError(
+            f"no version of {table} existed at or before epoch-ms {ts_ms}"
+        )
+    return best

@@ -113,6 +113,29 @@ def _cdf_enabled(options: dict[str, str]) -> bool:
     return str(raw).lower() in ("true", "1")
 
 
+def _delta_version(options: dict[str, str], delta: str) -> int | None:
+    """Resolve versionAsOf / timestampAsOf (epoch ms or ISO datetime) for
+    a local Delta table; None = latest."""
+    version = options.get("versionasof", options.get("versionAsOf"))
+    if version is not None:
+        return int(version)
+    ts = options.get("timestampasof", options.get("timestampAsOf"))
+    if ts is None:
+        return None
+    from duck_delta_share_spark.sources.delta_log import version_at_timestamp
+
+    try:
+        ts_ms = int(ts)
+    except ValueError:
+        import datetime as dt
+
+        parsed = dt.datetime.fromisoformat(str(ts).replace("Z", "+00:00"))
+        if parsed.tzinfo is None:
+            parsed = parsed.replace(tzinfo=dt.timezone.utc)
+        ts_ms = int(parsed.timestamp() * 1000)
+    return version_at_timestamp(delta, ts_ms)
+
+
 def _delta_path(options: dict[str, str]) -> str | None:
     """Local-Delta mode: an explicit deltaPath option, or a load() path
     that is a filesystem directory containing _delta_log."""
@@ -160,9 +183,8 @@ class DeltaShareDataSource(DataSource):
         elif delta:
             from duck_delta_share_spark.sources.delta_log import snapshot
 
-            version = self.options.get("versionasof", self.options.get("versionAsOf"))
             base = schema_from_string(
-                snapshot(delta, int(version) if version is not None else None).schema_string
+                snapshot(delta, _delta_version(self.options, delta)).schema_string
             )
         else:
             share, schema, table = _parse_table_path(self.options.get("path"), self.options)
@@ -220,7 +242,6 @@ class DeltaShareReader(DataSourceReader):
                 version_changes,
             )
 
-            version = self.options.get("versionasof", self.options.get("versionAsOf"))
             if _cdf_enabled(self.options):
                 sv = self.options.get("startingversion", self.options.get("startingVersion"))
                 if sv is None:
@@ -231,7 +252,7 @@ class DeltaShareReader(DataSourceReader):
                 end = int(ev) if ev is not None else latest_version(delta)
                 snap = snapshot(delta)  # partition columns + protocol gate
                 return version_changes(delta, int(sv), end), snap.partition_columns
-            snap = snapshot(delta, int(version) if version is not None else None)
+            snap = snapshot(delta, _delta_version(self.options, delta))
             return list(snap.files), snap.partition_columns
         share, schema, table = _parse_table_path(self.options.get("path"), self.options)
         client = _make_client(self.options)

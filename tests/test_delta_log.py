@@ -327,3 +327,28 @@ def test_append_retries_past_version_race(spark, region, tmp_path):
     v = write_delta(region.limit(2), t, mode="append")
     assert v == 2
     assert read_delta(spark, t).count() == 7
+
+
+def test_timestamp_as_of(spark, region, tmp_path):
+    import time as _time
+
+    from duck_delta_share_spark.sources.delta_log import version_at_timestamp
+
+    t = tmp_path / "tt"
+    write_delta(region, t)                       # v0
+    mid_ms = int(_time.time() * 1000)
+    _time.sleep(1.1)
+    write_delta(region.limit(2), t, mode="append")  # v1
+
+    assert version_at_timestamp(t, mid_ms) == 0
+    assert version_at_timestamp(t, int(_time.time() * 1000)) == 1
+    with pytest.raises(ValueError, match="no version"):
+        version_at_timestamp(t, 1)
+
+    df = (
+        spark.read.format("deltashare")
+        .option("deltaPath", str(t))
+        .option("timestampAsOf", str(mid_ms))
+        .load()
+    )
+    assert df.count() == 5  # v0 snapshot
