@@ -123,14 +123,30 @@ def write_clustered(
     shift/and/or expressions. Z-ordering needs numeric/date/timestamp
     columns (strings would hash away the locality that makes it work).
     """
-    from pyspark.sql import functions as F
-
     cols = list(cluster_by)
     if not zorder:
         shaped = df.repartitionByRange(num_files, *cols).sortWithinPartitions(*cols)
         shaped.write.format(fmt).mode(mode).save(path)
         return path
 
+    shaped = zorder_repartition(df, cols, num_files, clamp_quantiles)
+    shaped.write.format(fmt).mode(mode).save(path)
+    return path
+
+
+def zorder_repartition(
+    df: DataFrame,
+    cluster_by: Sequence[str],
+    num_files: int,
+    clamp_quantiles: tuple[float, float] = (0.001, 0.999),
+) -> DataFrame:
+    """Rows range-partitioned + sorted by the bit-interleaved Z-value of
+    the cluster columns (quantile-clamped equi-width buckets; pure codegen
+    shift/and/or). Shared by ``write_clustered`` and Delta ``optimize``
+    ZORDER."""
+    from pyspark.sql import functions as F
+
+    cols = list(cluster_by)
     bits = min(16, 63 // max(1, len(cols)))
     buckets = 1 << bits
     # Equi-width buckets between clamped quantiles: outliers saturate into
@@ -160,14 +176,12 @@ def write_clustered(
             z = z.bitwiseOR(
                 F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), i * len(cols) + j)
             )
-    shaped = (
+    return (
         df.withColumn("__z", z)
         .repartitionByRange(num_files, F.col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    shaped.write.format(fmt).mode(mode).save(path)
-    return path
 
 
 def compact_files(

@@ -588,11 +588,26 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
     }
 
 
-def optimize(spark, table_path: str | Path, target_file_mb: int = 128) -> dict:
+def optimize(
+    spark,
+    table_path: str | Path,
+    target_file_mb: float = 128,
+    zorder_by: list[str] | None = None,
+) -> dict:
     """Compact fragmented files into ~target-sized ones as a dataChange:
     false commit (streams replaying the log skip it; time travel to the
     fragmented version still works until vacuum). Partitioned tables
-    rewrite one file per partition directory."""
+    rewrite one file per partition directory.
+
+    ``zorder_by`` additionally Morton-orders the rewritten rows on the
+    given (numeric/date/timestamp) columns — Delta's ``OPTIMIZE ... ZORDER
+    BY``: the new add actions carry tight per-file min/max on EVERY
+    cluster dimension, so snapshot-level ``stats_allow`` pruning and
+    row-group pruning both become selective on all of them
+    (``sinks.zorder_repartition`` is the shared implementation). With
+    ``zorder_by`` ALL files rewrite (clustering is global), not just
+    fragmented groups.
+    """
     import math
 
     table = Path(table_path)
@@ -601,18 +616,35 @@ def optimize(spark, table_path: str | Path, target_file_mb: int = 128) -> dict:
     for f in snap.files:
         by_part.setdefault(tuple(sorted(f["partitionValues"].items())), []).append(f)
     worth = [fs for fs in by_part.values() if len(fs) > 1]
-    if not worth:
+    if not worth and not zorder_by:
         return {"version": snap.version, "files_before": len(snap.files), "files_after": len(snap.files)}
-    todo = [f for fs in worth for f in fs]
+    todo = (
+        list(snap.files) if zorder_by else [f for fs in worth for f in fs]
+    )
     part_cols = list(snap.partition_columns)
     df = _direct_read(spark, snap.schema_string, part_cols, todo)
-    if part_cols:
+    total = sum(Path(f["url"]).stat().st_size for f in todo)
+    n_out = max(1, math.ceil(total / max(1, int(target_file_mb * (1 << 20)))))
+    if zorder_by:
+        if part_cols:
+            # a z-range task would fan out one file per partition dir it
+            # touches (n_out x n_partitions files); cluster WITHIN
+            # partition values instead by including them as lead keys
+            raise ValueError(
+                "zorder_by on a partitioned table is not supported; "
+                "hive partitioning already prunes on the partition "
+                "columns — zorder the unpartitioned remainder dimensions "
+                "via a dedicated unpartitioned table or write_clustered"
+            )
+        from duck_delta_share_spark.sinks import zorder_repartition
+
+        shaped = zorder_repartition(df, zorder_by, n_out)
+    elif part_cols:
         from pyspark.sql import functions as F
 
         shaped = df.repartition(*[F.col(c) for c in part_cols])
     else:
-        total = sum(Path(f["url"]).stat().st_size for f in todo)
-        shaped = df.coalesce(max(1, math.ceil(total / (target_file_mb << 20))))
+        shaped = df.coalesce(n_out)
     adds = _stage_files(shaped, table, part_cols, data_change=False)
     actions = [
         {"remove": {"path": quote(str(Path(f["url"]).relative_to(table)), safe="/="),

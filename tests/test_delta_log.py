@@ -352,3 +352,34 @@ def test_timestamp_as_of(spark, region, tmp_path):
         .load()
     )
     assert df.count() == 5  # v0 snapshot
+
+
+def test_optimize_zorder_tightens_stats_on_all_dims(spark, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import optimize
+
+    t = tmp_path / "zo"
+    # 8 random-ish fragments -> neither dim clusters before optimize
+    for i in range(8):
+        frag = spark.range(i * 2500, (i + 1) * 2500).select(
+            ((F.col("id") * 2654435761) % 1000).alias("x"),
+            ((F.col("id") * 40503 + 17) % 1000).alias("y"),
+        ).coalesce(1)
+        if (t / "_delta_log").exists():
+            write_delta(frag, t, mode="append")
+        else:
+            write_delta(frag, t)
+    before = {(r.x, r.y) for r in read_delta(spark, t).collect()}
+
+    out = optimize(spark, t, target_file_mb=0.02, zorder_by=["x", "y"])
+    assert out["files_after"] >= 2
+    assert {(r.x, r.y) for r in read_delta(spark, t).collect()} == before
+
+    # the committed add-action stats must be selective on BOTH dimensions
+    snap = snapshot(t)
+    spans = {"x": [], "y": []}
+    for f in snap.files:
+        st = json.loads(f["stats"])
+        for c in ("x", "y"):
+            spans[c].append((st["maxValues"][c] - st["minValues"][c]) / 1000)
+    assert sum(spans["x"]) / len(spans["x"]) < 0.7
+    assert sum(spans["y"]) / len(spans["y"]) < 0.7
