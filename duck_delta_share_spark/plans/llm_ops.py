@@ -1160,3 +1160,33 @@ def minhash_md5_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_md5_lsh_pairs(sigs, num_hashes=8, bands=4).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "hll_mergeable_distinct",
+    oracle=None,  # DataSketches HLL binary states have no DuckDB twin —
+    # rows-only; exactness bounds asserted in tests/test_approx.py
+    doc="MERGEABLE distinct-count sketches (Apache DataSketches HLL via "
+    "hll_sketch_agg/hll_union_agg): per-(lang,source) user sketches union "
+    "into per-lang totals WITHOUT rescanning the corpus — the 100 TB "
+    "rollup answer where approx_count_distinct forces one pass per "
+    "grouping level. Sketch states are bytes: storable, re-unionable "
+    "across days (the cube/rollup building block for distinct counts)",
+)
+def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    fine = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    # union the fine-grained sketch states into the global estimate —
+    # no second scan of events
+    total = fine.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_total")
+    )
+    per_type = fine.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("distinct_users"),
+        "n_rows",
+    )
+    return per_type.crossJoin(F.broadcast(total)).orderBy("event_type")

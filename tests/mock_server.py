@@ -48,6 +48,9 @@ class MockDeltaSharingServer:
         self.support_range = True
         self.range_requests: list[tuple[str, str]] = []
         self.data_bytes_served = 0
+        # Fault injection: the next N control-plane requests answer 503
+        # (transient overload) — clients must retry through it.
+        self.fail_next = 0
         # Change-data-feed history, consistent with the version-3 snapshot
         # that /query serves: eu.parquet added at v1, us.parquet at v2,
         # v3 a data-free commit. append_version() grows it.
@@ -180,6 +183,10 @@ class MockDeltaSharingServer:
                 parsed = urlparse(self.path)
                 path, qs = parsed.path, parse_qs(parsed.query)
                 outer.requests.append(("GET", self.path, ""))
+                if not path.startswith("/data/") and outer.fail_next > 0:
+                    outer.fail_next -= 1
+                    self._reply(503, json.dumps({"message": "try again"}).encode())
+                    return
                 if path.startswith("/data/"):
                     if qs.get("tok", [""])[0] == "expired":
                         self._reply(403, json.dumps({"message": "url expired"}).encode())

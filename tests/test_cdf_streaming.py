@@ -312,3 +312,26 @@ def test_register_share_enables_sql_text(registered, server):
         "SELECT pcol, COUNT(*) n FROM web_clicks GROUP BY pcol ORDER BY pcol"
     ).collect()
     assert [(r.pcol, r.n) for r in got] == [("eu", 3), ("us", 3)]
+
+
+def test_stream_survives_transient_control_plane_503(registered, server, tmp_path):
+    """A 503 on the version probe or /changes must not kill the stream —
+    the client's bounded-backoff retry absorbs it."""
+    q = (
+        _stream_df(registered, server, startingVersion="1")
+        .writeStream.format("memory")
+        .queryName("ds_stream_503")
+        .option("checkpointLocation", str(tmp_path / "ck503"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert registered.sql("select count(*) c from ds_stream_503").first().c == 6
+        server.fail_next = 2  # next two control-plane calls 503
+        write_extra_file(server)
+        server.append_version("add", "extra.parquet", "f-extra", {"pcol": "ap"})
+        q.processAllAvailable()
+        assert registered.sql("select count(*) c from ds_stream_503").first().c == 8
+        assert server.fail_next == 0, "the injected failures were never hit"
+    finally:
+        q.stop()
