@@ -150,6 +150,29 @@ def main() -> None:
             "vec_id", quantize_int8("embedding", scale).alias("q")
         )
 
+    def ivm_shape(e):
+        from duck_delta_share_spark.operators.incremental import (
+            apply_changes_to_rollup,
+            rollup_from_scratch,
+        )
+
+        prev = rollup_from_scratch(e, ["event_type"], {"total": "value"})
+        changes = e.withColumn(
+            "_change_type",
+            F.when(F.col("event_id") % 10 == 0, F.lit("delete")).otherwise(
+                F.lit("insert")
+            ),
+        )
+        return apply_changes_to_rollup(prev, changes, ["event_type"], {"total": "value"})
+
+    def zorder_shape(e):
+        from duck_delta_share_spark.sinks import zorder_repartition
+
+        pts = e.select(
+            (F.col("user_id") % 997).alias("x"), (F.col("event_id") % 991).alias("y")
+        )
+        return zorder_repartition(pts, ["x", "y"], 32)
+
     ops = [
         ("q1_agg", q1_shape, l1, lN),
         ("minhash_lsh", minhash_shape, d1, dN),
@@ -160,6 +183,8 @@ def main() -> None:
         ("resample_gapfill", gapfill_shape, e1, eN),
         ("interval_join", interval_join_shape, e1, eN),
         ("embedding_quantize", quantize_shape, emb1, embN),
+        ("incremental_rollup", ivm_shape, e1, eN),
+        ("zorder_repartition", zorder_shape, e1, eN),
     ]
     results = []
     for name, fn, small, big in ops:
