@@ -95,9 +95,15 @@ def strict_decode(payload: bytes) -> list[float]:
     if png_codec.is_png(bytes(payload)):
         _, _, channels, pixels = png_codec.decode_png(bytes(payload))
         return png_codec.luminance_histogram(pixels, channels, bins=FEATURE_DIM)
+    from duck_delta_share_spark.functions import wav_codec
+
+    if wav_codec.is_wav(bytes(payload)):
+        rate, _, samples = wav_codec.decode_wav(bytes(payload))
+        return wav_codec.audio_features(rate, samples, bins=FEATURE_DIM)
     raise NotImplementedError(
-        "strict decode supports PNG natively; other formats (jpeg/wav/mp4) "
-        "need an imaging/av library — pass decoder=... or use fake_decode"
+        "strict decode supports PNG and WAV natively; other formats "
+        "(jpeg/mp4/...) need an imaging/av library — pass decoder=... or "
+        "use fake_decode"
     )
 
 

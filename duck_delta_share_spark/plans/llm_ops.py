@@ -1190,3 +1190,42 @@ def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
     )
     return per_type.crossJoin(F.broadcast(total)).orderBy("event_type")
+
+
+@query(
+    "multimodal_wav_strict",
+    oracle=None,  # WAV decode is not SQL-expressible — rows-only check
+    doc="REAL audio path, no fakes: synthesize PCM16 WAV payloads "
+    "(stdlib wave module, functions/wav_codec.py) seeded by doc_id, "
+    "strict-decode to RMS/zero-crossing/amplitude-histogram features — "
+    "executor-side Arrow batches, deterministic; the audio twin of "
+    "multimodal_png_strict",
+)
+def multimodal_wav_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    from duck_delta_share_spark.functions import multimodal as mm
+    from duck_delta_share_spark.functions import wav_codec as wc
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def build(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                freq = 100 + (int(i) % 40) * 20  # per-doc tone
+                samples = [
+                    int(12_000 * math.sin(2 * math.pi * freq * t / 8000))
+                    for t in range(800)
+                ]
+                payloads.append(wc.encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = d.mapInPandas(build, "doc_id long, payload binary")
+    return mm.extract_features(payloads, decoder=mm.strict_decode).orderBy("doc_id")

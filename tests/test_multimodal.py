@@ -226,3 +226,52 @@ def test_strict_resize_real_png(spark):
     solid = pc.encode_png(10, 10, 3, bytes([7, 99, 200] * 100))
     resized = mm.strict_resize(solid, 3, 3)
     assert pc.decode_png(resized)[3] == bytes([7, 99, 200] * 9)
+
+
+def test_wav_roundtrip_and_features():
+    import math
+
+    from duck_delta_share_spark.functions import wav_codec as wc
+
+    samples = [int(10_000 * math.sin(2 * math.pi * 440 * t / 8000)) for t in range(1600)]
+    data = wc.encode_wav(samples, sample_rate=8000)
+    assert wc.is_wav(data)
+    rate, channels, back = wc.decode_wav(data)
+    assert (rate, channels) == (8000, 1)
+    assert back == samples
+
+    f = wc.audio_features(rate, back)
+    assert len(f) == 16
+    # 440 Hz sine at 8 kHz: ~2*440/8000 crossings per sample, RMS ~ A/sqrt(2)
+    assert abs(f[1] - 2 * 440 / 8000) < 0.01
+    assert abs(f[0] - (10_000 / 32768) / 2**0.5) < 0.01
+    assert abs(sum(f[3:]) - 1.0) < 1e-9  # histogram normalized
+
+
+def test_strict_decode_dispatches_wav(spark):
+    import math
+
+    from duck_delta_share_spark.functions import multimodal as mm
+    from duck_delta_share_spark.functions import wav_codec as wc
+
+    samples = [int(5_000 * math.sin(2 * math.pi * 200 * t / 8000)) for t in range(400)]
+    feats = mm.strict_decode(wc.encode_wav(samples, sample_rate=8000))
+    assert len(feats) == 16 and feats[0] > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="PNG and WAV"):
+        mm.strict_decode(b"\x00\x01garbage-not-a-media-file")
+
+
+def test_multimodal_wav_strict_query(spark):
+    from duck_delta_share_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["multimodal_wav_strict"].spark_fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    by_id = {r.doc_id: tuple(r.features) for r in rows}
+    # distinct tones -> distinct zero-crossing rates; all features real
+    zcrs = {round(f[1], 4) for f in by_id.values()}
+    assert len(zcrs) > 1
+    assert all(f[0] > 0 for f in by_id.values())
