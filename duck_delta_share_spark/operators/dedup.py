@@ -488,3 +488,42 @@ def minhash_md5_lsh_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def lsh_plan(
+    threshold: float, num_hashes: int = 32, fn_weight: float = 1.0
+) -> dict:
+    """Pick (bands, rows) for a target Jaccard threshold from the standard
+    S-curve: a pair with similarity s shares a band with probability
+    ``1 - (1 - s^r)^b``. Among the divisor splits of ``num_hashes`` this
+    returns the one minimizing estimated false-positive area below the
+    threshold plus ``fn_weight`` x false-negative area above it (the
+    textbook integral criterion, evaluated numerically). Use the result's
+    'bands' for ``lsh_candidate_pairs``; 'char_threshold' = (1/b)^(1/r) is
+    where the curve crosses 0.5 — sanity-check it lands near ``threshold``.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        steps = 200
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**rows) ** bands
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        cost = fp + fn_weight * fn
+        if best is None or cost < best["cost"]:
+            best = {
+                "bands": bands,
+                "rows": rows,
+                "cost": cost,
+                "char_threshold": (1.0 / bands) ** (1.0 / rows),
+            }
+    return best

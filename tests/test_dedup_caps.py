@@ -75,3 +75,24 @@ def test_simhash_hot_block_capped(spark):
         sig, max_hamming=8, prefix_bits=12, bits=48, max_bucket_size=10
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in capped] == [(100, 101)]
+
+
+def test_lsh_plan_tracks_threshold():
+    from duck_delta_share_spark.operators.dedup import lsh_plan
+
+    # low thresholds want many bands (aggressive recall), high thresholds
+    # want long rows (precision); the characteristic point tracks t
+    lo = lsh_plan(0.2, num_hashes=32)
+    hi = lsh_plan(0.8, num_hashes=32)
+    assert lo["bands"] > hi["bands"]
+    assert abs(lo["char_threshold"] - 0.2) < 0.15
+    assert abs(hi["char_threshold"] - 0.8) < 0.15
+    # bands * rows always consumes the signature exactly
+    for t in (0.1, 0.3, 0.5, 0.7, 0.9):
+        p = lsh_plan(t, num_hashes=24)
+        assert p["bands"] * p["rows"] == 24
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_plan(1.5)
