@@ -3,6 +3,7 @@ interval join vs the naive cross-product reference."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from duck_delta_share_spark.catalog import load_table
@@ -101,3 +102,49 @@ def test_time_bucket_is_session_tz_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert a == b and str(a) == "2024-03-15 10:00:00"
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_interval_join_bucketization_sound_random(spark, seed):
+    """Randomized adversarial intervals (zero-length, sub-bucket,
+    boundary-aligned, multi-bucket) must join identically to the exact
+    predicate evaluated in Python — bucket coverage may over-replicate but
+    can never MISS a containing interval."""
+    import random
+
+    rng = random.Random(seed)
+    base = 1_700_000_000  # epoch seconds
+    intervals = []
+    for i in range(30):
+        start = base + rng.randrange(0, 50_000)
+        length = rng.choice([0, 1, 7, 3600, 3599, 3601, rng.randrange(0, 20_000)])
+        intervals.append((i, start, start + length))
+    points = [(j, base + rng.randrange(0, 70_000)) for j in range(200)]
+    # adversarial: points exactly on interval starts/ends
+    for k, (i, s, e) in enumerate(intervals[:20]):
+        points.append((1000 + 2 * k, s))
+        points.append((1001 + 2 * k, e))
+
+    expected = {
+        (pid, iid)
+        for pid, ts in points
+        for iid, s, e in intervals
+        if s <= ts < e
+    }
+
+    ts_col = F.timestamp_seconds(F.col("secs")).cast("timestamp_ntz")
+    pts = spark.createDataFrame(points, "pid long, secs long").select(
+        "pid", ts_col.alias("ts")
+    )
+    ivs = spark.createDataFrame(intervals, "iid long, s long, e long").select(
+        "iid",
+        F.timestamp_seconds(F.col("s")).cast("timestamp_ntz").alias("win_start"),
+        F.timestamp_seconds(F.col("e")).cast("timestamp_ntz").alias("win_end"),
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join_bucketed(
+            pts, ivs, "ts", "win_start", "win_end", 3600
+        ).collect()
+    }
+    assert got == expected
