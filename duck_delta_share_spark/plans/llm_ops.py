@@ -30,6 +30,20 @@ from duck_delta_share_spark.plans.registry import query
 
 _NORM = "regexp_replace(trim(lower(text)), ' +', ' ', 'g')"
 
+
+def _int_str(x):
+    """Element serializer for integer arrays (1-arg transform lambda —
+    CLAUDE.md: two-arg lambdas receive the element INDEX)."""
+    return x.cast("string")
+
+
+def _f6(x):
+    """Element serializer for double arrays: fixed %.6f rendering so the
+    joined string is deterministic across partitions/runs. Driver-checked
+    queries must not emit array-typed columns (VERDICT r2: the driver's
+    canonicalizer cannot sort numpy arrays)."""
+    return F.format_string("%.6f", x.cast("double"))
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -839,6 +853,7 @@ def heavy_hitter_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
            AS scale,
+       array_to_string(
        CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
             THEN list_transform(embedding, x -> 0)
             ELSE list_transform(
@@ -847,25 +862,28 @@ SELECT vec_id,
                     CAST(x AS DOUBLE)
                     / (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
                     + 0.5) AS INTEGER))
-       END AS q
+       END, ',') AS q
 FROM embeddings
 ORDER BY vec_id
 """,
     doc="Symmetric per-vector int8 quantization (operators/embeddings.py): "
     "scale = max|x|/127, floor(x/scale+0.5) half-up rounding pinned to "
     "identical IEEE semantics in both engines — pure codegen transform, "
-    "zero shuffle; the compression step before ANN shipping at 100 TB",
+    "zero shuffle; the compression step before ANN shipping at 100 TB. "
+    "The int8 vector is emitted comma-joined (VERDICT r2: driver _canon "
+    "cannot sort array-typed output columns)",
 )
 def embedding_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duck_delta_share_spark.operators.embeddings import int8_scale, quantize_int8
 
     e = load_table(spark, sf_dir, "embeddings")
     scale = int8_scale("embedding")
+    q = quantize_int8("embedding", scale)
     return (
         e.select(
             "vec_id",
             scale.alias("scale"),
-            quantize_int8("embedding", scale).alias("q"),
+            F.array_join(F.transform(q, _int_str), ",").alias("q"),
         )
         .orderBy("vec_id")
     )
@@ -913,13 +931,16 @@ def embedding_variance_by_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "driver eigh on the 64x64 covariance only -> broadcast matmul "
     "projection. Sign-pinned eigenvectors for determinism. No SQL oracle "
     "(eigendecomposition); moments are oracle-anchored by "
-    "embedding_variance_by_dim and unit-tested vs numpy",
+    "embedding_variance_by_dim and unit-tested vs numpy. Projection is "
+    "emitted as a fixed-precision CSV string (driver-canonicalizable)",
 )
 def pca_project_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duck_delta_share_spark.operators.embeddings import pca_project
 
     e = load_table(spark, sf_dir, "embeddings")
-    return pca_project(e, "embedding", k=8).select("vec_id", "pca")
+    return pca_project(e, "embedding", k=8).select(
+        "vec_id", F.array_join(F.transform("pca", _f6), ",").alias("pca")
+    )
 
 
 @query(
@@ -995,7 +1016,7 @@ WITH td AS (
 )
 SELECT term,
        CAST(COUNT(*) AS BIGINT) AS df,
-       (list(doc_id ORDER BY doc_id))[1:20] AS postings
+       array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
 FROM td
 GROUP BY term
 HAVING COUNT(*) >= 3
@@ -1005,7 +1026,8 @@ ORDER BY term
     "chunk): postings are bounded BEFORE aggregation (row_number <= 20 "
     "within term), so no unbounded collect_list ever materializes — the "
     "chunked-postings shape a distributed index build needs; df >= 3 "
-    "bounds the emitted vocabulary",
+    "bounds the emitted vocabulary; the posting chunk is emitted "
+    "comma-joined (driver-canonicalizable)",
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1021,12 +1043,18 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         td.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
         .groupBy("term")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings_arr"))
     )
     return (
         df_counts.join(first_k, "term")
         .filter(F.col("df") >= 3)
-        .select("term", "df", "postings")
+        .select(
+            "term",
+            "df",
+            F.array_join(F.transform("postings_arr", _int_str), ",").alias(
+                "postings"
+            ),
+        )
         .orderBy("term")
     )
 
@@ -1228,4 +1256,12 @@ def multimodal_wav_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     payloads = d.mapInPandas(build, "doc_id long, payload binary")
-    return mm.extract_features(payloads, decoder=mm.strict_decode).orderBy("doc_id")
+    feats = mm.extract_features(payloads, decoder=mm.strict_decode)
+    # fixed-precision CSV rendering: no array-typed output columns in
+    # driver-checked queries (VERDICT r2)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "sha_hex",
+        F.array_join(F.transform("features", _f6), ",").alias("features"),
+    ).orderBy("doc_id")

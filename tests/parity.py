@@ -68,6 +68,20 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -
     return errs
 
 
+def complex_output_columns(df) -> list[str]:
+    """Driver contract (VERDICT r2): the driver's canonicalizer sorts the
+    toPandas frame on every output column; Array/Map/Struct columns arrive
+    as unhashable numpy arrays / dicts and crash it. No driver-checked
+    query may emit them — serialize (array_join / to_json) instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, list[str]]:
     from duck_delta_share_spark.plans import QUERIES
 
@@ -76,13 +90,21 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, 
     for qname, qd in QUERIES.items():
         if names and qname not in names:
             continue
+        df = qd.spark_fn(spark, sf_dir)
+        bad = complex_output_columns(df)
+        if bad:
+            failures[qname] = [
+                f"{qname}: complex-typed output columns {bad} would crash "
+                "the driver canonicalizer — serialize them"
+            ]
+            continue
         if qd.oracle is None:
             # rows-only: just materialize to prove the plan executes
-            n = qd.spark_fn(spark, sf_dir).count()
+            n = df.count()
             if n < 0:
                 failures[qname] = ["negative count?"]
             continue
-        spark_pdf = qd.spark_fn(spark, sf_dir).toPandas()
+        spark_pdf = df.toPandas()
         duck_pdf = con.execute(qd.oracle).df()
         errs = compare_frames(spark_pdf, duck_pdf, qname)
         if errs:
