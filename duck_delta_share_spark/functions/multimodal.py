@@ -77,29 +77,39 @@ def strict_decode(payload: bytes) -> list[float]:
     raise — strict mode must never silently featurize garbage."""
     if payload is None:
         return [0.0] * FEATURE_DIM
-    from duck_delta_share_spark.functions import png_codec
+    from duck_delta_share_spark.functions import png_codec, wav_codec
 
+    data = bytes(payload)
+    # Audio first: PIL raises UnidentifiedImageError (not ImportError) on
+    # WAV bytes, which used to make the WAV branch unreachable wherever
+    # PIL is installed (ADVICE r2).
+    if wav_codec.is_wav(data):
+        rate, _, samples = wav_codec.decode_wav(data)
+        return wav_codec.audio_features(rate, samples, bins=FEATURE_DIM)
     try:
         from PIL import Image  # real imaging lib, when the cluster has it
-
+    except ImportError:
+        Image = None
+    if Image is not None:
         import io as _io
 
-        img = Image.open(_io.BytesIO(bytes(payload)))
-        img.load()
-        channels = len(img.getbands())
-        return png_codec.luminance_histogram(
-            img.tobytes(), channels, bins=FEATURE_DIM
-        )
-    except ImportError:
-        pass
-    if png_codec.is_png(bytes(payload)):
-        _, _, channels, pixels = png_codec.decode_png(bytes(payload))
+        try:
+            img = Image.open(_io.BytesIO(data))
+            img.load()
+            # palette ('P') / exotic modes: expand to RGB so the feature
+            # matches the pure-Python codec's PLTE expansion — same
+            # payload must featurize identically on every cluster
+            if img.mode not in ("L", "LA", "RGB", "RGBA"):
+                img = img.convert("RGB")
+            channels = len(img.getbands())
+            return png_codec.luminance_histogram(
+                img.tobytes(), channels, bins=FEATURE_DIM
+            )
+        except Exception:
+            pass  # fall through to the pure-Python decoders
+    if png_codec.is_png(data):
+        _, _, channels, pixels = png_codec.decode_png(data)
         return png_codec.luminance_histogram(pixels, channels, bins=FEATURE_DIM)
-    from duck_delta_share_spark.functions import wav_codec
-
-    if wav_codec.is_wav(bytes(payload)):
-        rate, _, samples = wav_codec.decode_wav(bytes(payload))
-        return wav_codec.audio_features(rate, samples, bins=FEATURE_DIM)
     raise NotImplementedError(
         "strict decode supports PNG and WAV natively; other formats "
         "(jpeg/mp4/...) need an imaging/av library — pass decoder=... or "

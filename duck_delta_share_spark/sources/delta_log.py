@@ -288,6 +288,8 @@ def write_delta(
     additionally emits remove actions for every prior file. First commit
     writes protocol + metaData.
     """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append or overwrite, got {mode!r}")
     table = Path(table_path)
     log = _log_dir(table)
     log.mkdir(parents=True, exist_ok=True)
@@ -297,7 +299,20 @@ def write_delta(
     part_cols = list(partition_by or ())
     if version > 0:
         prev = snapshot(table)
-        part_cols = list(prev.partition_columns)
+        if mode == "append":
+            # appends must match the table's physical layout; raise on a
+            # conflicting partition_by instead of silently dropping it
+            if partition_by is not None and part_cols != list(prev.partition_columns):
+                raise ValueError(
+                    f"append partition_by {part_cols} conflicts with table "
+                    f"partitioning {list(prev.partition_columns)}"
+                )
+            part_cols = list(prev.partition_columns)
+        elif partition_by is None:
+            # overwrite keeps the previous layout unless told otherwise;
+            # an explicit partition_by re-partitions (it rewrites metaData
+            # and every file anyway)
+            part_cols = list(prev.partition_columns)
         if mode == "append" and prev.schema_string:
             have = {(f["name"], f["type"]) for f in json.loads(prev.schema_string)["fields"]}
             want = {(f["name"], f["type"]) for f in json.loads(df.schema.json())["fields"]}
@@ -331,8 +346,6 @@ def write_delta(
             actions.append(
                 {"remove": {"path": quote(rel, safe="/="), "dataChange": True}}
             )
-    elif mode != "append" and version > 0:
-        raise ValueError(f"mode must be append or overwrite, got {mode!r}")
     actions.extend(adds)
     if mode == "append" and version > 0:
         # Optimistic concurrency: a pure append conflicts with nothing —
@@ -347,7 +360,16 @@ def write_delta(
             except FileExistsError:
                 version += 1
         raise RuntimeError(f"could not commit after 20 version races in {table}")
-    _atomic_commit(table, version, actions)
+    try:
+        _atomic_commit(table, version, actions)
+    except FileExistsError:
+        # two concurrent first commits (or an overwrite racing another
+        # writer): the actions were computed against a snapshot another
+        # writer just invalidated — surface it instead of a raw OS error
+        raise RuntimeError(
+            f"concurrent writer committed version {version} of {table} "
+            "first; re-read the table and retry the write"
+        ) from None
     return version
 
 
@@ -437,7 +459,7 @@ def latest_version(table_path: str | Path) -> int:
 
 
 def version_changes(
-    table_path: str | Path, start: int, end: int
+    table_path: str | Path, start: int, end: int, include_data_unchanged: bool = False
 ) -> list[dict]:
     """Per-commit file actions for versions [start, end] (inclusive) — the
     local twin of the sharing server's /changes endpoint, powering
@@ -447,6 +469,13 @@ def version_changes(
     timestamp} (timestamp ms: commitInfo.timestamp if present, else the
     commit file's mtime, per the protocol's in-commit-timestamp fallback).
     Raises on a missing commit (truncated log → resync from a snapshot).
+
+    Actions with ``dataChange: false`` (OPTIMIZE rewrites) are SKIPPED by
+    default, matching Delta's streaming/CDF semantics: a compaction moves
+    bytes but changes no rows, so replaying its add/remove pairs would
+    duplicate every compacted row in a downstream stream (ADVICE r2).
+    Pass ``include_data_unchanged=True`` for maintenance tooling that
+    needs the physical file movements.
     """
     table = Path(table_path)
     out: list[dict] = []
@@ -481,6 +510,12 @@ def version_changes(
             for kind in ("add", "cdf", "remove"):
                 if kind in a:
                     f_ = a[kind]
+                    if (
+                        kind in ("add", "remove")
+                        and not f_.get("dataChange", True)
+                        and not include_data_unchanged
+                    ):
+                        break
                     rel = unquote(f_["path"])
                     out.append(
                         {

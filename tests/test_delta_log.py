@@ -383,3 +383,70 @@ def test_optimize_zorder_tightens_stats_on_all_dims(spark, tmp_path):
             spans[c].append((st["maxValues"][c] - st["minValues"][c]) / 1000)
     assert sum(spans["x"]) / len(spans["x"]) < 0.7
     assert sum(spans["y"]) / len(spans["y"]) < 0.7
+
+
+def test_version_changes_skip_data_unchanged(spark, region, tmp_path):
+    """OPTIMIZE commits (dataChange:false) must be invisible to streams and
+    CDF — replaying their add/remove pairs would duplicate every compacted
+    row (ADVICE r2)."""
+    from duck_delta_share_spark.sources.delta_log import optimize, version_changes
+
+    t = tmp_path / "vc"
+    write_delta(region, t)
+    write_delta(region, t, mode="append")
+    optimize(spark, t)  # version 2, dataChange: false
+    v2 = [a for a in version_changes(t, 0, 2) if a["version"] == 2]
+    assert v2 == [], f"optimize actions leaked into CDF: {v2}"
+    # maintenance tooling can still ask for the physical movements
+    phys = [
+        a
+        for a in version_changes(t, 0, 2, include_data_unchanged=True)
+        if a["version"] == 2
+    ]
+    assert {a["action"] for a in phys} == {"add", "remove"}
+
+
+def test_overwrite_honors_partition_by(spark, region, tmp_path):
+    t = tmp_path / "repart"
+    write_delta(region, t)  # unpartitioned
+    assert list(snapshot(t).partition_columns) == []
+    write_delta(region, t, mode="overwrite", partition_by=["r_regionkey"])
+    snap = snapshot(t)
+    assert list(snap.partition_columns) == ["r_regionkey"]
+    assert all("r_regionkey=" in f["url"] for f in snap.files)
+    back = read_delta(spark, t)
+    assert sorted(r.r_name for r in back.collect()) == sorted(
+        r.r_name for r in region.collect()
+    )
+    # append keeps the (new) layout; a conflicting partition_by raises
+    write_delta(region, t, mode="append")
+    assert list(snapshot(t).partition_columns) == ["r_regionkey"]
+    with pytest.raises(ValueError, match="conflicts with table partitioning"):
+        write_delta(region, t, mode="append", partition_by=["r_name"])
+
+
+def test_write_mode_validated_before_staging(region, tmp_path):
+    t = tmp_path / "badmode"
+    with pytest.raises(ValueError, match="mode must be append or overwrite"):
+        write_delta(region, t, mode="upsert")  # version 0 too
+    assert not list(t.rglob("*.parquet")), "staging ran before validation"
+
+
+def test_version0_commit_race_is_clear_error(region, tmp_path, monkeypatch):
+    """Losing the O_EXCL race on the FIRST commit must surface a
+    concurrent-writer error, not a raw FileExistsError (ADVICE r2)."""
+    import duck_delta_share_spark.sources.delta_log as dl
+
+    t = tmp_path / "race0"
+    orig = dl._atomic_commit
+
+    def racing_commit(table, version, actions):
+        # another writer lands version 0 between version derivation and
+        # our commit
+        orig(table, version, [{"metaData": {"schemaString": "{}",
+                                            "partitionColumns": []}}])
+        return orig(table, version, actions)
+
+    monkeypatch.setattr(dl, "_atomic_commit", racing_commit)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        dl.write_delta(region, t)

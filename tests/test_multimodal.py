@@ -270,8 +270,60 @@ def test_multimodal_wav_strict_query(spark):
 
     rows = QUERIES["multimodal_wav_strict"].spark_fn(spark, SF_DIR).collect()
     assert len(rows) > 0
-    by_id = {r.doc_id: tuple(r.features) for r in rows}
+    # features arrive CSV-serialized (driver canonicalizer contract)
+    by_id = {
+        r.doc_id: tuple(float(v) for v in r.features.split(",")) for r in rows
+    }
     # distinct tones -> distinct zero-crossing rates; all features real
     zcrs = {round(f[1], 4) for f in by_id.values()}
     assert len(zcrs) > 1
     assert all(f[0] > 0 for f in by_id.values())
+
+
+def test_strict_decode_wav_wins_over_pil(monkeypatch):
+    """With an imaging lib installed, Image.open raises on WAV bytes —
+    strict_decode must route WAV payloads to the audio decoder BEFORE
+    trying PIL (ADVICE r2)."""
+    import sys
+    import types
+
+    from duck_delta_share_spark.functions import wav_codec as wc
+
+    class _Boom:
+        @staticmethod
+        def open(*_a, **_k):
+            raise ValueError("cannot identify image file")
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = _Boom
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", _Boom)
+
+    samples = [int(5000 * ((t % 50) / 25 - 1)) for t in range(400)]
+    feats = mm.strict_decode(wc.encode_wav(samples, sample_rate=8000))
+    assert len(feats) == mm.FEATURE_DIM
+    assert any(f != 0 for f in feats)
+
+
+def test_strict_decode_pil_failure_falls_back_to_pure_codec(monkeypatch):
+    """A PIL that can't parse a (valid) PNG must fall through to the
+    pure-Python codec, not crash the batch."""
+    import sys
+    import types
+
+    class _Boom:
+        @staticmethod
+        def open(*_a, **_k):
+            raise OSError("truncated file?")
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = _Boom
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", _Boom)
+
+    from duck_delta_share_spark.functions import png_codec as pc
+
+    data = pc.encode_png(4, 4, 3, bytes(range(48)))
+    feats = mm.strict_decode(data)
+    assert len(feats) == mm.FEATURE_DIM
+    assert abs(sum(feats) - 1.0) < 1e-6  # normalized histogram
