@@ -53,6 +53,8 @@ _R3_FIRST = [
     "inverted_index_postings",
     "pca_project_embeddings",
     "multimodal_wav_strict",
+    # (c) new this round
+    "simhash_md5_pairs",
     # (b) never driver-checked
     "sessionization",
     "join_asof_tolerance",

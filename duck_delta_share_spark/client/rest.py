@@ -227,34 +227,56 @@ class DeltaSharingClient:
         predicate_hints: list[str] | None = None,
         limit_hint: int | None = None,
         version: int | None = None,
+        max_files: int | None = None,
     ) -> TableFiles:
         """POST .../query → protocol + metaData + file actions (cpp:371-465).
 
         Hints are advisory per the protocol: the server may ignore them, so
         the reader must (and does) re-apply every filter — unlike the
         reference, which drops filters from the plan (§2D filter swallowing).
+
+        Paginated responses (public protocol: ``maxFiles``/``pageToken`` in
+        the request, ``endStreamAction.nextPageToken`` in the response) are
+        followed to exhaustion, so very large tables return their complete
+        file list. The reference lacks this (cpp:371-465) and would
+        silently scan only the first page.
         """
-        body: dict[str, Any] = {}
+        base_body: dict[str, Any] = {}
         if json_predicate_hints is not None:
-            body["jsonPredicateHints"] = json.dumps(json_predicate_hints)
+            base_body["jsonPredicateHints"] = json.dumps(json_predicate_hints)
         if predicate_hints:
-            body["predicateHints"] = predicate_hints
+            base_body["predicateHints"] = predicate_hints
         if limit_hint is not None and limit_hint >= 0:
-            body["limitHint"] = limit_hint
+            base_body["limitHint"] = limit_hint
         if version is not None and version >= 0:
-            body["version"] = version
-        resp = self._request("POST", self._table_path(share, schema, table) + "/query", body=body)
+            base_body["version"] = version
+        if max_files is not None and max_files > 0:
+            base_body["maxFiles"] = max_files
+        path = self._table_path(share, schema, table) + "/query"
         protocol = Protocol()
         metadata = TableMetadata()
         files: list[FileAction] = []
-        for line in parse_ndjson(resp):
-            if "protocol" in line:
-                protocol = check_protocol(Protocol.from_json(line["protocol"]), table)
-            elif "metaData" in line:
-                metadata = TableMetadata.from_json(line["metaData"])
-            elif "file" in line:
-                files.append(FileAction.from_json(line["file"]))
-        return TableFiles(protocol=protocol, metadata=metadata, files=tuple(files))
+        token: str | None = None
+        for _ in range(10_000):  # bound against a server echoing tokens forever
+            body = dict(base_body)
+            if token:
+                # per the protocol, page requests repeat the original query
+                # content plus the server-issued token
+                body["pageToken"] = token
+            resp = self._request("POST", path, body=body)
+            token = None
+            for line in parse_ndjson(resp):
+                if "protocol" in line:
+                    protocol = check_protocol(Protocol.from_json(line["protocol"]), table)
+                elif "metaData" in line:
+                    metadata = TableMetadata.from_json(line["metaData"])
+                elif "file" in line:
+                    files.append(FileAction.from_json(line["file"]))
+                elif "endStreamAction" in line:
+                    token = line["endStreamAction"].get("nextPageToken") or None
+            if not token:
+                return TableFiles(protocol=protocol, metadata=metadata, files=tuple(files))
+        raise DeltaSharingError(0, f"/query pagination did not terminate for {table}")
 
     # -- change data feed (beyond the reference: public /changes endpoint) ----
 
@@ -266,35 +288,51 @@ class DeltaSharingClient:
         starting_version: int | None = None,
         ending_version: int | None = None,
         starting_timestamp: str | None = None,
+        max_files: int | None = None,
     ) -> TableChanges:
         """GET .../changes → protocol + metaData + add/cdf/remove actions for
         the requested version range (inclusive both ends, per the public
         Delta Sharing protocol). The reference client has no CDF surface;
         this powers both ``readChangeFeed`` batch reads and the streaming
-        source's per-microbatch file discovery."""
-        query: dict[str, str] = {}
+        source's per-microbatch file discovery. Paginated responses
+        (maxFiles/pageToken → endStreamAction.nextPageToken) are followed
+        to exhaustion, mirroring :meth:`query_table`."""
+        base_query: dict[str, str] = {}
         if starting_version is not None:
-            query["startingVersion"] = str(starting_version)
+            base_query["startingVersion"] = str(starting_version)
         if starting_timestamp is not None:
-            query["startingTimestamp"] = starting_timestamp
+            base_query["startingTimestamp"] = starting_timestamp
         if ending_version is not None:
-            query["endingVersion"] = str(ending_version)
-        resp = self._request(
-            "GET", self._table_path(share, schema, table) + "/changes", query or None
-        )
+            base_query["endingVersion"] = str(ending_version)
+        if max_files is not None and max_files > 0:
+            base_query["maxFiles"] = str(max_files)
+        path = self._table_path(share, schema, table) + "/changes"
         protocol = Protocol()
         metadata = TableMetadata()
         actions: list[ChangeAction] = []
-        for line in parse_ndjson(resp):
-            if "protocol" in line:
-                protocol = check_protocol(Protocol.from_json(line["protocol"]), table)
-            elif "metaData" in line:
-                metadata = TableMetadata.from_json(line["metaData"])
-            else:
-                for kind in ("add", "cdf", "remove"):
-                    if kind in line:
-                        actions.append(
-                            ChangeAction(kind, FileAction.from_json(line[kind]))
-                        )
-                        break
-        return TableChanges(protocol=protocol, metadata=metadata, actions=tuple(actions))
+        token: str | None = None
+        for _ in range(10_000):
+            query = dict(base_query)
+            if token:
+                query["pageToken"] = token
+            resp = self._request("GET", path, query or None)
+            token = None
+            for line in parse_ndjson(resp):
+                if "protocol" in line:
+                    protocol = check_protocol(Protocol.from_json(line["protocol"]), table)
+                elif "metaData" in line:
+                    metadata = TableMetadata.from_json(line["metaData"])
+                elif "endStreamAction" in line:
+                    token = line["endStreamAction"].get("nextPageToken") or None
+                else:
+                    for kind in ("add", "cdf", "remove"):
+                        if kind in line:
+                            actions.append(
+                                ChangeAction(kind, FileAction.from_json(line[kind]))
+                            )
+                            break
+            if not token:
+                return TableChanges(
+                    protocol=protocol, metadata=metadata, actions=tuple(actions)
+                )
+        raise DeltaSharingError(0, f"/changes pagination did not terminate for {table}")

@@ -444,6 +444,47 @@ def minhash_md5_signatures(
     )
 
 
+def simhash_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    salt: str = "sh|",
+) -> DataFrame:
+    """ORACLE-CHECKABLE SimHash twin: the bit source is ``md5(salt|token)``
+    hex nibbles instead of xxhash64 (which has no DuckDB equivalent), so
+    the full tokenize → bit-vote → bit-pack pipeline sits under the
+    cross-engine value-hash gate. Bit i lives in hex char ``i // 4``, bit
+    ``i % 4`` — extracted with conv(hex_char, 16, 10) on the Spark side
+    and strpos('0123456789abcdef', ...) - 1 in the oracle, identical
+    values by construction. Production stays :func:`simhash` (one
+    xxhash64 per token vs one md5); plan shape is the same: explode →
+    single groupBy with ``bits`` conditional sums → pack. ``bits`` ≤ 62
+    keeps the packed signature positive in a BIGINT.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("__t"))
+    tokh = tok.select(
+        id_col, F.md5(F.concat(F.lit(salt), F.col("__t"))).alias("__h")
+    )
+
+    def bit_is_set(i: int):
+        charval = F.conv(F.substring("__h", i // 4 + 1, 1), 16, 10).cast("int")
+        return F.shiftright(charval, i % 4).bitwiseAND(F.lit(1)) == 1
+
+    bit_sums = [
+        F.sum(F.when(bit_is_set(i), 1).otherwise(-1)).alias(f"b_{i}")
+        for i in range(bits)
+    ]
+    agg = tokh.groupBy(id_col).agg(*bit_sums)
+    packed = None
+    for i in range(bits):
+        term = F.when(
+            F.col(f"b_{i}") > 0, F.lit(2**i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        packed = term if packed is None else packed + term
+    return agg.select(F.col(id_col), packed.alias("simhash"))
+
+
 def minhash_md5_lsh_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

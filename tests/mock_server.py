@@ -38,6 +38,9 @@ class MockDeltaSharingServer:
         # presigned URLs (GET → 403); later queries return fresh ones —
         # simulates FileAction.expiration_timestamp passing mid-job.
         self.expire_first_query_urls = False
+        # when set, /query paginates its file list N files per page even if
+        # the client sends no maxFiles (servers may paginate unprompted)
+        self.paginate_max_files = 0
         self._query_count = 0
         # Advertised protocol floor; tests bump it to 2+ to prove the
         # client refuses tables whose reader features it lacks.
@@ -102,7 +105,7 @@ class MockDeltaSharingServer:
             ]
         )
 
-    def _query_lines(self) -> str:
+    def _query_lines(self, body: dict | None = None) -> str:
         self._query_count += 1
         expired = self.expire_first_query_urls and self._query_count == 1
         base = f"http://127.0.0.1:{self.port}/data"
@@ -135,12 +138,28 @@ class MockDeltaSharingServer:
                 "timestamp": 1700000000000,
             },
         ]
+        body = body or {}
+        max_files = int(body.get("maxFiles", 0) or self.paginate_max_files or 0)
+        if max_files:
+            # paginated protocol: serve maxFiles files per page, hand out an
+            # opaque nextPageToken (here: the next file offset) via
+            # endStreamAction until the list is exhausted
+            start = int(body.get("pageToken", 0) or 0)
+            page = files[start : start + max_files]
+            lines = [self._metadata_lines()]
+            lines += [json.dumps({"file": f}) for f in page]
+            nxt = start + max_files
+            esa = {"nextPageToken": str(nxt)} if nxt < len(files) else {}
+            lines.append(json.dumps({"endStreamAction": esa}))
+            return "\n".join(lines)
         return self._metadata_lines() + "\n" + "\n".join(
             json.dumps({"file": f}) for f in files
         )
 
-    def _changes_lines(self, start: int, end: int) -> str:
-        lines = [self._metadata_lines()]
+    def _changes_lines(
+        self, start: int, end: int, page_token: int = 0, max_files: int = 0
+    ) -> str:
+        acts = []
         for entry in self.change_log:
             if not (start <= entry["version"] <= end):
                 continue
@@ -154,8 +173,15 @@ class MockDeltaSharingServer:
             }
             if entry.get("stats"):
                 f["stats"] = entry["stats"]
-            lines.append(json.dumps({entry["action"]: f}))
-        return "\n".join(lines)
+            acts.append(json.dumps({entry["action"]: f}))
+        max_files = max_files or self.paginate_max_files
+        lines = [self._metadata_lines()]
+        if max_files:
+            page = acts[page_token : page_token + max_files]
+            nxt = page_token + max_files
+            esa = {"nextPageToken": str(nxt)} if nxt < len(acts) else {}
+            return "\n".join(lines + page + [json.dumps({"endStreamAction": esa})])
+        return "\n".join(lines + acts)
 
     # server ----------------------------------------------------------------
 
@@ -270,7 +296,16 @@ class MockDeltaSharingServer:
                             ).encode(),
                         )
                         return
-                    self._reply(200, outer._changes_lines(start, end).encode(), "application/x-ndjson")
+                    self._reply(
+                        200,
+                        outer._changes_lines(
+                            start,
+                            end,
+                            page_token=int(qs.get("pageToken", ["0"])[0] or 0),
+                            max_files=int(qs.get("maxFiles", ["0"])[0] or 0),
+                        ).encode(),
+                        "application/x-ndjson",
+                    )
                 else:
                     self._reply(404, json.dumps({"message": f"not found: {path}"}).encode())
 
@@ -281,7 +316,15 @@ class MockDeltaSharingServer:
                 if not self._check_auth():
                     return
                 if self.path == "/shares/sales/schemas/web/tables/clicks/query":
-                    self._reply(200, outer._query_lines().encode(), "application/x-ndjson")
+                    try:
+                        parsed_body = json.loads(body) if body else {}
+                    except ValueError:
+                        parsed_body = {}
+                    self._reply(
+                        200,
+                        outer._query_lines(parsed_body).encode(),
+                        "application/x-ndjson",
+                    )
                 else:
                     self._reply(404, json.dumps({"message": f"not found: {self.path}"}).encode())
 

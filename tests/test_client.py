@@ -136,3 +136,51 @@ def test_min_reader_version_gate(server, client):
         server.min_reader_version = 1
     protocol, _ = client.query_table_metadata("sales", "web", "clicks")
     assert protocol.min_reader_version == 1
+
+
+def test_query_table_pagination_client_requested(client, server):
+    """maxFiles → server pages the file list; the client follows
+    endStreamAction.nextPageToken to exhaustion and repeats the original
+    query content on every page request."""
+    hints = {"op": "equal", "children": []}
+    result = client.query_table(
+        "sales", "web", "clicks", json_predicate_hints=hints, max_files=1
+    )
+    assert [f.id for f in result.files] == ["f-eu", "f-us"]
+    page_bodies = [
+        json.loads(b)
+        for m, p, b in server.requests
+        if m == "POST" and p.endswith("/query") and "maxFiles" in (b or "{}")
+    ][-2:]
+    assert all(b["maxFiles"] == 1 for b in page_bodies)
+    assert "pageToken" not in page_bodies[0]
+    assert page_bodies[1]["pageToken"] == "1"
+    # original query content repeated on the page request (per protocol)
+    assert json.loads(page_bodies[1]["jsonPredicateHints"]) == hints
+
+
+def test_query_table_pagination_server_forced(client, server):
+    """Servers may paginate unprompted — the complete file list must still
+    come back (the reference would silently scan page 1 only)."""
+    server.paginate_max_files = 1
+    try:
+        result = client.query_table("sales", "web", "clicks")
+        assert [f.id for f in result.files] == ["f-eu", "f-us"]
+    finally:
+        server.paginate_max_files = 0
+
+
+def test_query_table_changes_pagination(client, server):
+    """CDF reads follow endStreamAction.nextPageToken on /changes too."""
+    full = client.query_table_changes("sales", "web", "clicks", starting_version=0)
+    server.paginate_max_files = 1
+    try:
+        paged = client.query_table_changes(
+            "sales", "web", "clicks", starting_version=0
+        )
+    finally:
+        server.paginate_max_files = 0
+    assert len(full.actions) > 1  # the fixture log has several versions
+    assert [(a.action_type, a.file.id) for a in paged.actions] == [
+        (a.action_type, a.file.id) for a in full.actions
+    ]
