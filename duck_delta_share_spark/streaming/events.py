@@ -20,7 +20,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events.parquet physical schema under nanosAsLong: ts arrives as long ns.
+# events.parquet physical schema when ts is TIMESTAMP(NANOS) under
+# nanosAsLong (ts arrives as long ns). Newer fixtures use TIMESTAMP(MICROS)
+# and infer a timestamp_ntz ts directly; read_events_stream handles both.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -35,18 +37,31 @@ EVENTS_RAW_SCHEMA = StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture with ts normalized to a
-    proper timestamp (ns → µs floor, matching the batch catalog loader)."""
-    # file streams take a directory; glob-filter to the events fixture
+    proper timestamp, matching the batch catalog loader exactly.
+
+    File streams require an explicit schema; we probe the fixture's physical
+    type with a batch schema-inference read (footer only, no data scan) and
+    mirror catalog.load_table's defensive handling: TIMESTAMP(NANOS) files
+    arrive as long ns under nanosAsLong and get the ns→µs floor;
+    TIMESTAMP(MICROS) files pass through.
+    """
+    path = sf_dir.rstrip("/")
+    inferred = spark.read.parquet(f"{path}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(inferred)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir.rstrip("/"))
+        .load(path)
     )
-    # same ns→µs floor as catalog.load_table (pre-1970 values round DOWN)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-    )
+    if isinstance(inferred["ts"].dataType, LongType):
+        # same ns→µs floor as catalog.load_table (pre-1970 rounds DOWN)
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
+    # TIMESTAMP(MICROS) infers as timestamp_ntz; watermarks are only legal
+    # on TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — the session runs
+    # in UTC so the cast is value-preserving.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
