@@ -55,6 +55,7 @@ _R3_FIRST = [
     "multimodal_wav_strict",
     # (c) new this round
     "simhash_md5_pairs",
+    "delta_delete_dv",
     # (b) never driver-checked
     "sessionization",
     "join_asof_tolerance",

@@ -140,6 +140,45 @@ def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_delete_dv",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM customer
+WHERE NOT (c_acctbal < 0 OR c_nationkey = 7)
+ORDER BY c_custkey
+""",
+    doc="merge-on-read DELETE via deletion vectors "
+    "(sources/delta_log.py:delete_where + sources/deletion_vectors.py): "
+    "customer is committed as a multi-file local Delta table, rows are "
+    "deleted by predicate WITHOUT rewriting any data file — matching row "
+    "indexes are evaluated distributed (_metadata.row_index), written as "
+    "protocol-format roaring-bitmap DV files by executors, committed as "
+    "remove+add(deletionVector) — and the scan-back (DV row masks applied "
+    "executor-side) is hash-checked against SQL NOT(predicate). The "
+    "reference client ignores DVs and would return the deleted rows "
+    "(delta_sharing_client.cpp:357-369)",
+)
+def delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import (
+        delete_where,
+        read_delta,
+        write_delta,
+    )
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_dv_")) / "t"
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    write_delta(c.repartition(4), table)
+    delete_where(spark, table, "c_acctbal < 0 OR c_nationkey = 7")
+    return read_delta(spark, table).orderBy("c_custkey")
+
+
+@query(
     "incremental_rollup_cdf",
     oracle="""
 WITH final AS (

@@ -1,0 +1,308 @@
+"""Deletion vectors for the local Delta reader/writer (delta_log.py).
+
+Implements the public Delta Lake protocol's deletion-vector format
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md, "Deletion
+Vectors" + "Deletion Vector Format" sections), which the reference client
+ignores entirely (`/root/reference/src/delta_sharing_client.cpp:357-369`
+reads protocol-bearing tables as if every physical row were live — i.e.
+returns deleted rows). We take the opposite stance: the REST path keeps its
+fail-fast minReaderVersion gate, and the LOCAL Delta path implements DVs
+for real.
+
+Three layers, all public-spec:
+
+1. **Z85** (ZeroMQ base-85, https://rfc.zeromq.org/spec/32/) — used by the
+   protocol for inline DVs and for the UUID in `u`-storage descriptors.
+2. **RoaringBitmapArray, "portable" format** — the serialized DV payload:
+   a 4-byte little-endian magic (1681511377), an 8-byte LE bitmap count,
+   then per 32-bit bucket a 4-byte LE key + a standard 32-bit
+   RoaringBitmap in the official interoperable "portable" serialization
+   (https://github.com/RoaringBitmap/RoaringFormatSpec): cookie, container
+   descriptors, optional offset header, then array / bitmap / run
+   containers. The reader handles all three container kinds; the writer
+   emits array/bitmap containers with the no-run cookie (12346).
+3. **DV file framing** — on-disk DV files start with a format-version byte
+   (1); each vector within is `<dataSize: int32 BE> <data> <CRC-32 of
+   data: int32 BE>`, and the descriptor's `offset` points at the size
+   field. `sizeInBytes` is the data length, `cardinality` the popcount.
+
+Scale note: a DV is per-file metadata, read executor-side by the task that
+scans its file (never collected to the driver); its size is O(deleted rows
+in that one file) with roaring compression, which is exactly how Delta
+keeps merge-on-read cheap at 100 TB.
+"""
+
+from __future__ import annotations
+
+import struct
+import uuid as _uuid
+import zlib
+from pathlib import Path
+from typing import Any
+
+MAGIC = 1681511377  # RoaringBitmapArray portable-serialization magic
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE = 12347
+_NO_OFFSET_THRESHOLD = 4  # runs-cookie bitmaps < 4 containers omit offsets
+
+# --------------------------------------------------------------------------
+# Z85 (ZeroMQ spec 32) — stdlib has it only from Python 3.13
+# --------------------------------------------------------------------------
+
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_DECODE = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+
+def z85_encode(data: bytes) -> str:
+    if len(data) % 4:
+        raise ValueError("z85 input must be a multiple of 4 bytes")
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85_ALPHABET[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("z85 input must be a multiple of 5 chars")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        v = 0
+        for c in text[i : i + 5]:
+            v = v * 85 + _Z85_DECODE[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# 32-bit RoaringBitmap portable serialization
+# --------------------------------------------------------------------------
+
+
+def _serialize_rb32(values: "np.ndarray") -> bytes:  # noqa: F821
+    """One 32-bit roaring bitmap (sorted uint32 values) → portable bytes.
+    Containers: array when a 16-bit bucket holds ≤ 4096 values, else a
+    bitmap container (fixed 8 KiB). No run containers on the write side —
+    every portable reader must accept the no-run cookie."""
+    import numpy as np
+
+    highs = (values >> 16).astype(np.uint32)
+    keys, starts = np.unique(highs, return_index=True)
+    bounds = list(starts) + [len(values)]
+    n = len(keys)
+
+    headers = bytearray()
+    payloads: list[bytes] = []
+    for i, key in enumerate(keys):
+        lows = (values[bounds[i] : bounds[i + 1]] & 0xFFFF).astype(np.uint16)
+        card = len(lows)
+        headers += struct.pack("<HH", int(key), card - 1)
+        if card <= 4096:
+            payloads.append(lows.astype("<u2").tobytes())
+        else:
+            bits = np.zeros(65536, dtype=bool)
+            bits[lows] = True
+            payloads.append(np.packbits(bits, bitorder="little").tobytes())
+
+    head = struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
+    # offset header: byte position of each container from bitmap start
+    off = len(head) + len(headers) + 4 * n
+    offsets = bytearray()
+    for p in payloads:
+        offsets += struct.pack("<I", off)
+        off += len(p)
+    return head + bytes(headers) + bytes(offsets) + b"".join(payloads)
+
+
+def _parse_rb32(buf: bytes, pos: int) -> tuple["np.ndarray", int]:  # noqa: F821
+    """Parse one 32-bit roaring bitmap at ``pos``; returns (sorted uint32
+    values, next position). Handles array, bitmap and run containers."""
+    import numpy as np
+
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    run_flags = None
+    if cookie & 0xFFFF == _SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        nbytes = (n + 7) // 8
+        run_flags = np.unpackbits(
+            np.frombuffer(buf, np.uint8, nbytes, pos), bitorder="little"
+        )[:n]
+        pos += nbytes
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        has_offsets = True
+    else:
+        raise ValueError(f"bad roaring cookie {cookie}")
+
+    desc = np.frombuffer(buf, "<u2", 2 * n, pos).reshape(n, 2)
+    pos += 4 * n
+    if has_offsets:
+        pos += 4 * n  # we read containers sequentially; offsets unused
+
+    parts: list[np.ndarray] = []
+    for i in range(n):
+        key = np.uint32(desc[i, 0]) << np.uint32(16)
+        card = int(desc[i, 1]) + 1
+        if run_flags is not None and run_flags[i]:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            runs = np.frombuffer(buf, "<u2", 2 * n_runs, pos).reshape(n_runs, 2)
+            pos += 4 * n_runs
+            lows = np.concatenate(
+                [np.arange(s, s + ln + 1, dtype=np.uint32) for s, ln in runs]
+            ) if n_runs else np.empty(0, np.uint32)
+        elif card <= 4096:
+            lows = np.frombuffer(buf, "<u2", card, pos).astype(np.uint32)
+            pos += 2 * card
+        else:
+            bits = np.unpackbits(
+                np.frombuffer(buf, np.uint8, 8192, pos), bitorder="little"
+            )
+            pos += 8192
+            lows = np.nonzero(bits)[0].astype(np.uint32)
+        parts.append(key | lows)
+    values = np.concatenate(parts) if parts else np.empty(0, np.uint32)
+    return values, pos
+
+
+# --------------------------------------------------------------------------
+# 64-bit RoaringBitmapArray (the DV payload)
+# --------------------------------------------------------------------------
+
+
+def serialize_dv(indexes) -> bytes:
+    """Sorted-unique row indexes → serialized DV payload (magic + portable
+    RoaringBitmapArray)."""
+    import numpy as np
+
+    idx = np.unique(np.asarray(list(indexes), dtype=np.uint64))
+    highs = (idx >> np.uint64(32)).astype(np.uint32)
+    keys, starts = np.unique(highs, return_index=True)
+    bounds = list(starts) + [len(idx)]
+    out = bytearray(struct.pack("<I", MAGIC))
+    out += struct.pack("<q", len(keys))
+    for i, key in enumerate(keys):
+        out += struct.pack("<I", int(key))
+        out += _serialize_rb32(
+            (idx[bounds[i] : bounds[i + 1]] & np.uint64(0xFFFFFFFF)).astype(
+                np.uint32
+            )
+        )
+    return bytes(out)
+
+
+def parse_dv(data: bytes) -> "np.ndarray":  # noqa: F821
+    """Serialized DV payload → sorted uint64 row indexes."""
+    import numpy as np
+
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != MAGIC:
+        raise ValueError(f"bad deletion-vector magic {magic}")
+    (n_bitmaps,) = struct.unpack_from("<q", data, 4)
+    pos = 12
+    parts: list[np.ndarray] = []
+    for _ in range(n_bitmaps):
+        (key,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        lows, pos = _parse_rb32(data, pos)
+        parts.append((np.uint64(key) << np.uint64(32)) | lows.astype(np.uint64))
+    return (
+        np.concatenate(parts) if parts else np.empty(0, np.uint64)
+    )
+
+
+# --------------------------------------------------------------------------
+# DV files + descriptors
+# --------------------------------------------------------------------------
+
+
+def write_dv_file(table_path: str | Path, indexes) -> dict[str, Any]:
+    """Write row indexes as an on-disk DV and return its add-action
+    descriptor (storageType ``u``: z85 UUID, file
+    ``deletion_vector_<uuid>.bin`` in the table root)."""
+    import numpy as np
+
+    table = Path(table_path)
+    idx = np.unique(np.asarray(list(indexes), dtype=np.uint64))
+    data = serialize_dv(idx)
+    uid = _uuid.uuid4()
+    path = table / f"deletion_vector_{uid}.bin"
+    payload = (
+        bytes([1])
+        + struct.pack(">i", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+    with open(path, "wb") as f:
+        f.write(payload)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(uid.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": int(len(idx)),
+    }
+
+
+def inline_dv_descriptor(indexes) -> dict[str, Any]:
+    """Row indexes → an inline (storageType ``i``) descriptor; no file."""
+    import numpy as np
+
+    idx = np.unique(np.asarray(list(indexes), dtype=np.uint64))
+    data = serialize_dv(idx)
+    return {
+        "storageType": "i",
+        # z85 works in 4-byte groups; sizeInBytes recovers the exact length
+        "pathOrInlineDv": z85_encode(data + b"\x00" * (-len(data) % 4)),
+        "sizeInBytes": len(data),
+        "cardinality": int(len(idx)),
+    }
+
+
+def _dv_file_path(descriptor: dict[str, Any], table_path: str | Path) -> Path:
+    st = descriptor["storageType"]
+    raw = descriptor["pathOrInlineDv"]
+    if st == "p":
+        return Path(raw)
+    if st == "u":
+        # <random prefix><20-char z85 uuid>; prefix becomes a subdirectory
+        prefix, encoded = raw[:-20], raw[-20:]
+        uid = _uuid.UUID(bytes=z85_decode(encoded))
+        name = f"deletion_vector_{uid}.bin"
+        base = Path(table_path)
+        return (base / prefix / name) if prefix else (base / name)
+    raise ValueError(f"unsupported deletion vector storageType {st!r}")
+
+
+def load_dv(descriptor: dict[str, Any], table_path: str | Path) -> "np.ndarray":  # noqa: F821
+    """Descriptor (+ table root for relative storage) → sorted uint64 row
+    indexes of DELETED rows in the file the descriptor is attached to."""
+    size = int(descriptor["sizeInBytes"])
+    if descriptor["storageType"] == "i":
+        data = z85_decode(descriptor["pathOrInlineDv"])[:size]
+        return parse_dv(data)
+    path = _dv_file_path(descriptor, table_path)
+    with open(path, "rb") as f:
+        if "offset" in descriptor and descriptor["offset"] is not None:
+            f.seek(int(descriptor["offset"]))
+            (stored,) = struct.unpack(">i", f.read(4))
+            if stored != size:
+                raise ValueError(
+                    f"DV length prefix {stored} != descriptor sizeInBytes {size}"
+                )
+        data = f.read(size)
+        (crc,) = struct.unpack(">I", f.read(4))
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError(f"DV checksum mismatch in {path}")
+    return parse_dv(data)

@@ -16,9 +16,13 @@ folds the log into an N.checkpoint.parquet + _last_checkpoint so logs can
 be truncated. Appends are atomic per the protocol's
 one-json-file-per-version rule (O_EXCL create).
 
-Reader-version gate: tables requiring minReaderVersion > 1 (deletion
-vectors, column mapping) fail fast via the same ``check_protocol`` as the
-REST client rather than returning wrong rows.
+Reader-version gate: the LOCAL path implements deletion vectors
+(minReaderVersion 3 + readerFeatures=[deletionVectors] — descriptors on
+add actions, roaring-bitmap row filters applied executor-side at scan
+time, see ``deletion_vectors.py`` and ``delete_where``); tables requiring
+features beyond that (column mapping, v2 checkpoints) still fail fast.
+The REST client keeps its unconditional minReaderVersion gate — a sharing
+server hands us opaque presigned files where misreading is silent.
 
 The reference has no local-Delta surface (it reads Delta *Sharing* REST
 only, `/root/reference/src/delta_sharing_client.cpp`); this closes the
@@ -86,21 +90,42 @@ def _checkpoint_files(log: Path, version: int) -> list[Path]:
     return sorted(log.glob(f"{version:020d}.checkpoint.*.*.parquet"))
 
 
+# Reader features the LOCAL path implements for minReaderVersion 3 tables.
+# timestampNtz needs no reader work (pyarrow/Spark read NTZ natively).
+_SUPPORTED_READER_FEATURES = frozenset({"deletionVectors", "timestampNtz"})
+
+
+def _check_local_protocol(p: dict, table: Path) -> None:
+    """Local-Delta protocol gate: v1 always; v3 when every listed
+    readerFeature is implemented; v2 (column mapping) and unknown features
+    fail fast — reading anyway would silently return wrong rows/columns."""
+    v = int(p.get("minReaderVersion", 1))
+    if v <= 1:
+        return
+    if v == 3:
+        unsupported = set(p.get("readerFeatures") or ()) - _SUPPORTED_READER_FEATURES
+        if not unsupported:
+            return
+        raise ValueError(
+            f"Delta table {table} requires reader features "
+            f"{sorted(unsupported)} which this reader does not implement"
+        )
+    check_protocol(Protocol(min_reader_version=v), str(table))
+
+
 def _apply_action(state: dict, action: dict, table: Path) -> None:
     if "metaData" in action:
         md = action["metaData"]
         state["schema_string"] = md.get("schemaString") or state["schema_string"]
         state["partition_columns"] = tuple(md.get("partitionColumns") or ())
     elif "protocol" in action:
-        check_protocol(
-            Protocol(min_reader_version=int(action["protocol"].get("minReaderVersion", 1))),
-            str(table),
-        )
+        _check_local_protocol(action["protocol"], table)
     elif "add" in action:
         a = action["add"]
         state["files"][unquote(a["path"])] = {
             "partitionValues": a.get("partitionValues") or {},
             "stats": a.get("stats") or "",
+            "deletionVector": a.get("deletionVector"),
         }
     elif "remove" in action:
         state["files"].pop(unquote(action["remove"]["path"]), None)
@@ -120,6 +145,28 @@ def _read_checkpoint(cp_file: Path, state: dict, table: Path) -> None:
                 _apply_action(state, {key: a}, table)
                 break
         # checkpoint `remove` rows are vacuum tombstones, not state
+
+
+def _resolve_dv(descriptor: dict | None, table: Path) -> dict | None:
+    """Normalize a deletion-vector descriptor for executor consumption:
+    ``u``-storage (table-relative UUID file) resolves to an absolute-path
+    ``p`` descriptor on the DRIVER, so scan tasks never need the table
+    root; inline (``i``) and absolute (``p``) pass through. Checkpoint
+    rows materialize absent descriptors as all-None structs — treat those
+    as no DV."""
+    if not descriptor or not descriptor.get("storageType"):
+        return None
+    if descriptor["storageType"] == "u":
+        from duck_delta_share_spark.sources.deletion_vectors import _dv_file_path
+
+        return {
+            "storageType": "p",
+            "pathOrInlineDv": str(_dv_file_path(descriptor, table)),
+            "offset": descriptor.get("offset"),
+            "sizeInBytes": descriptor["sizeInBytes"],
+            "cardinality": descriptor["cardinality"],
+        }
+    return dict(descriptor)
 
 
 def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapshot:
@@ -159,6 +206,7 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
             "url": str(table / rel),
             "partitionValues": info["partitionValues"],
             "stats": info["stats"],
+            "deletionVector": _resolve_dv(info.get("deletionVector"), table),
         }
         for rel, info in sorted(state["files"].items())
     )
@@ -381,9 +429,22 @@ def checkpoint(table_path: str | Path) -> int:
 
     table = Path(table_path)
     snap = snapshot(table)
+    has_dv = any(f.get("deletionVector") for f in snap.files)
     rows = [
         {
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+            if has_dv
+            else {
+                "minReaderVersion": 1,
+                "minWriterVersion": 2,
+                "readerFeatures": None,
+                "writerFeatures": None,
+            },
             "metaData": None,
             "add": None,
         },
@@ -406,6 +467,7 @@ def checkpoint(table_path: str | Path) -> int:
                     "path": quote(str(Path(f["url"]).relative_to(table)), safe="/="),
                     "partitionValues": f["partitionValues"],
                     "stats": f["stats"],
+                    "deletionVector": f.get("deletionVector"),
                 },
             }
         )
@@ -416,7 +478,12 @@ def checkpoint(table_path: str | Path) -> int:
             (
                 "protocol",
                 pa.struct(
-                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
                 ),
             ),
             (
@@ -436,6 +503,18 @@ def checkpoint(table_path: str | Path) -> int:
                         ("path", pa.string()),
                         ("partitionValues", pa.map_(pa.string(), pa.string())),
                         ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -496,14 +575,7 @@ def version_changes(
                 if "commitInfo" in a and a["commitInfo"].get("timestamp"):
                     ts_ms = int(a["commitInfo"]["timestamp"])
                 elif "protocol" in a:
-                    check_protocol(
-                        Protocol(
-                            min_reader_version=int(
-                                a["protocol"].get("minReaderVersion", 1)
-                            )
-                        ),
-                        str(table),
-                    )
+                    _check_local_protocol(a["protocol"], table)
                 else:
                     actions.append(a)
         for a in actions:
@@ -523,6 +595,9 @@ def version_changes(
                             "id": rel,
                             "partitionValues": f_.get("partitionValues") or {},
                             "stats": f_.get("stats") or "",
+                            "deletionVector": _resolve_dv(
+                                f_.get("deletionVector"), table
+                            ),
                             "action": kind,
                             "version": v,
                             "timestamp": ts_ms,
@@ -623,6 +698,182 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
     }
 
 
+def delete_where(spark, table_path: str | Path, condition: str) -> dict:
+    """Merge-on-read DELETE: mask matching rows with deletion vectors
+    instead of rewriting data files (Delta protocol "Deletion Vectors";
+    the reference client ignores DVs entirely and would keep returning the
+    deleted rows, `/root/reference/src/delta_sharing_client.cpp:357-369`).
+
+    Scale shape — no data file is rewritten and nothing data-sized touches
+    the driver:
+
+    1. one distributed Spark job evaluates ``condition`` over the
+       snapshot's parquet files using the hidden ``_metadata`` columns
+       (file_path + physical row_index), with partition values attached
+       per partition group so predicates on partition columns work;
+    2. ``applyInPandas`` per file writes that file's roaring-bitmap DV
+       ON THE EXECUTOR (unioned with the file's existing DV, so repeated
+       deletes compose) and returns only the descriptor — the driver
+       collects O(touched files) descriptors, never row indexes;
+    3. one commit: remove(old add) + add(same path, new DV) per touched
+       file, dataChange=true. A file whose every physical row is now
+       deleted (cardinality == stats numRecords) commits as a bare remove.
+
+    Returns {version, files_touched, rows_deleted}.
+    """
+    import numpy as np  # noqa: F401 — executor-side dependency
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from duck_delta_share_spark.sources import deletion_vectors as dvmod
+    from duck_delta_share_spark.sources.schema import (
+        schema_from_string,
+        split_partition_fields,
+    )
+
+    table = Path(table_path).resolve()
+    snap = snapshot(table)
+    if not snap.files:
+        return {"version": snap.version, "files_touched": 0, "rows_deleted": 0}
+    part_cols = list(snap.partition_columns)
+    full_schema = schema_from_string(snap.schema_string)
+    data_fields, part_fields = split_partition_fields(full_schema, part_cols)
+    data_schema = StructType(data_fields)
+    part_types = {f.name: f.dataType for f in part_fields}
+
+    # one scan branch per distinct partition-value tuple (partition values
+    # live in the log, not the files); unpartitioned tables are 1 branch
+    groups: dict[tuple, list[dict]] = {}
+    for f in snap.files:
+        groups.setdefault(tuple(sorted(f["partitionValues"].items())), []).append(f)
+
+    branches = []
+    for pvals, fs in groups.items():
+        d = (
+            spark.read.schema(data_schema)
+            .parquet(*[f["url"] for f in fs])
+            .select(
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+                "*",
+            )
+        )
+        for name, raw in pvals:
+            d = d.withColumn(
+                name,
+                F.lit(raw).cast(part_types[name])
+                if raw is not None
+                else F.lit(None).cast(part_types[name]),
+            )
+        branches.append(d.filter(condition).select("__fp", "__ri"))
+    matched = branches[0]
+    for b in branches[1:]:
+        matched = matched.unionByName(b)
+
+    # suffix-keyed lookup of existing DVs + stats (small; closure-captured)
+    by_rel = {
+        str(Path(f["url"]).resolve().relative_to(table)): f for f in snap.files
+    }
+    existing_dv = {rel: f.get("deletionVector") for rel, f in by_rel.items()}
+    table_str = str(table)
+
+    out_schema = StructType(
+        [
+            StructField("rel", StringType()),
+            StructField("descriptor", StringType()),
+            StructField("new_cardinality", LongType()),
+            StructField("added", LongType()),
+        ]
+    )
+
+    def write_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from duck_delta_share_spark.sources import deletion_vectors as dvm
+
+        fp = pdf["__fp"].iloc[0]
+        # _metadata.file_path is a Hadoop URI: file:/x, file:///x, or bare
+        local = "/" + fp.split(":", 1)[1].lstrip("/") if fp.startswith("file:") else fp
+        rel = str(Path(local).resolve().relative_to(table_str))
+        idx = np.unique(pdf["__ri"].to_numpy(dtype=np.int64)).astype(np.uint64)
+        old = existing_dv.get(rel)
+        before = 0
+        if old:
+            prev = dvm.load_dv(old, table_str)
+            before = len(prev)
+            idx = np.union1d(idx, prev)
+        desc = dvm.write_dv_file(table_str, idx)
+        return pd.DataFrame(
+            {
+                "rel": [rel],
+                "descriptor": [json.dumps(desc)],
+                "new_cardinality": [int(len(idx))],
+                "added": [int(len(idx) - before)],
+            }
+        )
+
+    touched = (
+        matched.groupBy("__fp").applyInPandas(write_group, out_schema).collect()
+    )
+    if not touched:
+        return {"version": snap.version, "files_touched": 0, "rows_deleted": 0}
+
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+    ]
+    rows_deleted = 0
+    for r in touched:
+        f = by_rel[r.rel]
+        rows_deleted += r.added
+        quoted = quote(r.rel, safe="/=")
+        actions.append(
+            {
+                "remove": {
+                    "path": quoted,
+                    "dataChange": True,
+                    "deletionVector": f.get("deletionVector"),
+                }
+            }
+        )
+        try:
+            num_records = json.loads(f["stats"]).get("numRecords")
+        except (ValueError, AttributeError):
+            num_records = None
+        if num_records is not None and r.new_cardinality >= num_records:
+            continue  # every physical row dead: bare remove, no re-add
+        actions.append(
+            {
+                "add": {
+                    "path": quoted,
+                    "partitionValues": f["partitionValues"],
+                    "stats": f["stats"],
+                    "dataChange": True,
+                    "deletionVector": json.loads(r.descriptor),
+                }
+            }
+        )
+    version = latest_version(table) + 1
+    _atomic_commit(table, version, actions)
+    return {
+        "version": version,
+        "files_touched": len(touched),
+        "rows_deleted": rows_deleted,
+    }
+
+
 def optimize(
     spark,
     table_path: str | Path,
@@ -702,10 +953,22 @@ def vacuum(table_path: str | Path, retain_hours: float = 168.0) -> dict:
     import time
 
     table = Path(table_path)
-    referenced = {Path(f["url"]) for f in snapshot(table).files}
+    snap = snapshot(table)
+    referenced = {Path(f["url"]) for f in snap.files}
+    # live deletion-vector files (snapshot resolves u-storage to absolute
+    # "p" paths) must survive; orphaned ones age out like data files
+    referenced |= {
+        Path(f["deletionVector"]["pathOrInlineDv"])
+        for f in snap.files
+        if f.get("deletionVector")
+        and f["deletionVector"]["storageType"] == "p"
+    }
     cutoff = time.time() - retain_hours * 3600
     removed = 0
-    for p in table.rglob("*.parquet"):
+    candidates = list(table.rglob("*.parquet")) + list(
+        table.rglob("deletion_vector_*.bin")
+    )
+    for p in candidates:
         if "_delta_log" in p.parts or any(s.startswith("_staging_") for s in p.parts):
             continue
         if p in referenced or p.stat().st_mtime > cutoff:

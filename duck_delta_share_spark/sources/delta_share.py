@@ -91,6 +91,10 @@ class _FileTask(InputPartition):
     # commit_timestamp_ms). Set only for CDF reads; the executor turns it
     # into the _change_type/_commit_version/_commit_timestamp columns.
     change: tuple | None = None
+    # deletion-vector descriptor (local Delta only; driver-resolved to
+    # "p"/"i" storage): physical rows at these indexes are masked out
+    # executor-side before any column is emitted.
+    dv: dict | None = None
 
 
 def _parse_table_path(path: str | None, options: dict[str, str]) -> tuple[str, str, str]:
@@ -360,6 +364,7 @@ def _build_tasks(
                 change=(f["action"], f["version"], f["timestamp"])
                 if "action" in f
                 else None,
+                dv=f.get("deletionVector"),
             )
         )
     return tasks
@@ -384,7 +389,9 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
         cols = cols + ["_change_type"]
     filters = partition.pushed or []
     try:
-        table = _fetch_parquet(partition.url, cols, filters)
+        table, row_index = _fetch_parquet(
+            partition.url, cols, filters, want_row_index=partition.dv is not None
+        )
     except UrlExpiredError:
         # ONLY an expired presigned URL is refreshable; a 404 (file no
         # longer in the table) re-raising immediately avoids a
@@ -392,7 +399,21 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
         fresh = _refresh_url(partition)
         if fresh is None:
             raise
-        table = _fetch_parquet(fresh, cols, filters)
+        table, row_index = _fetch_parquet(
+            fresh, cols, filters, want_row_index=partition.dv is not None
+        )
+
+    if partition.dv is not None:
+        # merge-on-read: mask deleted physical rows before emitting.
+        # row_index carries GLOBAL file positions even when row-group
+        # pruning skipped groups, so DV indexes line up exactly.
+        import numpy as np
+
+        from duck_delta_share_spark.sources.deletion_vectors import load_dv
+
+        deleted = load_dv(partition.dv, "").astype(np.int64)
+        if len(deleted):
+            table = table.filter(pa.array(~np.isin(row_index, deleted)))
 
     # Attach partition values as typed constant columns (the reference
     # never does this — §2D "partition values never re-attached").
@@ -482,8 +503,11 @@ def _cast_partition_value(raw: str, target: "pa.DataType") -> Any:  # noqa: F821
 
 
 def _fetch_parquet(
-    url: str, columns: list[str], filters: list[Filter] | None = None
-) -> "pa.Table":  # noqa: F821
+    url: str,
+    columns: list[str],
+    filters: list[Filter] | None = None,
+    want_row_index: bool = False,
+) -> tuple["pa.Table", Any]:  # noqa: F821
     """Read one parquet file: presigned http(s) URL or local path.
 
     http(s) uses RANGE reads (``range_io.HttpRangeFile``): one suffix
@@ -491,6 +515,11 @@ def _fetch_parquet(
     column chunks in row groups surviving min/max pruning — egress scales
     with (columns read x rows matched), never bytes stored. Local paths
     get the same row-group pruning through pyarrow's own random access.
+
+    Returns (table, row_index): with ``want_row_index``, row_index is the
+    GLOBAL physical position of each returned row in the file (correct
+    under row-group pruning — deletion vectors index physical file rows),
+    else None.
     """
     import pyarrow.parquet as pq
 
@@ -501,10 +530,26 @@ def _fetch_parquet(
         pf = pq.ParquetFile(f)
         keep = _select_row_groups(pf.metadata, filters or [])
         f.prefetch(_column_chunk_ranges(pf.metadata, keep, columns))
-        return _read_groups(pf, keep, columns)
-    path = url[7:] if url.startswith("file://") else url
-    pf = pq.ParquetFile(path)
-    return _read_groups(pf, _select_row_groups(pf.metadata, filters or []), columns)
+    else:
+        path = url[7:] if url.startswith("file://") else url
+        pf = pq.ParquetFile(path)
+        keep = _select_row_groups(pf.metadata, filters or [])
+    table = _read_groups(pf, keep, columns)
+    if not want_row_index:
+        return table, None
+    import numpy as np
+
+    md = pf.metadata
+    group_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+    offsets = np.concatenate([[0], np.cumsum(group_rows)])
+    row_index = (
+        np.concatenate(
+            [np.arange(offsets[i], offsets[i] + group_rows[i]) for i in keep]
+        )
+        if keep
+        else np.empty(0, np.int64)
+    )
+    return table, row_index.astype(np.int64)
 
 
 def _select_row_groups(md: Any, filters: list[Filter]) -> list[int]:

@@ -51,7 +51,7 @@ def test_projected_scan_fetches_partial_content(big_server):
     """A 2-of-3-column projection must use Range requests and move far
     fewer bytes than the object holds (the string column dominates)."""
     _reset(big_server)
-    t = ds._fetch_parquet(_url(big_server), ["id", "val"])
+    t, _ = ds._fetch_parquet(_url(big_server), ["id", "val"])
     assert t.num_rows == 200_000 and t.column_names == ["id", "val"]
     assert len(big_server.range_requests) > 0, "no partial-content requests seen"
     assert big_server.data_bytes_served < 0.6 * big_server.file_size, (
@@ -64,7 +64,7 @@ def test_row_group_pruning_cuts_bytes_and_stays_correct(big_server):
     """id >= 150000 admits only the last of 4 row groups; egress must drop
     accordingly and the rows must match a full-read filter."""
     _reset(big_server)
-    t = ds._fetch_parquet(
+    t, _ = ds._fetch_parquet(
         _url(big_server), ["id", "val"], [GreaterThan(("id",), 149_999)]
     )
     assert t.num_rows == 50_000
@@ -80,7 +80,7 @@ def test_row_group_pruning_cuts_bytes_and_stays_correct(big_server):
 
 
 def test_no_matching_row_group_returns_empty_with_schema(big_server):
-    t = ds._fetch_parquet(_url(big_server), ["id", "val"], [EqualTo(("id",), -5)])
+    t, _ = ds._fetch_parquet(_url(big_server), ["id", "val"], [EqualTo(("id",), -5)])
     assert t.num_rows == 0 and t.column_names == ["id", "val"]
 
 
@@ -90,7 +90,7 @@ def test_range_unsupported_server_falls_back(big_server):
     big_server.support_range = False
     try:
         _reset(big_server)
-        t = ds._fetch_parquet(
+        t, _ = ds._fetch_parquet(
             _url(big_server), ["id"], [GreaterThan(("id",), 149_999)]
         )
         assert t.num_rows == 50_000
