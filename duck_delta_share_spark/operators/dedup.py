@@ -412,6 +412,22 @@ def ngram_jaccard_pairs(
     )
 
 
+# Carter-Wegman family over p = 2^31 - 1 for the md5-based twin: fixed
+# (a, b) literals mirrored verbatim in the DuckDB oracle SQL. a·H < 2^59
+# for the 28-bit base hash — no int64 overflow (Spark 4 ANSI-safe).
+CW_MD5_P = (1 << 31) - 1
+CW_MD5_PARAMS = (
+    (1103527591, 252584521),
+    (1805430387, 1153717637),
+    (741103597, 423496973),
+    (887987685, 781912357),
+    (259344783, 1947484219),
+    (1614673817, 91393913),
+    (473279357, 1657613721),
+    (955863087, 343042159),
+)
+
+
 def minhash_md5_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -419,26 +435,38 @@ def minhash_md5_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """ORACLE-CHECKABLE MinHash variant: ``mh_i = min(md5(i|shingle))``
-    (lexicographic minimum over lowercase-hex md5 — identical in Spark and
-    DuckDB, unlike xxhash64 which has no DuckDB twin).
+    """ORACLE-CHECKABLE MinHash variant: ONE md5 per shingle supplies a
+    28-bit base value H = int(md5(shingle)[:7], 16); minimum i is
+    ``min((a_i·H + b_i) mod p)`` — the same Carter-Wegman construction as
+    the xxhash64 production engine (``minhash_signatures``), with md5 as
+    the base hash because DuckDB can reproduce it bit-for-bit.
 
     Exists to put the full MinHash→banding→pair pipeline under the
-    cross-engine value-hash gate; the production engine stays
-    ``minhash_signatures`` (xxhash64 + Carter-Wegman: ONE string hash per
-    shingle instead of k). Same zero-shuffle narrow-map shape. Docs with
-    fewer than ``shingle_n`` tokens get NULL minima (no shingles), which
+    cross-engine value-hash gate. Same zero-shuffle narrow-map shape; the
+    base-hash array is materialized in its own projection because
+    higher-order functions are interpreted with no CSE (one md5 per
+    shingle TOTAL, not per minimum — the r3 bench fix: 8×md5 made this
+    query 5× slower than every other headline entry). Docs with fewer
+    than ``shingle_n`` tokens get NULL minima (no shingles), which
     null-propagate through banding and never pair.
     """
-
-    def salted(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
-
     shingles = word_shingles(tokenize(text_col), shingle_n)
-    return df.select(
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
+        ).alias("__H"),
+    )
+
+    def cw(i: int):
+        a, b = CW_MD5_PARAMS[i]
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(CW_MD5_P)
+
+    return base.select(
         F.col(id_col),
         *[
-            F.array_min(F.transform(shingles, salted(i))).alias(f"mh_{i}")
+            F.array_min(F.transform("__H", cw(i))).alias(f"mh_{i}")
             for i in range(num_hashes)
         ],
     )
@@ -492,10 +520,10 @@ def minhash_md5_lsh_pairs(
     bands: int = 4,
     max_bucket_size: int | None = 2000,
 ) -> DataFrame:
-    """Banded candidate pairs over md5 string signatures. Band buckets are
-    ``md5(mh_a || '|' || mh_b)`` with NULL-PROPAGATING concat (concat_ws
-    would collapse all empty-signature docs into one giant '' bucket);
-    otherwise the exact same capped bucket self-join as
+    """Banded candidate pairs over Carter-Wegman md5 signatures. Band
+    buckets are ``md5(mh_a || '|' || mh_b)`` with NULL-PROPAGATING concat
+    (concat_ws would collapse all empty-signature docs into one giant ''
+    bucket); otherwise the exact same capped bucket self-join as
     ``lsh_candidate_pairs``."""
     rows = num_hashes // bands
     band_cols = []
@@ -504,7 +532,7 @@ def minhash_md5_lsh_pairs(
         for r in range(rows):
             if parts:
                 parts.append(F.lit("|"))
-            parts.append(F.col(f"mh_{b * rows + r}"))
+            parts.append(F.col(f"mh_{b * rows + r}").cast("string"))
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bucket"))
         )

@@ -1321,8 +1321,9 @@ def unigram_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MD5_SIG_SQL = "\n".join(
-    f"         LIST_MIN(LIST_TRANSFORM(shingles, s -> md5('{i}|' || s))) AS mh_{i},"
-    for i in range(8)
+    "         LIST_MIN(LIST_TRANSFORM(hs, h -> (h * {a} + {b}) % {p})) "
+    "AS mh_{i},".format(a=a, b=b, p=dd.CW_MD5_P, i=i)
+    for i, (a, b) in enumerate(dd.CW_MD5_PARAMS)
 ).rstrip(",")
 
 
@@ -1335,16 +1336,27 @@ WITH sh AS (
                         i -> ARRAY_TO_STRING(toks[i:i+2], ' ')) AS shingles
   FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
 ),
+hv AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(shingles,
+           s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS hs
+  FROM sh
+),
 sig AS (
   SELECT doc_id,
 {_MD5_SIG_SQL}
-  FROM sh
+  FROM hv
 ),
 bands AS (
-  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sig
-  UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
-  UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
-  UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+  SELECT doc_id, 0 AS band,
+         md5(CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR)) AS bucket
+  FROM sig
+  UNION ALL SELECT doc_id, 1,
+         md5(CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR)) FROM sig
+  UNION ALL SELECT doc_id, 2,
+         md5(CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR)) FROM sig
+  UNION ALL SELECT doc_id, 3,
+         md5(CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR)) FROM sig
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared_bands
@@ -1353,11 +1365,13 @@ JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 ORDER BY 1, 2
 """,
-    doc="HASH-CHECKED MinHash-LSH: md5-salted signature minima "
-    "(lexicographic, engine-identical) -> null-propagating band buckets -> "
-    "capped bucket self-join (operators/dedup.py:minhash_md5_*). Puts the "
-    "whole MinHash->banding->pairs pipeline under the cross-engine oracle "
-    "that the xxhash64 production engine cannot use; same plan shape",
+    doc="HASH-CHECKED MinHash-LSH: ONE md5 per shingle -> 28-bit base "
+    "value -> Carter-Wegman minima ((a_i*H + b_i) mod 2^31-1, identical "
+    "literals in both engines) -> null-propagating band buckets -> capped "
+    "bucket self-join (operators/dedup.py:minhash_md5_*). The exact "
+    "Carter-Wegman construction of the xxhash64 production engine with a "
+    "cross-engine-reproducible base hash; same plan shape, one crypto "
+    "hash per shingle instead of k (r3 bench fix)",
 )
 def minhash_md5_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
