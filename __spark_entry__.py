@@ -56,6 +56,7 @@ _R3_FIRST = [
     # (c) new this round
     "simhash_md5_pairs",
     "delta_delete_dv",
+    "delta_column_mapping_scan",
     # (b) never driver-checked
     "sessionization",
     "join_asof_tolerance",

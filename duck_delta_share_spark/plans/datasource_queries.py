@@ -179,6 +179,77 @@ def delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_column_mapping_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    doc="column-mapping read (Delta protocol minReaderVersion 2, "
+    "sources/schema.py:column_mapping + the shared scan path): nation is "
+    "written with physical col-<id> parquet names and a schemaString "
+    "carrying the logical names via delta.columnMapping.physicalName "
+    "metadata, exactly like delta-spark's 'name' mode — the scan must "
+    "translate physical→logical (columns, stats keys, pushed filters) and "
+    "hash-match the plain relational oracle. The reference client ignores "
+    "column mapping and would surface physical col-N names "
+    "(delta_sharing_client.cpp:357-369)",
+)
+def delta_column_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import read_delta
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_cm_")) / "t"
+    log = table / "_delta_log"
+    log.mkdir(parents=True)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    logical = ["n_nationkey", "n_name", "n_regionkey"]
+    physical = {c: f"col-{i + 1:03d}" for i, c in enumerate(logical)}
+    n.toDF(*[physical[c] for c in logical]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(table / "data"))
+    fields = [
+        dict(
+            f,
+            metadata={
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": physical[f["name"]],
+            },
+        )
+        for i, f in enumerate(n.schema.jsonValue()["fields"])
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm-scan",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps({"type": "struct", "fields": fields}),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": f"data/{p.name}",
+                "partitionValues": {},
+                "size": p.stat().st_size,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for p in sorted((table / "data").glob("*.parquet"))
+    ]
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(_json.dumps(a) for a in actions) + "\n"
+    )
+    return read_delta(spark, table).orderBy("n_nationkey")
+
+
+@query(
     "incremental_rollup_cdf",
     oracle="""
 WITH final AS (

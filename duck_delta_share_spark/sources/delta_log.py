@@ -19,10 +19,13 @@ one-json-file-per-version rule (O_EXCL create).
 Reader-version gate: the LOCAL path implements deletion vectors
 (minReaderVersion 3 + readerFeatures=[deletionVectors] — descriptors on
 add actions, roaring-bitmap row filters applied executor-side at scan
-time, see ``deletion_vectors.py`` and ``delete_where``); tables requiring
-features beyond that (column mapping, v2 checkpoints) still fail fast.
-The REST client keeps its unconditional minReaderVersion gate — a sharing
-server hands us opaque presigned files where misreading is silent.
+time, see ``deletion_vectors.py`` and ``delete_where``) and column
+mapping (minReaderVersion 2, or 3 + readerFeatures=[columnMapping] —
+physical→logical translation in the shared scan path, read-only); tables
+requiring features beyond those (v2 checkpoints, type widening, …) still
+fail fast. The REST client keeps its unconditional minReaderVersion gate
+— a sharing server hands us opaque presigned files where misreading is
+silent.
 
 The reference has no local-Delta surface (it reads Delta *Sharing* REST
 only, `/root/reference/src/delta_sharing_client.cpp`); this closes the
@@ -91,16 +94,21 @@ def _checkpoint_files(log: Path, version: int) -> list[Path]:
 
 
 # Reader features the LOCAL path implements for minReaderVersion 3 tables.
-# timestampNtz needs no reader work (pyarrow/Spark read NTZ natively).
-_SUPPORTED_READER_FEATURES = frozenset({"deletionVectors", "timestampNtz"})
+# timestampNtz needs no reader work (pyarrow/Spark read NTZ natively);
+# columnMapping is translated in the shared scan path (schema.py:
+# column_mapping + delta_share._build_tasks/_read_task).
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"deletionVectors", "timestampNtz", "columnMapping"}
+)
 
 
 def _check_local_protocol(p: dict, table: Path) -> None:
-    """Local-Delta protocol gate: v1 always; v3 when every listed
-    readerFeature is implemented; v2 (column mapping) and unknown features
-    fail fast — reading anyway would silently return wrong rows/columns."""
+    """Local-Delta protocol gate: v1 always; v2 (column mapping) is
+    implemented; v3 when every listed readerFeature is implemented;
+    anything else fails fast — reading anyway would silently return wrong
+    rows/columns."""
     v = int(p.get("minReaderVersion", 1))
-    if v <= 1:
+    if v <= 2:
         return
     if v == 3:
         unsupported = set(p.get("readerFeatures") or ()) - _SUPPORTED_READER_FEATURES
@@ -653,6 +661,7 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
 
     table = Path(table_path)
     snap = snapshot(table)
+    _reject_column_mapping(snap, "merge_delta")
     keys = list(key_cols)
     b = updates.agg(
         *[F.min(k).alias(f"lo_{k}") for k in keys],
@@ -698,6 +707,22 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
     }
 
 
+def _reject_column_mapping(snap: DeltaSnapshot, op: str) -> None:
+    """Write paths stage files with LOGICAL parquet column names; on a
+    column-mapping table that would corrupt the physical layout — reads
+    are supported, writes fail fast."""
+    from duck_delta_share_spark.sources.schema import (
+        column_mapping,
+        schema_from_string,
+    )
+
+    if snap.schema_string and column_mapping(schema_from_string(snap.schema_string)):
+        raise NotImplementedError(
+            f"{op} on a column-mapping table is not supported "
+            "(column mapping is read-only in this writer)"
+        )
+
+
 def delete_where(spark, table_path: str | Path, condition: str) -> dict:
     """Merge-on-read DELETE: mask matching rows with deletion vectors
     instead of rewriting data files (Delta protocol "Deletion Vectors";
@@ -738,6 +763,7 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
 
     table = Path(table_path).resolve()
     snap = snapshot(table)
+    _reject_column_mapping(snap, "delete_where")
     if not snap.files:
         return {"version": snap.version, "files_touched": 0, "rows_deleted": 0}
     part_cols = list(snap.partition_columns)
@@ -898,6 +924,7 @@ def optimize(
 
     table = Path(table_path)
     snap = snapshot(table)
+    _reject_column_mapping(snap, "optimize")
     by_part: dict[tuple, list[dict]] = {}
     for f in snap.files:
         by_part.setdefault(tuple(sorted(f["partitionValues"].items())), []).append(f)

@@ -95,6 +95,9 @@ class _FileTask(InputPartition):
     # "p"/"i" storage): physical rows at these indexes are masked out
     # executor-side before any column is emitted.
     dv: dict | None = None
+    # column mapping (logical -> physical parquet name) for tables with
+    # delta.columnMapping; None for identity-named tables.
+    col_map: dict | None = None
 
 
 def _parse_table_path(path: str | None, options: dict[str, str]) -> tuple[str, str, str]:
@@ -332,15 +335,31 @@ def _build_tasks(
     refresh: dict | None,
 ) -> list[_FileTask]:
     """Driver-side task planning shared by the batch and streaming readers:
-    partition + file-stats pruning, then one picklable task per file."""
+    partition + file-stats pruning, then one picklable task per file.
+
+    Column-mapping tables (``delta.columnMapping.physicalName`` metadata in
+    the schemaString) are normalized HERE, on the driver: add-action
+    partitionValues and stats-JSON keys use PHYSICAL names, while pushed
+    filters use LOGICAL names — both pruning passes remap to logical before
+    comparing, and the executor task carries the mapping to read physical
+    parquet columns and emit logical ones."""
+    from duck_delta_share_spark.sources.schema import column_mapping
+
     base_schema = _strip_cdf_fields(schema)  # CDF columns are synthesized
     data_fields, part_fields = split_partition_fields(base_schema, part_cols)
     data_schema = StructType(data_fields)
     part_schema = StructType(part_fields)
+    col_map = column_mapping(base_schema)
+    phys_to_logical = {p: l for l, p in (col_map or {}).items()}
+
+    def to_logical_keys(d: dict) -> dict:
+        if not col_map:
+            return d
+        return {phys_to_logical.get(k, k): v for k, v in d.items()}
 
     tasks: list[_FileTask] = []
     for f in files:
-        pvals = f.get("partitionValues") or {}
+        pvals = to_logical_keys(f.get("partitionValues") or {})
         if not partition_matches(pushed, pvals):
             continue  # partition pruning: file never becomes a task
         stats_raw = f.get("stats") or ""
@@ -349,6 +368,11 @@ def _build_tasks(
                 stats = json.loads(stats_raw) if isinstance(stats_raw, str) else stats_raw
             except ValueError:
                 stats = {}
+            if col_map and isinstance(stats, dict):
+                stats = {
+                    k: to_logical_keys(v) if isinstance(v, dict) else v
+                    for k, v in stats.items()
+                }
             if not stats_allow(pushed, stats):
                 continue  # min/max stats pruning
         tasks.append(
@@ -365,6 +389,7 @@ def _build_tasks(
                 if "action" in f
                 else None,
                 dv=f.get("deletionVector"),
+                col_map=col_map,
             )
         )
     return tasks
@@ -382,12 +407,26 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
 
     from duck_delta_share_spark.sources.range_io import UrlExpiredError
 
-    cols = [f.name for f in data_schema.fields]
+    col_map = partition.col_map or {}
+    cols = [col_map.get(f.name, f.name) for f in data_schema.fields]
     if partition.change and partition.change[0] == "cdf":
         # cdf-action files physically carry _change_type (update pre/post
         # images); add/remove files get it synthesized below.
         cols = cols + ["_change_type"]
     filters = partition.pushed or []
+    if col_map and filters:
+        # row-group pruning compares parquet column-chunk stats (PHYSICAL
+        # names) against filter attributes — translate logical filters
+        import dataclasses
+
+        filters = [
+            dataclasses.replace(
+                flt, attribute=(col_map[flt.attribute[0]],) + tuple(flt.attribute[1:])
+            )
+            if getattr(flt, "attribute", None) and flt.attribute[0] in col_map
+            else flt
+            for flt in filters
+        ]
     try:
         table, row_index = _fetch_parquet(
             partition.url, cols, filters, want_row_index=partition.dv is not None
@@ -414,6 +453,11 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
         deleted = load_dv(partition.dv, "").astype(np.int64)
         if len(deleted):
             table = table.filter(pa.array(~np.isin(row_index, deleted)))
+
+    if col_map:
+        # emit LOGICAL names: relabel the physical parquet columns
+        inv = {p: l for l, p in col_map.items()}
+        table = table.rename_columns([inv.get(c, c) for c in table.column_names])
 
     # Attach partition values as typed constant columns (the reference
     # never does this — §2D "partition values never re-attached").

@@ -21,6 +21,30 @@ def schema_from_string(schema_string: str) -> StructType:
     return StructType.fromJson(json.loads(schema_string))
 
 
+PHYSICAL_NAME_KEY = "delta.columnMapping.physicalName"
+
+
+def column_mapping(schema: StructType) -> dict[str, str] | None:
+    """Logical column name → physical parquet name for column-mapping
+    tables (Delta protocol "Column Mapping": minReaderVersion 2, or 3 with
+    readerFeatures=[columnMapping]). The mapping lives as
+    ``delta.columnMapping.physicalName`` metadata on each schemaString
+    field — present in both ``name`` and ``id`` mode (id mode additionally
+    stores field ids; matching by physicalName serves both, since Delta
+    writers always emit it). Returns None for unmapped tables.
+
+    Top-level columns only: nested struct fields carry their own mapping
+    metadata, which this reader does not yet translate — flat relational
+    schemas (the entire fixture surface) are fully covered.
+    """
+    m: dict[str, str] = {}
+    for f in schema.fields:
+        phys = (f.metadata or {}).get(PHYSICAL_NAME_KEY)
+        if phys and phys != f.name:
+            m[f.name] = phys
+    return m or None
+
+
 def split_partition_fields(
     schema: StructType, partition_columns: tuple[str, ...] | list[str]
 ) -> tuple[list[StructField], list[StructField]]:

@@ -1,0 +1,156 @@
+"""Column-mapping reads for local Delta (minReaderVersion 2 / reader
+feature columnMapping): physical parquet names -> logical schema names,
+partition re-attachment from physical-keyed partitionValues, pruning with
+logical predicates, and the read-only write guard."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from duck_delta_share_spark.sources.delta_log import (
+    delete_where,
+    merge_delta,
+    read_delta,
+    snapshot,
+)
+
+
+def _mapped_table(tmp_path, partitioned: bool = False):
+    """Hand-build a column-mapping Delta table the way delta-spark writes
+    one: parquet columns named col-<uuid>, schemaString carrying the
+    logical names + delta.columnMapping metadata, physical-keyed
+    partitionValues."""
+    t = tmp_path / "mapped"
+    log = t / "_delta_log"
+    log.mkdir(parents=True)
+
+    fields = [
+        {
+            "name": "id",
+            "type": "long",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-aaa111",
+            },
+        },
+        {
+            "name": "name",
+            "type": "string",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-bbb222",
+            },
+        },
+        {
+            "name": "region",
+            "type": "string",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 3,
+                "delta.columnMapping.physicalName": "col-ccc333",
+            },
+        },
+    ]
+    schema_string = json.dumps({"type": "struct", "fields": fields})
+
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "mapped-test",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": ["region"] if partitioned else [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+            }
+        },
+    ]
+
+    def write_file(name, ids, names, region=None):
+        cols = {"col-aaa111": ids, "col-bbb222": names}
+        if not partitioned:
+            cols["col-ccc333"] = [region or "eu"] * len(ids)
+        pq.write_table(pa.table(cols), t / name)
+        add = {
+            "path": name,
+            "partitionValues": {"col-ccc333": region} if partitioned else {},
+            "size": (t / name).stat().st_size,
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": json.dumps(
+                {
+                    "numRecords": len(ids),
+                    "minValues": {"col-aaa111": min(ids)},
+                    "maxValues": {"col-aaa111": max(ids)},
+                }
+            ),
+        }
+        actions.append({"add": add})
+
+    write_file("part-0.parquet", [1, 2], ["a", "b"], region="eu")
+    write_file("part-1.parquet", [10, 20], ["x", "y"], region="us")
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions) + "\n"
+    )
+    return t
+
+
+def test_mapped_read_logical_names(spark, tmp_path):
+    t = _mapped_table(tmp_path)
+    df = read_delta(spark, t)
+    assert set(df.columns) == {"id", "name", "region"}
+    rows = sorted((r.id, r.name, r.region) for r in df.collect())
+    assert rows == [(1, "a", "eu"), (2, "b", "eu"), (10, "x", "us"), (20, "y", "us")]
+
+
+def test_mapped_predicate_and_stats_pruning(spark, tmp_path):
+    t = _mapped_table(tmp_path)
+    got = sorted(
+        r.name for r in read_delta(spark, t).filter("id >= 10").collect()
+    )
+    assert got == ["x", "y"]
+
+
+def test_mapped_partition_reattach_and_pruning(spark, tmp_path):
+    t = _mapped_table(tmp_path, partitioned=True)
+    df = read_delta(spark, t)
+    rows = sorted((r.id, r.region) for r in df.collect())
+    assert rows == [(1, "eu"), (2, "eu"), (10, "us"), (20, "us")]
+    us = sorted(r.id for r in df.filter("region = 'us'").collect())
+    assert us == [10, 20]
+
+
+def test_mapped_v3_reader_feature_accepted(spark, tmp_path):
+    t = _mapped_table(tmp_path)
+    commit = (t / "_delta_log" / f"{0:020d}.json").read_text().splitlines()
+    first = json.loads(commit[0])
+    first["protocol"] = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping"],
+        "writerFeatures": ["columnMapping"],
+    }
+    (t / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join([json.dumps(first)] + commit[1:]) + "\n"
+    )
+    assert read_delta(spark, t).count() == 4
+
+
+def test_mapped_writes_fail_fast(spark, tmp_path):
+    t = _mapped_table(tmp_path)
+    snap = snapshot(t)
+    assert snap.version == 0
+    with pytest.raises(NotImplementedError, match="column-mapping"):
+        delete_where(spark, t, "id = 1")
+    updates = spark.createDataFrame([(1, "z", "eu")], "id long, name string, region string")
+    with pytest.raises(NotImplementedError, match="column-mapping"):
+        merge_delta(spark, t, updates, ["id"])

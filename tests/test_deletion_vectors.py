@@ -180,11 +180,11 @@ def test_unsupported_reader_feature_fails_fast(spark, numbers, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["columnMapping", "deletionVectors"],
+                    "readerFeatures": ["v2Checkpoint", "deletionVectors"],
                 }
             }
         )
         + "\n"
     )
-    with pytest.raises(Exception, match="columnMapping"):
+    with pytest.raises(Exception, match="v2Checkpoint"):
         read_delta(spark, t).collect()

@@ -104,9 +104,17 @@ def test_missing_commit_is_an_error(region, tmp_path):
 def test_reader_version_gate(region, tmp_path):
     t = tmp_path / "g"
     write_delta(region, t)
-    log = t / "_delta_log" / f"{1:020d}.json"
-    log.write_text(json.dumps({"protocol": {"minReaderVersion": 2}}) + "\n")
-    with pytest.raises(DeltaSharingError, match="minReaderVersion=2"):
+    log_dir = t / "_delta_log"
+    # v2 (column mapping) is implemented since r3 — replay must ACCEPT it
+    (log_dir / f"{1:020d}.json").write_text(
+        json.dumps({"protocol": {"minReaderVersion": 2}}) + "\n"
+    )
+    assert snapshot(t).version == 1
+    # an unknown future version still fails fast
+    (log_dir / f"{2:020d}.json").write_text(
+        json.dumps({"protocol": {"minReaderVersion": 4}}) + "\n"
+    )
+    with pytest.raises(DeltaSharingError, match="minReaderVersion=4"):
         snapshot(t)
 
 
