@@ -278,10 +278,29 @@ def _file_stats(path: Path, fields: list) -> str:
     )
 
 
-def _atomic_commit(table: Path, version: int, actions: list[dict]) -> None:
+def _atomic_commit(
+    table: Path, version: int, actions: list[dict], operation: str | None = None
+) -> None:
     """One JSON file per version, created with O_EXCL: concurrent writers
     race on the create and the loser must retry on a fresh snapshot —
-    exactly the protocol's optimistic-concurrency rule."""
+    exactly the protocol's optimistic-concurrency rule.
+
+    ``operation`` prepends a commitInfo action (timestamp + operation
+    name, the protocol's provenance record): timestampAsOf resolution and
+    /changes timestamps then come from the log itself instead of the
+    commit file's mtime (which rsync/backup restores rewrite)."""
+    if operation is not None:
+        import time
+
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": operation,
+                    "engineInfo": "duck_delta_share_spark",
+                }
+            }
+        ] + actions
     path = _commit_path(table, version)
     fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
     with os.fdopen(fd, "w") as f:
@@ -411,13 +430,13 @@ def write_delta(
         # the winning commit may have invalidated.
         for _ in range(20):
             try:
-                _atomic_commit(table, version, actions)
+                _atomic_commit(table, version, actions, operation="WRITE")
                 return version
             except FileExistsError:
                 version += 1
         raise RuntimeError(f"could not commit after 20 version races in {table}")
     try:
-        _atomic_commit(table, version, actions)
+        _atomic_commit(table, version, actions, operation="WRITE")
     except FileExistsError:
         # two concurrent first commits (or an overwrite racing another
         # writer): the actions were computed against a snapshot another
@@ -698,7 +717,7 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
         for f in candidates
     ] + adds
     version = latest_version(table) + 1
-    _atomic_commit(table, version, actions)
+    _atomic_commit(table, version, actions, operation="MERGE")
     return {
         "version": version,
         "files_rewritten": len(candidates),
@@ -892,7 +911,7 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
             }
         )
     version = latest_version(table) + 1
-    _atomic_commit(table, version, actions)
+    _atomic_commit(table, version, actions, operation="DELETE")
     return {
         "version": version,
         "files_touched": len(touched),
@@ -965,7 +984,7 @@ def optimize(
         for f in todo
     ] + adds
     version = latest_version(table) + 1
-    _atomic_commit(table, version, actions)
+    _atomic_commit(table, version, actions, operation="OPTIMIZE")
     return {
         "version": version,
         "files_before": len(snap.files),

@@ -169,6 +169,46 @@ def test_vacuum_keeps_live_dv_files(spark, numbers, tmp_path):
     assert len(bins) == 1, "orphaned DV file should be vacuumed"
 
 
+def test_cdf_over_dv_delete(spark, numbers, tmp_path):
+    """A DV delete commit replays through the change feed with remove
+    masked by the OLD deletion vector and add masked by the NEW one: the
+    killed rows net out as deletes with no re-insert, survivors churn as
+    delete+insert pairs (same attribution style as overwrite/merge)."""
+    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+
+    t = tmp_path / "t"
+    write_delta(numbers.coalesce(1), t)
+    delete_where(spark, t, "id % 5 = 0")
+    spark.dataSource.register(DeltaShareDataSource)
+    cdf = (
+        spark.read.format("deltashare")
+        .option("deltaPath", str(t))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    rows = cdf.collect()
+    deletes = {r.id for r in rows if r._change_type == "delete"}
+    inserts = {r.id for r in rows if r._change_type == "insert"}
+    killed = {i for i in range(100) if i % 5 == 0}
+    assert killed <= deletes
+    assert killed.isdisjoint(inserts)
+    assert inserts == set(range(100)) - killed
+
+
+def test_delete_commit_carries_commit_info(spark, numbers, tmp_path):
+    t = tmp_path / "t"
+    write_delta(numbers.coalesce(1), t)
+    delete_where(spark, t, "id = 1")
+    lines = [
+        json.loads(line)
+        for line in (t / "_delta_log" / f"{1:020d}.json").read_text().splitlines()
+        if line.strip()
+    ]
+    ci = lines[0].get("commitInfo")
+    assert ci and ci["operation"] == "DELETE" and ci["timestamp"] > 0
+
+
 def test_unsupported_reader_feature_fails_fast(spark, numbers, tmp_path):
     t = tmp_path / "t"
     write_delta(numbers.coalesce(1), t)

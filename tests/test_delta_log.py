@@ -448,12 +448,12 @@ def test_version0_commit_race_is_clear_error(region, tmp_path, monkeypatch):
     t = tmp_path / "race0"
     orig = dl._atomic_commit
 
-    def racing_commit(table, version, actions):
+    def racing_commit(table, version, actions, **kw):
         # another writer lands version 0 between version derivation and
         # our commit
         orig(table, version, [{"metaData": {"schemaString": "{}",
                                             "partitionColumns": []}}])
-        return orig(table, version, actions)
+        return orig(table, version, actions, **kw)
 
     monkeypatch.setattr(dl, "_atomic_commit", racing_commit)
     with pytest.raises(RuntimeError, match="concurrent writer"):
