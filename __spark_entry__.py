@@ -57,6 +57,7 @@ _R3_FIRST = [
     "simhash_md5_pairs",
     "delta_delete_dv",
     "delta_column_mapping_scan",
+    "bloom_semi_join_orders",
     # (b) never driver-checked
     "sessionization",
     "join_asof_tolerance",

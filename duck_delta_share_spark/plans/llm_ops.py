@@ -1382,6 +1382,35 @@ def minhash_md5_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_semi_join_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9900)
+ORDER BY o_orderkey
+""",
+    doc="bloom-filter semi-join pre-filtering (operators/bloom.py): the "
+    "build side (high-balance customers) aggregates k xxhash64 bit "
+    "positions into a fixed bitset (one combiner-friendly bit_or shuffle; "
+    "the driver collects the 128 KiB BITSET, never keys), executors drop "
+    "non-member orders with a vectorized Arrow probe BEFORE the join "
+    "shuffle, and the final semi join removes false positives — so the "
+    "result is EXACTLY orders ⋉ customers and sits under a plain SQL "
+    "oracle. The explicit form of Spark's runtime bloom filter, usable in "
+    "front of Python DataSource scans where Catalyst's runtime filters "
+    "cannot reach",
+)
+def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.bloom import bloom_semi_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    return bloom_semi_join(o, c, "o_custkey", "c_custkey").orderBy("o_orderkey")
+
+
+@query(
     "hll_mergeable_distinct",
     oracle=None,  # DataSketches HLL binary states have no DuckDB twin —
     # rows-only; exactness bounds asserted in tests/test_approx.py
