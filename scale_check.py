@@ -173,6 +173,36 @@ def main() -> None:
         )
         return zorder_repartition(pts, ["x", "y"], 32)
 
+    def bloom_shape(e):
+        from duck_delta_share_spark.operators.bloom import bloom_semi_join
+
+        small = e.select((F.col("user_id") % 50_000).alias("k")).limit(500)
+        return bloom_semi_join(
+            e.withColumn("k", F.col("user_id") % 50_000), small, "k"
+        )
+
+    def dv_mask_shape(e):
+        # deletion-vector hot path: the per-file roaring mask apply —
+        # serialize a DV over ~1/7 of the rows and filter via np.isin,
+        # the same executor-side op _read_task performs per task
+        import numpy as np
+
+        from duck_delta_share_spark.sources.deletion_vectors import (
+            parse_dv,
+            serialize_dv,
+        )
+
+        @F.pandas_udf("boolean")
+        def masked(idx):
+            import pandas as pd
+
+            deleted = parse_dv(
+                serialize_dv(np.arange(0, 200_000, 7, dtype=np.uint64))
+            ).astype(np.int64)
+            return pd.Series(~np.isin(idx.to_numpy() % 200_000, deleted))
+
+        return e.filter(masked(F.col("event_id")))
+
     ops = [
         ("q1_agg", q1_shape, l1, lN),
         ("minhash_lsh", minhash_shape, d1, dN),
@@ -185,6 +215,8 @@ def main() -> None:
         ("embedding_quantize", quantize_shape, emb1, embN),
         ("incremental_rollup", ivm_shape, e1, eN),
         ("zorder_repartition", zorder_shape, e1, eN),
+        ("bloom_semi_join", bloom_shape, e1, eN),
+        ("dv_mask_apply", dv_mask_shape, e1, eN),
     ]
     results = []
     for name, fn, small, big in ops:

@@ -169,6 +169,22 @@ def test_vacuum_keeps_live_dv_files(spark, numbers, tmp_path):
     assert len(bins) == 1, "orphaned DV file should be vacuumed"
 
 
+def test_optimize_compacts_away_dvs(spark, numbers, tmp_path):
+    """OPTIMIZE reads through the DV masks (shared scan path) and rewrites
+    survivors into fresh files with no deletion vectors — merge-on-read
+    debt is paid down by compaction, logical rows unchanged."""
+    from duck_delta_share_spark.sources.delta_log import optimize
+
+    t = tmp_path / "t"
+    write_delta(numbers.repartition(4), t)
+    delete_where(spark, t, "id % 7 = 0")
+    optimize(spark, t)
+    snap = snapshot(t)
+    assert all(not f.get("deletionVector") for f in snap.files)
+    got = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got == [i for i in range(100) if i % 7 != 0]
+
+
 def test_cdf_over_dv_delete(spark, numbers, tmp_path):
     """A DV delete commit replays through the change feed with remove
     masked by the OLD deletion vector and add masked by the NEW one: the
