@@ -67,6 +67,18 @@ def test_dv_file_and_inline_descriptor_roundtrip(tmp_path):
     assert list(dv.load_dv(inline, "/nowhere")) == [2, 4, 6]
 
 
+def test_u_storage_prefix_resolves(tmp_path):
+    # delta-spark writes u-storage as <random prefix><z85 uuid>, the
+    # prefix becoming a subdirectory — the resolver must honor it
+    desc = dv.write_dv_file(tmp_path, [1, 9])
+    encoded = desc["pathOrInlineDv"]
+    (tmp_path / "ab").mkdir()
+    src = dv._dv_file_path(desc, tmp_path)
+    src.rename(tmp_path / "ab" / src.name)
+    prefixed = dict(desc, pathOrInlineDv="ab/" + encoded)
+    assert list(dv.load_dv(prefixed, tmp_path)) == [1, 9]
+
+
 def test_dv_checksum_guard(tmp_path):
     desc = dv.write_dv_file(tmp_path, [1, 2, 3])
     path = dv._dv_file_path(desc, tmp_path)
