@@ -39,6 +39,23 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _dtype_family(dtype) -> str:
+    """Collapse a pandas dtype to the family the driver's canonicalizer
+    hashes by: int widths canonicalize together, but int-vs-float does NOT
+    (r3 driver red: DuckDB HUGEINT → float64 hashed != Spark int64 even
+    with identical values)."""
+    kind = getattr(dtype, "kind", "O")
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind in ("M", "m"):
+        return "datetime"
+    return "object"
+
+
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     errs: list[str] = []
@@ -48,6 +65,22 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -
     if sc != dc:
         errs.append(f"{name}: columns {sc} != {dc}")
         return errs
+    if errs:
+        return errs
+    # dtype strictness BEFORE value compare: the driver hashes the raw
+    # toPandas values, so an integer-valued float64 column vs int64 fails
+    # there even when every value matches numerically.
+    for c in sc:
+        fa, fb = _dtype_family(spark_pdf[c].dtype), _dtype_family(duck_pdf[c].dtype)
+        if fa != fb and not (
+            # all-NULL columns arrive as object/float NaN on either side
+            spark_pdf[c].isna().all() or duck_pdf[c].isna().all()
+        ):
+            errs.append(
+                f"{name}.{c}: dtype family spark={spark_pdf[c].dtype} ({fa}) "
+                f"!= duck={duck_pdf[c].dtype} ({fb}) — driver hashes these "
+                "differently even if values match"
+            )
     if errs:
         return errs
     a = _normalize(spark_pdf)
@@ -82,6 +115,21 @@ def complex_output_columns(df) -> list[str]:
     ]
 
 
+def audit_oracle_types(con: duckdb.DuckDBPyConnection, name: str, oracle: str) -> list[str]:
+    """DESCRIBE the oracle and flag types pandas will widen lossily:
+    HUGEINT/UHUGEINT → float64 (the exact r3 driver red)."""
+    try:
+        rows = con.execute(f"DESCRIBE {oracle}").fetchall()
+    except Exception as e:  # noqa: BLE001 — surface as a parity failure
+        return [f"{name}: DESCRIBE failed: {e}"]
+    bad = [(r[0], r[1]) for r in rows if "HUGEINT" in str(r[1]).upper()]
+    return [
+        f"{name}.{col}: oracle type {typ} materializes as float64 in pandas "
+        "— CAST it to BIGINT/DOUBLE in the oracle SQL"
+        for col, typ in bad
+    ]
+
+
 def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, list[str]]:
     from duck_delta_share_spark.plans import QUERIES
 
@@ -103,6 +151,10 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, 
             n = df.count()
             if n < 0:
                 failures[qname] = ["negative count?"]
+            continue
+        type_errs = audit_oracle_types(con, qname, qd.oracle)
+        if type_errs:
+            failures[qname] = type_errs
             continue
         spark_pdf = df.toPandas()
         duck_pdf = con.execute(qd.oracle).df()

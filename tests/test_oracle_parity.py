@@ -21,6 +21,21 @@ def test_query_parity(spark, name):
     assert not failures, failures[name]
 
 
+def test_oracle_types_pandas_safe():
+    """No oracle may emit a type pandas widens lossily (HUGEINT→float64):
+    the driver canonicalizer hashes int64 vs float64 differently even when
+    every value matches (r3 driver red on simhash_signatures)."""
+    from tests.parity import audit_oracle_types, duck_connection
+
+    import __spark_entry__ as entrymod
+
+    con = duck_connection(SF_DIR)
+    errs: list[str] = []
+    for name, sql in sorted(entrymod.oracle_sql().items()):
+        errs.extend(audit_oracle_types(con, name, sql))
+    assert not errs, errs
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entrymod
 
