@@ -42,6 +42,29 @@ def _positions(col, num_bits: int, num_hashes: int):
     )
 
 
+def _canonical_key(df: DataFrame, key_col: str):
+    """xxhash64 hashes int32 and int64 values DIFFERENTLY, so mismatched
+    integral key types between build and probe sides would yield false
+    NEGATIVES (silently dropped matches, not just extra cost — ADVICE r3).
+    Canonicalize every integral key to bigint and float to double on BOTH
+    sides so membership depends on the value, not the physical width."""
+    from pyspark.sql.types import (
+        ByteType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    dt = df.schema[key_col].dataType
+    col = F.col(key_col)
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return col.cast("bigint")
+    if isinstance(dt, FloatType):
+        return col.cast("double")
+    return col
+
+
 def build_bloom_bitset(
     df: DataFrame,
     key_col: str,
@@ -55,7 +78,7 @@ def build_bloom_bitset(
     import numpy as np
 
     words = (
-        df.select(F.explode(_positions(F.col(key_col), num_bits, num_hashes)).alias("pos"))
+        df.select(F.explode(_positions(_canonical_key(df, key_col), num_bits, num_hashes)).alias("pos"))
         .select(
             (F.col("pos") / F.lit(64)).cast("long").alias("w"),
             # python F.shiftleft needs a literal shift; the SQL form takes
@@ -100,7 +123,7 @@ def bloom_might_contain(
         # NULL keys never match a semi join; dropping them here keeps the
         # probe UDF all-non-null (and matches SQL join semantics exactly)
         df.filter(F.col(key_col).isNotNull())
-        .withColumn("__pos", _positions(F.col(key_col), num_bits, num_hashes))
+        .withColumn("__pos", _positions(_canonical_key(df, key_col), num_bits, num_hashes))
         .filter(member(F.col("__pos")))
         .drop("__pos")
     )

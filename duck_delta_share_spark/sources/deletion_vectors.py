@@ -294,13 +294,17 @@ def load_dv(descriptor: dict[str, Any], table_path: str | Path) -> "np.ndarray":
         return parse_dv(data)
     path = _dv_file_path(descriptor, table_path)
     with open(path, "rb") as f:
-        if "offset" in descriptor and descriptor["offset"] is not None:
-            f.seek(int(descriptor["offset"]))
-            (stored,) = struct.unpack(">i", f.read(4))
-            if stored != size:
-                raise ValueError(
-                    f"DV length prefix {stored} != descriptor sizeInBytes {size}"
-                )
+        # A spec-legal descriptor may omit ``offset``; the payload still
+        # sits after the file's 1-byte format-version framing, so the
+        # effective default is 1 (byte 0 is the version, not the size
+        # prefix — reading from 0 used to fail with a bogus "bad magic").
+        offset = descriptor.get("offset")
+        f.seek(int(offset) if offset is not None else 1)
+        (stored,) = struct.unpack(">i", f.read(4))
+        if stored != size:
+            raise ValueError(
+                f"DV length prefix {stored} != descriptor sizeInBytes {size}"
+            )
         data = f.read(size)
         (crc,) = struct.unpack(">I", f.read(4))
     if zlib.crc32(data) & 0xFFFFFFFF != crc:

@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+import dataclasses
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any
@@ -52,6 +53,11 @@ class DeltaSnapshot:
     schema_string: str
     partition_columns: tuple[str, ...]
     files: tuple[dict, ...]  # {"url", "partitionValues", "stats"}
+    # replayed protocol action (None for logs that never wrote one) and
+    # metaData.configuration — preserved so checkpoint() round-trips the
+    # table's actual protocol/config instead of re-deriving it (ADVICE r3)
+    protocol: dict | None = None
+    configuration: dict = dataclasses.field(default_factory=dict)
 
 
 def _log_dir(table_path: str | Path) -> Path:
@@ -126,8 +132,13 @@ def _apply_action(state: dict, action: dict, table: Path) -> None:
         md = action["metaData"]
         state["schema_string"] = md.get("schemaString") or state["schema_string"]
         state["partition_columns"] = tuple(md.get("partitionColumns") or ())
+        # absent key (old checkpoints) keeps prior config; an explicit
+        # value — including {} — replaces it (metaData is a full swap)
+        if md.get("configuration") is not None:
+            state["configuration"] = dict(md["configuration"])
     elif "protocol" in action:
         _check_local_protocol(action["protocol"], table)
+        state["protocol"] = dict(action["protocol"])
     elif "add" in action:
         a = action["add"]
         state["files"][unquote(a["path"])] = {
@@ -150,9 +161,18 @@ def _read_checkpoint(cp_file: Path, state: dict, table: Path) -> None:
                 if key == "add" and isinstance(a.get("partitionValues"), list):
                     # pyarrow renders map<string,string> as [(k, v), ...]
                     a = dict(a, partitionValues=dict(a["partitionValues"]))
+                if key == "metaData" and isinstance(a.get("configuration"), list):
+                    a = dict(a, configuration=dict(a["configuration"]))
                 _apply_action(state, {key: a}, table)
                 break
         # checkpoint `remove` rows are vacuum tombstones, not state
+
+
+def _raw_dv(descriptor: dict | None) -> dict | None:
+    """Original log descriptor, with checkpoint all-None structs → None."""
+    if not descriptor or not descriptor.get("storageType"):
+        return None
+    return dict(descriptor)
 
 
 def _resolve_dv(descriptor: dict | None, table: Path) -> dict | None:
@@ -191,7 +211,13 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
     if target > latest:
         raise ValueError(f"version {target} does not exist (latest is {latest})")
 
-    state: dict = {"schema_string": "", "partition_columns": (), "files": {}}
+    state: dict = {
+        "schema_string": "",
+        "partition_columns": (),
+        "files": {},
+        "protocol": None,
+        "configuration": {},
+    }
     usable_cp = [v for v in checkpoints if v <= target]
     start = 0
     if usable_cp:
@@ -215,6 +241,10 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
             "partitionValues": info["partitionValues"],
             "stats": info["stats"],
             "deletionVector": _resolve_dv(info.get("deletionVector"), table),
+            # original log form (relative 'u' etc.) — checkpoint() must
+            # persist THIS, not the driver-resolved absolute 'p' path,
+            # or a moved/renamed table breaks DV loads (ADVICE r3)
+            "deletionVectorLog": _raw_dv(info.get("deletionVector")),
         }
         for rel, info in sorted(state["files"].items())
     )
@@ -223,6 +253,8 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
         schema_string=state["schema_string"],
         partition_columns=state["partition_columns"],
         files=files,
+        protocol=state["protocol"],
+        configuration=state["configuration"],
     )
 
 
@@ -457,20 +489,35 @@ def checkpoint(table_path: str | Path) -> int:
     table = Path(table_path)
     snap = snapshot(table)
     has_dv = any(f.get("deletionVector") for f in snap.files)
+    # Preserve the REPLAYED protocol (column-mapping tables carry
+    # minReaderVersion 2 / v3+columnMapping the old heuristic silently
+    # downgraded — ADVICE r3); fall back to the legacy derivation only for
+    # logs that never wrote a protocol action.
+    proto = dict(snap.protocol) if snap.protocol else (
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+        if has_dv
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    if has_dv and int(proto.get("minReaderVersion", 1)) >= 3:
+        # a v3 protocol must list the feature for the DVs we persist
+        proto["readerFeatures"] = sorted(
+            set(proto.get("readerFeatures") or ()) | {"deletionVectors"}
+        )
+        proto["writerFeatures"] = sorted(
+            set(proto.get("writerFeatures") or ()) | {"deletionVectors"}
+        )
     rows = [
         {
             "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
-            }
-            if has_dv
-            else {
-                "minReaderVersion": 1,
-                "minWriterVersion": 2,
-                "readerFeatures": None,
-                "writerFeatures": None,
+                "minReaderVersion": proto.get("minReaderVersion", 1),
+                "minWriterVersion": proto.get("minWriterVersion", 2),
+                "readerFeatures": proto.get("readerFeatures"),
+                "writerFeatures": proto.get("writerFeatures"),
             },
             "metaData": None,
             "add": None,
@@ -481,6 +528,9 @@ def checkpoint(table_path: str | Path) -> int:
                 "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
                 "schemaString": snap.schema_string,
                 "partitionColumns": list(snap.partition_columns),
+                # configuration carries delta.columnMapping.mode etc. —
+                # external readers misread physical names without it
+                "configuration": dict(snap.configuration),
             },
             "add": None,
         },
@@ -494,7 +544,10 @@ def checkpoint(table_path: str | Path) -> int:
                     "path": quote(str(Path(f["url"]).relative_to(table)), safe="/="),
                     "partitionValues": f["partitionValues"],
                     "stats": f["stats"],
-                    "deletionVector": f.get("deletionVector"),
+                    # original log form, NOT the driver-resolved absolute
+                    # 'p' path — the table stays relocatable after log
+                    # truncation (ADVICE r3)
+                    "deletionVector": f.get("deletionVectorLog"),
                 },
             }
         )
@@ -520,6 +573,7 @@ def checkpoint(table_path: str | Path) -> int:
                         ("id", pa.string()),
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
                     ]
                 ),
             ),

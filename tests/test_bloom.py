@@ -37,6 +37,24 @@ def test_probe_is_superset_and_prunes(spark):
     assert survivors < 0.05 * 50_000, f"bloom pruned nothing ({survivors})"
 
 
+def test_mismatched_integral_key_widths_are_exact(spark):
+    """xxhash64(int32) != xxhash64(int64) for the same value — without the
+    canonical bigint cast a mixed-width build/probe pair silently DROPS
+    every true match (false negatives, ADVICE r3)."""
+    large = spark.range(0, 5_000).selectExpr(
+        "cast(id % 97 as int) as k", "id as payload"
+    )
+    small = spark.range(0, 10).selectExpr("cast(id * 7 as bigint) as k")
+    got = sorted(
+        (r.k, r.payload)
+        for r in bloom_semi_join(large, small, "k").collect()
+    )
+    want = sorted(
+        (r.k, r.payload) for r in large.join(small, "k", "left_semi").collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_null_keys_never_match(spark):
     large = spark.createDataFrame(
         [(None, 1), (5, 2), (6, 3)], "k long, payload long"

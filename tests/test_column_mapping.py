@@ -145,6 +145,36 @@ def test_mapped_v3_reader_feature_accepted(spark, tmp_path):
     assert read_delta(spark, t).count() == 4
 
 
+def test_checkpoint_preserves_mapped_protocol(spark, tmp_path):
+    """checkpoint() on a column-mapping table must persist the REPLAYED
+    protocol (minReaderVersion 2) and the columnMapping configuration, not
+    silently downgrade to v1 / drop the marker (ADVICE r3)."""
+    from duck_delta_share_spark.sources.delta_log import checkpoint
+
+    t = _mapped_table(tmp_path)
+    v = checkpoint(t)
+    cp = pq.read_table(t / "_delta_log" / f"{v:020d}.checkpoint.parquet")
+    rows = cp.to_pylist()
+    protos = [
+        r["protocol"]
+        for r in rows
+        if r.get("protocol") and r["protocol"].get("minReaderVersion") is not None
+    ]
+    assert protos and protos[0]["minReaderVersion"] == 2
+    assert protos[0]["minWriterVersion"] == 5
+    metas = [
+        r["metaData"] for r in rows if r.get("metaData") and r["metaData"].get("id")
+    ]
+    conf = dict(metas[0]["configuration"])
+    assert conf.get("delta.columnMapping.mode") == "name"
+    # truncate the log: the snapshot must come from the checkpoint alone
+    for p in (t / "_delta_log").glob("*.json"):
+        p.unlink()
+    df = read_delta(spark, t)
+    assert set(df.columns) == {"id", "name", "region"}
+    assert df.count() == 4
+
+
 def test_mapped_writes_fail_fast(spark, tmp_path):
     t = _mapped_table(tmp_path)
     snap = snapshot(t)

@@ -79,6 +79,16 @@ def test_u_storage_prefix_resolves(tmp_path):
     assert list(dv.load_dv(prefixed, tmp_path)) == [1, 9]
 
 
+def test_load_dv_without_offset_defaults_past_version_byte(tmp_path):
+    """Spec-legal descriptors may omit ``offset``; the payload still starts
+    after the file's 1-byte format-version framing (ADVICE r3)."""
+    desc = dv.write_dv_file(tmp_path, [4, 8, 1 << 40])
+    no_offset = {k: v for k, v in desc.items() if k != "offset"}
+    assert list(dv.load_dv(no_offset, tmp_path)) == [4, 8, 1 << 40]
+    none_offset = dict(desc, offset=None)
+    assert list(dv.load_dv(none_offset, tmp_path)) == [4, 8, 1 << 40]
+
+
 def test_dv_checksum_guard(tmp_path):
     desc = dv.write_dv_file(tmp_path, [1, 2, 3])
     path = dv._dv_file_path(desc, tmp_path)
@@ -166,6 +176,37 @@ def test_checkpoint_preserves_dvs(spark, numbers, tmp_path):
         p.unlink()
     got = sorted(r.id for r in read_delta(spark, t).collect())
     assert got == [i for i in range(100) if i % 3 != 0]
+
+
+def test_checkpoint_dvs_survive_table_move(spark, numbers, tmp_path):
+    """Checkpoint add rows must keep the table-relative 'u' descriptor,
+    not the driver-resolved absolute 'p' path — after checkpoint + log
+    truncation, a moved/renamed table directory must still load its DVs
+    (ADVICE r3)."""
+    import pyarrow.parquet as pq
+
+    t = tmp_path / "orig"
+    write_delta(numbers.repartition(2), t)
+    delete_where(spark, t, "id % 5 = 1")
+    v = checkpoint(t)
+    # the persisted descriptors stay in original log form
+    cp = pq.read_table(t / "_delta_log" / f"{v:020d}.checkpoint.parquet")
+    descs = [
+        r["add"]["deletionVector"]
+        for r in cp.to_pylist()
+        if r.get("add") and r["add"].get("path")
+    ]
+    assert any(d and d.get("storageType") == "u" for d in descs)
+    assert not any(
+        d and d.get("storageType") == "p" and str(tmp_path) in d["pathOrInlineDv"]
+        for d in descs
+    )
+    for p in (t / "_delta_log").glob("*.json"):
+        p.unlink()
+    moved = tmp_path / "moved"
+    t.rename(moved)
+    got = sorted(r.id for r in read_delta(spark, moved).collect())
+    assert got == [i for i in range(100) if i % 5 != 1]
 
 
 def test_vacuum_keeps_live_dv_files(spark, numbers, tmp_path):
