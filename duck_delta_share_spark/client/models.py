@@ -60,13 +60,23 @@ class Table:
 
 @dataclass(frozen=True)
 class Protocol:
-    """Reader version gate (hpp:41-43)."""
+    """Reader version gate (hpp:41-43). ``reader_features`` comes from the
+    delta response format's protocol line (public Delta Sharing protocol,
+    ``delta-sharing-capabilities: responseformat=delta``); empty for
+    classic parquet-format responses."""
 
     min_reader_version: int = 1
+    reader_features: tuple[str, ...] = ()
 
     @classmethod
     def from_json(cls, obj: dict[str, Any]) -> "Protocol":
-        return cls(min_reader_version=int(obj.get("minReaderVersion", 1)))
+        # delta response format wraps the real protocol action:
+        # {"protocol": {"deltaProtocol": {"minReaderVersion": 3, ...}}}
+        inner = obj.get("deltaProtocol", obj)
+        return cls(
+            min_reader_version=int(inner.get("minReaderVersion", 1)),
+            reader_features=tuple(inner.get("readerFeatures") or ()),
+        )
 
 
 @dataclass(frozen=True)
@@ -97,18 +107,21 @@ class TableMetadata:
 
     @classmethod
     def from_json(cls, obj: dict[str, Any]) -> "TableMetadata":
-        fmt = obj.get("format") or {}
+        # delta response format nests the Delta metaData action:
+        # {"metaData": {"version": N, "deltaMetadata": {...}}}
+        inner = obj.get("deltaMetadata") or obj
+        fmt = inner.get("format") or {}
         return cls(
-            id=obj.get("id") or "",
-            name=obj.get("name") or "",
-            description=obj.get("description") or "",
+            id=inner.get("id") or "",
+            name=inner.get("name") or "",
+            description=inner.get("description") or "",
             format=Format(
                 provider=fmt.get("provider", "parquet"), options=fmt.get("options") or {}
             ),
-            schema_string=obj.get("schemaString") or "",
-            partition_columns=tuple(obj.get("partitionColumns") or ()),
-            configuration=obj.get("configuration") or {},
-            version=int(obj.get("version", -1)),
+            schema_string=inner.get("schemaString") or "",
+            partition_columns=tuple(inner.get("partitionColumns") or ()),
+            configuration=inner.get("configuration") or {},
+            version=int(obj.get("version", inner.get("version", -1))),
         )
 
 
@@ -126,9 +139,42 @@ class FileAction:
     version: int = -1
     timestamp: int = -1
     expiration_timestamp: int = -1
+    # delta response format only: the add action's deletion-vector
+    # descriptor (storageType/pathOrInlineDv/offset/sizeInBytes/
+    # cardinality) — the server presigns file-based DV paths, so
+    # pathOrInlineDv is an http(s) URL or an inline z85 payload. The
+    # reference ignores DVs entirely and would return deleted rows
+    # (delta_sharing_client.cpp:357-369).
+    deletion_vector: dict[str, Any] | None = None
+
+    @classmethod
+    def from_delta_action(cls, obj: dict[str, Any]) -> tuple[str, "FileAction"]:
+        """Parse a delta-response-format file line: {"file": {"id": ...,
+        "version": ..., "expirationTimestamp": ..., "deltaSingleAction":
+        {"add"|"remove"|"cdc": {"path": <presigned url>, "partitionValues":
+        ..., "stats": ..., "deletionVector": {...}}}}}. Returns
+        (action_kind, file_action) with Delta's "cdc" normalized to the
+        sharing protocol's "cdf"."""
+        dsa = obj["deltaSingleAction"]
+        kind = next(iter(dsa))
+        inner = dsa[kind] or {}
+        fa = cls(
+            url=inner.get("path", ""),
+            id=obj.get("id") or "",
+            partition_values=inner.get("partitionValues") or {},
+            size=int(inner.get("size", 0)),
+            stats=inner.get("stats") or "",
+            version=int(obj.get("version", -1)),
+            timestamp=int(obj.get("timestamp", -1)),
+            expiration_timestamp=int(obj.get("expirationTimestamp", -1)),
+            deletion_vector=inner.get("deletionVector"),
+        )
+        return ("cdf" if kind == "cdc" else kind), fa
 
     @classmethod
     def from_json(cls, obj: dict[str, Any]) -> "FileAction":
+        if "deltaSingleAction" in obj:
+            return cls.from_delta_action(obj)[1]
         return cls(
             url=obj.get("url", ""),
             id=obj.get("id") or "",
@@ -138,6 +184,7 @@ class FileAction:
             version=int(obj.get("version", -1)),
             timestamp=int(obj.get("timestamp", -1)),
             expiration_timestamp=int(obj.get("expirationTimestamp", -1)),
+            deletion_vector=obj.get("deletionVector"),
         )
 
     def parsed_stats(self) -> dict[str, Any]:

@@ -58,24 +58,40 @@ def parse_ndjson(body: str) -> list[dict[str, Any]]:
     return [json.loads(line) for line in body.splitlines() if line.strip()]
 
 
-# Reader features this client implements: plain parquet-file actions
-# (minReaderVersion 1). Version 2+ tables (deletion vectors, column
-# mapping) would be silently MISREAD if we proceeded — fail fast instead.
-# Reference carries the field but never checks it (hpp:41-43).
-MAX_SUPPORTED_READER_VERSION = 1
+# Reader surface this client implements. Classic parquet responses are
+# minReaderVersion 1; via the delta response format (public protocol,
+# `delta-sharing-capabilities: responseformat=delta`) we additionally read
+# v2 (column mapping — translated in the shared scan path) and v3 tables
+# whose readerFeatures are all in SUPPORTED_READER_FEATURES: deletion
+# vectors are applied as executor-side row masks, timestampNtz needs no
+# reader work. Anything else still fails fast — reading anyway would
+# silently return wrong rows (the reference never checks the protocol at
+# all, hpp:41-43, and returns deleted rows on DV tables).
+MAX_SUPPORTED_READER_VERSION = 3
+SUPPORTED_READER_FEATURES = frozenset(
+    {"deletionVectors", "columnMapping", "timestampNtz"}
+)
 
 
 def check_protocol(protocol: Protocol, table: str = "") -> Protocol:
     """Fail fast on tables requiring reader features we don't implement."""
+    tbl = f" {table!r}" if table else ""
     if protocol.min_reader_version > MAX_SUPPORTED_READER_VERSION:
         raise DeltaSharingError(
             0,
-            f"table{f' {table!r}' if table else ''} requires Delta Sharing "
+            f"table{tbl} requires Delta Sharing "
             f"minReaderVersion={protocol.min_reader_version}, but this client "
-            f"supports up to {MAX_SUPPORTED_READER_VERSION} (deletion vectors / "
-            "column mapping are not implemented; reading anyway would return "
-            "wrong rows)",
+            f"supports up to {MAX_SUPPORTED_READER_VERSION}",
         )
+    if protocol.min_reader_version >= 3:
+        unsupported = set(protocol.reader_features) - SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise DeltaSharingError(
+                0,
+                f"table{tbl} requires reader features {sorted(unsupported)} "
+                "which this client does not implement (reading anyway would "
+                "return wrong rows)",
+            )
     return protocol
 
 
@@ -98,8 +114,16 @@ class DeltaSharingClient:
         return {
             "Authorization": f"Bearer {self.profile.bearer_token}",
             "Content-Type": "application/json",
-            # request parquet-format responses, like the reference (cpp:124)
-            "delta-sharing-capabilities": "responseformat=parquet",
+            # The reference pins responseformat=parquet (cpp:124), which
+            # limits it to minReaderVersion 1 tables. We additionally
+            # advertise the delta response format + the reader features we
+            # actually implement, so servers can share DV / column-mapping
+            # tables with us (public protocol capabilities negotiation);
+            # plain tables keep coming back in parquet format.
+            "delta-sharing-capabilities": (
+                "responseformat=parquet,delta;"
+                "readerfeatures=deletionvectors,columnmapping,timestampntz"
+            ),
         }
 
     def _request(
@@ -324,6 +348,11 @@ class DeltaSharingClient:
                     metadata = TableMetadata.from_json(line["metaData"])
                 elif "endStreamAction" in line:
                     token = line["endStreamAction"].get("nextPageToken") or None
+                elif "file" in line and "deltaSingleAction" in line["file"]:
+                    # delta response format: the wrapped single action's
+                    # key (add/remove/cdc) is the change kind
+                    kind, fa = FileAction.from_delta_action(line["file"])
+                    actions.append(ChangeAction(kind, fa))
                 else:
                     for kind in ("add", "cdf", "remove"):
                         if kind in line:

@@ -7,6 +7,7 @@ filter re-application (§A8/§A9 + §2D fixes)."""
 from __future__ import annotations
 
 import json
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -247,6 +248,95 @@ def delta_column_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "\n".join(_json.dumps(a) for a in actions) + "\n"
     )
     return read_delta(spark, table).orderBy("n_nationkey")
+
+
+# one mini sharing server per sf_dir, kept alive for the process: the
+# returned DataFrame is lazy and the driver collects AFTER this function
+# returns, so the server must outlive the call
+_DV_REST_SERVERS: dict[str, Any] = {}
+
+
+@query(
+    "delta_share_dv_rest_scan",
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id % 7 <> 0
+ORDER BY doc_id
+""",
+    doc="DV-bearing SHARED table over REST (public delta response format): "
+    "an in-process sharing server (duck_delta_share_spark/testing.py) "
+    "serves documents.parquet with a deletion-vector descriptor whose "
+    "pathOrInlineDv is a presigned URL; the client negotiates "
+    "responseformat=delta (deltaProtocol/deltaSingleAction lines, "
+    "client/rest.py + client/models.py), and executors fetch the roaring "
+    "DV payload over HTTP Range and mask deleted physical rows before "
+    "emitting (sources/deletion_vectors.py:_fetch_http_dv). The deleted "
+    "set is the physical positions of doc_id % 7 = 0 rows, so the oracle "
+    "is the plain complement scan. The reference client ignores DVs and "
+    "would return the deleted rows (delta_sharing_client.cpp:357-369)",
+)
+def delta_share_dv_rest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+    import tempfile
+    import zlib
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from duck_delta_share_spark.sources import deletion_vectors as dvmod
+
+    srv = _DV_REST_SERVERS.get(sf_dir)
+    if srv is None:
+        from duck_delta_share_spark.testing import MiniSharingServer
+
+        doc = Path(sf_dir) / "documents.parquet"
+        # bounded demo setup (driver-side): one int column of the fixture
+        # to compute the deleted PHYSICAL positions the oracle mirrors
+        ids = pq.read_table(doc, columns=["doc_id"]).column(0).to_pylist()
+        deleted = [i for i, v in enumerate(ids) if v % 7 == 0]
+        data = dvmod.serialize_dv(deleted)
+        tmp = Path(tempfile.mkdtemp(prefix="ddss_dvrest_"))
+        (tmp / "documents.dv").write_bytes(
+            bytes([1])
+            + struct.pack(">i", len(data))
+            + data
+            + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        )
+        schema_json = spark.read.parquet(str(doc)).schema.json()
+        srv = MiniSharingServer(
+            "demo",
+            "llm",
+            "documents",
+            schema_json,
+            files={"documents.parquet": doc, "documents.dv": tmp / "documents.dv"},
+            file_actions=[
+                {
+                    "name": "documents.parquet",
+                    "id": "doc-1",
+                    "deletionVector": {
+                        "storageType": "p",
+                        "pathOrInlineDv": "pending",
+                        "offset": 1,
+                        "sizeInBytes": len(data),
+                        "cardinality": len(deleted),
+                    },
+                }
+            ],
+        ).start()
+        srv.file_actions[0]["deletionVector"]["pathOrInlineDv"] = (
+            f"{srv.endpoint}/data/documents.dv"
+        )
+        _DV_REST_SERVERS[sf_dir] = srv
+    _register(spark)
+    return (
+        spark.read.format("deltashare")
+        .option("endpoint", srv.endpoint)
+        .option("bearerToken", "demo-token")
+        .load("demo.llm.documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
 
 
 @query(

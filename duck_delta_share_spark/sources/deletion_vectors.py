@@ -285,12 +285,43 @@ def _dv_file_path(descriptor: dict[str, Any], table_path: str | Path) -> Path:
     raise ValueError(f"unsupported deletion vector storageType {st!r}")
 
 
+def _fetch_http_dv(url: str, offset: int, size: int) -> bytes:
+    """Fetch a DV payload from a presigned http(s) URL (Delta Sharing delta
+    response format presigns file-based DV paths). One Range request for
+    exactly size-prefix + payload + CRC; servers without Range support
+    return 200 with the whole object and we slice. Executor-side, one
+    request per (file, DV) — control plane untouched."""
+    import urllib.request
+
+    want = (offset, offset + 4 + size + 4 - 1)
+    req = urllib.request.Request(url, headers={"Range": f"bytes={want[0]}-{want[1]}"})
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        body = resp.read()
+        if resp.status != 206:  # whole object served
+            body = body[offset : offset + 4 + size + 4]
+    (stored,) = struct.unpack_from(">i", body, 0)
+    if stored != size:
+        raise ValueError(
+            f"DV length prefix {stored} != descriptor sizeInBytes {size} ({url})"
+        )
+    data = body[4 : 4 + size]
+    (crc,) = struct.unpack_from(">I", body, 4 + size)
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError(f"DV checksum mismatch fetching {url}")
+    return data
+
+
 def load_dv(descriptor: dict[str, Any], table_path: str | Path) -> "np.ndarray":  # noqa: F821
     """Descriptor (+ table root for relative storage) → sorted uint64 row
     indexes of DELETED rows in the file the descriptor is attached to."""
     size = int(descriptor["sizeInBytes"])
     if descriptor["storageType"] == "i":
         data = z85_decode(descriptor["pathOrInlineDv"])[:size]
+        return parse_dv(data)
+    raw_path = descriptor.get("pathOrInlineDv", "")
+    if isinstance(raw_path, str) and raw_path.startswith(("http://", "https://")):
+        off = descriptor.get("offset")
+        data = _fetch_http_dv(raw_path, int(off) if off is not None else 1, size)
         return parse_dv(data)
     path = _dv_file_path(descriptor, table_path)
     with open(path, "rb") as f:

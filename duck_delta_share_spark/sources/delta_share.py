@@ -286,6 +286,7 @@ class DeltaShareReader(DataSourceReader):
                     "action": a.action_type,
                     "version": a.file.version,
                     "timestamp": a.file.timestamp,
+                    "deletionVector": a.file.deletion_vector,
                 }
                 for a in changes.actions
             ]
@@ -309,6 +310,9 @@ class DeltaShareReader(DataSourceReader):
                 "id": f.id,
                 "partitionValues": dict(f.partition_values),
                 "stats": f.stats,
+                # delta response format: presigned-URL DV descriptor, applied
+                # executor-side as a row mask (same path as local Delta DVs)
+                "deletionVector": f.deletion_vector,
             }
             for f in result.files
         ]
@@ -746,6 +750,7 @@ class DeltaShareStreamReader(DataSourceStreamReader):
                 "action": a.action_type,
                 "version": a.file.version,
                 "timestamp": a.file.timestamp,
+                "deletionVector": a.file.deletion_vector,
             }
             for a in changes.actions
         ]

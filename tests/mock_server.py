@@ -45,6 +45,17 @@ class MockDeltaSharingServer:
         # Advertised protocol floor; tests bump it to 2+ to prove the
         # client refuses tables whose reader features it lacks.
         self.min_reader_version = 1
+        # Delta response format mode (public protocol `responseformat=
+        # delta`): /metadata + /query wrap actions as deltaProtocol /
+        # deltaMetadata / deltaSingleAction, advertise minReaderVersion 3
+        # with reader_features, and file actions carry the DV descriptors
+        # in dv_descriptors (file name -> descriptor; pathOrInlineDv
+        # typically a presigned /data/ URL of a .dv file in data_dir).
+        self.dv_mode = False
+        self.reader_features = ["deletionVectors"]
+        self.dv_descriptors: dict[str, dict] = {}
+        # last delta-sharing-capabilities header seen on a control request
+        self.capability_headers: list[str] = []
         # Range-request accounting for the range-read scan tests: every
         # satisfied Range header is logged, and data_bytes_served counts
         # actual payload bytes so tests can assert egress < object size.
@@ -86,24 +97,69 @@ class MockDeltaSharingServer:
     # NDJSON /query and /metadata bodies -------------------------------------
 
     def _metadata_lines(self) -> str:
+        meta = {
+            "id": "tbl-1",
+            "name": "clicks",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": SCHEMA_STRING,
+            "partitionColumns": ["pcol"],
+            "configuration": {},
+            "version": self.table_version,
+        }
+        if self.dv_mode:
+            return "\n".join(
+                [
+                    json.dumps(
+                        {
+                            "protocol": {
+                                "deltaProtocol": {
+                                    "minReaderVersion": 3,
+                                    "minWriterVersion": 7,
+                                    "readerFeatures": self.reader_features,
+                                    "writerFeatures": self.reader_features,
+                                }
+                            }
+                        }
+                    ),
+                    json.dumps(
+                        {
+                            "metaData": {
+                                "version": self.table_version,
+                                "deltaMetadata": meta,
+                            }
+                        }
+                    ),
+                ]
+            )
         return "\n".join(
             [
                 json.dumps({"protocol": {"minReaderVersion": self.min_reader_version}}),
-                json.dumps(
-                    {
-                        "metaData": {
-                            "id": "tbl-1",
-                            "name": "clicks",
-                            "format": {"provider": "parquet", "options": {}},
-                            "schemaString": SCHEMA_STRING,
-                            "partitionColumns": ["pcol"],
-                            "configuration": {},
-                            "version": self.table_version,
-                        }
-                    }
-                ),
+                json.dumps({"metaData": meta}),
             ]
         )
+
+    def _wrap_file(self, f: dict) -> dict:
+        """Classic parquet-format file dict -> delta-response-format line."""
+        name = f["url"].split("/")[-1].split("?")[0]
+        add = {
+            "path": f["url"],
+            "partitionValues": f["partitionValues"],
+            "size": f["size"],
+            "stats": f.get("stats", ""),
+            "dataChange": True,
+        }
+        dv = self.dv_descriptors.get(name)
+        if dv:
+            add["deletionVector"] = dv
+        return {
+            "file": {
+                "id": f["id"],
+                "version": f.get("version", -1),
+                "timestamp": f.get("timestamp", -1),
+                "expirationTimestamp": f.get("expirationTimestamp", -1),
+                "deltaSingleAction": {"add": add},
+            }
+        }
 
     def _query_lines(self, body: dict | None = None) -> str:
         self._query_count += 1
@@ -139,6 +195,10 @@ class MockDeltaSharingServer:
             },
         ]
         body = body or {}
+
+        def file_line(f: dict) -> str:
+            return json.dumps(self._wrap_file(f) if self.dv_mode else {"file": f})
+
         max_files = int(body.get("maxFiles", 0) or self.paginate_max_files or 0)
         if max_files:
             # paginated protocol: serve maxFiles files per page, hand out an
@@ -147,13 +207,13 @@ class MockDeltaSharingServer:
             start = int(body.get("pageToken", 0) or 0)
             page = files[start : start + max_files]
             lines = [self._metadata_lines()]
-            lines += [json.dumps({"file": f}) for f in page]
+            lines += [file_line(f) for f in page]
             nxt = start + max_files
             esa = {"nextPageToken": str(nxt)} if nxt < len(files) else {}
             lines.append(json.dumps({"endStreamAction": esa}))
             return "\n".join(lines)
         return self._metadata_lines() + "\n" + "\n".join(
-            json.dumps({"file": f}) for f in files
+            file_line(f) for f in files
         )
 
     def _changes_lines(
@@ -200,6 +260,9 @@ class MockDeltaSharingServer:
                 self.wfile.write(body)
 
             def _check_auth(self) -> bool:
+                cap = self.headers.get("delta-sharing-capabilities")
+                if cap is not None:
+                    outer.capability_headers.append(cap)
                 if self.headers.get("Authorization") != f"Bearer {outer.token}":
                     self._reply(401, json.dumps({"message": "unauthorized"}).encode())
                     return False

@@ -123,19 +123,63 @@ def test_auth_error(server):
 
 
 def test_min_reader_version_gate(server, client):
-    """A table requiring reader v2+ (deletion vectors / column mapping)
+    """A table requiring a reader version beyond the supported surface
     must fail fast, not be silently misread (reference parses the field
-    and never checks it, hpp:41-43)."""
-    server.min_reader_version = 2
+    and never checks it, hpp:41-43). v2 (column mapping) and v3 with
+    supported readerFeatures are accepted since the delta response
+    format landed; v4 and v3-with-unknown-features still refuse."""
+    server.min_reader_version = 4
     try:
-        with pytest.raises(DeltaSharingError, match="minReaderVersion=2"):
+        with pytest.raises(DeltaSharingError, match="minReaderVersion=4"):
             client.query_table_metadata("sales", "web", "clicks")
-        with pytest.raises(DeltaSharingError, match="minReaderVersion=2"):
+        with pytest.raises(DeltaSharingError, match="minReaderVersion=4"):
             client.query_table("sales", "web", "clicks")
     finally:
         server.min_reader_version = 1
     protocol, _ = client.query_table_metadata("sales", "web", "clicks")
     assert protocol.min_reader_version == 1
+
+
+def test_v3_unsupported_feature_refused(server, client):
+    """minReaderVersion 3 is fine only when every readerFeature is
+    implemented; e.g. v2Checkpoint-style unknowns must refuse."""
+    server.dv_mode = True
+    server.reader_features = ["deletionVectors", "madeUpFeature"]
+    try:
+        with pytest.raises(DeltaSharingError, match="madeUpFeature"):
+            client.query_table("sales", "web", "clicks")
+    finally:
+        server.dv_mode = False
+        server.reader_features = ["deletionVectors"]
+
+
+def test_delta_format_parse_and_capabilities(server, client):
+    """Delta response format: deltaProtocol/deltaMetadata/deltaSingleAction
+    lines parse into the same models, DV descriptors surface on
+    FileAction, and the client advertises the delta format + its reader
+    features in delta-sharing-capabilities."""
+    server.dv_mode = True
+    server.dv_descriptors["eu.parquet"] = {
+        "storageType": "p",
+        "pathOrInlineDv": f"{server.endpoint}/data/eu.dv",
+        "offset": 1,
+        "sizeInBytes": 40,
+        "cardinality": 1,
+    }
+    try:
+        result = client.query_table("sales", "web", "clicks")
+        assert result.protocol.min_reader_version == 3
+        assert "deletionVectors" in result.protocol.reader_features
+        assert result.metadata.schema_string  # deltaMetadata unwrapped
+        by_id = {f.id: f for f in result.files}
+        assert by_id["f-eu"].deletion_vector["pathOrInlineDv"].endswith("eu.dv")
+        assert by_id["f-us"].deletion_vector is None
+        assert by_id["f-eu"].url.endswith("eu.parquet")
+        cap = server.capability_headers[-1]
+        assert "delta" in cap and "deletionvectors" in cap
+    finally:
+        server.dv_mode = False
+        server.dv_descriptors.clear()
 
 
 def test_query_table_pagination_client_requested(client, server):

@@ -259,3 +259,71 @@ def test_rest_scan_through_paginated_query(registered, server):
         }
     finally:
         server.paginate_max_files = 0
+
+
+def test_rest_scan_applies_deletion_vectors(registered, tmp_path_factory):
+    """DV-bearing shared table over REST (delta response format): the
+    executor fetches the presigned DV payload over HTTP and masks deleted
+    physical rows before emitting — the reference client silently returns
+    the deleted rows here (delta_sharing_client.cpp:357-369)."""
+    import struct
+    import zlib
+
+    from duck_delta_share_spark.sources import deletion_vectors as dvmod
+
+    data_dir = tmp_path_factory.mktemp("dsdata_dv")
+    write_fixture_files(data_dir)
+    # physical row 1 of eu.parquet (id=2) and rows 0,2 of us.parquet
+    # (id=10, id=12) are deleted
+    for name, deleted in (("eu", [1]), ("us", [0, 2])):
+        data = dvmod.serialize_dv(deleted)
+        (data_dir / f"{name}.dv").write_bytes(
+            bytes([1])
+            + struct.pack(">i", len(data))
+            + data
+            + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        )
+    srv = MockDeltaSharingServer(data_dir).start()
+    srv.dv_mode = True
+    for name, card in (("eu", 1), ("us", 2)):
+        data = dvmod.serialize_dv([1] if name == "eu" else [0, 2])
+        srv.dv_descriptors[f"{name}.parquet"] = {
+            "storageType": "p",
+            "pathOrInlineDv": f"{srv.endpoint}/data/{name}.dv",
+            "offset": 1,
+            "sizeInBytes": len(data),
+            "cardinality": card,
+        }
+    try:
+        df = (
+            registered.read.format("deltashare")
+            .option("endpoint", srv.endpoint)
+            .option("bearerToken", "secret-token")
+            .load("sales.web.clicks")
+        )
+        rows = {(r.id, r.pcol) for r in df.collect()}
+        assert rows == {(1, "eu"), (3, "eu"), (11, "us")}
+    finally:
+        srv.stop()
+
+
+def test_rest_scan_dv_inline_descriptor(registered, tmp_path_factory):
+    """Inline (storageType 'i') DV descriptors need no extra fetch at all."""
+    from duck_delta_share_spark.sources import deletion_vectors as dvmod
+
+    data_dir = tmp_path_factory.mktemp("dsdata_dvi")
+    write_fixture_files(data_dir)
+    srv = MockDeltaSharingServer(data_dir).start()
+    srv.dv_mode = True
+    srv.dv_descriptors["us.parquet"] = dvmod.inline_dv_descriptor([1])  # id=11
+    try:
+        df = (
+            registered.read.format("deltashare")
+            .option("endpoint", srv.endpoint)
+            .option("bearerToken", "secret-token")
+            .load("sales.web.clicks")
+        )
+        rows = {(r.id, r.pcol) for r in df.collect()}
+        assert rows == {(1, "eu"), (2, "eu"), (3, "eu"), (10, "us"), (12, "us")}
+    finally:
+        srv.stop()
