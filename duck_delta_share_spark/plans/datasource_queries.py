@@ -250,6 +250,88 @@ def delta_column_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, table).orderBy("n_nationkey")
 
 
+@query(
+    "delta_column_mapping_merge",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey = 0 THEN 'NATION_0_CM' ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation
+UNION ALL
+SELECT 77, 'CM_NATION', 2
+ORDER BY n_nationkey
+""",
+    doc="column-mapping WRITE path (r4; reads landed r3): MERGE on a "
+    "delta-spark-style name-mode table — updates arrive with LOGICAL "
+    "column names, rewritten files are staged with PHYSICAL col-<id> "
+    "parquet names and physical-keyed stats/partitionValues "
+    "(sources/delta_log.py:_to_physical), and the scan-back translates "
+    "physical back to logical and hash-matches the SQL upsert emulation. "
+    "The reference client has no write surface at all and misreads even "
+    "mapped READS (physical col-N names, delta_sharing_client.cpp:357-369)",
+)
+def delta_column_mapping_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import merge_delta, read_delta
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_cmw_")) / "t"
+    log = table / "_delta_log"
+    log.mkdir(parents=True)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    logical = ["n_nationkey", "n_name", "n_regionkey"]
+    physical = {c: f"col-{i + 1:03d}" for i, c in enumerate(logical)}
+    n.toDF(*[physical[c] for c in logical]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(table / "data"))
+    fields = [
+        dict(
+            f,
+            metadata={
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": physical[f["name"]],
+            },
+        )
+        for i, f in enumerate(n.schema.jsonValue()["fields"])
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm-merge",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps({"type": "struct", "fields": fields}),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": f"data/{p.name}",
+                "partitionValues": {},
+                "size": p.stat().st_size,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for p in sorted((table / "data").glob("*.parquet"))
+    ]
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(_json.dumps(a) for a in actions) + "\n"
+    )
+    updates = spark.createDataFrame(
+        [(0, "NATION_0_CM", 0), (77, "CM_NATION", 2)], n.schema
+    )
+    merge_delta(spark, table, updates, ["n_nationkey"])
+    return read_delta(spark, table).orderBy("n_nationkey")
+
+
 # one mini sharing server per sf_dir, kept alive for the process: the
 # returned DataFrame is lazy and the driver collects AFTER this function
 # returns, so the server must outlive the call

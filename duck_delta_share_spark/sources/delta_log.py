@@ -404,8 +404,26 @@ def write_delta(
     have = commits + checkpoints
     version = (max(have) + 1) if have else 0
     part_cols = list(partition_by or ())
+    cm: dict[str, str] | None = None
+    schema_string = df.schema.json()
     if version > 0:
         prev = snapshot(table)
+        cm = _snap_column_mapping(prev)
+        if cm:
+            # column-mapping writes: stage with PHYSICAL names and keep the
+            # mapped schemaString — but only for an unchanged logical
+            # schema (evolution would need new field-id assignment)
+            have = {
+                (f["name"], f["type"])
+                for f in json.loads(prev.schema_string)["fields"]
+            }
+            want = {(f["name"], f["type"]) for f in json.loads(schema_string)["fields"]}
+            if have != want:
+                raise NotImplementedError(
+                    "schema evolution on a column-mapping table is not "
+                    f"supported (table: {sorted(have)}; write: {sorted(want)})"
+                )
+            schema_string = prev.schema_string
         if mode == "append":
             # appends must match the table's physical layout; raise on a
             # conflicting partition_by instead of silently dropping it
@@ -430,7 +448,8 @@ def write_delta(
                     "use mode='overwrite' to replace the schema"
                 )
 
-    adds = _stage_files(df, table, part_cols)
+    staged, staged_part_cols = _to_physical(df, cm, part_cols)
+    adds = _stage_files(staged, table, staged_part_cols)
 
     actions: list[dict] = []
     if version == 0:
@@ -441,9 +460,12 @@ def write_delta(
                 "metaData": {
                     "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": schema_string,
                     "partitionColumns": part_cols,
-                    "configuration": {},
+                    # mapped tables must keep delta.columnMapping.* config
+                    "configuration": dict(prev.configuration)
+                    if version > 0 and cm
+                    else {},
                 }
             }
         )
@@ -734,7 +756,8 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
 
     table = Path(table_path)
     snap = snapshot(table)
-    _reject_column_mapping(snap, "merge_delta")
+    cm = _snap_column_mapping(snap)
+    phys_to_logical = {p: l for l, p in (cm or {}).items()}
     keys = list(key_cols)
     b = updates.agg(
         *[F.min(k).alias(f"lo_{k}") for k in keys],
@@ -751,6 +774,14 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
             stats = json.loads(f["stats"]) if f["stats"] else {}
         except ValueError:
             stats = {}
+        if phys_to_logical and isinstance(stats, dict):
+            # mapped tables key stats by PHYSICAL name; filters are logical
+            stats = {
+                k: {phys_to_logical.get(c, c): v for c, v in val.items()}
+                if isinstance(val, dict)
+                else val
+                for k, val in stats.items()
+            }
         return stats_allow(filters, stats)
 
     candidates = [f for f in snap.files if may_match(f)]
@@ -764,7 +795,8 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
     else:
         merged = updates
     rows = merged.count()
-    adds = _stage_files(merged, table, part_cols)
+    staged, staged_part_cols = _to_physical(merged, cm, part_cols)
+    adds = _stage_files(staged, table, staged_part_cols)
     actions = [
         {"remove": {"path": quote(str(Path(f["url"]).relative_to(table)), safe="/="),
                     "dataChange": True}}
@@ -780,20 +812,30 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
     }
 
 
-def _reject_column_mapping(snap: DeltaSnapshot, op: str) -> None:
-    """Write paths stage files with LOGICAL parquet column names; on a
-    column-mapping table that would corrupt the physical layout — reads
-    are supported, writes fail fast."""
+def _snap_column_mapping(snap: DeltaSnapshot) -> dict[str, str] | None:
+    """Logical → physical column mapping of the table, or None."""
     from duck_delta_share_spark.sources.schema import (
         column_mapping,
         schema_from_string,
     )
 
-    if snap.schema_string and column_mapping(schema_from_string(snap.schema_string)):
-        raise NotImplementedError(
-            f"{op} on a column-mapping table is not supported "
-            "(column mapping is read-only in this writer)"
-        )
+    if not snap.schema_string:
+        return None
+    return column_mapping(schema_from_string(snap.schema_string))
+
+
+def _to_physical(df, cm: dict[str, str] | None, part_cols: list[str]):
+    """Rename a LOGICAL-named DataFrame to the table's PHYSICAL parquet
+    names before staging (delta-spark name-mode layout: parquet columns,
+    partition directory segments, add-action partitionValues and stats
+    keys all use physical names; the scan path translates back). Identity
+    for unmapped tables."""
+    if not cm:
+        return df, part_cols
+    return (
+        df.toDF(*[cm.get(c, c) for c in df.columns]),
+        [cm.get(c, c) for c in part_cols],
+    )
 
 
 def delete_where(spark, table_path: str | Path, condition: str) -> dict:
@@ -836,13 +878,21 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
 
     table = Path(table_path).resolve()
     snap = snapshot(table)
-    _reject_column_mapping(snap, "delete_where")
+    cm = _snap_column_mapping(snap)
+    inv = {p: l for l, p in (cm or {}).items()}
     if not snap.files:
         return {"version": snap.version, "files_touched": 0, "rows_deleted": 0}
     part_cols = list(snap.partition_columns)
     full_schema = schema_from_string(snap.schema_string)
     data_fields, part_fields = split_partition_fields(full_schema, part_cols)
-    data_schema = StructType(data_fields)
+    # mapped tables store PHYSICAL parquet column names: read physically,
+    # rename to logical so ``condition`` (logical names) evaluates
+    data_schema = StructType(
+        [
+            StructField((cm or {}).get(f.name, f.name), f.dataType, f.nullable)
+            for f in data_fields
+        ]
+    )
     part_types = {f.name: f.dataType for f in part_fields}
 
     # one scan branch per distinct partition-value tuple (partition values
@@ -862,12 +912,15 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
                 "*",
             )
         )
+        if inv:
+            d = d.withColumnsRenamed(inv)
         for name, raw in pvals:
+            logical = inv.get(name, name)  # partitionValues keys physical
             d = d.withColumn(
-                name,
-                F.lit(raw).cast(part_types[name])
+                logical,
+                F.lit(raw).cast(part_types[logical])
                 if raw is not None
-                else F.lit(None).cast(part_types[name]),
+                else F.lit(None).cast(part_types[logical]),
             )
         branches.append(d.filter(condition).select("__fp", "__ri"))
     matched = branches[0]
@@ -923,13 +976,22 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
     if not touched:
         return {"version": snap.version, "files_touched": 0, "rows_deleted": 0}
 
+    # upgrade the protocol to v3+deletionVectors while PRESERVING features
+    # the table already required (a mapped table must keep columnMapping
+    # signaled, and a v2 protocol implies it)
+    prior = snap.protocol or {}
+    reader_feats = {"deletionVectors"} | set(prior.get("readerFeatures") or ())
+    writer_feats = {"deletionVectors"} | set(prior.get("writerFeatures") or ())
+    if cm or int(prior.get("minReaderVersion", 1)) == 2:
+        reader_feats.add("columnMapping")
+        writer_feats.add("columnMapping")
     actions: list[dict] = [
         {
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
+                "readerFeatures": sorted(reader_feats),
+                "writerFeatures": sorted(writer_feats),
             }
         }
     ]
@@ -997,7 +1059,7 @@ def optimize(
 
     table = Path(table_path)
     snap = snapshot(table)
-    _reject_column_mapping(snap, "optimize")
+    cm = _snap_column_mapping(snap)
     by_part: dict[tuple, list[dict]] = {}
     for f in snap.files:
         by_part.setdefault(tuple(sorted(f["partitionValues"].items())), []).append(f)
@@ -1031,7 +1093,8 @@ def optimize(
         shaped = df.repartition(*[F.col(c) for c in part_cols])
     else:
         shaped = df.coalesce(n_out)
-    adds = _stage_files(shaped, table, part_cols, data_change=False)
+    staged, staged_part_cols = _to_physical(shaped, cm, part_cols)
+    adds = _stage_files(staged, table, staged_part_cols, data_change=False)
     actions = [
         {"remove": {"path": quote(str(Path(f["url"]).relative_to(table)), safe="/="),
                     "dataChange": False}}

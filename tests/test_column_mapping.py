@@ -175,12 +175,86 @@ def test_checkpoint_preserves_mapped_protocol(spark, tmp_path):
     assert df.count() == 4
 
 
-def test_mapped_writes_fail_fast(spark, tmp_path):
+def _physical_columns(table) -> set[str]:
+    cols = set()
+    for p in sorted(table.rglob("*.parquet")):
+        if "_delta_log" in p.parts:
+            continue
+        cols |= set(pq.read_schema(p).names)
+    return cols
+
+
+def test_mapped_delete_where(spark, tmp_path):
+    """DV DELETE on a mapped table: condition in LOGICAL names evaluated
+    over PHYSICAL parquet columns; protocol upgrade keeps columnMapping."""
     t = _mapped_table(tmp_path)
+    res = delete_where(spark, t, "id = 2 OR region = 'us'")
+    assert res["rows_deleted"] == 3
+    rows = sorted((r.id, r.name) for r in read_delta(spark, t).collect())
+    assert rows == [(1, "a")]
+    proto = snapshot(t).protocol
+    assert set(proto["readerFeatures"]) >= {"deletionVectors", "columnMapping"}
+
+
+def test_mapped_merge_upsert(spark, tmp_path):
+    """MERGE on a mapped table stages files with PHYSICAL names and
+    physical-keyed stats; the scan translates back to logical."""
+    t = _mapped_table(tmp_path)
+    updates = spark.createDataFrame(
+        [(2, "B2", "eu"), (99, "new", "apac")], "id long, name string, region string"
+    )
+    res = merge_delta(spark, t, updates, ["id"])
+    assert res["files_rewritten"] >= 1
+    rows = sorted((r.id, r.name, r.region) for r in read_delta(spark, t).collect())
+    assert rows == [
+        (1, "a", "eu"), (2, "B2", "eu"), (10, "x", "us"), (20, "y", "us"),
+        (99, "new", "apac"),
+    ]
+    # every live parquet file uses physical column names only
+    assert _physical_columns(t) <= {"col-aaa111", "col-bbb222", "col-ccc333"}
+    # stats keys in the new add actions are physical too (prunable)
+    new_stats = [
+        json.loads(f["stats"]) for f in snapshot(t).files if f.get("stats")
+    ]
+    for st in new_stats:
+        for section in ("minValues", "maxValues"):
+            assert all(k.startswith("col-") for k in st.get(section, {}))
+
+
+def test_mapped_write_append_and_overwrite(spark, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import write_delta
+
+    t = _mapped_table(tmp_path)
+    extra = spark.createDataFrame([(30, "q", "eu")], "id long, name string, region string")
+    write_delta(extra, t, mode="append")
+    rows = sorted(r.id for r in read_delta(spark, t).collect())
+    assert rows == [1, 2, 10, 20, 30]
+    assert _physical_columns(t) <= {"col-aaa111", "col-bbb222", "col-ccc333"}
+    # overwrite keeps the mapped schemaString + configuration
+    write_delta(extra, t, mode="overwrite")
     snap = snapshot(t)
-    assert snap.version == 0
-    with pytest.raises(NotImplementedError, match="column-mapping"):
-        delete_where(spark, t, "id = 1")
-    updates = spark.createDataFrame([(1, "z", "eu")], "id long, name string, region string")
-    with pytest.raises(NotImplementedError, match="column-mapping"):
-        merge_delta(spark, t, updates, ["id"])
+    assert "delta.columnMapping.physicalName" in snap.schema_string
+    assert snap.configuration.get("delta.columnMapping.mode") == "name"
+    assert [r.id for r in read_delta(spark, t).collect()] == [30]
+
+
+def test_mapped_optimize_compacts(spark, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import optimize
+
+    t = _mapped_table(tmp_path)
+    res = optimize(spark, t)
+    assert res["files_after"] < res["files_before"]
+    rows = sorted((r.id, r.region) for r in read_delta(spark, t).collect())
+    assert rows == [(1, "eu"), (2, "eu"), (10, "us"), (20, "us")]
+    assert _physical_columns(t) <= {"col-aaa111", "col-bbb222", "col-ccc333"}
+
+
+def test_mapped_schema_evolution_fails_fast(spark, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import write_delta
+
+    t = _mapped_table(tmp_path)
+    widened = spark.createDataFrame(
+        [(1, "z", "eu", 5)], "id long, name string, region string, extra long"
+    )
+    with pytest.raises(NotImplementedError, match="schema evolution"):
+        write_delta(widened, t, mode="overwrite")
