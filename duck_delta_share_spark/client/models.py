@@ -201,11 +201,17 @@ class FileAction:
 
 @dataclass(frozen=True)
 class TableFiles:
-    """Result of a /query POST: protocol + metadata + file list."""
+    """Result of a /query POST: protocol + metadata + file list.
+
+    ``refresh_token`` (public protocol ``includeRefreshToken`` /
+    ``endStreamAction.refreshToken``) lets presigned URLs be re-fetched
+    with a cheap token-only /query instead of re-planning the whole query
+    with predicate hints."""
 
     protocol: Protocol
     metadata: TableMetadata
     files: tuple[FileAction, ...]
+    refresh_token: str | None = None
 
 
 @dataclass(frozen=True)

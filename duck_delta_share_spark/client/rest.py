@@ -252,6 +252,8 @@ class DeltaSharingClient:
         limit_hint: int | None = None,
         version: int | None = None,
         max_files: int | None = None,
+        include_refresh_token: bool = False,
+        refresh_token: str | None = None,
     ) -> TableFiles:
         """POST .../query → protocol + metaData + file actions (cpp:371-465).
 
@@ -266,21 +268,30 @@ class DeltaSharingClient:
         silently scan only the first page.
         """
         base_body: dict[str, Any] = {}
-        if json_predicate_hints is not None:
-            base_body["jsonPredicateHints"] = json.dumps(json_predicate_hints)
-        if predicate_hints:
-            base_body["predicateHints"] = predicate_hints
-        if limit_hint is not None and limit_hint >= 0:
-            base_body["limitHint"] = limit_hint
-        if version is not None and version >= 0:
-            base_body["version"] = version
+        if refresh_token:
+            # cheap refresh flow (public protocol): a token-only re-query
+            # returns the SAME file list with fresh presigned URLs — no
+            # hints, no re-planning on the server
+            base_body["refreshToken"] = refresh_token
+        else:
+            if json_predicate_hints is not None:
+                base_body["jsonPredicateHints"] = json.dumps(json_predicate_hints)
+            if predicate_hints:
+                base_body["predicateHints"] = predicate_hints
+            if limit_hint is not None and limit_hint >= 0:
+                base_body["limitHint"] = limit_hint
+            if version is not None and version >= 0:
+                base_body["version"] = version
         if max_files is not None and max_files > 0:
             base_body["maxFiles"] = max_files
+        if include_refresh_token:
+            base_body["includeRefreshToken"] = True
         path = self._table_path(share, schema, table) + "/query"
         protocol = Protocol()
         metadata = TableMetadata()
         files: list[FileAction] = []
         token: str | None = None
+        new_refresh: str | None = None
         for _ in range(10_000):  # bound against a server echoing tokens forever
             body = dict(base_body)
             if token:
@@ -297,9 +308,16 @@ class DeltaSharingClient:
                 elif "file" in line:
                     files.append(FileAction.from_json(line["file"]))
                 elif "endStreamAction" in line:
-                    token = line["endStreamAction"].get("nextPageToken") or None
+                    esa = line["endStreamAction"]
+                    token = esa.get("nextPageToken") or None
+                    new_refresh = esa.get("refreshToken") or new_refresh
             if not token:
-                return TableFiles(protocol=protocol, metadata=metadata, files=tuple(files))
+                return TableFiles(
+                    protocol=protocol,
+                    metadata=metadata,
+                    files=tuple(files),
+                    refresh_token=new_refresh,
+                )
         raise DeltaSharingError(0, f"/query pagination did not terminate for {table}")
 
     # -- change data feed (beyond the reference: public /changes endpoint) ----

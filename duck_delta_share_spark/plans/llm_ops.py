@@ -656,18 +656,78 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# multimodal_png_strict oracle (r3 VERDICT #5 — was rows-only): the pixel
+# stream is DETERMINISTIC from `text` (utf-8 bytes repeated to 12x8x3),
+# so DuckDB can rebuild it as a hex string and recompute both legs in
+# integer math: the 16-bin BT.601 luminance histogram of the decoded
+# pixels, and the 4x4 nearest-neighbor-resized pixel bytes (resized pixel
+# (ty,tx) = source pixel (ty*8//4, tx*12//4)). The Spark side runs the
+# REAL codec loop — encode_png -> strict_decode -> featurize and
+# encode -> resize(re-encode) -> decode — so a hash match proves the
+# whole PNG round trip bit-for-bit. Only the zlib byte stream itself
+# stays un-oracled (compression isn't SQL-expressible), but its content
+# is: every pixel that came out of it is checked.
+_PNG_W, _PNG_H = 12, 8
+_PNG_NEED_HEX = _PNG_W * _PNG_H * 3 * 2  # 576 hex chars = 288 bytes
+
+
+_PNG_RESIZED_TERMS = ", ".join(
+    f"substr(ph, {6 * ((ty * 2) * _PNG_W + tx * 3) + 1}, 6)"
+    for ty in range(4)
+    for tx in range(4)
+)
+
+_PNG_STRICT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         upper(to_hex(encode(CASE WHEN text IS NULL OR text = ''
+                                  THEN 'x' ELSE text END))) AS hx
+  FROM documents WHERE doc_id < 200
+),
+rep AS (
+  SELECT doc_id,
+         substr(repeat(hx, CAST({_PNG_NEED_HEX} // length(hx) AS INT) + 1),
+                1, {_PNG_NEED_HEX}) AS ph
+  FROM base
+),
+bins AS (
+  SELECT rep.doc_id, g.i AS i,
+         ((77 * ((strpos('0123456789ABCDEF', substr(ph, 6*g.i+1, 1))-1)*16
+                 + strpos('0123456789ABCDEF', substr(ph, 6*g.i+2, 1))-1)
+           + 150 * ((strpos('0123456789ABCDEF', substr(ph, 6*g.i+3, 1))-1)*16
+                 + strpos('0123456789ABCDEF', substr(ph, 6*g.i+4, 1))-1)
+           + 29 * ((strpos('0123456789ABCDEF', substr(ph, 6*g.i+5, 1))-1)*16
+                 + strpos('0123456789ABCDEF', substr(ph, 6*g.i+6, 1))-1)) >> 12
+         ) AS bin
+  FROM rep CROSS JOIN (SELECT unnest(generate_series(0, {_PNG_W * _PNG_H - 1})) AS i) g
+),
+hist AS (
+  SELECT doc_id,
+         concat_ws(',', {", ".join(
+             f"CAST(CAST(SUM(CASE WHEN bin = {b} THEN 1 ELSE 0 END) AS BIGINT) AS VARCHAR)"
+             for b in range(16)
+         )}) AS hist
+  FROM bins GROUP BY doc_id
+)
+SELECT rep.doc_id, hist.hist,
+       concat({_PNG_RESIZED_TERMS}) AS resized_hex
+FROM rep JOIN hist ON rep.doc_id = hist.doc_id
+ORDER BY rep.doc_id
+"""
+
+
 @query(
     "multimodal_png_strict",
-    oracle=None,  # rows-only BY NECESSITY: resized_sha hashes a PNG
-    # RE-ENCODE (zlib deflate inside functions/png_codec.py) — compression
-    # byte streams are not SQL-expressible. The decode→featurize leg is
-    # oracle-proven by multimodal_features (byte-exact histogram twin) and
-    # multimodal_wav_strict (strict decode, first-principles oracle);
-    # codec correctness is pixel-roundtrip-tested in tests/test_multimodal.py
-    doc="REAL image path, no fakes: build PNG payloads from document bytes "
-    "(pure-Python codec, functions/png_codec.py), strict-decode to "
-    "luminance-histogram features, strict-resize to 4x4 — all executor-side "
-    "Arrow batches; deterministic (seeded by doc text)",
+    oracle=_PNG_STRICT_ORACLE,
+    doc="REAL image path, no fakes, fully hash-checked (r3 VERDICT #5): "
+    "build PNG payloads from document bytes (pure-Python codec, "
+    "functions/png_codec.py), strict-decode to 16-bin BT.601 luminance "
+    "histogram features, strict-resize to 4x4 (decode→nearest→re-encode) "
+    "and decode the resized PNG back to raw pixels — all executor-side "
+    "Arrow batches. The oracle rebuilds the deterministic pixel stream "
+    "from `text` in SQL and recomputes histogram + resized pixels in "
+    "integer math, so the PNG encode/decode round trip is verified "
+    "pixel-for-pixel",
 )
 def multimodal_png_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -675,7 +735,7 @@ def multimodal_png_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duck_delta_share_spark.functions import multimodal as mm
     from duck_delta_share_spark.functions import png_codec as pc
 
-    width, height = 12, 8
+    width, height = _PNG_W, _PNG_H
     need = width * height * 3
     d = (
         load_table(spark, sf_dir, "documents")
@@ -695,19 +755,30 @@ def multimodal_png_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload_df = d.mapInPandas(build, "doc_id long, payload binary")
     feats = mm.extract_features(payload_df, decoder=mm.strict_decode)
-    resized = mm.resize_images(payload_df, 4, 4, resizer=mm.strict_resize).select(
-        "doc_id", F.sha2("payload", 256).alias("resized_sha")
+    n_px = width * height
+    hist = feats.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda f: F.round(f * F.lit(n_px)).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("hist"),
     )
-    return (
-        feats.join(resized, "doc_id")
-        .select(
-            "doc_id",
-            "n_bytes",
-            F.round(F.element_at("features", 1).cast("double"), 6).alias("feat_0"),
-            "resized_sha",
-        )
-        .orderBy("doc_id")
+
+    def decode_resized(it):
+        for pdf in it:
+            hexes = []
+            for p in pdf["payload"]:
+                _, _, _, pixels = pc.decode_png(bytes(p))
+                hexes.append(pixels.hex().upper())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "resized_hex": hexes})
+
+    resized = mm.resize_images(payload_df, 4, 4, resizer=mm.strict_resize).mapInPandas(
+        decode_resized, "doc_id long, resized_hex string"
     )
+    return hist.join(resized, "doc_id").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -502,9 +502,22 @@ def write_delta(
     return version
 
 
-def checkpoint(table_path: str | Path) -> int:
-    """Fold the current snapshot into N.checkpoint.parquet +
-    _last_checkpoint; commits ≤ N can then be deleted (log truncation)."""
+def checkpoint(
+    table_path: str | Path,
+    max_actions_per_part: int | None = None,
+) -> int:
+    """Fold the current snapshot into a checkpoint + _last_checkpoint;
+    commits ≤ N can then be deleted (log truncation).
+
+    Default: single-part ``N.checkpoint.parquet``. With
+    ``max_actions_per_part``, writes a MULTI-PART checkpoint
+    (``N.checkpoint.<part>.<of>.parquet``, Delta protocol "Checkpoints")
+    capping rows per part — at 100 TB a snapshot has millions of add
+    actions and folding them into one parquet object serializes the write
+    and the subsequent reads; parts let both sides parallelize. The reader
+    (``_list_versions`` / ``_checkpoint_files``) counts a multi-part
+    checkpoint only when ALL parts exist, so a torn write is ignored and
+    replay falls back to the previous checkpoint + commits."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -623,12 +636,36 @@ def checkpoint(table_path: str | Path) -> int:
             ),
         ]
     )
-    pq.write_table(
-        pa.Table.from_pylist(rows, schema=cp_schema),
-        _log_dir(table) / f"{snap.version:020d}.checkpoint.parquet",
-    )
-    (_log_dir(table) / "_last_checkpoint").write_text(
-        json.dumps({"version": snap.version, "size": len(snap.files)})
+    log = _log_dir(table)
+    if max_actions_per_part is None or len(rows) <= max_actions_per_part:
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=cp_schema),
+            log / f"{snap.version:020d}.checkpoint.parquet",
+        )
+        (log / "_last_checkpoint").write_text(
+            json.dumps({"version": snap.version, "size": len(snap.files)})
+        )
+        return snap.version
+    per = max(1, int(max_actions_per_part))
+    chunks = [rows[i : i + per] for i in range(0, len(rows), per)]
+    total = len(chunks)
+    # write parts to temp names first, rename LAST: the reader only counts
+    # the checkpoint once all final part names exist, so a crash mid-write
+    # leaves a recoverable log (torn checkpoints are ignored)
+    tmp_paths = []
+    for p, chunk in enumerate(chunks, start=1):
+        final = log / (
+            f"{snap.version:020d}.checkpoint.{p:010d}.{total:010d}.parquet"
+        )
+        tmp = final.with_suffix(".parquet.tmp")
+        pq.write_table(pa.Table.from_pylist(chunk, schema=cp_schema), tmp)
+        tmp_paths.append((tmp, final))
+    for tmp, final in tmp_paths:
+        tmp.rename(final)
+    (log / "_last_checkpoint").write_text(
+        json.dumps(
+            {"version": snap.version, "size": len(snap.files), "parts": total}
+        )
     )
     return snap.version
 

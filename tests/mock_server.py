@@ -163,7 +163,14 @@ class MockDeltaSharingServer:
 
     def _query_lines(self, body: dict | None = None) -> str:
         self._query_count += 1
-        expired = self.expire_first_query_urls and self._query_count == 1
+        body = body or {}
+        is_refresh = bool(body.get("refreshToken"))
+        if is_refresh and not str(body["refreshToken"]).startswith("rt-"):
+            return json.dumps({"message": "unknown refresh token"})
+        # token-only refresh requests always get fresh URLs
+        expired = (
+            self.expire_first_query_urls and self._query_count == 1 and not is_refresh
+        )
         base = f"http://127.0.0.1:{self.port}/data"
         suffix = "?tok=expired" if expired else ""
         base_eu = f"{base}/eu.parquet{suffix}"
@@ -194,11 +201,14 @@ class MockDeltaSharingServer:
                 "timestamp": 1700000000000,
             },
         ]
-        body = body or {}
-
         def file_line(f: dict) -> str:
             return json.dumps(self._wrap_file(f) if self.dv_mode else {"file": f})
 
+        # protocol: when the client asks includeRefreshToken (or is already
+        # refreshing), the final page's endStreamAction carries a (rotating)
+        # refresh token
+        want_rt = bool(body.get("includeRefreshToken")) or is_refresh
+        rt = {"refreshToken": f"rt-{self._query_count}"} if want_rt else {}
         max_files = int(body.get("maxFiles", 0) or self.paginate_max_files or 0)
         if max_files:
             # paginated protocol: serve maxFiles files per page, hand out an
@@ -209,12 +219,13 @@ class MockDeltaSharingServer:
             lines = [self._metadata_lines()]
             lines += [file_line(f) for f in page]
             nxt = start + max_files
-            esa = {"nextPageToken": str(nxt)} if nxt < len(files) else {}
+            esa = {"nextPageToken": str(nxt)} if nxt < len(files) else dict(rt)
             lines.append(json.dumps({"endStreamAction": esa}))
             return "\n".join(lines)
-        return self._metadata_lines() + "\n" + "\n".join(
-            file_line(f) for f in files
-        )
+        lines = [self._metadata_lines()] + [file_line(f) for f in files]
+        if rt:
+            lines.append(json.dumps({"endStreamAction": rt}))
+        return "\n".join(lines)
 
     def _changes_lines(
         self, start: int, end: int, page_token: int = 0, max_files: int = 0

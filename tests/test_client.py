@@ -182,6 +182,28 @@ def test_delta_format_parse_and_capabilities(server, client):
         server.dv_descriptors.clear()
 
 
+def test_refresh_token_flow(server, client):
+    """includeRefreshToken yields a token; a token-only re-query returns
+    the same files with fresh URLs and rotates the token — the cheap
+    expiry-recovery path (one control-plane call, no hint re-planning)."""
+    first = client.query_table(
+        "sales", "web", "clicks",
+        json_predicate_hints={"op": "isNull", "children": []},
+        include_refresh_token=True,
+    )
+    assert first.refresh_token == f"rt-{server._query_count}"
+    refreshed = client.query_table(
+        "sales", "web", "clicks",
+        refresh_token=first.refresh_token,
+        include_refresh_token=True,
+    )
+    body = server.last_query_body()
+    assert body.get("refreshToken") == first.refresh_token
+    assert "jsonPredicateHints" not in body  # token replaces the plan
+    assert {f.id for f in refreshed.files} == {f.id for f in first.files}
+    assert refreshed.refresh_token and refreshed.refresh_token != first.refresh_token
+
+
 def test_query_table_pagination_client_requested(client, server):
     """maxFiles → server pages the file list; the client follows
     endStreamAction.nextPageToken to exhaustion and repeats the original

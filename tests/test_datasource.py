@@ -234,10 +234,19 @@ def test_rest_scan_recovers_from_expired_urls(registered, tmp_path_factory):
         )
         rows = {(r.id, r.pcol) for r in df.collect()}
         assert rows == {(1, "eu"), (2, "eu"), (3, "eu"), (10, "us"), (11, "us"), (12, "us")}
-        n_queries = sum(
-            1 for m, p, _ in srv.requests if m == "POST" and p.endswith("/query")
-        )
-        assert n_queries >= 2, "reader did not re-query for fresh URLs"
+        bodies = [
+            json.loads(b or "{}")
+            for m, p, b in srv.requests
+            if m == "POST" and p.endswith("/query")
+        ]
+        assert len(bodies) >= 2, "reader did not re-query for fresh URLs"
+        # recovery used the protocol's cheap refresh-token flow: token-only
+        # body, no re-sent predicate hints (VERDICT r3 #9)
+        refreshes = [b for b in bodies[1:] if "refreshToken" in b]
+        assert refreshes, f"no refresh-token query in {bodies[1:]}"
+        for b in refreshes:
+            assert b["refreshToken"].startswith("rt-")
+            assert "jsonPredicateHints" not in b and "predicateHints" not in b
     finally:
         srv.stop()
 

@@ -277,6 +277,54 @@ def test_multipart_checkpoint_read(spark, region, tmp_path):
         snapshot(t)
 
 
+def test_multipart_checkpoint_write(spark, region, tmp_path):
+    """The WRITER emits multi-part checkpoints too (r3 VERDICT #6): cap
+    actions per part, round-trip through truncation, record parts in
+    _last_checkpoint, keep committing afterwards."""
+    import json as _json
+
+    from duck_delta_share_spark.sources.delta_log import checkpoint
+
+    t = tmp_path / "mpw"
+    write_delta(region.repartition(3), t)
+    write_delta(region.limit(2).coalesce(1), t, mode="append")
+    v = checkpoint(t, max_actions_per_part=2)
+    log = t / "_delta_log"
+    parts = sorted(log.glob(f"{v:020d}.checkpoint.*.*.parquet"))
+    assert len(parts) >= 3  # 2 header rows + >=4 adds at <=2 rows/part
+    assert not (log / f"{v:020d}.checkpoint.parquet").exists()
+    last = _json.loads((log / "_last_checkpoint").read_text())
+    assert last["parts"] == len(parts) and last["version"] == v
+    for n in range(v + 1):
+        (log / f"{n:020d}.json").unlink()
+    assert read_delta(spark, t).count() == 7
+    write_delta(region.limit(1), t, mode="append")
+    assert read_delta(spark, t).count() == 8
+    # a LATER single-part checkpoint supersedes the multi-part one
+    v2 = checkpoint(t)
+    assert (log / f"{v2:020d}.checkpoint.parquet").exists()
+    assert snapshot(t).version == v2
+
+
+def test_multipart_checkpoint_write_preserves_dvs(spark, tmp_path):
+    """Parts carry DV descriptors and protocol like the single-part path."""
+    from duck_delta_share_spark.sources.delta_log import checkpoint, delete_where
+
+    t = tmp_path / "mpdv"
+    df = spark.range(0, 60).selectExpr("id", "id % 3 as g")
+    write_delta(df.repartition(4), t)
+    delete_where(spark, t, "id % 5 = 0")
+    v = checkpoint(t, max_actions_per_part=2)
+    log = t / "_delta_log"
+    assert len(list(log.glob(f"{v:020d}.checkpoint.*.*.parquet"))) >= 3
+    for n in range(v + 1):
+        (log / f"{n:020d}.json").unlink()
+    got = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got == [i for i in range(60) if i % 5 != 0]
+    proto = snapshot(t).protocol
+    assert "deletionVectors" in (proto or {}).get("readerFeatures", [])
+
+
 def test_append_schema_mismatch_rejected(spark, region, tmp_path):
     t = tmp_path / "sch"
     write_delta(region, t)
