@@ -44,6 +44,11 @@ HEADLINE = [
     "heavy_hitter_terms",
     "delta_merge_upsert",
     "minhash_md5_lsh_pairs",
+    # round-3 operators, baseline-tracked from r4 (BENCH_BASELINE.json
+    # "added_r4"): merge-on-read DELETE via deletion vectors, bloom
+    # semi-join pre-filter.
+    "delta_delete_dv",
+    "bloom_semi_join_orders",
 ]
 
 
@@ -61,16 +66,20 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # Warmup: small run to JIT the scan/agg/codegen paths out of the
-    # timings, plus one trivial pandas UDF to spawn the Python worker pool
-    # (long-lived in any real deployment; its cold start is not a query cost).
-    QUERIES["q1_pricing_summary"].spark_fn(spark, sf_dir).count()
-    import pandas as pd
+    # Warmup: one UNTIMED full pass over the headline set (r3 showed a
+    # 98.9% inter-run spread driven entirely by the cold first run — JVM
+    # JIT, codegen compilation, shuffle service, parquet footer caches),
+    # plus a trivial pandas UDF to spawn the Python worker pool
+    # (long-lived in any real deployment; its cold start is not a query
+    # cost). Timed runs then measure steady-state throughput.
+    import pandas as pd  # noqa: F401 — pandas_udf type-hint resolution
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
     warm = F.pandas_udf(lambda x: x, LongType())
     spark.range(32).select(warm("id")).count()
+    for name in HEADLINE:
+        _force(QUERIES[name].spark_fn(spark, sf_dir))
 
     # Machine variance on this box is ±30% (CLAUDE.md): run the whole set
     # N times and report per-query MEDIANS, so one noisy run can't read as

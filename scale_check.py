@@ -5,7 +5,7 @@ and report the runtime scaling factor. A shuffle-shaped blowup shows up as
 a factor ≫ N; healthy operators stay ≈ linear (factor ≤ N plus fixed
 overhead amortization, often < N).
 
-Usage: python scale_check.py [N]   (default 8)
+Usage: python scale_check.py [N] [op1,op2,...]   (default 8, all ops)
 Prints one JSON line per operator: {"op": ..., "t1": ..., "tN": ...,
 "factor": ...} and a trailing summary line.
 """
@@ -218,6 +218,12 @@ def main() -> None:
         ("bloom_semi_join", bloom_shape, e1, eN),
         ("dv_mask_apply", dv_mask_shape, e1, eN),
     ]
+    if len(sys.argv) > 2:
+        wanted = set(sys.argv[2].split(","))
+        unknown = wanted - {name for name, *_ in ops}
+        if unknown:
+            raise SystemExit(f"unknown ops: {sorted(unknown)}")
+        ops = [o for o in ops if o[0] in wanted]
     results = []
     for name, fn, small, big in ops:
         fn(small).write.format("noop").mode("overwrite").save()  # warm
