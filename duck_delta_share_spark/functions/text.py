@@ -156,3 +156,55 @@ def bigrams(tokens: Column) -> Column:
 def dup_token_fraction(text: Column | str) -> Column:
     """1 - distinct/total tokens: the crudest repetition signal."""
     return F.lit(1.0) - distinct_token_count(text) / token_count(text)
+
+
+def char_entropy_signals(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Character-distribution quality signals per document: Shannon
+    entropy (nats) and the Simpson concentration index of the char
+    histogram. Low entropy / high Simpson flags keyboard-mash, repeated
+    padding, and template boilerplate that length heuristics miss.
+
+    Determinism discipline: the entropy sum Σ k·ln(k) is accumulated as
+    PER-TERM e6-scaled integers (exact long sums, order-independent across
+    partitions), and Simpson's Σk² is pure integer math — only single
+    correctly-rounded IEEE ops touch floats, so both signals sit under a
+    DuckDB oracle hash. One explode + two hash aggregations; no text
+    leaves executors.
+    """
+    chars = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col), F.explode(F.split(text_col, "")).alias("__ch")
+    )
+    counts = chars.groupBy(id_col, "__ch").agg(F.count(F.lit(1)).alias("__k"))
+    kd = F.col("__k").cast("double")
+    return counts.groupBy(id_col).agg(
+        F.sum("__k").alias("n_chars"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.sum(
+            F.floor(kd * F.log(kd) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("__s_e6"),
+        F.sum(F.col("__k") * F.col("__k")).alias("__s2"),
+    ).select(
+        id_col,
+        "n_chars",
+        "distinct_chars",
+        F.floor(
+            (
+                F.log(F.col("n_chars").cast("double"))
+                - (F.col("__s_e6").cast("double") / F.lit(1e6)) / F.col("n_chars")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("entropy_e6"),
+        F.floor(
+            F.col("__s2").cast("double")
+            * F.lit(1e6)
+            / (F.col("n_chars").cast("double") * F.col("n_chars"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("simpson_e6"),
+    )

@@ -596,3 +596,57 @@ def lsh_plan(
                 "char_threshold": (1.0 / bands) ** (1.0 / rows),
             }
     return best
+
+
+def benchmark_containment(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination detection (GPT-3 appendix-C style): for each
+    corpus document, the fraction of its DISTINCT n-gram shingles that
+    appear anywhere in the benchmark (eval) set — asymmetric containment,
+    not Jaccard, because a short eval example buried in a long training
+    document must still flag.
+
+    Scale shape: the benchmark side is an eval set — bounded — so its
+    distinct-shingle set is BROADCAST; the corpus side is one narrow
+    shingle explode + a broadcast left-semi probe (no shuffle of corpus
+    text), then a single per-doc count aggregation. At 100 TB the cost is
+    one pass over the corpus.
+
+    Output: (doc_id, n_shingles, n_overlap, containment), one row per
+    corpus document that has at least one shingle (>= n tokens).
+    """
+    from duck_delta_share_spark.functions.text import tokenize, word_shingles
+
+    def shingled(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles(tokenize(text_col), shingle_n))
+            ).alias("__sh"),
+        )
+
+    c = shingled(corpus)
+    bench = shingled(benchmark).select("__sh").distinct()
+    sizes = c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlap = (
+        c.join(F.broadcast(bench), "__sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        sizes.join(overlap, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("containment"),
+        )
+    )

@@ -71,6 +71,74 @@ def brute_force_topk(
     )
 
 
+def int8_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized (int8) cosine top-k — the memory-bandwidth scale path:
+    score candidates on 4x-smaller symmetric-int8 vectors
+    (``operators/embeddings.py:quantize_int8``) instead of float32.
+
+    The ranking score is the quantized cosine
+    ``idot / sqrt(saa * sbb)`` where idot/saa/sbb are INTEGER dot products
+    of the int8 vectors (exact long sums, order-independent — no float
+    accumulation nondeterminism); the per-vector scales cancel out of the
+    cosine, and the final division/sqrt are single correctly-rounded IEEE
+    ops, so the score is bit-identical across engines and the whole
+    operator sits under a DuckDB oracle (unlike float32 cosine paths that
+    need order-pinned folds). At 100 TB this is how FAISS-style engines
+    scan: int8 SIMD dot products over 1/4 the bytes, exact float rescore
+    only on the shortlist (compose with ``brute_force_topk`` for that).
+
+    Output: (query_id, vec_id, score_e6, rk), rk <= k, self-matches
+    excluded, zero vectors skipped (no cosine exists).
+    """
+    from duck_delta_share_spark.operators.embeddings import int8_scale, quantize_int8
+
+    def prep(df, id_alias: str, q_alias: str, n2_alias: str):
+        q = quantize_int8(vec_col, int8_scale(vec_col))
+        self_dot = F.aggregate(
+            F.transform(q, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            q.alias(q_alias),
+            self_dot.alias(n2_alias),
+        ).filter(F.col(n2_alias) > 0)
+
+    b = prep(base, "vec_id", "__bq", "__bn2")
+    q = prep(queries, "query_id", "__qq", "__qn2")
+    idot = F.aggregate(
+        F.zip_with("__qq", "__bq", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        b.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            idot.cast("double")
+            / F.sqrt((F.col("__qn2") * F.col("__bn2")).cast("double")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("score_e6"),
+            "rk",
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.RandomState(seed)

@@ -33,6 +33,12 @@ _R4_WINDOW = [
     "delta_share_dv_rest_scan",
     "delta_column_mapping_merge",
     "multimodal_png_strict",
+    # r4 additions (first driver evidence this round)
+    "similarity_topk_int8",
+    "benchmark_contamination",
+    "char_entropy_quality",
+    "bigram_backoff_score",
+    "delta_share_cdf_scan",
     # r1-window entries, events-touching first
     "json_functions",
     "string_functions",

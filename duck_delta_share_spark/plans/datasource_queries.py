@@ -251,6 +251,58 @@ def delta_column_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_share_cdf_scan",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey,
+       'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+FROM nation
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'insert', CAST(1 AS BIGINT)
+FROM nation WHERE NOT (n_regionkey = 2)
+ORDER BY n_nationkey, _change_type
+""",
+    doc="change-data-feed batch read through the DataSource "
+    "(readChangeFeed + startingVersion over a local Delta table): a DV "
+    "DELETE commit replays as remove(masked by the OLD deletion vector = "
+    "every previous row) + add(masked by the NEW one = survivors), so "
+    "killed rows net out as deletes and survivors churn as delete+insert "
+    "pairs — the same attribution delta-spark CDF emits for "
+    "merge-on-read deletes. The oracle reconstructs the change set from "
+    "the predicate; _commit_timestamp (wall clock) is excluded from the "
+    "hashed projection",
+)
+def delta_share_cdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import delete_where, write_delta
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_cdf_")) / "t"
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_delta(n.coalesce(1), table)
+    delete_where(spark, table, "n_regionkey = 2")
+    _register(spark)
+    return (
+        spark.read.format("deltashare")
+        .option("deltaPath", str(table))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+        .select(
+            "n_nationkey",
+            "n_name",
+            "n_regionkey",
+            "_change_type",
+            "_commit_version",
+        )
+        .orderBy("n_nationkey", "_change_type")
+    )
+
+
+@query(
     "delta_column_mapping_merge",
     oracle="""
 SELECT n_nationkey,

@@ -357,6 +357,214 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select("node", "component")
 
 
+_BIGRAM_SQL = (
+    "UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)), "
+    "i -> ARRAY_TO_STRING(t[i:i+1], ' '))) AS bg"
+)
+
+_BACKOFF_ORACLE = f"""
+WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+tu AS (SELECT UNNEST(t) AS w FROM tok WHERE doc_id % 2 = 0),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM tu GROUP BY w),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tu),
+bi AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+    SELECT {_BIGRAM_SQL} FROM tok WHERE doc_id % 2 = 0
+  ) GROUP BY bg
+),
+db AS (
+  SELECT doc_id, {_BIGRAM_SQL} FROM tok WHERE doc_id % 2 = 1
+),
+terms AS (
+  SELECT db.doc_id,
+         CAST(floor(ln(
+           CASE WHEN bi.cb IS NOT NULL
+                THEN CAST(bi.cb AS DOUBLE) / u1.cw
+                ELSE 0.4 * CAST(COALESCE(u2.cw, 0) + 1 AS DOUBLE)
+                     / CAST((SELECT n FROM tot) + (SELECT v FROM tot) AS DOUBLE)
+           END) * 1e6 + 0.5) AS BIGINT) AS term_e6
+  FROM db
+  LEFT JOIN bi ON db.bg = bi.bg
+  LEFT JOIN uni u1 ON STRING_SPLIT(db.bg, ' ')[1] = u1.w
+  LEFT JOIN uni u2 ON STRING_SPLIT(db.bg, ' ')[2] = u2.w
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(term_e6) AS BIGINT) AS sum_e6,
+       CAST(floor(CAST(SUM(term_e6) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+         AS avg_e6
+FROM terms GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query(
+    "bigram_backoff_score",
+    oracle=_BACKOFF_ORACLE,
+    doc="bigram language-model scoring with Stupid Backoff (Brants et al. "
+    "2007): the LM trains on the even-doc_id half of the corpus (bigram + "
+    "unigram counts), the odd half is scored held-out — mean log-score per "
+    "bigram position, S(w2|w1) = c(w1,w2)/c(w1) when seen, else "
+    "0.4*(c(w2)+1)/(N+V) (add-one on the unigram backoff so unseen words "
+    "stay finite). The KenLM-shaped quality gate CCNet uses, as two "
+    "count aggregations + shuffle joins on the bigram/word keys (no "
+    "driver-side model); per-term e6-scaled integer pinning keeps the "
+    "doc sums order-independent and hash-exact vs DuckDB",
+)
+def bigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.functions.text import tokenize, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    held = d.filter(F.col("doc_id") % 2 == 1)
+    tu = train.select(F.explode(toks).alias("w"))
+    uni = tu.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot = tu.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("w").alias("v")
+    )
+    bi = (
+        train.select(F.explode(word_shingles(toks, 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    db = held.select(F.col("doc_id"), F.explode(word_shingles(toks, 2)).alias("bg"))
+    j = (
+        db.join(bi, "bg", "left")
+        .withColumn("w1", F.split("bg", " ")[0])
+        .withColumn("w2", F.split("bg", " ")[1])
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1")),
+            "w1",
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    s = F.when(
+        F.col("cb").isNotNull(), F.col("cb").cast("double") / F.col("c1")
+    ).otherwise(
+        F.lit(0.4)
+        * (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n") + F.col("v")).cast("double")
+    )
+    term = F.floor(F.log(s) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(term).alias("sum_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_e6",
+            F.floor(F.col("sum_e6").cast("double") / F.col("n_bigrams") + F.lit(0.5))
+            .cast("long")
+            .alias("avg_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "char_entropy_quality",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, UNNEST(string_split(text, '')) AS c
+  FROM documents WHERE length(text) > 0
+),
+cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(k) AS BIGINT) AS n_chars,
+         CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+         CAST(SUM(CAST(floor(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE)) * 1e6
+                             + 0.5) AS BIGINT)) AS BIGINT) AS s_e6,
+         CAST(SUM(k * k) AS BIGINT) AS s2
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_chars, distinct_chars,
+       CAST(floor((ln(CAST(n_chars AS DOUBLE))
+                   - (CAST(s_e6 AS DOUBLE) / 1e6) / n_chars) * 1e6 + 0.5)
+            AS BIGINT) AS entropy_e6,
+       CAST(floor(CAST(s2 AS DOUBLE) * 1e6
+                  / (CAST(n_chars AS DOUBLE) * n_chars) + 0.5)
+            AS BIGINT) AS simpson_e6
+FROM agg ORDER BY doc_id
+""",
+    doc="char-distribution quality signals (functions/text.py:"
+    "char_entropy_signals): Shannon entropy + Simpson concentration of "
+    "each document's character histogram — catches keyboard-mash and "
+    "repeated-padding docs that length heuristics miss. The entropy sum "
+    "accumulates PER-TERM e6-scaled integers (order-independent exact "
+    "long sums; only single correctly-rounded IEEE ops touch floats), "
+    "Simpson is pure integer math — both hash-exact vs DuckDB",
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.functions.text import char_entropy_signals
+
+    d = load_table(spark, sf_dir, "documents")
+    return char_entropy_signals(d).orderBy("doc_id")
+
+
+@query(
+    "benchmark_contamination",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+                  i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents
+  ) t
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corp GROUP BY doc_id),
+ov AS (
+  SELECT doc_id, COUNT(*) AS n_overlap FROM corp
+  WHERE shingle IN (SELECT shingle FROM bench)
+  GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(floor(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / s.n_shingles
+                  * 1e6 + 0.5) AS BIGINT) AS containment_e6
+FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
+ORDER BY s.doc_id
+""",
+    doc="benchmark-contamination detection (operators/dedup.py:"
+    "benchmark_containment, GPT-3 appendix-C style): per corpus document, "
+    "the fraction of its distinct 3-gram shingles found anywhere in the "
+    "'benchmark' split (doc_id % 50 = 0 plays the eval set) — asymmetric "
+    "containment so short eval examples inside long training docs still "
+    "flag. Benchmark shingles broadcast, corpus probed with a left-semi "
+    "join (one corpus pass, no text shuffle); containment pinned to "
+    "scaled ints (exact integer ratio, single IEEE division)",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    res = dd.benchmark_containment(
+        d.filter(F.col("doc_id") % 50 != 0),
+        d.filter(F.col("doc_id") % 50 == 0),
+        shingle_n=3,
+    )
+    return res.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.floor(F.col("containment") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("containment_e6"),
+    ).orderBy("doc_id")
+
+
 _SIMHASH_SIG_ORACLE = """
 WITH tok AS (
   SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
@@ -509,6 +717,63 @@ SELECT query_id, vec_id, cosine, rk FROM (
 def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return sim.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5, exact=False)
+
+
+_Q8 = """
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(
+                  embedding,
+                  x -> CAST(floor(
+                      CAST(x AS DOUBLE)
+                      / (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+                      + 0.5) AS BIGINT))
+         END AS q
+  FROM embeddings
+"""
+
+_INT8_TOPK_ORACLE = f"""
+WITH qv AS ({_Q8}),
+n AS (
+  SELECT vec_id, q,
+         list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS n2
+  FROM qv
+),
+scored AS (
+  SELECT qs.vec_id AS query_id, b.vec_id AS vec_id,
+         CAST(list_reduce(list_transform(list_zip(qs.q, b.q),
+                                         p -> p[1] * p[2]),
+                          (a, b) -> a + b) AS DOUBLE)
+           / sqrt(CAST(qs.n2 * b.n2 AS DOUBLE)) AS score
+  FROM n qs JOIN n b ON b.vec_id <> qs.vec_id
+  WHERE qs.vec_id < 10 AND qs.n2 > 0 AND b.n2 > 0
+)
+SELECT query_id, vec_id, score_e6, rk FROM (
+  SELECT query_id, vec_id,
+         CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_e6,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+@query(
+    "similarity_topk_int8",
+    oracle=_INT8_TOPK_ORACLE,
+    doc="QUANTIZED top-k (operators/similarity.py:int8_topk): candidates "
+    "scored on symmetric-int8 vectors — 4x less memory bandwidth than "
+    "float32, the FAISS-style scan shape at 100 TB. The quantized cosine "
+    "idot/sqrt(saa*sbb) uses INTEGER dot products (exact long sums, "
+    "order-independent) with single correctly-rounded IEEE division/sqrt, "
+    "so the score — unlike float32 accumulations — is bit-identical "
+    "across engines and the whole ranking sits under the DuckDB oracle, "
+    "which re-derives the quantization and integer dots from the float "
+    "embeddings from first principles",
+)
+def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.int8_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
 @query(

@@ -244,7 +244,34 @@ class MockDeltaSharingServer:
             }
             if entry.get("stats"):
                 f["stats"] = entry["stats"]
-            acts.append(json.dumps({entry["action"]: f}))
+            if self.dv_mode:
+                # delta response format: wrap as deltaSingleAction, Delta's
+                # "cdc" spelling for change-data files
+                kind = {"cdf": "cdc"}.get(entry["action"], entry["action"])
+                inner = {
+                    "path": f["url"],
+                    "partitionValues": f["partitionValues"],
+                    "size": f["size"],
+                    "stats": f.get("stats", ""),
+                    "dataChange": True,
+                }
+                dv = self.dv_descriptors.get(entry["name"])
+                if dv:
+                    inner["deletionVector"] = dv
+                acts.append(
+                    json.dumps(
+                        {
+                            "file": {
+                                "id": f["id"],
+                                "version": entry["version"],
+                                "timestamp": f["timestamp"],
+                                "deltaSingleAction": {kind: inner},
+                            }
+                        }
+                    )
+                )
+            else:
+                acts.append(json.dumps({entry["action"]: f}))
         max_files = max_files or self.paginate_max_files
         lines = [self._metadata_lines()]
         if max_files:

@@ -204,6 +204,36 @@ def test_refresh_token_flow(server, client):
     assert refreshed.refresh_token and refreshed.refresh_token != first.refresh_token
 
 
+def test_changes_delta_format_parse(server, client):
+    """/changes in the delta response format: deltaSingleAction-wrapped
+    add/remove/cdc lines parse into the same ChangeAction stream (cdc
+    normalized to 'cdf'), carrying version/timestamp and DV descriptors."""
+    server.dv_mode = True
+    server.change_log.append(
+        {"version": 4, "action": "remove", "name": "eu.parquet", "id": "f-eu",
+         "partitionValues": {"pcol": "eu"}, "size": 1000}
+    )
+    server.change_log.append(
+        {"version": 5, "action": "cdf", "name": "us.parquet", "id": "f-us",
+         "partitionValues": {"pcol": "us"}, "size": 1000}
+    )
+    server.table_version = 5
+    try:
+        ch = client.query_table_changes("sales", "web", "clicks", starting_version=1)
+        kinds = [(a.action_type, a.file.id, a.file.version) for a in ch.actions]
+        assert kinds == [
+            ("add", "f-eu", 1),
+            ("add", "f-us", 2),
+            ("remove", "f-eu", 4),
+            ("cdf", "f-us", 5),
+        ]
+        assert all(a.file.url.endswith(".parquet") for a in ch.actions)
+    finally:
+        server.dv_mode = False
+        server.change_log = server.change_log[:-2]
+        server.table_version = 3
+
+
 def test_query_table_pagination_client_requested(client, server):
     """maxFiles → server pages the file list; the client follows
     endStreamAction.nextPageToken to exhaustion and repeats the original
