@@ -42,40 +42,11 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
-# Round-3 rotation (VERDICT r2 #2): the driver's per-round correctness gate
-# covers the FIRST 50 entries. Front-load (a) the 4 queries whose array
-# outputs crashed the r2 canonicalizer — now serialized, (b) the 11 queries
-# that have never appeared in any driver window, (c) queries new this round;
-# the rest backfill in registry order (r1/r2 greens).
-_R3_FIRST = [
-    # (a) r2 red, fixed this round
-    "embedding_quantize_int8",
-    "inverted_index_postings",
-    "pca_project_embeddings",
-    "multimodal_wav_strict",
-    # (c) new this round
-    "simhash_md5_pairs",
-    "delta_delete_dv",
-    "delta_column_mapping_scan",
-    "bloom_semi_join_orders",
-    # (b) never driver-checked
-    "sessionization",
-    "join_asof_tolerance",
-    "events_windowed_agg",
-    "interval_join_attribution",
-    "pivot_event_types",
-    "unpivot_part_measures",
-    "agg_approx_distinct",
-    "agg_percentiles",
-    "salted_agg_events",
-    "conditional_functions",
-    "stats_moments",
-]
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2, ordered so the
-    driver's first-50 window covers this round's evidence gaps."""
+    """One entry per implemented operator from SURVEY.md §2. The per-round
+    window rotation (the driver's correctness gate covers the FIRST 50
+    entries) lives in ``duck_delta_share_spark/plans/__init__.py``
+    (``_R4_WINDOW``) — registry order IS the driver order."""
     from duck_delta_share_spark.plans import QUERIES
 
     def _wrap(fn):
@@ -84,9 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    ordered = [n for n in _R3_FIRST if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in set(ordered)]
-    return {name: _wrap(QUERIES[name].spark_fn) for name in ordered}
+    return {name: _wrap(qd.spark_fn) for name, qd in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

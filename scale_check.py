@@ -203,6 +203,43 @@ def main() -> None:
 
         return e.filter(masked(F.col("event_id")))
 
+    def int8_topk_shape(emb):
+        from duck_delta_share_spark.operators.similarity import int8_topk
+
+        # query set stays constant (first-copy ids) while the base grows:
+        # the realistic ANN-serving growth mode
+        return int8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+    def contamination_shape(d):
+        from duck_delta_share_spark.operators.dedup import benchmark_containment
+
+        bench = d.filter(F.col("doc_id") % 50 == 0).limit(200)
+        return benchmark_containment(d, bench, shingle_n=3)
+
+    def entropy_shape(d):
+        from duck_delta_share_spark.functions.text import char_entropy_signals
+
+        return char_entropy_signals(d)
+
+    def bigram_lm_shape(d):
+        from duck_delta_share_spark.functions.text import tokenize, word_shingles
+
+        toks = tokenize("text")
+        train = d.filter(F.col("doc_id") % 2 == 0)
+        bi = (
+            train.select(F.explode(word_shingles(toks, 2)).alias("bg"))
+            .groupBy("bg")
+            .agg(F.count(F.lit(1)).alias("cb"))
+        )
+        db = d.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", F.explode(word_shingles(toks, 2)).alias("bg")
+        )
+        return (
+            db.join(bi, "bg", "left")
+            .groupBy("doc_id")
+            .agg(F.sum(F.coalesce("cb", F.lit(0))).alias("s"))
+        )
+
     ops = [
         ("q1_agg", q1_shape, l1, lN),
         ("minhash_lsh", minhash_shape, d1, dN),
@@ -217,6 +254,10 @@ def main() -> None:
         ("zorder_repartition", zorder_shape, e1, eN),
         ("bloom_semi_join", bloom_shape, e1, eN),
         ("dv_mask_apply", dv_mask_shape, e1, eN),
+        ("int8_topk", int8_topk_shape, emb1, embN),
+        ("benchmark_contamination", contamination_shape, d1, dN),
+        ("char_entropy", entropy_shape, d1, dN),
+        ("bigram_lm_join", bigram_lm_shape, d1, dN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))
