@@ -49,6 +49,11 @@ HEADLINE = [
     # semi-join pre-filter.
     "delta_delete_dv",
     "bloom_semi_join_orders",
+    # round-4 operators: quantized ANN scan, eval-set contamination,
+    # char-distribution quality.
+    "similarity_topk_int8",
+    "benchmark_contamination",
+    "char_entropy_quality",
 ]
 
 

@@ -99,16 +99,27 @@ def int8_topk(
     from duck_delta_share_spark.operators.embeddings import int8_scale, quantize_int8
 
     def prep(df, id_alias: str, q_alias: str, n2_alias: str):
-        q = quantize_int8(vec_col, int8_scale(vec_col))
+        # three projections on purpose: higher-order functions are
+        # interpreted with NO common-subexpression elimination, so the
+        # scale (itself an array_max over a transform) must be a plain
+        # column before quantize references it per element, and the
+        # quantized array must be a plain column before the self-dot
+        # folds over it — inlining either is O(dim^2) per row
+        staged = df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias("__v"),
+            int8_scale(vec_col).alias("__s"),
+        ).select(
+            id_alias,
+            quantize_int8(F.col("__v"), F.col("__s")).alias(q_alias),
+        )
         self_dot = F.aggregate(
-            F.transform(q, lambda x: (x * x).cast("long")),
+            F.transform(F.col(q_alias), lambda x: (x * x).cast("long")),
             F.lit(0).cast("long"),
             lambda a, x: a + x,
         )
-        return df.select(
-            F.col(id_col).alias(id_alias),
-            q.alias(q_alias),
-            self_dot.alias(n2_alias),
+        return staged.select(
+            id_alias, q_alias, self_dot.alias(n2_alias)
         ).filter(F.col(n2_alias) > 0)
 
     b = prep(base, "vec_id", "__bq", "__bn2")

@@ -187,6 +187,47 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "map_functions",
+    oracle="""
+SELECT p_partkey,
+       'brand,name,type' AS keys,
+       p_brand AS brand,
+       CAST(LEN(LIST_FILTER([p_brand, p_type, p_name],
+                            x -> LEN(x) > 10)) AS INT) AS n_long_vals,
+       ARRAY_TO_STRING(LIST_SORT(LIST_TRANSFORM(
+           [p_brand, p_type, p_name], x -> UPPER(x))), '|') AS upper_vals
+FROM part
+""",
+    doc="map column surface: create_map / map_keys / element_at / "
+    "map_filter / transform_values / map_values over a 3-entry map built "
+    "from part attributes; the oracle recomputes every output from the "
+    "underlying columns first-principles (DuckDB map extraction semantics "
+    "differ across versions, values don't)",
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("type"), F.col("p_type"),
+        F.lit("name"), F.col("p_name"),
+    )
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
+        F.element_at(m, F.lit("brand")).alias("brand"),
+        F.size(F.map_filter(m, lambda k, v: F.length(v) > 10)).alias(
+            "n_long_vals"
+        ),
+        F.array_join(
+            F.array_sort(
+                F.map_values(F.transform_values(m, lambda k, v: F.upper(v)))
+            ),
+            "|",
+        ).alias("upper_vals"),
+    )
+
+
+@query(
     "conditional_functions",
     oracle="""
 SELECT e.event_id,

@@ -410,6 +410,54 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_distribution",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd,
+       NTH_VALUE(c_custkey, 3) OVER (
+           PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_id,
+       CAST(COUNT(*) OVER (
+           PARTITION BY c_mktsegment ORDER BY c_acctbal
+           RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS near_below
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_mktsegment, c_custkey
+""",
+    doc="distribution window functions (percent_rank / cume_dist / "
+    "nth_value) plus a VALUE-offset RANGE frame (rows within 500 balance "
+    "units below the current row) — the frame kind window_frames' ROWS "
+    "queries don't cover; percent_rank/cume_dist are exact integer "
+    "rationals so the doubles hash identically",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_wd"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               PERCENT_RANK() OVER w AS pr,
+               CUME_DIST() OVER w AS cd,
+               NTH_VALUE(c_custkey, 3) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS third_id,
+               COUNT(*) OVER (
+                   PARTITION BY c_mktsegment ORDER BY c_acctbal
+                   RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS near_below
+        FROM customer_wd
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_mktsegment, c_custkey
+        """
+    )
+
+
+@query(
     "window_frames",
     oracle=f"""
 SELECT o_custkey, o_orderkey, o_totalprice,

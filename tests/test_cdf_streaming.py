@@ -335,3 +335,51 @@ def test_stream_survives_transient_control_plane_503(registered, server, tmp_pat
         assert server.fail_next == 0, "the injected failures were never hit"
     finally:
         q.stop()
+
+
+def test_stream_applies_dv_on_added_files(registered, server, tmp_path):
+    """Delta-format streaming: an appended file whose add action carries a
+    deletion vector must arrive with the deleted physical rows already
+    masked (same executor path as batch DV scans)."""
+    import struct
+    import zlib
+
+    from duck_delta_share_spark.sources import deletion_vectors as dvmod
+
+    write_extra_file(server, name="dvadd.parquet", ids=(200, 201, 202))
+    data = dvmod.serialize_dv([1])  # id=201 is deleted
+    (server.data_dir / "dvadd.dv").write_bytes(
+        bytes([1])
+        + struct.pack(">i", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+    server.dv_mode = True
+    server.dv_descriptors["dvadd.parquet"] = {
+        "storageType": "p",
+        "pathOrInlineDv": f"{server.endpoint}/data/dvadd.dv",
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": 1,
+    }
+    v = server.append_version("add", "dvadd.parquet", "f-dvadd", {"pcol": "dv"})
+    q = (
+        _stream_df(registered, server, startingVersion=str(v))
+        .writeStream.format("memory")
+        .queryName("ds_stream_dv")
+        .option("checkpointLocation", str(tmp_path / "ckdv"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.id, r.pcol)
+            for r in registered.sql("select * from ds_stream_dv").collect()
+        }
+        assert got == {(200, "dv"), (202, "dv")}
+    finally:
+        q.stop()
+        server.dv_mode = False
+        server.dv_descriptors.clear()
+        server.change_log = [e for e in server.change_log if e["id"] != "f-dvadd"]
+        server.table_version = 3
