@@ -39,6 +39,9 @@ _R4_WINDOW = [
     "char_entropy_quality",
     "bigram_backoff_score",
     "delta_share_cdf_scan",
+    "window_distribution",
+    "map_functions",
+    "dataset_split_assign",
     # r1-window entries, events-touching first
     "json_functions",
     "string_functions",

@@ -472,6 +472,49 @@ def bigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dataset_split_assign",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang,
+         ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+         ) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id
+""",
+    doc="deterministic train/val/test assignment: the 80/10/10 split every "
+    "training pipeline needs, keyed on md5(doc_id) so membership is stable "
+    "across runs, engines and re-partitions (a rand()-based split changes "
+    "under retries and can leak val into train on reprocessing). Pure "
+    "narrow map — no shuffle; the oracle recomputes the hash bucket "
+    "nibble-for-nibble",
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+@query(
     "char_entropy_quality",
     oracle="""
 WITH ch AS (

@@ -145,6 +145,10 @@ def _apply_action(state: dict, action: dict, table: Path) -> None:
             "partitionValues": a.get("partitionValues") or {},
             "stats": a.get("stats") or "",
             "deletionVector": a.get("deletionVector"),
+            # carried so checkpoint() can persist the spec-required add
+            # fields (size/modificationTime/dataChange)
+            "size": a.get("size"),
+            "modificationTime": a.get("modificationTime"),
         }
     elif "remove" in action:
         state["files"].pop(unquote(action["remove"]["path"]), None)
@@ -240,6 +244,8 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
             "url": str(table / rel),
             "partitionValues": info["partitionValues"],
             "stats": info["stats"],
+            "size": info.get("size"),
+            "modificationTime": info.get("modificationTime"),
             "deletionVector": _resolve_dv(info.get("deletionVector"), table),
             # original log form (relative 'u' etc.) — checkpoint() must
             # persist THIS, not the driver-resolved absolute 'p' path,
@@ -561,6 +567,9 @@ def checkpoint(
             "protocol": None,
             "metaData": {
                 "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                # spec-required field: compliant external readers reject a
+                # metaData action with no format
+                "format": {"provider": "parquet"},
                 "schemaString": snap.schema_string,
                 "partitionColumns": list(snap.partition_columns),
                 # configuration carries delta.columnMapping.mode etc. —
@@ -578,6 +587,13 @@ def checkpoint(
                 "add": {
                     "path": quote(str(Path(f["url"]).relative_to(table)), safe="/="),
                     "partitionValues": f["partitionValues"],
+                    # spec-required add fields; fall back to the live file
+                    # for logs written before size/mtime were carried
+                    "size": f.get("size")
+                    if f.get("size") is not None
+                    else Path(f["url"]).stat().st_size,
+                    "modificationTime": f.get("modificationTime") or 0,
+                    "dataChange": False,  # checkpoint rows restate state
                     "stats": f["stats"],
                     # original log form, NOT the driver-resolved absolute
                     # 'p' path — the table stays relocatable after log
@@ -606,6 +622,7 @@ def checkpoint(
                 pa.struct(
                     [
                         ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
                         ("configuration", pa.map_(pa.string(), pa.string())),
@@ -618,6 +635,9 @@ def checkpoint(
                     [
                         ("path", pa.string()),
                         ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
                         (
                             "deletionVector",

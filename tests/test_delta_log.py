@@ -76,12 +76,23 @@ def test_stats_recorded_for_pruning(region, tmp_path):
 
 
 def test_checkpoint_allows_log_truncation(spark, region, tmp_path):
+    import pyarrow.parquet as pq
+
     t = tmp_path / "c"
     write_delta(region, t)
     write_delta(region.limit(2), t, mode="append")
     write_delta(region.limit(1), t, mode="append")
     v = checkpoint(t)
     assert v == 2
+    # spec-required fields persist so compliant external readers accept it
+    rows = pq.read_table(t / "_delta_log" / f"{v:020d}.checkpoint.parquet").to_pylist()
+    metas = [r["metaData"] for r in rows if r.get("metaData") and r["metaData"].get("id")]
+    assert metas[0]["format"]["provider"] == "parquet"
+    adds = [r["add"] for r in rows if r.get("add") and r["add"].get("path")]
+    assert adds and all(
+        a["size"] > 0 and a["dataChange"] is False and a["modificationTime"] is not None
+        for a in adds
+    )
     # truncate: delete every commit <= checkpoint version
     for n in range(v + 1):
         (t / "_delta_log" / f"{n:020d}.json").unlink()

@@ -230,3 +230,31 @@ def test_neardup_canonical_single_extra_shuffle(spark):
     plan = _plan(QUERIES["neardup_canonical_keep"].spark_fn(spark, SF_DIR))
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_benchmark_containment_broadcasts_bench_side(spark):
+    """The eval set is bounded — its shingle set must BROADCAST into a
+    left-semi probe; a shuffled semi join would move the whole corpus."""
+    df = QUERIES["benchmark_contamination"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+
+
+def test_int8_topk_single_broadcast_no_shuffle_scoring(spark):
+    """Scoring joins the broadcast query set against the base — the only
+    exchange should be the window's per-query partition, never a
+    base-vs-base shuffle, and no nested-loop join."""
+    df = QUERIES["similarity_topk_int8"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # candidate scoring itself must not shuffle the base side twice
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+
+
+def test_char_entropy_two_aggregations_only(spark):
+    """(doc,char) count then per-doc rollup: exactly two hash-partitioned
+    exchanges (plus the final presentation sort), no joins at all."""
+    df = QUERIES["char_entropy_quality"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    assert "Join" not in plan
