@@ -495,3 +495,261 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") > threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (int8-PQ) — memory-bound ANN at 100 TB
+# ---------------------------------------------------------------------------
+
+
+def _int8_prep(df: DataFrame, id_col: str, vec_col: str, id_alias: str):
+    """Shared int8 staging (same discipline as :func:`int8_topk`): scale
+    and quantized array each in their OWN projection — higher-order fns
+    have no CSE, inlining the scale is O(dim^2) per row."""
+    from duck_delta_share_spark.operators.embeddings import int8_scale, quantize_int8
+
+    staged = df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias("__v"),
+        int8_scale(vec_col).alias("__s"),
+    ).select(id_alias, quantize_int8(F.col("__v"), F.col("__s")).alias("__q"))
+    self_dot = F.aggregate(
+        F.transform(F.col("__q"), lambda x: (x * x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return staged.select(id_alias, "__q", self_dot.alias("__n2")).filter(
+        F.col("__n2") > 0
+    )
+
+
+def train_pq_codebooks(
+    base: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> list["np.ndarray"]:
+    """Per-subspace codebooks over int8-QUANTIZED subvectors, trained on a
+    bounded deterministic sample (same posture as
+    :func:`train_ivf_centroids` — a PQ codebook is a tiny model,
+    m x k_codes x (dim/m) int16, fitted on ~10k points regardless of
+    corpus size; FAISS does the same). Codewords are ROUNDED back to the
+    int8 lattice so asymmetric-distance scoring stays pure integer math.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    sub = dim // m
+    rows = (
+        _int8_prep(base.select(id_col, vec_col), id_col, vec_col, "vec_id")
+        .orderBy("vec_id")
+        .limit(max_train_sample)
+        .select("__q")
+        .collect()
+    )
+    X = np.vstack([r[0] for r in rows]).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    books: list[np.ndarray] = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        k = min(k_codes, len(S))
+        C = S[rng.choice(len(S), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                C[c] = (
+                    S[rng.randint(len(S))]
+                    if len(members) == 0
+                    else members.mean(axis=0)
+                )
+        books.append(np.floor(C + 0.5).astype(np.int16))  # back to the lattice
+    return books
+
+
+def lossless_pq_codebooks(
+    base: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 50_000,
+) -> list["np.ndarray"]:
+    """VERIFICATION-mode codebooks: every DISTINCT int8 subvector of the
+    base becomes a codeword, so encoding is exactly invertible and
+    :func:`pq_topk` provably equals :func:`int8_topk` — which puts the
+    whole encode→ADC→rank machinery under the exact-SQL oracle (the same
+    trick as IVF's n_probe=n_centroids ≡ exact scan). NOT a scale mode:
+    the distinct-subvector collect is metadata-sized only for bounded
+    bases, so it is guarded by ``max_rows``."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    n = base.count()
+    if n > max_rows:
+        raise ValueError(
+            f"lossless PQ is a verification mode; base has {n} rows "
+            f"(> {max_rows}). Use train_pq_codebooks for real corpora."
+        )
+    sub = dim // m
+    rows = (
+        _int8_prep(base.select(id_col, vec_col), id_col, vec_col, "vec_id")
+        .select("__q")
+        .collect()
+    )
+    X = np.vstack([r[0] for r in rows]).astype(np.int16)
+    return [np.unique(X[:, j * sub : (j + 1) * sub], axis=0) for j in range(m)]
+
+
+def pq_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    codebooks: list["np.ndarray"] | None = None,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_factor: int = 0,
+) -> DataFrame:
+    """Product-quantization top-k with asymmetric distance computation —
+    the memory-bound ANN shape at 100 TB: base vectors compress to m code
+    indexes (8 bytes at m=8/k=256 vs 256 bytes float32), queries stay
+    full-precision int8, and each candidate scores via m table lookups
+    instead of a dim-length dot.
+
+    Everything stays integer-exact: codewords live on the int8 lattice, so
+    per-query ADC tables hold INTEGER partial dots, a candidate's score
+    numerator is an exact long sum of m lookups, and the reconstructed
+    self-norm comes from exact codeword self-dots. The final
+    ``idot / sqrt(qn2 * rn2)`` is two correctly-rounded IEEE ops — with
+    :func:`lossless_pq_codebooks` the output is therefore BIT-IDENTICAL
+    to :func:`int8_topk` (tested + oracle-gated); with trained codebooks
+    it is the standard lossy PQ trade (recall tested vs exact).
+
+    Scale shape: encoding is a narrow Arrow map against broadcast
+    codebooks (no shuffle); scoring joins the broadcast query set against
+    the encoded base; one window shuffle for the top-k cut.
+
+    Output: (query_id, vec_id, score_e6, rk), self-matches excluded.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    sub = dim // m
+    books = codebooks if codebooks is not None else train_pq_codebooks(
+        base, dim, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col
+    )
+    books = [np.asarray(b, dtype=np.int16) for b in books]
+    self_dots = [np.einsum("kd,kd->k", b.astype(np.int64), b.astype(np.int64)) for b in books]
+
+    enc_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("codes", ArrayType(IntegerType())),
+            StructField("rn2", LongType()),
+        ]
+    )
+
+    def encode(it):
+        for pdf in it:
+            Q = np.vstack(pdf["__q"].to_numpy()).astype(np.int16)
+            codes = np.empty((len(Q), m), dtype=np.int32)
+            rn2 = np.zeros(len(Q), dtype=np.int64)
+            for j in range(m):
+                S = Q[:, j * sub : (j + 1) * sub]
+                d2 = ((S[:, None, :].astype(np.int64) - books[j][None, :, :].astype(np.int64)) ** 2).sum(axis=2)
+                # ties break to the LOWEST index (np.argmin) — deterministic
+                cj = np.argmin(d2, axis=1)
+                codes[:, j] = cj
+                rn2 += self_dots[j][cj]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes), "rn2": rn2}
+            )
+
+    b = (
+        _int8_prep(base.select(id_col, vec_col), id_col, vec_col, "vec_id")
+        .mapInPandas(encode, enc_schema)
+        .filter(F.col("rn2") > 0)
+    )
+    q = _int8_prep(queries.select(id_col, vec_col), id_col, vec_col, "query_id")
+
+    @F.pandas_udf("double")
+    def adc_score(codes: pd.Series, qv: pd.Series, qn2: pd.Series, rn2: pd.Series) -> pd.Series:
+        C = np.vstack(codes.to_numpy()).astype(np.int64)
+        QV = np.vstack(qv.to_numpy()).astype(np.int64)
+        # per-distinct-query ADC tables: T[j][c] = q_sub_j . codeword_jc
+        out = np.zeros(len(C), dtype=np.int64)
+        uniq, inv = np.unique(QV, axis=0, return_inverse=True)
+        for u in range(len(uniq)):
+            mask = inv == u
+            tables = [
+                books[j].astype(np.int64) @ uniq[u, j * sub : (j + 1) * sub]
+                for j in range(m)
+            ]
+            acc = np.zeros(mask.sum(), dtype=np.int64)
+            for j in range(m):
+                acc += tables[j][C[mask, j]]
+            out[mask] = acc
+        return pd.Series(
+            out.astype(np.float64)
+            / np.sqrt((qn2.to_numpy() * rn2.to_numpy()).astype(np.float64))
+        )
+
+    scored = b.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).withColumn(
+        "score",
+        adc_score(F.col("codes"), F.col("__q"), F.col("__n2"), F.col("rn2")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    if not rerank_factor:
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(
+                "query_id",
+                "vec_id",
+                F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("score_e6"),
+                "rk",
+            )
+        )
+    # FAISS-style refine: ADC shortlists k*rerank_factor candidates per
+    # query (cheap table lookups over the whole base), then only the
+    # shortlist is re-scored with the FULL int8 dot — the standard answer
+    # to PQ's lossy ranking. The rerank join touches O(queries * k *
+    # rerank_factor) rows, never the corpus.
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k * rerank_factor)
+        .select("query_id", "vec_id", F.col("__q").alias("__qq"), F.col("__n2").alias("__qn2"))
+    )
+    bfull = _int8_prep(base.select(id_col, vec_col), id_col, vec_col, "vec_id")
+    idot = F.aggregate(
+        F.zip_with("__qq", "__q", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    refined = (
+        shortlist.join(bfull, "vec_id")
+        .withColumn(
+            "score",
+            idot.cast("double")
+            / F.sqrt((F.col("__qn2") * F.col("__n2")).cast("double")),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        refined.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("score_e6"),
+            "rk",
+        )
+    )

@@ -42,6 +42,7 @@ _R4_WINDOW = [
     "window_distribution",
     "map_functions",
     "dataset_split_assign",
+    "similarity_ann_pq",
     # r1-window entries, events-touching first
     "json_functions",
     "string_functions",

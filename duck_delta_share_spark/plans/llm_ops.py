@@ -820,6 +820,29 @@ def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ann_pq",
+    oracle=_INT8_TOPK_ORACLE,
+    doc="product-quantization ANN (operators/similarity.py:pq_topk): base "
+    "vectors compress to m code indexes, candidates score via per-query "
+    "INTEGER ADC tables (m lookups instead of a dim-length dot) and the "
+    "reconstructed-norm cosine — the memory-bound FAISS scan shape. Run "
+    "here in the provably-LOSSLESS configuration (one codeword per "
+    "distinct int8 subvector -> encoding exactly invertible), so the "
+    "whole encode->ADC->rank pipeline is BIT-identical to the int8 exact "
+    "scan and sits under the same DuckDB oracle (the PQ analogue of "
+    "IVF's n_probe=n_centroids trick). Lossy codebooks + the ADC-"
+    "shortlist-then-exact-rerank refine path are recall-tested in "
+    "tests/test_llm_ops_r4.py",
+)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    books = sim.lossless_pq_codebooks(e, dim=64, m=8)
+    return sim.pq_topk(
+        e, e.filter(F.col("vec_id") < 10), dim=64, m=8, codebooks=books
+    )
+
+
+@query(
     "similarity_ann_lsh",
     oracle=None,  # rows-only BY NECESSITY: sign-LSH bucketing drops
     # candidates probabilistically (recall < 1 by design), so NO exact

@@ -240,6 +240,18 @@ def main() -> None:
             .agg(F.sum(F.coalesce("cb", F.lit(0))).alias("s"))
         )
 
+    def pq_shape(emb):
+        from duck_delta_share_spark.operators.similarity import pq_topk
+
+        return pq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 10),
+            dim=64,
+            m=8,
+            k_codes=32,
+            rerank_factor=8,
+        )
+
     ops = [
         ("q1_agg", q1_shape, l1, lN),
         ("minhash_lsh", minhash_shape, d1, dN),
@@ -255,6 +267,7 @@ def main() -> None:
         ("bloom_semi_join", bloom_shape, e1, eN),
         ("dv_mask_apply", dv_mask_shape, e1, eN),
         ("int8_topk", int8_topk_shape, emb1, embN),
+        ("pq_topk", pq_shape, emb1, embN),
         ("benchmark_contamination", contamination_shape, d1, dN),
         ("char_entropy", entropy_shape, d1, dN),
         ("bigram_lm_join", bigram_lm_shape, d1, dN),

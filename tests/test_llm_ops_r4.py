@@ -55,3 +55,57 @@ def test_benchmark_containment_disjoint_is_zero(spark):
     )
     res = benchmark_containment(corpus, bench, shingle_n=3).collect()
     assert res and all(r.n_overlap == 0 for r in res)
+
+
+def test_pq_lossless_equals_int8_topk(spark):
+    """With one codeword per distinct subvector, PQ encoding is exactly
+    invertible and the encode->ADC->rank pipeline must reproduce
+    int8_topk BIT-identically (the n_probe=n_centroids trick of PQ)."""
+    from duck_delta_share_spark.operators.similarity import (
+        lossless_pq_codebooks,
+        pq_topk,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    books = lossless_pq_codebooks(e, dim=64, m=8)
+    a = sorted(
+        (r.query_id, r.vec_id, r.score_e6, r.rk)
+        for r in pq_topk(e, q, dim=64, m=8, codebooks=books).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vec_id, r.score_e6, r.rk)
+        for r in int8_topk(e, q, k=5).collect()
+    )
+    assert a == b and len(a) == 50
+
+
+def test_pq_rerank_recovers_recall(spark):
+    """Lossy PQ + the FAISS-style refine step: ADC shortlist re-scored
+    with full int8 dots recovers high recall even on iid-random data
+    (PQ's worst case)."""
+    from duck_delta_share_spark.operators.similarity import pq_topk
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.vec_id) for r in int8_topk(e, q, k=5).collect()}
+    got = {
+        (r.query_id, r.vec_id)
+        for r in pq_topk(
+            e, q, dim=64, m=8, k_codes=32, rerank_factor=16
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"PQ+rerank recall@5 = {recall}"
+
+
+def test_pq_codebooks_deterministic(spark):
+    from duck_delta_share_spark.operators.similarity import train_pq_codebooks
+
+    import numpy as np
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    b1 = train_pq_codebooks(e, dim=64, m=8, k_codes=16, seed=7)
+    b2 = train_pq_codebooks(e, dim=64, m=8, k_codes=16, seed=7)
+    assert all(np.array_equal(x, y) for x, y in zip(b1, b2))
+    assert len(b1) == 8 and all(b.shape == (16, 8) for b in b1)
