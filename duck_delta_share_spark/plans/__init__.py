@@ -43,6 +43,9 @@ _R4_WINDOW = [
     "map_functions",
     "dataset_split_assign",
     "similarity_ann_pq",
+    "delta_restore",
+    "exists_subquery",
+    "join_null_safe",
     # r1-window entries, events-touching first
     "json_functions",
     "string_functions",

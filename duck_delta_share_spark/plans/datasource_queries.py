@@ -251,6 +251,42 @@ def delta_column_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_restore",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    doc="RESTORE TABLE ... TO VERSION AS OF (sources/delta_log.py:"
+    "restore_delta): after a MERGE and a DV DELETE mutate the table, the "
+    "restore commit reconciles the file set back to version 0 by diffing "
+    "snapshots — removes for post-restore files, re-adds with the "
+    "ORIGINAL stats/partitionValues/DV descriptors, no data rewritten, "
+    "history preserved (the pre-restore state stays time-travelable). "
+    "The scan-back must hash-match the untouched source table",
+)
+def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import (
+        delete_where,
+        merge_delta,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_restore_")) / "t"
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_delta(n.repartition(2), table)
+    updates = spark.createDataFrame([(0, "MUTATED", 4), (55, "EXTRA", 1)], n.schema)
+    merge_delta(spark, table, updates, ["n_nationkey"])
+    delete_where(spark, table, "n_regionkey = 1")
+    restore_delta(table, 0)
+    return read_delta(spark, table).orderBy("n_nationkey")
+
+
+@query(
     "delta_share_cdf_scan",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey,

@@ -597,6 +597,88 @@ def correlated_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exists_subquery",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    AND o.o_totalprice < 1000
+)
+ORDER BY c_custkey
+""",
+    doc="correlated EXISTS + NOT EXISTS predicates — Catalyst decorrelates "
+    "to a left-semi and a left-anti join (the IN-subquery twin covers the "
+    "semi path alone)",
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+            AND o.o_totalprice < 1000
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+WITH l AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey % 100 END AS k
+  FROM orders
+),
+r AS (
+  SELECT CASE WHEN g % 10 = 0 THEN NULL ELSE g END AS k,
+         g AS tag
+  FROM (SELECT UNNEST(RANGE(0, 100)) AS g)
+)
+SELECT l.o_orderkey, r.tag
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+ORDER BY o_orderkey, tag
+""",
+    doc="null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "MATCH each other, unlike plain equi-joins — still a hash join, never "
+    "a nested loop",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    left = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("k"),
+    )
+    right = spark.range(0, 100).select(
+        F.when(F.col("id") % 10 == 0, F.lit(None))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("tag"),
+    )
+    return (
+        left.join(right, left["k"].eqNullSafe(right["k"]))
+        .select("o_orderkey", "tag")
+        .orderBy("o_orderkey", "tag")
+    )
+
+
+@query(
     "join_asof_tolerance",
     oracle="""
 SELECT p.event_id, p.user_id, p.ts,

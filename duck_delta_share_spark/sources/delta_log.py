@@ -1166,6 +1166,102 @@ def optimize(
     }
 
 
+def restore_delta(table_path: str | Path, version: int) -> dict:
+    """RESTORE the table to a previous version as a NEW commit (Delta's
+    ``RESTORE TABLE ... TO VERSION AS OF``): the current file set is
+    diffed against the target snapshot and reconciled with remove/add
+    actions — nothing is rewritten, history is preserved (the restore
+    itself can be time-traveled past), and the add actions reuse the
+    ORIGINAL log metadata (stats, partitionValues, raw deletion-vector
+    descriptors) so pruning and merge-on-read state come back exactly.
+
+    Files present in both versions but with different DV state are
+    re-added with the target's descriptor (restoring to before a
+    ``delete_where`` resurrects the rows). Fails fast when a target data
+    file was already vacuumed — restoring would otherwise commit a
+    snapshot that cannot be read.
+
+    Returns {version, files_added, files_removed, metadata_restored}.
+    """
+    table = Path(table_path)
+    cur = snapshot(table)
+    target = int(version)
+    tgt = snapshot(table, target)
+
+    missing = [f["url"] for f in tgt.files if not Path(f["url"]).exists()]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {table} to version {target}: {len(missing)} data "
+            f"file(s) were vacuumed (first: {missing[0]}); the version is no "
+            "longer reconstructible"
+        )
+
+    def by_rel(snap: DeltaSnapshot) -> dict[str, dict]:
+        return {
+            str(Path(f["url"]).relative_to(table)): f for f in snap.files
+        }
+
+    cur_files, tgt_files = by_rel(cur), by_rel(tgt)
+    actions: list[dict] = []
+    meta_changed = (
+        tgt.schema_string != cur.schema_string
+        or tgt.partition_columns != cur.partition_columns
+        or tgt.configuration != cur.configuration
+    )
+    if meta_changed:
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": tgt.schema_string,
+                    "partitionColumns": list(tgt.partition_columns),
+                    "configuration": dict(tgt.configuration),
+                }
+            }
+        )
+    removed = added = 0
+    for rel in cur_files:
+        if rel not in tgt_files:
+            actions.append(
+                {"remove": {"path": quote(rel, safe="/="), "dataChange": True}}
+            )
+            removed += 1
+    for rel, f in tgt_files.items():
+        c = cur_files.get(rel)
+        if c is not None and c.get("deletionVectorLog") == f.get("deletionVectorLog"):
+            continue  # identical file state in both versions
+        if c is not None:
+            # same path, different DV state: remove+re-add swaps the mask
+            actions.append(
+                {"remove": {"path": quote(rel, safe="/="), "dataChange": True}}
+            )
+        actions.append(
+            {
+                "add": {
+                    "path": quote(rel, safe="/="),
+                    "partitionValues": f["partitionValues"],
+                    "size": f.get("size")
+                    if f.get("size") is not None
+                    else Path(f["url"]).stat().st_size,
+                    "modificationTime": f.get("modificationTime") or 0,
+                    "dataChange": True,
+                    "stats": f["stats"],
+                    "deletionVector": f.get("deletionVectorLog"),
+                }
+            }
+        )
+        added += 1
+    new_version = latest_version(table) + 1
+    _atomic_commit(table, new_version, actions, operation="RESTORE")
+    return {
+        "version": new_version,
+        "files_added": added,
+        "files_removed": removed,
+        "metadata_restored": meta_changed,
+    }
+
+
 def vacuum(table_path: str | Path, retain_hours: float = 168.0) -> dict:
     """Delete data files no longer referenced by the CURRENT snapshot and
     older than the retention window (defaults to Delta's 7 days — the

@@ -517,3 +517,46 @@ def test_version0_commit_race_is_clear_error(region, tmp_path, monkeypatch):
     monkeypatch.setattr(dl, "_atomic_commit", racing_commit)
     with pytest.raises(RuntimeError, match="concurrent writer"):
         dl.write_delta(region, t)
+
+
+def test_restore_reverts_merge_and_delete(spark, region, tmp_path):
+    """RESTORE reconciles the file set back to the target version as a new
+    commit: a post-restore scan equals the old snapshot, history survives."""
+    from duck_delta_share_spark.sources.delta_log import delete_where, restore_delta
+
+    t = tmp_path / "rst"
+    write_delta(region.repartition(2), t)
+    v0_rows = sorted(r.r_regionkey for r in read_delta(spark, t).collect())
+    delete_where(spark, t, "r_regionkey >= 3")
+    write_delta(region.limit(1), t, mode="append")
+    assert sorted(r.r_regionkey for r in read_delta(spark, t).collect()) != v0_rows
+    res = restore_delta(t, 0)
+    assert res["files_added"] >= 1 or res["files_removed"] >= 1
+    assert sorted(r.r_regionkey for r in read_delta(spark, t).collect()) == v0_rows
+    # the pre-restore state is STILL time-travelable (restore is a commit)
+    assert read_delta(spark, t, version=res["version"] - 1).count() == len(v0_rows) - 2 + 1
+
+
+def test_restore_reverts_schema_overwrite(spark, region, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import restore_delta
+
+    t = tmp_path / "rsts"
+    write_delta(region, t)
+    widened = region.withColumn("extra", F.lit(1))
+    write_delta(widened, t, mode="overwrite")
+    assert "extra" in read_delta(spark, t).columns
+    res = restore_delta(t, 0)
+    assert res["metadata_restored"]
+    df = read_delta(spark, t)
+    assert "extra" not in df.columns and df.count() == 5
+
+
+def test_restore_fails_after_vacuum(spark, region, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import restore_delta, vacuum
+
+    t = tmp_path / "rstv"
+    write_delta(region.coalesce(1), t)
+    write_delta(region.limit(2).coalesce(1), t, mode="overwrite")
+    vacuum(t, retain_hours=0.0)  # removes the version-0 file
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        restore_delta(t, 0)
