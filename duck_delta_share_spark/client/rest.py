@@ -233,10 +233,27 @@ class DeltaSharingClient:
                 metadata = TableMetadata.from_json(line["metaData"])
         return protocol, metadata
 
+    def _head_version(self, path: str) -> int | None:
+        """HEAD the table endpoint and read ``Delta-Table-Version``."""
+        url = self.profile.endpoint + path
+        req = urllib.request.Request(url, headers=self._headers(), method="HEAD")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
+                raw = resp.headers.get("Delta-Table-Version")
+                return int(raw) if raw is not None else None
+        except (urllib.error.HTTPError, urllib.error.URLError, ValueError):
+            return None  # server doesn't support HEAD/the header → fall back
+
     def query_table_version(self, share: str, schema: str, table: str) -> int:
-        """Table version probe. The reference HEADs then re-fetches metadata,
-        ignoring the Delta-Table-Version header (cpp:357-369); we return the
-        metadata version directly (one round trip, same answer)."""
+        """Table version probe — the protocol's cheap path: HEAD the table
+        endpoint and read the ``Delta-Table-Version`` response header (no
+        body, no NDJSON parse; the streaming source polls this every
+        trigger). The reference HEADs but then IGNORES the header and
+        re-fetches full metadata (cpp:357-369); we only fall back to the
+        metadata GET when the server omits the header."""
+        v = self._head_version(self._table_path(share, schema, table))
+        if v is not None:
+            return v
         _, metadata = self.query_table_metadata(share, schema, table)
         return metadata.version
 

@@ -46,6 +46,7 @@ _R4_WINDOW = [
     "delta_restore",
     "exists_subquery",
     "join_null_safe",
+    "events_hopping_agg",
     # r1-window entries, events-touching first
     "json_functions",
     "string_functions",

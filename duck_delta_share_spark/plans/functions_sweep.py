@@ -284,6 +284,46 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hopping_agg",
+    oracle="""
+WITH ex AS (
+  SELECT event_type, value,
+         UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           AS win_start
+  FROM events
+)
+SELECT win_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM ex
+GROUP BY win_start, event_type
+""",
+    doc="HOPPING (sliding) window aggregation via native F.window(1h slide "
+    "30m) — every event lands in exactly two overlapping windows; the "
+    "oracle unrolls the two epoch-aligned window starts per event. "
+    "Complements the tumbling events_windowed_agg (same plan under a "
+    "watermark in streaming)",
+)
+def events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.plans.registry import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
     "sessionization",
     oracle="""
 WITH flagged AS (

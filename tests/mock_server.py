@@ -56,6 +56,9 @@ class MockDeltaSharingServer:
         self.dv_descriptors: dict[str, dict] = {}
         # last delta-sharing-capabilities header seen on a control request
         self.capability_headers: list[str] = []
+        # HEAD version probe: serve the Delta-Table-Version header (set
+        # False to emulate servers without it → client falls back to GET)
+        self.serve_version_header = True
         # Range-request accounting for the range-read scan tests: every
         # satisfied Range header is logged, and data_bytes_served counts
         # actual payload bytes so tests can assert egress < object size.
@@ -409,6 +412,24 @@ class MockDeltaSharingServer:
                     )
                 else:
                     self._reply(404, json.dumps({"message": f"not found: {path}"}).encode())
+
+            def do_HEAD(self):
+                outer.requests.append(("HEAD", self.path, ""))
+                if self.headers.get("Authorization") != f"Bearer {outer.token}":
+                    self.send_response(401)
+                    self.end_headers()
+                    return
+                if self.path.split("?")[0] == "/shares/sales/schemas/web/tables/clicks":
+                    self.send_response(200)
+                    if outer.serve_version_header:
+                        self.send_header(
+                            "Delta-Table-Version", str(outer.table_version)
+                        )
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                self.send_response(404)
+                self.end_headers()
 
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", 0))

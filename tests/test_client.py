@@ -182,6 +182,24 @@ def test_delta_format_parse_and_capabilities(server, client):
         server.dv_descriptors.clear()
 
 
+def test_version_probe_uses_head_header(server, client):
+    """query_table_version reads Delta-Table-Version from a HEAD (the
+    reference HEADs and then ignores the header, re-fetching metadata —
+    cpp:357-369); servers without the header get the GET fallback."""
+    n0 = len(server.requests)
+    assert client.query_table_version("sales", "web", "clicks") == server.table_version
+    reqs = server.requests[n0:]
+    assert [m for m, _, _ in reqs] == ["HEAD"], reqs
+    server.serve_version_header = False
+    try:
+        n1 = len(server.requests)
+        assert client.query_table_version("sales", "web", "clicks") == server.table_version
+        methods = [m for m, _, _ in server.requests[n1:]]
+        assert methods == ["HEAD", "GET"], methods  # fallback path
+    finally:
+        server.serve_version_header = True
+
+
 def test_refresh_token_flow(server, client):
     """includeRefreshToken yields a token; a token-only re-query returns
     the same files with fresh URLs and rotates the token — the cheap
