@@ -659,6 +659,8 @@ def pq_topk(
 
     def encode(it):
         for pdf in it:
+            if len(pdf) == 0:  # Arrow may deliver empty batches
+                continue
             Q = np.vstack(pdf["__q"].to_numpy()).astype(np.int16)
             codes = np.empty((len(Q), m), dtype=np.int32)
             rn2 = np.zeros(len(Q), dtype=np.int64)
@@ -682,6 +684,8 @@ def pq_topk(
 
     @F.pandas_udf("double")
     def adc_score(codes: pd.Series, qv: pd.Series, qn2: pd.Series, rn2: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
         C = np.vstack(codes.to_numpy()).astype(np.int64)
         QV = np.vstack(qv.to_numpy()).astype(np.int64)
         # per-distinct-query ADC tables: T[j][c] = q_sub_j . codeword_jc
