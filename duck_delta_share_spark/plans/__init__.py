@@ -47,6 +47,7 @@ _R4_WINDOW = [
     "exists_subquery",
     "join_null_safe",
     "events_hopping_agg",
+    "text_normalize",
     # r1-window entries, events-touching first
     "json_functions",
     "string_functions",

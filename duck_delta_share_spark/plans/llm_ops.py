@@ -472,6 +472,40 @@ def bigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_normalize",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g'))) AS norm_md5,
+       CAST(length(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+FROM documents ORDER BY doc_id
+""",
+    doc="canonical text normalization (the step before every exact-dedup "
+    "fingerprint): lowercase, strip non-alphanumerics to spaces, collapse "
+    "runs, trim — chained codegen regexp_replace over a Java-and-RE2-safe "
+    "pattern set (same discipline as pii_redaction), emitted as the md5 "
+    "the dedup key would use",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_len"),
+    ).orderBy("doc_id")
+
+
+@query(
     "dataset_split_assign",
     oracle="""
 WITH h AS (
