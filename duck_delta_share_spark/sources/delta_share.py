@@ -540,11 +540,19 @@ def _refresh_url(partition: _FileTask) -> str | None:
         return cached  # another task in this process already refreshed
     client = _make_client(options)
     token = _REFRESH_TOKENS.get(key) or options.get("__refreshToken")
+    result = None
     if token:
-        result = client.query_table(
-            share, schema, table, refresh_token=token, include_refresh_token=True
-        )
-    else:
+        from duck_delta_share_spark.client.rest import DeltaSharingError
+
+        try:
+            result = client.query_table(
+                share, schema, table, refresh_token=token, include_refresh_token=True
+            )
+        except DeltaSharingError:
+            # stale/unknown token (server restarted, token expired): the
+            # full re-query below still recovers the read
+            _REFRESH_TOKENS.pop(key, None)
+    if result is None:
         result = client.query_table(
             share, schema, table, version=int(version) if version is not None else None
         )

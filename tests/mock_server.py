@@ -442,6 +442,13 @@ class MockDeltaSharingServer:
                         parsed_body = json.loads(body) if body else {}
                     except ValueError:
                         parsed_body = {}
+                    rt = parsed_body.get("refreshToken")
+                    if rt and not str(rt).startswith("rt-"):
+                        self._reply(
+                            400,
+                            json.dumps({"message": "unknown refresh token"}).encode(),
+                        )
+                        return
                     self._reply(
                         200,
                         outer._query_lines(parsed_body).encode(),

@@ -251,6 +251,46 @@ def test_rest_scan_recovers_from_expired_urls(registered, tmp_path_factory):
         srv.stop()
 
 
+def test_refresh_falls_back_on_stale_token(registered, tmp_path_factory):
+    """A stale/unknown refresh token (server restarted) must not kill the
+    read: the executor falls back to the full re-query."""
+    from duck_delta_share_spark.sources import delta_share as ds
+
+    data_dir = tmp_path_factory.mktemp("dsdata_stale")
+    write_fixture_files(data_dir)
+    srv = MockDeltaSharingServer(data_dir).start()
+    try:
+        opts = {
+            "endpoint": srv.endpoint,
+            "bearertoken": "secret-token",
+            "path": "sales.web.clicks",
+            "__refreshToken": "bogus-token",
+        }
+        task = ds._FileTask(
+            url=f"{srv.endpoint}/data/eu.parquet?tok=old",
+            partition_values={},
+            data_schema_json="{}",
+            partition_schema_json="{}",
+            full_schema_json="{}",
+            file_id="f-eu",
+            refresh=opts,
+        )
+        ds._REFRESH_CACHE.clear()
+        ds._REFRESH_TOKENS.clear()
+        fresh = ds._refresh_url(task)
+        assert fresh and fresh.endswith("eu.parquet")
+        posts = [
+            (p, b) for m, p, b in srv.requests if m == "POST" and p.endswith("/query")
+        ]
+        assert len(posts) == 2  # rejected token query + full fallback query
+        assert "bogus-token" in posts[0][1]
+        assert "refreshToken" not in posts[1][1]
+    finally:
+        srv.stop()
+        ds._REFRESH_CACHE.clear()
+        ds._REFRESH_TOKENS.clear()
+
+
 def test_rest_scan_through_paginated_query(registered, server):
     """End-to-end scan when the server pages the /query file list: all
     files from all pages must land in the plan (VERDICT r2 #4)."""
