@@ -139,11 +139,20 @@ def zorder_repartition(
     cluster_by: Sequence[str],
     num_files: int,
     clamp_quantiles: tuple[float, float] = (0.001, 0.999),
+    partition_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Rows range-partitioned + sorted by the bit-interleaved Z-value of
     the cluster columns (quantile-clamped equi-width buckets; pure codegen
     shift/and/or). Shared by ``write_clustered`` and Delta ``optimize``
-    ZORDER."""
+    ZORDER.
+
+    ``partition_cols`` clusters WITHIN hive partitions: the range
+    partitioning and in-task sort lead with the partition columns, so a
+    downstream ``partitionBy`` write emits contiguous Morton ranges per
+    partition directory instead of fanning every z-range task across all
+    directories (Z-bucket bounds stay global — per-partition quantiles
+    would multiply the driver's approxQuantile work for marginal
+    tightening)."""
     from pyspark.sql import functions as F
 
     cols = list(cluster_by)
@@ -176,10 +185,11 @@ def zorder_repartition(
             z = z.bitwiseOR(
                 F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), i * len(cols) + j)
             )
+    lead = [F.col(c) for c in (partition_cols or [])]
     return (
         df.withColumn("__z", z)
-        .repartitionByRange(num_files, F.col("__z"))
-        .sortWithinPartitions("__z")
+        .repartitionByRange(num_files, *lead, F.col("__z"))
+        .sortWithinPartitions(*lead, "__z")
         .drop("__z")
     )
 

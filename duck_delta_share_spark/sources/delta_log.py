@@ -1131,19 +1131,15 @@ def optimize(
     total = sum(Path(f["url"]).stat().st_size for f in todo)
     n_out = max(1, math.ceil(total / max(1, int(target_file_mb * (1 << 20)))))
     if zorder_by:
-        if part_cols:
-            # a z-range task would fan out one file per partition dir it
-            # touches (n_out x n_partitions files); cluster WITHIN
-            # partition values instead by including them as lead keys
-            raise ValueError(
-                "zorder_by on a partitioned table is not supported; "
-                "hive partitioning already prunes on the partition "
-                "columns — zorder the unpartitioned remainder dimensions "
-                "via a dedicated unpartitioned table or write_clustered"
-            )
         from duck_delta_share_spark.sinks import zorder_repartition
 
-        shaped = zorder_repartition(df, zorder_by, n_out)
+        # partitioned tables cluster WITHIN partition values: the range
+        # shuffle and sort lead with the partition columns so each hive
+        # directory receives contiguous Morton ranges (a bare z-range
+        # task would otherwise fan one file into every directory)
+        shaped = zorder_repartition(
+            df, zorder_by, n_out, partition_cols=part_cols or None
+        )
     elif part_cols:
         from pyspark.sql import functions as F
 

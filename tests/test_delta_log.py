@@ -452,6 +452,47 @@ def test_optimize_zorder_tightens_stats_on_all_dims(spark, tmp_path):
     assert sum(spans["y"]) / len(spans["y"]) < 0.7
 
 
+def test_optimize_zorder_partitioned_clusters_within_dirs(spark, tmp_path):
+    """ZORDER on a partitioned table (r4 — previously rejected): every
+    hive directory keeps its rows, files land inside ONE directory each,
+    and per-file stats tighten on both z dimensions within partitions."""
+    from duck_delta_share_spark.sources.delta_log import optimize
+
+    t = tmp_path / "zop"
+    for i in range(6):
+        frag = spark.range(i * 2000, (i + 1) * 2000).select(
+            (F.col("id") % 2 == 0).cast("string").alias("pcol"),
+            ((F.col("id") * 2654435761) % 1000).alias("x"),
+            ((F.col("id") * 40503 + 17) % 1000).alias("y"),
+        ).coalesce(1)
+        if (t / "_delta_log").exists():
+            write_delta(frag, t, mode="append")
+        else:
+            write_delta(frag, t, partition_by=["pcol"])
+    before = {(r.pcol, r.x, r.y) for r in read_delta(spark, t).collect()}
+
+    def mean_spans(snap):
+        spans = {"x": [], "y": []}
+        for f in snap.files:
+            assert f["partitionValues"].get("pcol") in ("true", "false")
+            st = json.loads(f["stats"])
+            for c in ("x", "y"):
+                spans[c].append((st["maxValues"][c] - st["minValues"][c]) / 1000)
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    pre = mean_spans(snapshot(t))  # random fragments: ~full range each
+
+    out = optimize(spark, t, target_file_mb=0.01, zorder_by=["x", "y"])
+    assert out["files_after"] >= 4
+    assert {(r.pcol, r.x, r.y) for r in read_delta(spark, t).collect()} == before
+    post = mean_spans(snapshot(t))
+    # both z dimensions tighten markedly vs the fragmented layout (fewer
+    # files per partition than the unpartitioned test → looser absolute
+    # bound, but the relative win must be clear on BOTH dims)
+    for c in ("x", "y"):
+        assert post[c] < 0.85 and post[c] < pre[c] * 0.9, (c, pre, post)
+
+
 def test_version_changes_skip_data_unchanged(spark, region, tmp_path):
     """OPTIMIZE commits (dataChange:false) must be invisible to streams and
     CDF — replaying their add/remove pairs would duplicate every compacted
