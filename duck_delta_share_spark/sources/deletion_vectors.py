@@ -276,6 +276,14 @@ def _dv_file_path(descriptor: dict[str, Any], table_path: str | Path) -> Path:
     if st == "p":
         return Path(raw)
     if st == "u":
+        if not str(table_path):
+            # REST scans have no table root to resolve against — servers
+            # must presign DV paths (http 'p') or inline them ('i')
+            raise ValueError(
+                "relative ('u'-storage) deletion-vector descriptor cannot "
+                "be resolved without a table root; the sharing server "
+                "should presign the DV path or inline the payload"
+            )
         # <random prefix><20-char z85 uuid>; prefix becomes a subdirectory
         prefix, encoded = raw[:-20], raw[-20:]
         uid = _uuid.UUID(bytes=z85_decode(encoded))
