@@ -48,6 +48,8 @@ _R4_WINDOW = [
     "join_null_safe",
     "events_hopping_agg",
     "text_normalize",
+    "weighted_quality_sample",
+    "zorder_write_scan",
     # r1-window entries, events-touching first
     "json_functions",
     "string_functions",

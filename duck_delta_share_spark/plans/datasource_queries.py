@@ -251,6 +251,43 @@ def delta_column_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zorder_write_scan",
+    oracle="""
+SELECT event_id, user_id, value
+FROM events
+WHERE value >= 50 AND value <= 60 AND user_id % 7 = 3
+ORDER BY event_id
+""",
+    doc="write-path round trip under the oracle gate (sinks.py:"
+    "write_clustered, zorder=True): events are rewritten as Morton-"
+    "ordered files clustered on (value, user_id), then scanned back with "
+    "a two-dimension filter — data skipping's write side produces "
+    "byte-faithful data (the clustering changes LAYOUT, never values), "
+    "and the filtered scan hash-matches the plain relational oracle",
+)
+def zorder_write_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sinks import write_clustered
+
+    out = Path(tempfile.mkdtemp(prefix="ddss_zw_")) / "events_z"
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    write_clustered(e, str(out), ["value", "user_id"], num_files=8, zorder=True)
+    return (
+        spark.read.parquet(str(out))
+        .filter(
+            (F.col("value") >= 50)
+            & (F.col("value") <= 60)
+            & (F.col("user_id") % 7 == 3)
+        )
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
+@query(
     "delta_restore",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     doc="RESTORE TABLE ... TO VERSION AS OF (sources/delta_log.py:"

@@ -472,6 +472,46 @@ def bigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_quality_sample",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         LEAST(1.0, CAST(n_chars AS DOUBLE) / 2000.0) AS keep_p,
+         ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+         ) / 65536.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM scored WHERE u < keep_p
+ORDER BY doc_id
+""",
+    doc="quality-WEIGHTED deterministic sampling: keep probability scales "
+    "with a per-doc quality proxy (length, capped), the Bernoulli draw is "
+    "md5(doc_id)/2^16 — so membership is stable across runs/partitions "
+    "AND proportional to quality, the mixing primitive behind "
+    "importance-weighted corpus construction (uniform twins: "
+    "dataset_split_assign, per_group_deterministic_sample). Narrow map, "
+    "no shuffle; keep_p and the uniform are exact integer rationals",
+)
+def weighted_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    keep_p = F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(2000.0))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        / F.lit(65536.0)
+    )
+    return (
+        d.filter(u < keep_p)
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "text_normalize",
     oracle="""
 SELECT doc_id,
