@@ -29,6 +29,7 @@ from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 # timestamps (events-touching ones like json_functions first). Everything
 # stays registered; only the order changes.
 _R4_WINDOW = [
+    "substring_dedup_spans",
     "simhash_signatures",
     "delta_share_dv_rest_scan",
     "delta_column_mapping_merge",

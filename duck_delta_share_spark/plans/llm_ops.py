@@ -2014,3 +2014,57 @@ def multimodal_wav_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.array_join(F.transform("features", _f6), ",").alias("features"),
     ).orderBy("doc_id")
+
+
+_SUBSTRING_DEDUP_ORACLE = """
+WITH grams AS (
+  SELECT doc_id,
+         unnest(generate_series(CAST(1 AS BIGINT),
+                                greatest(length(text) - 39, CAST(0 AS BIGINT)))) AS pos,
+         text, length(text) AS total_chars
+  FROM documents
+), grams2 AS (
+  SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), 40) AS gram, total_chars
+  FROM grams
+), flagged AS (
+  SELECT doc_id, pos, total_chars,
+         count(*) OVER (PARTITION BY gram) >= 2 AS is_dup
+  FROM grams2
+), dup AS (
+  SELECT doc_id, pos, total_chars FROM flagged WHERE is_dup
+), marked AS (
+  SELECT doc_id, pos, total_chars,
+         CASE WHEN pos > coalesce(max(pos + 39) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(-1 AS BIGINT))
+           THEN 1 ELSE 0 END AS is_new
+  FROM dup
+), numbered AS (
+  SELECT doc_id, pos, total_chars,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+), spans AS (
+  SELECT doc_id, island, any_value(total_chars) AS total_chars,
+         count(*) AS n_pos, max(pos + 39) - min(pos) + 1 AS span_chars
+  FROM numbered GROUP BY doc_id, island
+)
+SELECT doc_id, CAST(sum(n_pos) AS BIGINT) AS dup_positions,
+       CAST(sum(span_chars) AS BIGINT) AS dup_chars,
+       any_value(total_chars) AS total_chars
+FROM spans GROUP BY doc_id
+"""
+
+
+@query(
+    "substring_dedup_spans",
+    oracle=_SUBSTRING_DEDUP_ORACLE,
+    doc=(
+        "exact-substring duplication profile (Lee et al. 2022): per-doc "
+        "coverage by 40-char windows repeated anywhere in the corpus; "
+        "interval-union island aggregation, all-integer output"
+    ),
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.duplicated_span_stats(d, n=40, min_count=2)
