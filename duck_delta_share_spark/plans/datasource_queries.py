@@ -613,3 +613,43 @@ def incremental_rollup_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new.select(
         "s_nationkey", "n", F.col("total_bal").cast("double").alias("total_bal")
     ).orderBy("s_nationkey")
+
+
+@query(
+    "delta_schema_evolution",
+    oracle="""
+SELECT n_nationkey, n_name,
+       CASE WHEN n_nationkey BETWEEN 10 AND 19 THEN n_regionkey
+            ELSE CAST(NULL AS BIGINT) END AS n_regionkey
+FROM nation
+ORDER BY n_nationkey
+""",
+    doc="schema evolution on the local Delta write path "
+    "(sources/delta_log.py:write_delta merge_schema): v0 commits two "
+    "columns, an evolved append adds n_regionkey (metaData rewritten with "
+    "the union schema), a subset append omits it again — the scan-back "
+    "must null-fill pre-evolution and subset files executor-side "
+    "(delta-spark mergeSchema semantics; the reference has no write path "
+    "at all)",
+)
+def delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import read_delta, write_delta
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_evo_")) / "t"
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+    write_delta(n.where("n_nationkey < 10").select("n_nationkey", "n_name"), table)
+    write_delta(
+        n.where("n_nationkey BETWEEN 10 AND 19"), table, merge_schema=True
+    )
+    write_delta(
+        n.where("n_nationkey >= 20").select("n_nationkey", "n_name"), table
+    )
+    return read_delta(spark, table).orderBy("n_nationkey")

@@ -392,6 +392,7 @@ def write_delta(
     table_path: str | Path,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write a DataFrame as a Delta-protocol commit; returns the version.
 
@@ -400,6 +401,15 @@ def write_delta(
     numRecords/min/max stats (so downstream snapshots prune). ``overwrite``
     additionally emits remove actions for every prior file. First commit
     writes protocol + metaData.
+
+    Schema handling on append (delta-spark semantics): a DataFrame that
+    carries a SUBSET of the table's columns appends as-is (readers fill
+    the absent columns with nulls); NEW columns require
+    ``merge_schema=True`` — the commit then also rewrites metaData with
+    the union schema (existing columns keep their order, new columns
+    append at the end, forced nullable because pre-evolution files have no
+    values for them). A same-name/different-type column always raises
+    (no implicit type widening).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite, got {mode!r}")
@@ -411,6 +421,7 @@ def write_delta(
     version = (max(have) + 1) if have else 0
     part_cols = list(partition_by or ())
     cm: dict[str, str] | None = None
+    evolved = False
     schema_string = df.schema.json()
     if version > 0:
         prev = snapshot(table)
@@ -445,14 +456,43 @@ def write_delta(
             # and every file anyway)
             part_cols = list(prev.partition_columns)
         if mode == "append" and prev.schema_string:
-            have = {(f["name"], f["type"]) for f in json.loads(prev.schema_string)["fields"]}
-            want = {(f["name"], f["type"]) for f in json.loads(df.schema.json())["fields"]}
-            if have != want:
+            prev_fields = json.loads(prev.schema_string)["fields"]
+            prev_types = {f["name"]: f["type"] for f in prev_fields}
+            df_fields = json.loads(df.schema.json())["fields"]
+            df_types = {f["name"]: f["type"] for f in df_fields}
+            conflicts = sorted(
+                n for n, t in df_types.items()
+                if n in prev_types and prev_types[n] != t
+            )
+            if conflicts:
                 raise ValueError(
-                    "append schema does not match the table schema "
-                    f"(table: {sorted(have)}; append: {sorted(want)}); "
+                    f"append column types conflict with the table schema on "
+                    f"{conflicts} (no implicit type widening); "
                     "use mode='overwrite' to replace the schema"
                 )
+            missing_parts = [c for c in part_cols if c not in df_types]
+            if missing_parts:
+                raise ValueError(
+                    f"append is missing partition column(s) {missing_parts}"
+                )
+            new_fields = [
+                dict(f, nullable=True)
+                for f in df_fields
+                if f["name"] not in prev_types
+            ]
+            if new_fields and not merge_schema:
+                raise ValueError(
+                    "append adds new column(s) "
+                    f"{[f['name'] for f in new_fields]}; pass "
+                    "merge_schema=True to evolve the table schema"
+                )
+            if new_fields:
+                schema_string = json.dumps(
+                    {"type": "struct", "fields": prev_fields + new_fields}
+                )
+                evolved = True
+            else:
+                schema_string = prev.schema_string
 
     staged, staged_part_cols = _to_physical(df, cm, part_cols)
     adds = _stage_files(staged, table, staged_part_cols)
@@ -460,7 +500,7 @@ def write_delta(
     actions: list[dict] = []
     if version == 0:
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
-    if version == 0 or mode == "overwrite":
+    if version == 0 or mode == "overwrite" or evolved:
         actions.append(
             {
                 "metaData": {
@@ -482,12 +522,13 @@ def write_delta(
                 {"remove": {"path": quote(rel, safe="/="), "dataChange": True}}
             )
     actions.extend(adds)
-    if mode == "append" and version > 0:
+    if mode == "append" and version > 0 and not evolved:
         # Optimistic concurrency: a pure append conflicts with nothing —
         # losing the O_EXCL race just means bumping the version and
-        # retrying the (unchanged) actions. Overwrite/merge must NOT blind
-        # retry: their remove sets were computed against a snapshot that
-        # the winning commit may have invalidated.
+        # retrying the (unchanged) actions. Overwrite/merge — and an
+        # EVOLVED append, whose merged metaData was computed against the
+        # losing snapshot — must NOT blind retry: the winning commit may
+        # have changed the schema too.
         for _ in range(20):
             try:
                 _atomic_commit(table, version, actions, operation="WRITE")

@@ -501,7 +501,10 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
     arrays = []
     for f in full_schema.fields:
         target = arrow_full.field(f.name).type
-        col = columns[f.name]
+        # pre-evolution files lack later-added columns: emit typed nulls
+        col = columns.get(f.name)
+        if col is None:
+            col = pa.nulls(n, type=target)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         if col.type != target:
@@ -606,11 +609,16 @@ def _fetch_parquet(
 
         f = HttpRangeFile(url)
         pf = pq.ParquetFile(f)
+        # schema evolution: files written before a column was added simply
+        # lack it — read what the file has; the task emit loop null-fills
+        # the rest (pyarrow keeps num_rows for an empty column selection)
+        columns = [c for c in columns if c in set(pf.schema_arrow.names)]
         keep = _select_row_groups(pf.metadata, filters or [])
         f.prefetch(_column_chunk_ranges(pf.metadata, keep, columns))
     else:
         path = url[7:] if url.startswith("file://") else url
         pf = pq.ParquetFile(path)
+        columns = [c for c in columns if c in set(pf.schema_arrow.names)]
         keep = _select_row_groups(pf.metadata, filters or [])
     table = _read_groups(pf, keep, columns)
     if not want_row_index:

@@ -340,7 +340,7 @@ def test_append_schema_mismatch_rejected(spark, region, tmp_path):
     t = tmp_path / "sch"
     write_delta(region, t)
     bad = region.withColumn("extra", F.lit(1))
-    with pytest.raises(ValueError, match="append schema"):
+    with pytest.raises(ValueError, match="merge_schema=True"):
         write_delta(bad, t, mode="append")
     # overwrite may evolve the schema
     write_delta(bad, t, mode="overwrite")
