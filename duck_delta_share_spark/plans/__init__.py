@@ -31,6 +31,7 @@ from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 _R4_WINDOW = [
     "substring_dedup_spans",
     "delta_schema_evolution",
+    "delta_txn_idempotent_append",
     "simhash_signatures",
     "delta_share_dv_rest_scan",
     "delta_column_mapping_merge",

@@ -653,3 +653,40 @@ def delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.where("n_nationkey >= 20").select("n_nationkey", "n_name"), table
     )
     return read_delta(spark, table).orderBy("n_nationkey")
+
+
+@query(
+    "delta_txn_idempotent_append",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+ORDER BY s_suppkey
+""",
+    doc="SetTransaction-guarded idempotent appends "
+    "(sources/delta_log.py:write_delta txn + streaming/delta_sink.py): "
+    "supplier lands in two txn-marked batches, then BOTH batches are "
+    "crash-replayed — the txn markers in the log make the replays no-ops, "
+    "so the scan-back equals the plain table with no duplicate rows "
+    "(delta-spark txnAppId/txnVersion semantics; the protocol's "
+    "'Transaction Identifiers' section)",
+)
+def delta_txn_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import read_delta
+    from duck_delta_share_spark.streaming.delta_sink import delta_batch_writer
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_txn_")) / "t"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    lo = s.where("s_suppkey % 2 = 0")
+    hi = s.where("s_suppkey % 2 = 1")
+    w = delta_batch_writer(table, "loader")
+    w(lo, 0)
+    w(hi, 1)
+    w(lo, 0)  # crash-replay of batch 0: must be a no-op
+    w(hi, 1)  # crash-replay of batch 1: must be a no-op
+    return read_delta(spark, table).orderBy("s_suppkey")

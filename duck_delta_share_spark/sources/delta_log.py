@@ -58,6 +58,10 @@ class DeltaSnapshot:
     # table's actual protocol/config instead of re-deriving it (ADVICE r3)
     protocol: dict | None = None
     configuration: dict = dataclasses.field(default_factory=dict)
+    # SetTransaction state: appId -> latest committed version (the
+    # protocol's idempotent-writer primitive; streaming sinks key their
+    # exactly-once batch dedupe off this)
+    transactions: dict = dataclasses.field(default_factory=dict)
 
 
 def _log_dir(table_path: str | Path) -> Path:
@@ -152,6 +156,11 @@ def _apply_action(state: dict, action: dict, table: Path) -> None:
         }
     elif "remove" in action:
         state["files"].pop(unquote(action["remove"]["path"]), None)
+    elif "txn" in action:
+        t = action["txn"]
+        # replay order makes the LAST txn per appId win (protocol
+        # "Transaction Identifiers": readers track the latest version)
+        state["transactions"][t["appId"]] = int(t["version"])
 
 
 def _read_checkpoint(cp_file: Path, state: dict, table: Path) -> None:
@@ -159,7 +168,7 @@ def _read_checkpoint(cp_file: Path, state: dict, table: Path) -> None:
 
     tbl = pq.read_table(cp_file)
     for row in tbl.to_pylist():
-        for key in ("metaData", "protocol", "add"):
+        for key in ("metaData", "protocol", "add", "txn"):
             a = row.get(key)
             if a is not None and (not isinstance(a, dict) or any(v is not None for v in a.values())):
                 if key == "add" and isinstance(a.get("partitionValues"), list):
@@ -221,6 +230,7 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
         "files": {},
         "protocol": None,
         "configuration": {},
+        "transactions": {},
     }
     usable_cp = [v for v in checkpoints if v <= target]
     start = 0
@@ -261,6 +271,7 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
         files=files,
         protocol=state["protocol"],
         configuration=state["configuration"],
+        transactions=state["transactions"],
     )
 
 
@@ -393,6 +404,7 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write a DataFrame as a Delta-protocol commit; returns the version.
 
@@ -410,6 +422,12 @@ def write_delta(
     append at the end, forced nullable because pre-evolution files have no
     values for them). A same-name/different-type column always raises
     (no implicit type widening).
+
+    ``txn=(app_id, version)`` records a SetTransaction action with the
+    commit (protocol "Transaction Identifiers"): readers see the latest
+    version per app in ``snapshot().transactions``, which is how a
+    replayed streaming micro-batch is detected and skipped
+    (streaming/delta_sink.py).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite, got {mode!r}")
@@ -498,6 +516,18 @@ def write_delta(
     adds = _stage_files(staged, table, staged_part_cols)
 
     actions: list[dict] = []
+    if txn is not None:
+        import time as _time
+
+        actions.append(
+            {
+                "txn": {
+                    "appId": str(txn[0]),
+                    "version": int(txn[1]),
+                    "lastUpdated": int(_time.time() * 1000),
+                }
+            }
+        )
     if version == 0:
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
     if version == 0 or mode == "overwrite" or evolved:
@@ -620,6 +650,18 @@ def checkpoint(
             "add": None,
         },
     ]
+    for app_id, txn_ver in sorted(snap.transactions.items()):
+        # the spec requires checkpoints to preserve the latest txn per
+        # appId — dropping them would let a restarted streaming sink
+        # re-apply an already-committed micro-batch after log truncation
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "txn": {"appId": app_id, "version": txn_ver, "lastUpdated": None},
+            }
+        )
     for f in snap.files:
         rows.append(
             {
@@ -695,6 +737,16 @@ def checkpoint(
                     ]
                 ),
             ),
+            (
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                        ("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
         ]
     )
     log = _log_dir(table)
@@ -729,6 +781,16 @@ def checkpoint(
         )
     )
     return snap.version
+
+
+def last_txn_version(table_path: str | Path, app_id: str) -> int:
+    """Latest SetTransaction version committed for ``app_id``, or -1 if
+    the table does not exist yet / the app never committed — the check an
+    idempotent writer makes before (re-)applying a batch."""
+    try:
+        return int(snapshot(table_path).transactions.get(app_id, -1))
+    except FileNotFoundError:
+        return -1
 
 
 def latest_version(table_path: str | Path) -> int:
