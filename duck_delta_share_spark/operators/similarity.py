@@ -616,6 +616,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank_factor: int = 0,
+    rotation: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Product-quantization top-k with asymmetric distance computation —
     the memory-bound ANN shape at 100 TB: base vectors compress to m code
@@ -643,6 +644,14 @@ def pq_topk(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
     sub = dim // m
+    if rotation is not None:
+        # OPQ: rotate FIRST, then quantize — inner products in rotated
+        # space equal the originals (orthogonality), quantization error
+        # drops when the rotation aligns variance with subspace cuts
+        # (train_opq_rotation). Codebooks passed in must be trained on
+        # ROTATED vectors.
+        base = rotate_vectors(base.select(id_col, vec_col), vec_col, rotation)
+        queries = rotate_vectors(queries.select(id_col, vec_col), vec_col, rotation)
     books = codebooks if codebooks is not None else train_pq_codebooks(
         base, dim, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col
     )
@@ -757,3 +766,89 @@ def pq_topk(
             "rk",
         )
     )
+
+
+def rotate_vectors(
+    df: DataFrame, vec_col: str, rotation: "np.ndarray", out_col: str | None = None
+) -> DataFrame:
+    """Apply an orthogonal rotation to an embedding column: one Arrow
+    batch matmul per chunk against the broadcast (dim x dim) matrix — a
+    narrow map, no shuffle, no driver involvement. The OPQ preprocessing
+    step (Ge et al. 2014, "Optimized Product Quantization")."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    R = np.ascontiguousarray(np.asarray(rotation, dtype=np.float64))
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def rot(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        return pd.Series(list(X @ R))
+
+    return df.withColumn(out_col or vec_col, rot(F.col(vec_col)))
+
+
+def train_opq_rotation(
+    base: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_sample: int = 10_000,
+    opq_iters: int = 8,
+    kmeans_iters: int = 6,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Learn the OPQ orthogonal rotation (Ge et al. 2014, alternating
+    minimization): rotate → fit per-subspace codebooks → solve the
+    orthogonal Procrustes problem for the rotation that best maps the
+    data onto its reconstructions (SVD of X^T Y) → repeat. Plain PQ
+    assumes quantization error is balanced across the m fixed subspace
+    cuts; on real (anisotropic, correlated) embeddings a learned rotation
+    aligns principal directions with subspace boundaries and cuts the
+    error — on iid-random data it converges to a near-identity no-op.
+
+    Trains in FLOAT space on the same bounded deterministic sample
+    posture as :func:`train_pq_codebooks` (an OPQ rotation is a tiny
+    dim x dim model); the returned matrix feeds
+    ``pq_topk(rotation=...)``, which rotates and THEN int8-quantizes, so
+    the integer-exact ADC machinery is untouched.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    sub = dim // m
+    rows = (
+        base.select(F.col(id_col).alias("__i"), F.col(vec_col).alias("__v"))
+        .orderBy("__i")
+        .limit(max_train_sample)
+        .select("__v")
+        .collect()
+    )
+    X = np.vstack([r[0] for r in rows]).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    R = np.eye(dim)
+    for _ in range(opq_iters):
+        Xr = X @ R
+        Y = np.empty_like(Xr)
+        for j in range(m):
+            S = Xr[:, j * sub : (j + 1) * sub]
+            k = min(k_codes, len(S))
+            C = S[rng.choice(len(S), size=k, replace=False)].copy()
+            for _ in range(kmeans_iters):
+                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+                for c in range(k):
+                    members = S[assign == c]
+                    C[c] = (
+                        S[rng.randint(len(S))]
+                        if len(members) == 0
+                        else members.mean(axis=0)
+                    )
+            Y[:, j * sub : (j + 1) * sub] = C[np.argmin(
+                ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1
+            )]
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    return R

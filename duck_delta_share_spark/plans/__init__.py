@@ -32,6 +32,7 @@ _R4_WINDOW = [
     "substring_dedup_spans",
     "delta_schema_evolution",
     "delta_txn_idempotent_append",
+    "similarity_ann_opq",
     "simhash_signatures",
     "delta_share_dv_rest_scan",
     "delta_column_mapping_merge",

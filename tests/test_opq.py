@@ -1,0 +1,114 @@
+"""OPQ rotation for product quantization: permutation rotations commute
+bit-exactly with the int8 pipeline; a LEARNED rotation beats plain PQ on
+anisotropic (correlated) embeddings — the case the continuity notes
+flagged as codebook-limited for plain PQ."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duck_delta_share_spark.catalog import load_table
+from duck_delta_share_spark.operators.similarity import (
+    int8_topk,
+    lossless_pq_codebooks,
+    pq_topk,
+    rotate_vectors,
+    train_opq_rotation,
+    train_pq_codebooks,
+)
+from tests.conftest import SF_DIR
+
+
+def test_rotation_preserves_norms_and_dots(spark):
+    rng = np.random.RandomState(3)
+    Q, _ = np.linalg.qr(rng.randn(16, 16))
+    df = spark.createDataFrame(
+        [(i, rng.randn(16).tolist()) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r.vec_id: np.array(r.embedding) for r in rotate_vectors(df, "embedding", Q).collect()}
+    src = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    for i in src:
+        assert np.allclose(np.linalg.norm(out[i]), np.linalg.norm(src[i]))
+    assert np.allclose(src[0] @ src[1], out[0] @ out[1])
+
+
+def test_permutation_rotation_bit_exact_vs_int8(spark):
+    """A permutation is orthogonal AND commutes with per-vector max-abs
+    int8 quantization, so rotated lossless PQ must reproduce int8_topk on
+    the ORIGINAL vectors bit-for-bit — the oracle-gated proof that the
+    rotation plumbing composes with encode/ADC/rank."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    perm = np.random.RandomState(42).permutation(64)
+    P = np.eye(64)[perm]
+    books = lossless_pq_codebooks(rotate_vectors(e, "embedding", P), dim=64, m=8)
+    a = sorted(
+        (r.query_id, r.vec_id, r.score_e6, r.rk)
+        for r in pq_topk(e, q, dim=64, m=8, codebooks=books, rotation=P).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vec_id, r.score_e6, r.rk)
+        for r in int8_topk(e, q, k=5).collect()
+    )
+    assert a == b and len(a) == 50
+
+
+def _anisotropic(spark, n=600, dim=16, seed=5):
+    """Correlated data whose variance is NOT aligned with subspace cuts:
+    strong spectral decay in a latent basis, then a fixed dense rotation
+    mixes every latent axis into every subspace."""
+    rng = np.random.RandomState(seed)
+    spectrum = np.exp(-np.arange(dim) / 2.0)
+    mix, _ = np.linalg.qr(rng.randn(dim, dim))
+    X = (rng.randn(n, dim) * spectrum) @ mix.T
+    return spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+def _recall(spark, base, q, dim, m, rotation=None):
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in int8_topk(base, q, k=5).collect()
+    }
+    if rotation is None:
+        books = train_pq_codebooks(base, dim=dim, m=m, k_codes=8)
+    else:
+        books = train_pq_codebooks(
+            rotate_vectors(base, "embedding", rotation), dim=dim, m=m, k_codes=8
+        )
+    got = {
+        (r.query_id, r.vec_id)
+        for r in pq_topk(
+            base, q, dim=dim, m=m, codebooks=books, rotation=rotation
+        ).collect()
+    }
+    return len(got & exact) / len(exact)
+
+
+def test_opq_beats_plain_pq_on_anisotropic_data(spark):
+    base = _anisotropic(spark)
+    q = base.filter(F.col("vec_id") < 10)
+    R = train_opq_rotation(base, dim=16, m=4, k_codes=8)
+    # orthogonality of the learned rotation
+    assert np.allclose(R @ R.T, np.eye(16), atol=1e-8)
+    plain = _recall(spark, base, q, dim=16, m=4)
+    opq = _recall(spark, base, q, dim=16, m=4, rotation=R)
+    assert opq > plain + 0.05, f"OPQ {opq} vs plain {plain}"
+
+
+def test_opq_rotation_deterministic(spark):
+    base = _anisotropic(spark, n=200)
+    R1 = train_opq_rotation(base, dim=16, m=4, k_codes=8, seed=9)
+    R2 = train_opq_rotation(base, dim=16, m=4, k_codes=8, seed=9)
+    assert np.array_equal(R1, R2)
+
+
+def test_opq_dim_mismatch_raises(spark):
+    base = _anisotropic(spark, n=50)
+    with pytest.raises(ValueError):
+        train_opq_rotation(base, dim=16, m=5)
