@@ -54,6 +54,9 @@ HEADLINE = [
     "similarity_topk_int8",
     "benchmark_contamination",
     "char_entropy_quality",
+    # round-4 final wave: exact-substring duplication profile (the
+    # heaviest new shape — O(total chars) rows through two shuffles).
+    "substring_dedup_spans",
 ]
 
 

@@ -252,6 +252,30 @@ def main() -> None:
             rerank_factor=8,
         )
 
+    def substring_dedup_shape(d):
+        from duck_delta_share_spark.operators.dedup import duplicated_span_stats
+
+        # hash_grams: the production width-cut (8-byte xxhash64 shuffle
+        # key instead of the 40-char window)
+        return duplicated_span_stats(d, n=40, hash_grams=True)
+
+    def opq_pq_shape(emb):
+        from duck_delta_share_spark.operators.similarity import (
+            pq_topk,
+            train_opq_rotation,
+        )
+
+        R = train_opq_rotation(emb, dim=64, m=8, k_codes=16, opq_iters=2)
+        return pq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 10),
+            dim=64,
+            m=8,
+            k_codes=32,
+            rerank_factor=8,
+            rotation=R,
+        )
+
     ops = [
         ("q1_agg", q1_shape, l1, lN),
         ("minhash_lsh", minhash_shape, d1, dN),
@@ -271,6 +295,8 @@ def main() -> None:
         ("benchmark_contamination", contamination_shape, d1, dN),
         ("char_entropy", entropy_shape, d1, dN),
         ("bigram_lm_join", bigram_lm_shape, d1, dN),
+        ("substring_dedup", substring_dedup_shape, d1, dN),
+        ("opq_pq_topk", opq_pq_shape, emb1, embN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))
