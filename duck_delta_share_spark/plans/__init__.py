@@ -33,6 +33,10 @@ _R4_WINDOW = [
     "delta_schema_evolution",
     "delta_txn_idempotent_append",
     "similarity_ann_opq",
+    "bitwise_functions",
+    "try_arithmetic",
+    "lateral_topk",
+    "higher_order_array",
     "simhash_signatures",
     "delta_share_dv_rest_scan",
     "delta_column_mapping_merge",

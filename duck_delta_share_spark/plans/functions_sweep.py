@@ -569,3 +569,143 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(var_q).alias("stddev_qty"),
         F.round(cov_num / den, 9).alias("corr_qty_price"),
     )
+
+
+@query(
+    "bitwise_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS b_and,
+       CAST(o_orderkey | 4096 AS BIGINT) AS b_or,
+       CAST(xor(o_orderkey, 1365) AS BIGINT) AS b_xor,
+       CAST(~o_orderkey AS BIGINT) AS b_not,
+       CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS INT) AS b_pop,
+       CAST((o_orderkey & 1023) << 3 AS BIGINT) AS b_shl,
+       CAST(o_orderkey >> 2 AS BIGINT) AS b_shr
+FROM orders
+WHERE o_orderkey % 7 = 0
+""",
+    doc="bitwise and/or/xor/not/popcount/shifts on bigint keys",
+)
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.where(k % 7 == 0).select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.lit(1365)).alias("b_xor"),
+        F.expr("~o_orderkey").alias("b_not"),
+        F.bit_count(k).alias("b_pop"),
+        F.expr("shiftleft(o_orderkey & 1023, 3)").cast("bigint").alias("b_shl"),
+        F.expr("shiftright(o_orderkey, 2)").alias("b_shr"),
+    )
+
+
+@query(
+    "try_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_div,
+       CAST(CASE WHEN o_orderkey + CAST(9223372036854775800 AS HUGEINT)
+                      > CAST(9223372036854775807 AS HUGEINT)
+                 THEN NULL
+                 ELSE o_orderkey + CAST(9223372036854775800 AS HUGEINT) END
+            AS BIGINT) AS safe_add,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+       TRY_CAST(o_orderstatus AS BIGINT) AS not_a_number
+FROM orders
+WHERE o_orderkey % 11 = 0
+""",
+    doc="ANSI-safe arithmetic: try_divide (NULL on /0), try_add (NULL on "
+    "int64 overflow — Spark 4 ANSI mode errors on plain +), TRY_CAST on "
+    "parseable and unparseable strings",
+)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        F.expr("try_divide(o_totalprice, o_orderkey % 3)").alias("safe_div"),
+        F.expr("try_add(o_orderkey, 9223372036854775800L)").alias("safe_add"),
+        F.expr("TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)").alias("prio_num"),
+        F.expr("TRY_CAST(o_orderstatus AS BIGINT)").alias("not_a_number"),
+    )
+
+
+@query(
+    "lateral_topk",
+    oracle="""
+SELECT n.n_name, s.s_name, s.s_acctbal
+FROM nation n, LATERAL (
+  SELECT s_name, s_acctbal FROM supplier
+  WHERE s_nationkey = n.n_nationkey
+  ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+""",
+    doc="correlated LATERAL subquery with per-row ORDER BY + LIMIT (the "
+    "SQL-standard top-k-per-group form; Catalyst decorrelates it into the "
+    "same ranked-window plan topk_per_group builds by hand)",
+)
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("nation", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name, s.s_name, s.s_acctbal
+        FROM nation n, LATERAL (
+          SELECT s_name, s_acctbal FROM supplier
+          WHERE s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+        """
+    )
+
+
+@query(
+    "higher_order_array",
+    oracle="""
+WITH t AS (
+  SELECT p_partkey,
+         generate_series(CAST(1 AS BIGINT), CAST(p_partkey % 8 + 1 AS BIGINT)) AS arr,
+         CAST(p_partkey % 8 + 1 AS BIGINT) AS alen
+  FROM part WHERE p_partkey % 5 = 0
+)
+SELECT p_partkey,
+       CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS fold_sq,
+       CAST(list_sum(list_transform(generate_series(CAST(1 AS BIGINT), alen),
+                                    i -> arr[CAST(i AS INTEGER)]
+                                         * arr[CAST(alen + 1 - i AS INTEGER)]))
+            AS BIGINT) AS zip_rev_dot,
+       len(list_filter(arr, x -> x % 5 = 0)) > 0 AS has_mult5,
+       len(list_filter(arr, x -> x % 2 != 1)) = 0 AS all_odd,
+       list_contains(arr, CAST(3 AS BIGINT)) AS has_three,
+       CAST(coalesce(list_sum(arr[2:3]), 0) AS BIGINT) AS slice_sum
+FROM t
+""",
+    doc="higher-order array surface: aggregate (left fold), zip_with "
+    "against the reversed array, exists/forall, array_contains, slice — "
+    "integer arrays so every engine agrees bit-exactly",
+)
+def higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    t = p.where(F.col("p_partkey") % 5 == 0).select(
+        "p_partkey",
+        F.sequence(
+            F.lit(1).cast("long"), (F.col("p_partkey") % 8 + 1).cast("long")
+        ).alias("arr"),
+    )
+    return t.select(
+        "p_partkey",
+        F.aggregate(
+            "arr", F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("fold_sq"),
+        F.aggregate(
+            F.zip_with("arr", F.reverse("arr"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("zip_rev_dot"),
+        F.exists("arr", lambda x: x % 5 == 0).alias("has_mult5"),
+        F.forall("arr", lambda x: x % 2 == 1).alias("all_odd"),
+        F.array_contains("arr", F.lit(3).cast("long")).alias("has_three"),
+        F.aggregate(
+            F.slice("arr", 2, 2), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("slice_sum"),
+    )
