@@ -37,6 +37,7 @@ _R4_WINDOW = [
     "try_arithmetic",
     "lateral_topk",
     "higher_order_array",
+    "delta_check_constraint",
     "simhash_signatures",
     "delta_share_dv_rest_scan",
     "delta_column_mapping_merge",

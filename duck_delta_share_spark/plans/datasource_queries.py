@@ -690,3 +690,44 @@ def delta_txn_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     w(lo, 0)  # crash-replay of batch 0: must be a no-op
     w(hi, 1)  # crash-replay of batch 1: must be a no-op
     return read_delta(spark, table).orderBy("s_suppkey")
+
+
+@query(
+    "delta_check_constraint",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN -c_acctbal ELSE c_acctbal END AS c_acctbal
+FROM customer
+ORDER BY c_custkey
+""",
+    doc="CHECK constraints on the local Delta write path "
+    "(sources/delta_log.py:add_check_constraint + _enforce_constraints, "
+    "protocol 'CHECK Constraints' / delta.constraints.*): the table is "
+    "created from non-negative balances, a constraint is added (with "
+    "existing-row validation), the raw negative rows are REJECTED at "
+    "append, and the rectified rows land — the scan-back proves rejected "
+    "rows never reached the log",
+)
+def delta_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import (
+        add_check_constraint,
+        read_delta,
+        write_delta,
+    )
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_chk_")) / "t"
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    write_delta(c.where("c_acctbal >= 0"), table)
+    add_check_constraint(spark, table, "non_negative", "c_acctbal >= 0")
+    neg = c.where("c_acctbal < 0")
+    try:
+        write_delta(neg, table)
+        raise AssertionError("constraint should have rejected negative rows")
+    except ValueError:
+        pass
+    write_delta(neg.select("c_custkey", (-F.col("c_acctbal")).alias("c_acctbal")), table)
+    return read_delta(spark, table).orderBy("c_custkey")

@@ -295,6 +295,15 @@ def read_delta(spark, table_path: str | Path, version: int | None = None):
 
 _STATS_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "string", "date")
 
+# Lossless type-widening chains (Delta "type widening" semantics, the
+# subset every reader path upcasts natively): narrower -> allowed wider.
+_WIDENS = {
+    "byte": ("short", "integer", "long"),
+    "short": ("integer", "long"),
+    "integer": ("long",),
+    "float": ("double",),
+}
+
 
 def _file_stats(path: Path, fields: list) -> str:
     """numRecords + per-column min/max from the parquet footer, in the
@@ -398,6 +407,108 @@ def _stage_files(
     return adds
 
 
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def _check_constraints(configuration: dict) -> dict:
+    """name -> SQL expression for every CHECK constraint in the table
+    configuration (protocol "CHECK Constraints": ``delta.constraints.<name>``)."""
+    return {
+        k[len(_CONSTRAINT_PREFIX):]: v
+        for k, v in (configuration or {}).items()
+        if k.startswith(_CONSTRAINT_PREFIX)
+    }
+
+
+def _enforce_constraints(df, configuration: dict, context: str) -> None:
+    """Reject rows violating any CHECK constraint BEFORE staging. SQL CHECK
+    semantics: a row passes when the expression is true OR null. One
+    ``limit(1)`` job per constraint (early-exits on the first violation;
+    delta-spark evaluates per-row during the write with the same
+    full-scan cost)."""
+    from pyspark.sql import functions as F
+
+    for name, expr in _check_constraints(configuration).items():
+        bad = df.where(F.expr(f"NOT coalesce(({expr}), true)")).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {name} ({expr}) violated by {context} "
+                f"row: {bad[0].asDict()}"
+            )
+
+
+def add_check_constraint(
+    spark, table_path: str | Path, name: str, expr: str, validate: bool = True
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT: persist ``delta.constraints.<name>`` in
+    the table configuration (one metaData commit) and upgrade
+    minWriterVersion to >= 3 (the protocol's checkConstraints writer
+    feature). ``validate`` scans existing rows first — a constraint the
+    current data violates is rejected, like delta-spark."""
+    table = Path(table_path)
+    snap = snapshot(table)
+    if name in _check_constraints(snap.configuration):
+        raise ValueError(f"constraint {name} already exists on {table}")
+    if validate:
+        _enforce_constraints(
+            read_delta(spark, table),
+            {_CONSTRAINT_PREFIX + name: expr},
+            "existing table",
+        )
+    config = dict(snap.configuration)
+    config[_CONSTRAINT_PREFIX + name] = expr
+    actions = []
+    proto = dict(snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2})
+    if int(proto.get("minWriterVersion", 2)) < 3:
+        proto["minWriterVersion"] = 3
+        actions.append({"protocol": proto})
+    actions.append(
+        {
+            "metaData": {
+                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema_string,
+                "partitionColumns": list(snap.partition_columns),
+                "configuration": config,
+            }
+        }
+    )
+    version = snap.version + 1
+    _atomic_commit(table, version, actions, operation="ADD CONSTRAINT")
+    return version
+
+
+def drop_check_constraint(table_path: str | Path, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: one metaData commit without the key."""
+    table = Path(table_path)
+    snap = snapshot(table)
+    if name not in _check_constraints(snap.configuration):
+        raise ValueError(f"no constraint {name} on {table}")
+    config = {
+        k: v
+        for k, v in snap.configuration.items()
+        if k != _CONSTRAINT_PREFIX + name
+    }
+    version = snap.version + 1
+    _atomic_commit(
+        table,
+        version,
+        [
+            {
+                "metaData": {
+                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": snap.schema_string,
+                    "partitionColumns": list(snap.partition_columns),
+                    "configuration": config,
+                }
+            }
+        ],
+        operation="DROP CONSTRAINT",
+    )
+    return version
+
+
 def write_delta(
     df,
     table_path: str | Path,
@@ -443,6 +554,7 @@ def write_delta(
     schema_string = df.schema.json()
     if version > 0:
         prev = snapshot(table)
+        _enforce_constraints(df, prev.configuration, mode)
         cm = _snap_column_mapping(prev)
         if cm:
             # column-mapping writes: stage with PHYSICAL names and keep the
@@ -478,16 +590,35 @@ def write_delta(
             prev_types = {f["name"]: f["type"] for f in prev_fields}
             df_fields = json.loads(df.schema.json())["fields"]
             df_types = {f["name"]: f["type"] for f in df_fields}
-            conflicts = sorted(
-                n for n, t in df_types.items()
-                if n in prev_types and prev_types[n] != t
-            )
+            conflicts = []
+            widened: dict[str, str] = {}
+            for fname, t in sorted(df_types.items()):
+                tp = prev_types.get(fname)
+                if tp is None or tp == t:
+                    continue
+                if tp in _WIDENS.get(t, ()):
+                    # df is NARROWER: write as-is, every reader path
+                    # upcasts narrow physical parquet types to the table
+                    # schema (pyarrow cast in _read_task; Spark's parquet
+                    # reader natively reads int32→long, float→double)
+                    continue
+                if merge_schema and t in _WIDENS.get(tp, ()):
+                    widened[fname] = t  # table type widens to df's type
+                    continue
+                conflicts.append(fname)
             if conflicts:
                 raise ValueError(
                     f"append column types conflict with the table schema on "
-                    f"{conflicts} (no implicit type widening); "
+                    f"{conflicts} (only lossless widening is supported, "
+                    "with merge_schema=True); "
                     "use mode='overwrite' to replace the schema"
                 )
+            if widened:
+                prev_fields = [
+                    dict(f, type=widened.get(f["name"], f["type"]))
+                    for f in prev_fields
+                ]
+                evolved = True
             missing_parts = [c for c in part_cols if c not in df_types]
             if missing_parts:
                 raise ValueError(
@@ -504,7 +635,7 @@ def write_delta(
                     f"{[f['name'] for f in new_fields]}; pass "
                     "merge_schema=True to evolve the table schema"
                 )
-            if new_fields:
+            if new_fields or widened:
                 schema_string = json.dumps(
                     {"type": "struct", "fields": prev_fields + new_fields}
                 )
@@ -538,9 +669,11 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_string,
                     "partitionColumns": part_cols,
-                    # mapped tables must keep delta.columnMapping.* config
+                    # table PROPERTIES survive data rewrites: overwrite
+                    # replaces rows, not configuration (columnMapping.*,
+                    # delta.constraints.*, ...)
                     "configuration": dict(prev.configuration)
-                    if version > 0 and cm
+                    if version > 0
                     else {},
                 }
             }
@@ -916,6 +1049,9 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
 
     table = Path(table_path)
     snap = snapshot(table)
+    # CHECK constraints apply to the NEW rows only — surviving rows were
+    # validated when they were written
+    _enforce_constraints(updates, snap.configuration, "merge updates")
     cm = _snap_column_mapping(snap)
     phys_to_logical = {p: l for l, p in (cm or {}).items()}
     keys = list(key_cols)
