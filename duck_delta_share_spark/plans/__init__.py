@@ -38,6 +38,7 @@ _R4_WINDOW = [
     "lateral_topk",
     "higher_order_array",
     "delta_check_constraint",
+    "bpe_train_merges",
     "simhash_signatures",
     "delta_share_dv_rest_scan",
     "delta_column_mapping_merge",

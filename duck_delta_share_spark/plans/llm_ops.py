@@ -2096,3 +2096,29 @@ def similarity_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_topk(
         e, e.filter(F.col("vec_id") < 10), dim=64, m=8, codebooks=books, rotation=P
     )
+
+
+@query(
+    "bpe_train_merges",
+    oracle=None,  # rows-only BY NECESSITY: BPE training is ITERATIVE —
+    # each merge's pair counts depend on every previous merge's rewrite of
+    # the symbol table, which no single SQL query (recursive CTEs cannot
+    # re-aggregate an argmax per step) can express. Determinism is
+    # verified instead against a from-first-principles single-machine
+    # trainer in tests/test_bpe.py (exact merge-list equality), and the
+    # encoder round-trips losslessly (concat(tokens) == text).
+    doc="distributed BPE tokenizer training (operators/bpe.py, Sennrich "
+    "2016): state is the vocab-sized word-frequency table (ONE corpus "
+    "groupBy), each merge round is a pair-count agg + one-row argmax "
+    "take + Arrow merge rewrite with localCheckpoint lineage truncation; "
+    "returns the rank-ordered merge table",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.bpe import train_bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(d, n_merges=40)
+    return spark.createDataFrame(
+        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
