@@ -407,6 +407,58 @@ def _stage_files(
     return adds
 
 
+# Writer features the local write paths implement for minWriterVersion 7
+# tables; legacy versions 1-6 map onto subsets of these (invariants on
+# empty-invariant schemas, appendOnly, checkConstraints, changeDataFeed —
+# our commits always write full CDF-reconstructible add/remove actions —
+# generatedColumns, columnMapping, identityColumns are NOT here).
+_SUPPORTED_WRITER_FEATURES = frozenset(
+    {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "columnMapping",
+        "deletionVectors",
+        "timestampNtz",
+    }
+)
+
+
+def _check_local_writer_protocol(snap: "DeltaSnapshot", operation: str) -> None:
+    """Refuse to WRITE a table whose protocol demands writer behavior we
+    do not implement — writing anyway could silently break another
+    engine's invariants (the mirror of _check_local_protocol; the
+    reference has no write path to gate at all).
+
+    Also enforces ``delta.appendOnly``: only plain appends are allowed on
+    such tables (protocol "Append-only Tables").
+    """
+    p = snap.protocol or {}
+    v = int(p.get("minWriterVersion", 2))
+    if v == 7:
+        unsupported = set(p.get("writerFeatures") or ()) - _SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise ValueError(
+                f"table requires writer features {sorted(unsupported)} "
+                "which this writer does not implement"
+            )
+    elif v > 7:
+        raise ValueError(
+            f"table requires minWriterVersion {v} (> 7); refusing to write"
+        )
+    if (
+        (snap.configuration or {}).get("delta.appendOnly", "").lower() == "true"
+        and operation in ("overwrite", "merge", "delete", "restore")
+    ):
+        # spec: append-only forbids remove actions with dataChange=true —
+        # OPTIMIZE (dataChange=false moves) and metadata commits stay legal
+        raise ValueError(
+            f"table is append-only (delta.appendOnly=true); {operation} "
+            "would remove or rewrite rows"
+        )
+
+
 _CONSTRAINT_PREFIX = "delta.constraints."
 
 
@@ -554,6 +606,7 @@ def write_delta(
     schema_string = df.schema.json()
     if version > 0:
         prev = snapshot(table)
+        _check_local_writer_protocol(prev, mode)
         _enforce_constraints(df, prev.configuration, mode)
         cm = _snap_column_mapping(prev)
         if cm:
@@ -1049,6 +1102,7 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
 
     table = Path(table_path)
     snap = snapshot(table)
+    _check_local_writer_protocol(snap, "merge")
     # CHECK constraints apply to the NEW rows only — surviving rows were
     # validated when they were written
     _enforce_constraints(updates, snap.configuration, "merge updates")
@@ -1174,6 +1228,7 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
 
     table = Path(table_path).resolve()
     snap = snapshot(table)
+    _check_local_writer_protocol(snap, "delete")
     cm = _snap_column_mapping(snap)
     inv = {p: l for l, p in (cm or {}).items()}
     if not snap.files:
@@ -1355,6 +1410,7 @@ def optimize(
 
     table = Path(table_path)
     snap = snapshot(table)
+    _check_local_writer_protocol(snap, "optimize")
     cm = _snap_column_mapping(snap)
     by_part: dict[tuple, list[dict]] = {}
     for f in snap.files:
@@ -1420,6 +1476,7 @@ def restore_delta(table_path: str | Path, version: int) -> dict:
     """
     table = Path(table_path)
     cur = snapshot(table)
+    _check_local_writer_protocol(cur, "restore")
     target = int(version)
     tgt = snapshot(table, target)
 
