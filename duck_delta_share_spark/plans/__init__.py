@@ -39,6 +39,7 @@ _R4_WINDOW = [
     "higher_order_array",
     "delta_check_constraint",
     "bpe_train_merges",
+    "delta_generated_columns",
     "simhash_signatures",
     "delta_share_dv_rest_scan",
     "delta_column_mapping_merge",

@@ -731,3 +731,53 @@ def delta_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     write_delta(neg.select("c_custkey", (-F.col("c_acctbal")).alias("c_acctbal")), table)
     return read_delta(spark, table).orderBy("c_custkey")
+
+
+@query(
+    "delta_generated_columns",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year
+FROM orders
+WHERE o_orderkey % 9 = 0
+ORDER BY o_orderkey
+""",
+    doc="generated columns (sources/delta_log.py:_materialize_generated, "
+    "protocol 'Generated Columns' / delta.generationExpression field "
+    "metadata): the table declares o_year = year(o_orderdate); half the "
+    "rows are appended WITHOUT the column (computed at write time), half "
+    "WITH it (validated null-safely) — the scan-back equals the SQL "
+    "recomputation, proving stored values and expression agree",
+)
+def delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import read_delta, write_delta
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_gen_")) / "t"
+    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 9 = 0")
+    first = (
+        o.where("o_orderkey % 2 = 0")
+        .selectExpr(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderdate",
+            "CAST(year(o_orderdate) AS BIGINT) AS o_year",
+        )
+        .withMetadata(
+            "o_year", {"delta.generationExpression": "CAST(year(o_orderdate) AS BIGINT)"}
+        )
+    )
+    write_delta(first, table)
+    # second batch OMITS the generated column: the writer computes it
+    write_delta(
+        o.where("o_orderkey % 2 = 1").select("o_orderkey", "o_totalprice", "o_orderdate"),
+        table,
+    )
+    return (
+        read_delta(spark, table)
+        .select("o_orderkey", "o_totalprice", "o_year")
+        .orderBy("o_orderkey")
+    )

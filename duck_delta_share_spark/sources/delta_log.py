@@ -415,6 +415,7 @@ def _stage_files(
 _SUPPORTED_WRITER_FEATURES = frozenset(
     {
         "appendOnly",
+        "generatedColumns",
         "invariants",
         "checkConstraints",
         "changeDataFeed",
@@ -457,6 +458,47 @@ def _check_local_writer_protocol(snap: "DeltaSnapshot", operation: str) -> None:
             f"table is append-only (delta.appendOnly=true); {operation} "
             "would remove or rewrite rows"
         )
+
+
+
+def _generation_expressions(schema_string: str) -> dict:
+    """name -> SQL expression for fields carrying
+    ``delta.generationExpression`` metadata (protocol "Generated Columns";
+    delta-spark puts the expression in StructField metadata)."""
+    if not schema_string:
+        return {}
+    out = {}
+    for f in json.loads(schema_string)["fields"]:
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if expr:
+            out[f["name"]] = expr
+    return out
+
+
+def _materialize_generated(df, schema_string: str, context: str):
+    """Delta generated-column write semantics: a missing generated column
+    is COMPUTED from its expression (one narrow projection); a provided
+    one must MATCH the expression on every row (null-safe, limit(1)
+    early-exit probe) — otherwise a reader recomputing the expression
+    would disagree with the stored values."""
+    from pyspark.sql import functions as F
+
+    gens = _generation_expressions(schema_string)
+    for name, expr in gens.items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+        else:
+            bad = (
+                df.where(F.expr(f"NOT (`{name}` <=> ({expr}))"))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"generated column {name} = {expr} does not match the "
+                    f"provided values in {context} row: {bad[0].asDict()}"
+                )
+    return df
 
 
 _CONSTRAINT_PREFIX = "delta.constraints."
@@ -603,10 +645,17 @@ def write_delta(
     part_cols = list(partition_by or ())
     cm: dict[str, str] | None = None
     evolved = False
+    if version == 0:
+        df = _materialize_generated(df, df.schema.json(), "create")
     schema_string = df.schema.json()
     if version > 0:
         prev = snapshot(table)
         _check_local_writer_protocol(prev, mode)
+        # generated columns come from the TARGET schema: the table's for
+        # append, the incoming frame's for overwrite (schema swap)
+        df = _materialize_generated(
+            df, prev.schema_string if mode == "append" else df.schema.json(), mode
+        )
         _enforce_constraints(df, prev.configuration, mode)
         cm = _snap_column_mapping(prev)
         if cm:
@@ -1103,6 +1152,7 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
     table = Path(table_path)
     snap = snapshot(table)
     _check_local_writer_protocol(snap, "merge")
+    updates = _materialize_generated(updates, snap.schema_string, "merge updates")
     # CHECK constraints apply to the NEW rows only — surviving rows were
     # validated when they were written
     _enforce_constraints(updates, snap.configuration, "merge updates")
