@@ -1202,14 +1202,98 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
                     "dataChange": True}}
         for f in candidates
     ] + adds
-    version = latest_version(table) + 1
-    _atomic_commit(table, version, actions, operation="MERGE")
+    removed = {str(Path(f["url"]).relative_to(table)) for f in candidates}
+
+    def add_conflicts(add: dict) -> bool:
+        # a concurrent append conflicts only if its stats range may hold
+        # one of OUR update keys (same stats_allow the file pruning used)
+        try:
+            stats = json.loads(add.get("stats") or "{}")
+        except ValueError:
+            stats = {}
+        if phys_to_logical and isinstance(stats, dict):
+            stats = {
+                k: {phys_to_logical.get(c, c): v for c, v in val.items()}
+                if isinstance(val, dict)
+                else val
+                for k, val in stats.items()
+            }
+        return stats_allow(filters, stats)
+
+    version = _commit_with_conflict_check(
+        table, snap.version, actions, "MERGE", removed, add_conflicts
+    )
     return {
         "version": version,
         "files_rewritten": len(candidates),
         "files_untouched": untouched,
         "rows_written": rows,
     }
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A concurrent commit conflicts with this operation's read snapshot —
+    the caller must re-read the table and retry the whole operation."""
+
+
+def _commit_with_conflict_check(
+    table: Path,
+    read_version: int,
+    actions: list[dict],
+    operation: str,
+    removed_paths: set[str],
+    add_conflicts,
+) -> int:
+    """Optimistic-concurrency commit (Delta's serializable write rule):
+    try version read_version+1 upward; before committing ABOVE commits we
+    did not read, replay them and abort when one could change this
+    operation's outcome —
+
+    - metaData / protocol change → always conflict (schema/feature drift);
+    - remove of a path this operation also removes → concurrent
+      delete/rewrite of the same file (lost update);
+    - add with dataChange=true for which ``add_conflicts(add)`` is true →
+      concurrently appended rows this operation SHOULD have read
+      (dataChange=false compaction moves are safe: if they rewrote one of
+      our files, their paired remove trips the rule above).
+
+    Disjoint blind appends — the common case under concurrent loaders —
+    commit on the bumped version without rereading any data.
+    """
+    version = read_version + 1
+    while True:
+        for v in range(read_version + 1, version):
+            with open(_commit_path(table, v)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "metaData" in a or "protocol" in a:
+                        raise ConcurrentWriteError(
+                            f"concurrent metadata/protocol commit at version "
+                            f"{v} of {table}; re-read and retry {operation}"
+                        )
+                    if "remove" in a and unquote(a["remove"]["path"]) in removed_paths:
+                        raise ConcurrentWriteError(
+                            f"concurrent commit at version {v} removed "
+                            f"{a['remove']['path']} which {operation} also "
+                            f"rewrites; re-read and retry"
+                        )
+                    if (
+                        "add" in a
+                        and a["add"].get("dataChange", True)
+                        and add_conflicts(a["add"])
+                    ):
+                        raise ConcurrentWriteError(
+                            f"concurrent commit at version {v} appended rows "
+                            f"that {operation} should have read; re-read and "
+                            "retry"
+                        )
+        try:
+            _atomic_commit(table, version, actions, operation=operation)
+            return version
+        except FileExistsError:
+            version += 1
 
 
 def _snap_column_mapping(snap: DeltaSnapshot) -> dict[str, str] | None:
@@ -1427,8 +1511,16 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
                 }
             }
         )
-    version = latest_version(table) + 1
-    _atomic_commit(table, version, actions, operation="DELETE")
+    version = _commit_with_conflict_check(
+        table,
+        snap.version,
+        actions,
+        "DELETE",
+        {r.rel for r in touched},
+        # an arbitrary SQL predicate can't be stats-checked soundly:
+        # ANY concurrently appended row might match — conservative abort
+        lambda add: True,
+    )
     return {
         "version": version,
         "files_touched": len(touched),
@@ -1498,8 +1590,16 @@ def optimize(
                     "dataChange": False}}
         for f in todo
     ] + adds
-    version = latest_version(table) + 1
-    _atomic_commit(table, version, actions, operation="OPTIMIZE")
+    version = _commit_with_conflict_check(
+        table,
+        snap.version,
+        actions,
+        "OPTIMIZE",
+        {str(Path(f["url"]).relative_to(table)) for f in todo},
+        # compaction rewrites bytes, reads no rows: concurrent APPENDS
+        # never conflict; a concurrent remove of a compacted file does
+        lambda add: False,
+    )
     return {
         "version": version,
         "files_before": len(snap.files),
@@ -1594,8 +1694,14 @@ def restore_delta(table_path: str | Path, version: int) -> dict:
             }
         )
         added += 1
-    new_version = latest_version(table) + 1
-    _atomic_commit(table, new_version, actions, operation="RESTORE")
+    new_version = _commit_with_conflict_check(
+        table,
+        cur.version,
+        actions,
+        "RESTORE",
+        {str(Path(f["url"]).relative_to(table)) for f in cur.files},
+        lambda add: True,
+    )
     return {
         "version": new_version,
         "files_added": added,
