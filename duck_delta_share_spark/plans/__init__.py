@@ -40,6 +40,7 @@ _R4_WINDOW = [
     "delta_check_constraint",
     "bpe_train_merges",
     "delta_generated_columns",
+    "quality_features",
     "simhash_signatures",
     "delta_share_dv_rest_scan",
     "delta_column_mapping_merge",

@@ -2122,3 +2122,58 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
         "rank int, left string, right string, merged string",
     )
+
+
+_QUALITY_FEATURES_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks,
+         greatest(length(text), 1) AS n_chr
+  FROM documents
+), s AS (
+  SELECT doc_id, text, toks, CAST(n_chr AS DOUBLE) AS n_chr,
+         CAST(greatest(len(toks), 1) AS DOUBLE) AS n_tok
+  FROM t
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / n_tok
+         AS f_mean_word_len,
+       CAST(len(list_intersect(toks,
+           ['the','a','an','and','or','of','to','in','is','was','for','on',
+            'with','as','by','at','it','this','that','be','are','from']))
+         AS DOUBLE) / n_tok AS f_stopword_frac,
+       (n_chr - length(regexp_replace(text, '[0-9]', '', 'g'))) / n_chr
+         AS f_digit_frac,
+       (n_chr - length(replace(text, ' ', ''))) / n_chr AS f_space_frac,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok AS f_distinct_ratio,
+       (n_chr - length(regexp_replace(lower(text), '[aeiou]', '', 'g'))) / n_chr
+         AS f_vowel_frac,
+       round(ln(n_chr), 6) AS f_len_log
+FROM s
+"""
+
+
+@query(
+    "quality_features",
+    oracle=_QUALITY_FEATURES_ORACLE,
+    doc="learned-quality-classifier featurization "
+    "(operators/quality_model.py:text_features — GPT-3-style classifier "
+    "filtering): the corpus-pass feature block is pure codegen "
+    "expressions, oracle-verified per document; the LogisticRegression "
+    "fit/score on top (pyspark.ml, distributed LBFGS) is covered by "
+    "held-out accuracy tests in tests/test_quality_model.py (model "
+    "weights are optimizer-dependent, not SQL-expressible)",
+)
+def quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.quality_model import (
+        FEATURE_COLS,
+        text_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_features(d)
+    return out.select(
+        "doc_id",
+        *[c for c in FEATURE_COLS if c != "f_len_log"],
+        F.round("f_len_log", 6).alias("f_len_log"),
+    )
