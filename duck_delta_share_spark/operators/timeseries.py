@@ -124,3 +124,63 @@ def interval_join_bucketed(
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
         .drop("__bucket")
     )
+
+
+def ewma(
+    df: "DataFrame",
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    alpha: float,
+    bucket_seconds: int = 3600,
+) -> "DataFrame":
+    """Exponentially-weighted moving average per key over time buckets:
+    bucket means first (one hash-agg shuffle, decimal-exact sums), then a
+    LINEAR per-key scan ``s_t = (1-α)·s_{t-1} + α·x_t`` (s_{-1} = 0) in
+    Arrow batches — the recursive fold no window frame can express and a
+    prefix-refold would make O(n²). One extra shuffle keyed on the
+    (usually low-cardinality) key set; state is one double per key.
+
+    The fold order is pinned (bucket ascending), so results are bit-exact
+    reproducible — the DuckDB oracle replays the identical fold with
+    ``list_reduce`` (`plans/timeseries_queries.py`).
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    a = float(alpha)
+    bucket = (
+        F.timestamp_seconds(
+            (F.unix_timestamp(ts_col) / bucket_seconds).cast("long")
+            * bucket_seconds
+        )
+        if bucket_seconds
+        else F.col(ts_col)
+    )
+    hourly = (
+        df.groupBy(*key_cols, bucket.alias("__b"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    out_fields = ", ".join(
+        f"`{c}` {hourly.schema[c].dataType.simpleString()}" for c in key_cols
+    )
+    schema = f"{out_fields}, bucket timestamp, ewma double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__b")
+        acc, out = 0.0, []
+        for s, n in zip(pdf["__s"], pdf["__n"]):
+            acc = acc * (1.0 - a) + a * (s / n)
+            out.append(acc)
+        res = pdf[key_cols].copy()
+        res["bucket"] = pdf["__b"]
+        res["ewma"] = out
+        return res
+
+    return hourly.groupBy(*key_cols).applyInPandas(fold, schema)

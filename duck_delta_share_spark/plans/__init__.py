@@ -41,6 +41,8 @@ _R4_WINDOW = [
     "bpe_train_merges",
     "delta_generated_columns",
     "quality_features",
+    "ewma_hourly",
+    "window_rolling_median",
     "simhash_signatures",
     "delta_share_dv_rest_scan",
     "delta_column_mapping_merge",

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from duck_delta_share_spark.catalog import load_table
 from duck_delta_share_spark.operators.timeseries import (
+    ewma,
     interval_join_bucketed,
     resample_gapfill,
 )
@@ -102,4 +103,73 @@ def interval_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("win_id")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
         .orderBy("win_id")
+    )
+
+
+@query(
+    "ewma_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), seqs AS (
+  SELECT event_type, list_sort(list({'h': h, 's': s, 'n': n})) AS seq
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, u.r['h'] AS bucket, round(u.r['e'], 6) AS ewma FROM (
+  SELECT event_type,
+         unnest(list_transform(generate_series(1, len(seq)), i ->
+           {'h': seq[CAST(i AS INTEGER)]['h'],
+            'e': list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(seq[1:CAST(i AS INTEGER)],
+                                    y -> y['s'] / y['n'])),
+                   (acc, v) -> acc * 0.7 + 0.3 * v)})) AS r
+  FROM seqs) u
+""",
+    doc="per-type hourly EWMA (operators/timeseries.py:ewma): "
+    "decimal-exact bucket means, then the recursive fold "
+    "s_t = 0.7*s_{t-1} + 0.3*x_t as a LINEAR Arrow scan per key (no "
+    "window frame can express it; prefix-refolds would be O(n^2)); the "
+    "oracle replays the identical pinned-order fold with list_reduce — "
+    "bit-exact before the display rounding",
+)
+def ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    out = ewma(e, "ts", ["event_type"], "value", alpha=0.3, bucket_seconds=3600)
+    return out.select("event_type", "bucket", F.round("ewma", 6).alias("ewma"))
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+SELECT event_type, event_id, value,
+       median(value) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS med10,
+       min(value) OVER (PARTITION BY event_type ORDER BY event_id
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS min10,
+       max(value) OVER (PARTITION BY event_type ORDER BY event_id
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS max10
+FROM events WHERE event_id % 17 = 0
+""",
+    doc="rolling EXACT median (+min/max) over a 10-row frame per type — "
+    "Spark's percentile(value, 0.5) as a WINDOW aggregate vs DuckDB "
+    "median(): both interpolate even-count middles identically, so the "
+    "robust-smoothing primitive is hash-checked, not approximated",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where("event_id % 17 = 0")
+    frame = (
+        "OVER (PARTITION BY event_type ORDER BY event_id "
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"
+    )
+    return e.selectExpr(
+        "event_type",
+        "event_id",
+        "value",
+        f"percentile(value, 0.5) {frame} AS med10",
+        f"min(value) {frame} AS min10",
+        f"max(value) {frame} AS max10",
     )

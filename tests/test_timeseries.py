@@ -148,3 +148,25 @@ def test_interval_join_bucketization_sound_random(spark, seed):
         ).collect()
     }
     assert got == expected
+
+
+def test_ewma_linear_fold_matches_reference(spark):
+    import pandas as pd
+
+    from duck_delta_share_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", f"2024-01-01 0{h}:00:00", float(v))
+         for h, v in [(0, 10.0), (1, 20.0), (2, 30.0)]]
+        + [("b", "2024-01-01 00:00:00", 5.0)],
+        "k string, ts string, value double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    out = {
+        (r.k, str(r.bucket)): r.ewma
+        for r in ewma(df, "ts", ["k"], "value", alpha=0.5).collect()
+    }
+    # s_t = 0.5*s_{t-1} + 0.5*x_t, s_{-1}=0
+    assert out[("a", "2024-01-01 00:00:00")] == 5.0
+    assert out[("a", "2024-01-01 01:00:00")] == 12.5
+    assert out[("a", "2024-01-01 02:00:00")] == 21.25
+    assert out[("b", "2024-01-01 00:00:00")] == 2.5
