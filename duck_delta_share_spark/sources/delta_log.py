@@ -408,10 +408,10 @@ def _stage_files(
 
 
 # Writer features the local write paths implement for minWriterVersion 7
-# tables; legacy versions 1-6 map onto subsets of these (invariants on
-# empty-invariant schemas, appendOnly, checkConstraints, changeDataFeed —
-# our commits always write full CDF-reconstructible add/remove actions —
-# generatedColumns, columnMapping, identityColumns are NOT here).
+# tables; legacy versions 1-6 map onto subsets of these. changeDataFeed
+# holds because our commits always write full CDF-reconstructible
+# add/remove actions; identityColumns / rowTracking / icebergCompatV*
+# are NOT implemented and make the gate refuse.
 _SUPPORTED_WRITER_FEATURES = frozenset(
     {
         "appendOnly",
@@ -603,6 +603,62 @@ def drop_check_constraint(table_path: str | Path, name: str) -> int:
     return version
 
 
+_CM_ID_KEY = "delta.columnMapping.id"
+_CM_PHYS_KEY = "delta.columnMapping.physicalName"
+_CM_MAX_ID_KEY = "delta.columnMapping.maxColumnId"
+
+
+def _evolve_column_mapping(
+    prev: "DeltaSnapshot", schema_string: str, table: Path
+) -> tuple[str, dict, dict]:
+    """Column-mapping schema evolution (the field-id assignment the r3/r4
+    code failed fast on): fields already in the table KEEP their mapping
+    metadata (id + physicalName survive renames/widening by design —
+    that is the point of column mapping); NEW fields get the next field
+    id and a fresh ``col-<uuid>`` physical name (delta-spark layout,
+    uuid5-deterministic here so retried commits agree). Returns the
+    patched schemaString, the logical→physical map for staging, and the
+    configuration delta ({maxColumnId} when ids were consumed)."""
+    prev_by_name = {
+        f["name"]: f for f in json.loads(prev.schema_string)["fields"]
+    }
+    fields = json.loads(schema_string)["fields"]
+    used_ids = [
+        int((f.get("metadata") or {}).get(_CM_ID_KEY, 0))
+        for f in prev_by_name.values()
+    ]
+    max_id = max(
+        [int(prev.configuration.get(_CM_MAX_ID_KEY, 0))] + used_ids
+    )
+    out_fields, assigned = [], False
+    for f in fields:
+        p = prev_by_name.get(f["name"])
+        if p is not None:
+            # keep the TABLE's mapping metadata; take type/nullable from
+            # the (possibly widened) target field
+            out_fields.append(dict(f, metadata=p.get("metadata") or {}))
+            continue
+        max_id += 1
+        assigned = True
+        phys = "col-" + str(
+            uuid.uuid5(uuid.NAMESPACE_URL, f"{table}#{f['name']}#{max_id}")
+        )
+        meta = dict(f.get("metadata") or {})
+        meta[_CM_ID_KEY] = max_id
+        meta[_CM_PHYS_KEY] = phys
+        out_fields.append(dict(f, metadata=meta))
+    mapping = {
+        f["name"]: (f.get("metadata") or {}).get(_CM_PHYS_KEY, f["name"])
+        for f in out_fields
+    }
+    config_delta = {_CM_MAX_ID_KEY: str(max_id)} if assigned else {}
+    return (
+        json.dumps({"type": "struct", "fields": out_fields}),
+        mapping,
+        config_delta,
+    )
+
+
 def write_delta(
     df,
     table_path: str | Path,
@@ -658,20 +714,12 @@ def write_delta(
         )
         _enforce_constraints(df, prev.configuration, mode)
         cm = _snap_column_mapping(prev)
-        if cm:
-            # column-mapping writes: stage with PHYSICAL names and keep the
-            # mapped schemaString — but only for an unchanged logical
-            # schema (evolution would need new field-id assignment)
-            have = {
-                (f["name"], f["type"])
-                for f in json.loads(prev.schema_string)["fields"]
-            }
-            want = {(f["name"], f["type"]) for f in json.loads(schema_string)["fields"]}
-            if have != want:
-                raise NotImplementedError(
-                    "schema evolution on a column-mapping table is not "
-                    f"supported (table: {sorted(have)}; write: {sorted(want)})"
-                )
+        if cm and mode == "append":
+            # column-mapping writes stage with PHYSICAL names; the generic
+            # append logic below resolves the target schema (subset /
+            # new-column / widening rules are identical), then
+            # _evolve_column_mapping assigns field ids + physical names to
+            # any NEW fields
             schema_string = prev.schema_string
         if mode == "append":
             # appends must match the table's physical layout; raise on a
@@ -745,6 +793,12 @@ def write_delta(
             else:
                 schema_string = prev.schema_string
 
+    config_delta: dict = {}
+    if cm is not None:
+        schema_string, cm, config_delta = _evolve_column_mapping(
+            prev, schema_string, table
+        )
+
     staged, staged_part_cols = _to_physical(df, cm, part_cols)
     adds = _stage_files(staged, table, staged_part_cols)
 
@@ -773,8 +827,9 @@ def write_delta(
                     "partitionColumns": part_cols,
                     # table PROPERTIES survive data rewrites: overwrite
                     # replaces rows, not configuration (columnMapping.*,
-                    # delta.constraints.*, ...)
-                    "configuration": dict(prev.configuration)
+                    # delta.constraints.*, ...); config_delta carries the
+                    # bumped columnMapping.maxColumnId on evolution
+                    "configuration": {**dict(prev.configuration), **config_delta}
                     if version > 0
                     else {},
                 }

@@ -249,12 +249,70 @@ def test_mapped_optimize_compacts(spark, tmp_path):
     assert _physical_columns(t) <= {"col-aaa111", "col-bbb222", "col-ccc333"}
 
 
-def test_mapped_schema_evolution_fails_fast(spark, tmp_path):
-    from duck_delta_share_spark.sources.delta_log import write_delta
+def test_mapped_schema_evolution_append(spark, tmp_path):
+    """r4: evolution on mapped tables assigns fresh field ids + col-<uuid>
+    physical names instead of failing fast."""
+    import json as _json
+
+    from duck_delta_share_spark.sources.delta_log import (
+        read_delta,
+        snapshot,
+        write_delta,
+    )
+
+    t = _mapped_table(tmp_path)
+    extra = spark.createDataFrame(
+        [(100, "z", "eu", 5)], "id long, name string, region string, extra long"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        write_delta(extra, t)
+    write_delta(extra, t, merge_schema=True)
+    snap = snapshot(t)
+    fields = {f["name"]: f for f in _json.loads(snap.schema_string)["fields"]}
+    meta = fields["extra"]["metadata"]
+    assert meta["delta.columnMapping.id"] == 4
+    assert meta["delta.columnMapping.physicalName"].startswith("col-")
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "4"
+    # existing fields keep their original mapping
+    assert fields["id"]["metadata"]["delta.columnMapping.physicalName"] == "col-aaa111"
+    rows = {r.id: r for r in read_delta(spark, t).collect()}
+    assert rows[100].extra == 5
+    assert all(rows[i].extra is None for i in rows if i != 100)
+    # the staged parquet uses the PHYSICAL name
+    assert any(
+        c.startswith("col-") and c not in ("col-aaa111", "col-bbb222", "col-ccc333")
+        for c in _physical_columns(t)
+    )
+
+
+def test_mapped_subset_append_null_fills(spark, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import read_delta, write_delta
+
+    t = _mapped_table(tmp_path)
+    write_delta(
+        spark.createDataFrame([(200, "only-id-name")], "id long, name string"), t
+    )
+    rows = {r.id: r for r in read_delta(spark, t).collect()}
+    assert rows[200].region is None and rows[200].name == "only-id-name"
+
+
+def test_mapped_schema_evolution_overwrite(spark, tmp_path):
+    import json as _json
+
+    from duck_delta_share_spark.sources.delta_log import (
+        read_delta,
+        snapshot,
+        write_delta,
+    )
 
     t = _mapped_table(tmp_path)
     widened = spark.createDataFrame(
         [(1, "z", "eu", 5)], "id long, name string, region string, extra long"
     )
-    with pytest.raises(NotImplementedError, match="schema evolution"):
-        write_delta(widened, t, mode="overwrite")
+    write_delta(widened, t, mode="overwrite")
+    snap = snapshot(t)
+    fields = {f["name"]: f for f in _json.loads(snap.schema_string)["fields"]}
+    assert fields["extra"]["metadata"]["delta.columnMapping.id"] == 4
+    assert fields["name"]["metadata"]["delta.columnMapping.physicalName"] == "col-bbb222"
+    out = read_delta(spark, t).collect()
+    assert len(out) == 1 and out[0].extra == 5
