@@ -313,6 +313,8 @@ def _file_stats(path: Path, fields: list) -> str:
     md = pq.ParquetFile(path).metadata
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    null_unknown: set[str] = set()
     simple = {f.name for f in fields if f.dataType.simpleString() in _STATS_TYPES}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -320,7 +322,15 @@ def _file_stats(path: Path, fields: list) -> str:
             col = g.column(j)
             name = col.path_in_schema
             st = col.statistics
-            if name not in simple or st is None or not st.has_min_max:
+            if name not in simple or st is None:
+                continue
+            # nullCount enables IS [NOT] NULL and all-null pruning; one
+            # row group without the stat poisons the column (sums lie)
+            if st.null_count is None:
+                null_unknown.add(name)
+            else:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            if not st.has_min_max:
                 continue
             mn, mx = st.min, st.max
             if isinstance(mn, bytes):
@@ -330,8 +340,15 @@ def _file_stats(path: Path, fields: list) -> str:
                     continue
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    for name in null_unknown:
+        nulls.pop(name, None)
     return json.dumps(
-        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs},
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        },
         default=str,
     )
 

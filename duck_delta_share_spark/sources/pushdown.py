@@ -352,14 +352,31 @@ def stats_allow(filters: list[Filter], stats: dict[str, Any]) -> bool:
     """
     mins = stats.get("minValues") or {}
     maxs = stats.get("maxValues") or {}
+    nulls = stats.get("nullCount") or {}
+    num_records = stats.get("numRecords")
     for f in filters:
         attr = getattr(f, "attribute", None)
         if attr is None:
             continue
         name = ".".join(attr)
+        # nullCount pruning (Delta stats carry per-column null counts):
+        # a file with zero nulls can't match IS NULL; an all-null column
+        # can't match IS NOT NULL
+        if isinstance(f, IsNull):
+            if nulls.get(name) == 0:
+                return False
+            continue
+        if isinstance(f, IsNotNull):
+            nc = nulls.get(name)
+            if nc is not None and num_records is not None and nc >= num_records:
+                return False
+            continue
         value = getattr(f, "value", None)
         if value is None and not isinstance(f, In):
             continue  # NULL comparisons carry no min/max information
+        nc = nulls.get(name)
+        if nc is not None and num_records is not None and nc >= num_records:
+            return False  # every value NULL: no comparison can match
         # In carries a tuple; coerce stats bounds with a NON-NULL element
         # as the type sample, not the tuple (which would degrade to
         # strings — and so would a leading None element).

@@ -601,3 +601,35 @@ def test_restore_fails_after_vacuum(spark, region, tmp_path):
     vacuum(t, retain_hours=0.0)  # removes the version-0 file
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         restore_delta(t, 0)
+
+
+def test_nullcount_stats_and_pruning(spark, tmp_path):
+    """nullCount in add-action stats + IS [NOT] NULL / all-null pruning
+    in stats_allow."""
+    import json as _json
+
+    from pyspark.sql.datasource import EqualTo, IsNotNull, IsNull
+
+    from duck_delta_share_spark.sources.delta_log import snapshot
+    from duck_delta_share_spark.sources.pushdown import stats_allow
+
+    t = tmp_path / "nc"
+    df = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, None)], "id bigint, name string"
+    ).coalesce(1)
+    write_delta(df, t)
+    stats = _json.loads(snapshot(t).files[0]["stats"])
+    assert stats["nullCount"] == {"id": 0, "name": 2}
+
+    no_nulls = {"numRecords": 3, "minValues": {}, "maxValues": {}, "nullCount": {"x": 0}}
+    all_nulls = {"numRecords": 3, "minValues": {}, "maxValues": {}, "nullCount": {"x": 3}}
+    some = {"numRecords": 3, "minValues": {}, "maxValues": {}, "nullCount": {"x": 1}}
+    assert not stats_allow([IsNull(("x",))], no_nulls)
+    assert stats_allow([IsNull(("x",))], some)
+    assert not stats_allow([IsNotNull(("x",))], all_nulls)
+    assert stats_allow([IsNotNull(("x",))], some)
+    # all-null column can't satisfy any comparison
+    assert not stats_allow([EqualTo(("x",), 7)], all_nulls)
+    assert stats_allow([EqualTo(("x",), 7)], some)
+    # unknown nullCount never prunes
+    assert stats_allow([IsNull(("x",))], {"numRecords": 3, "nullCount": {}})
