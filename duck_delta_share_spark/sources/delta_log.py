@@ -363,14 +363,28 @@ def _atomic_commit(
     ``operation`` prepends a commitInfo action (timestamp + operation
     name, the protocol's provenance record): timestampAsOf resolution and
     /changes timestamps then come from the log itself instead of the
-    commit file's mtime (which rsync/backup restores rewrite)."""
+    commit file's mtime (which rsync/backup restores rewrite). The
+    timestamp is clamped to (previous commit's timestamp + 1) — the
+    in-commit-timestamp monotonicity rule, so a clock regression (NTP
+    step, VM migration) can't make timestampAsOf resolve versions out of
+    order."""
     if operation is not None:
         import time
 
+        ts = int(time.time() * 1000)
+        prev_path = _commit_path(table, version - 1)
+        if version > 0 and prev_path.exists():
+            try:
+                with open(prev_path) as pf:
+                    first = json.loads(pf.readline())
+                prev_ts = int(first.get("commitInfo", {}).get("timestamp", 0))
+                ts = max(ts, prev_ts + 1)
+            except (ValueError, OSError):
+                pass  # legacy commit without commitInfo: wall clock stands
         actions = [
             {
                 "commitInfo": {
-                    "timestamp": int(time.time() * 1000),
+                    "timestamp": ts,
                     "operation": operation,
                     "engineInfo": "duck_delta_share_spark",
                 }

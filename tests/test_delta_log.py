@@ -633,3 +633,24 @@ def test_nullcount_stats_and_pruning(spark, tmp_path):
     assert stats_allow([EqualTo(("x",), 7)], some)
     # unknown nullCount never prunes
     assert stats_allow([IsNull(("x",))], {"numRecords": 3, "nullCount": {}})
+
+
+def test_commit_timestamps_monotonic_under_clock_regression(spark, region, tmp_path, monkeypatch):
+    import json as _json
+    import time as _time
+
+    from duck_delta_share_spark.sources.delta_log import _commit_path
+
+    t = tmp_path / "ts"
+    write_delta(region, t)
+    # simulate a clock stepping BACKWARD by an hour for the next commit
+    real_time = _time.time
+    monkeypatch.setattr(_time, "time", lambda: real_time() - 3600)
+    write_delta(region.limit(1), t, mode="append")
+    monkeypatch.setattr(_time, "time", real_time)
+    write_delta(region.limit(1), t, mode="append")
+    stamps = []
+    for v in range(3):
+        with open(_commit_path(t, v)) as f:
+            stamps.append(_json.loads(f.readline())["commitInfo"]["timestamp"])
+    assert stamps[0] < stamps[1] < stamps[2]
