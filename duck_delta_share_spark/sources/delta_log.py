@@ -295,6 +295,32 @@ def read_delta(spark, table_path: str | Path, version: int | None = None):
 
 _STATS_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "string", "date")
 
+def _type_key(t):
+    """Structural identity of a schema-JSON type, IGNORING field metadata
+    (column-mapping ids/physicalNames live there — a logically identical
+    append must not read as a schema change)."""
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return (
+                "struct",
+                tuple(
+                    (f["name"], _type_key(f["type"]), bool(f.get("nullable", True)))
+                    for f in t.get("fields", [])
+                ),
+            )
+        if kind == "array":
+            return ("array", _type_key(t.get("elementType")), bool(t.get("containsNull", True)))
+        if kind == "map":
+            return (
+                "map",
+                _type_key(t.get("keyType")),
+                _type_key(t.get("valueType")),
+                bool(t.get("valueContainsNull", True)),
+            )
+    return t
+
+
 # Lossless type-widening chains (Delta "type widening" semantics, the
 # subset every reader path upcasts natively): narrower -> allowed wider.
 _WIDENS = {
@@ -775,7 +801,10 @@ def write_delta(
             widened: dict[str, str] = {}
             for fname, t in sorted(df_types.items()):
                 tp = prev_types.get(fname)
-                if tp is None or tp == t:
+                if tp is None or _type_key(tp) == _type_key(t):
+                    continue
+                if not (isinstance(t, str) and isinstance(tp, str)):
+                    conflicts.append(fname)  # nested types never widen
                     continue
                 if tp in _WIDENS.get(t, ()):
                     # df is NARROWER: write as-is, every reader path
@@ -829,6 +858,24 @@ def write_delta(
         schema_string, cm, config_delta = _evolve_column_mapping(
             prev, schema_string, table
         )
+        # NESTED mapped fields: Spark's struct cast is positional, so one
+        # cast per affected top-level column relabels every depth to the
+        # physical names the parquet file must store
+        from pyspark.sql import functions as _F
+        from pyspark.sql.types import StructType
+
+        from duck_delta_share_spark.sources.schema import (
+            has_nested_mapping,
+            physical_data_type,
+            schema_from_string,
+        )
+
+        tgt = schema_from_string(schema_string)
+        for f in tgt.fields:
+            if f.name in df.columns and has_nested_mapping(StructType([f])):
+                df = df.withColumn(
+                    f.name, _F.col(f.name).cast(physical_data_type(f.dataType))
+                )
 
     staged, staged_part_cols = _to_physical(df, cm, part_cols)
     adds = _stage_files(staged, table, staged_part_cols)
@@ -1449,6 +1496,17 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
     table = Path(table_path).resolve()
     snap = snapshot(table)
     _check_local_writer_protocol(snap, "delete")
+    from duck_delta_share_spark.sources.schema import (
+        has_nested_mapping as _hnm,
+        schema_from_string as _sfs,
+    )
+
+    if _hnm(_sfs(snap.schema_string)):
+        raise NotImplementedError(
+            "delete_where on a table with NESTED column mapping is not "
+            "supported (the raw _metadata.row_index read path does not "
+            "translate nested physical names); reads/appends/merge do"
+        )
     cm = _snap_column_mapping(snap)
     inv = {p: l for l, p in (cm or {}).items()}
     if not snap.files:

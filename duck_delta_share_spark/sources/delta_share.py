@@ -98,6 +98,9 @@ class _FileTask(InputPartition):
     # column mapping (logical -> physical parquet name) for tables with
     # delta.columnMapping; None for identity-named tables.
     col_map: dict | None = None
+    # True when NESTED struct fields also carry physicalName renames —
+    # the executor relabels them with a zero-copy arrow view.
+    nested_map: bool = False
 
 
 def _parse_table_path(path: str | None, options: dict[str, str]) -> tuple[str, str, str]:
@@ -362,6 +365,9 @@ def _build_tasks(
     data_schema = StructType(data_fields)
     part_schema = StructType(part_fields)
     col_map = column_mapping(base_schema)
+    from duck_delta_share_spark.sources.schema import has_nested_mapping
+
+    nested_map = has_nested_mapping(base_schema)
     phys_to_logical = {p: l for l, p in (col_map or {}).items()}
 
     def to_logical_keys(d: dict) -> dict:
@@ -402,6 +408,7 @@ def _build_tasks(
                 else None,
                 dv=f.get("deletionVector"),
                 col_map=col_map,
+                nested_map=nested_map,
             )
         )
     return tasks
@@ -470,6 +477,14 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
         # emit LOGICAL names: relabel the physical parquet columns
         inv = {p: l for l, p in col_map.items()}
         table = table.rename_columns([inv.get(c, c) for c in table.column_names])
+    if partition.nested_map:
+        # NESTED struct fields carry their own physical names: zero-copy
+        # view to the logical-named type (schema.relabel_nested_to_logical)
+        from duck_delta_share_spark.sources.schema import (
+            relabel_nested_to_logical,
+        )
+
+        table = relabel_nested_to_logical(table, data_schema)
 
     # Attach partition values as typed constant columns (the reference
     # never does this — §2D "partition values never re-attached").
