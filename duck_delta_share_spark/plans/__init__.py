@@ -43,6 +43,7 @@ _R4_WINDOW = [
     "quality_features",
     "ewma_hourly",
     "window_rolling_median",
+    "delta_nested_mapping_scan",
     "simhash_signatures",
     "delta_share_dv_rest_scan",
     "delta_column_mapping_merge",

@@ -781,3 +781,117 @@ def delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "o_year")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "delta_nested_mapping_scan",
+    oracle="""
+SELECT c_custkey,
+       c_name AS profile_name,
+       c_acctbal AS profile_bal
+FROM customer
+WHERE c_custkey % 4 = 0
+ORDER BY c_custkey
+""",
+    doc="NESTED column mapping (sources/schema.py:relabel_nested_to_logical "
+    "+ physical_data_type): a delta-spark-style table whose struct column "
+    "carries physicalName metadata at BOTH levels is created by an evolved-"
+    "mapping append (the struct stages under physical nested names via one "
+    "positional cast), and the scan-back relabels executor-side with a "
+    "zero-copy arrow view — nested projection under logical names equals "
+    "the flat SQL oracle",
+)
+def delta_nested_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import (
+        _atomic_commit,
+        read_delta,
+        write_delta,
+    )
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_nm_")) / "t"
+    (table / "_delta_log").mkdir(parents=True)
+    fields = [
+        {
+            "name": "c_custkey",
+            "type": "long",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-k",
+            },
+        },
+        {
+            "name": "profile",
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "name",
+                        "type": "string",
+                        "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.id": 3,
+                            "delta.columnMapping.physicalName": "col-n",
+                        },
+                    },
+                    {
+                        "name": "bal",
+                        "type": "double",
+                        "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.id": 4,
+                            "delta.columnMapping.physicalName": "col-b",
+                        },
+                    },
+                ],
+            },
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-p",
+            },
+        },
+    ]
+    _atomic_commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "nm-query",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps(
+                        {"type": "struct", "fields": fields}
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "4",
+                    },
+                }
+            },
+        ],
+        operation="CREATE TABLE",
+    )
+    c = load_table(spark, sf_dir, "customer").where("c_custkey % 4 = 0")
+    write_delta(
+        c.selectExpr(
+            "c_custkey", "named_struct('name', c_name, 'bal', c_acctbal) AS profile"
+        ),
+        table,
+    )
+    return (
+        read_delta(spark, table)
+        .select(
+            "c_custkey",
+            F.col("profile.name").alias("profile_name"),
+            F.col("profile.bal").alias("profile_bal"),
+        )
+        .orderBy("c_custkey")
+    )
