@@ -56,3 +56,40 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[a2.alias(name) for name, (_, a2) in aggs.items()]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_on: Sequence[str] | None = None,
+) -> DataFrame:
+    """Skew-mitigating equi-join: the BIG side gets a per-row salt (hash
+    of ``salt_on``, default: all its columns — identical rows may share a
+    salt, they are interchangeable), the SMALL side replicates
+    ``n_salts``× , and the join key becomes (keys…, salt) — one hot key's
+    rows now spread over ``n_salts`` shuffle partitions instead of one
+    straggler. Semantically IDENTICAL to ``big.join(small, on, how)``;
+    use when the small side is too big to broadcast and AQE's skew split
+    (which only splits at sorted-merge boundaries) isn't enough.
+
+    Replication cost: |small| × n_salts shuffle rows — the standard
+    trade (Spark AQE docs; Beam/Flink call it key salting).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = list(on)
+    salt_src = [F.col(c) for c in (salt_on or big.columns)]
+    b = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)).cast("int")
+    )
+    s = small.join(
+        F.broadcast(
+            b.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+        ),
+        how="cross",
+    )
+    out = b.join(s, keys + ["__salt"], how)
+    return out.drop("__salt")

@@ -44,6 +44,7 @@ _R4_WINDOW = [
     "ewma_hourly",
     "window_rolling_median",
     "delta_nested_mapping_scan",
+    "salted_join_lineitem",
     "simhash_signatures",
     "delta_share_dv_rest_scan",
     "delta_column_mapping_merge",

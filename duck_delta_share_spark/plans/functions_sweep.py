@@ -709,3 +709,38 @@ def higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("arr", 2, 2), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("slice_sum"),
     )
+
+
+@query(
+    "salted_join_lineitem",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    doc="skew-mitigating salted equi-join (operators/skew.py:salted_join): "
+    "per-row salt on the big side, n_salts-replicated small side, join on "
+    "(key, salt) — a hot key spreads over n_salts shuffle partitions; "
+    "semantically identical to the plain join, which is exactly what the "
+    "oracle checks (post-join rollup keeps the gate output bounded)",
+)
+def salted_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.skew import salted_join
+    from duck_delta_share_spark.plans.registry import dsum
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(l, o, ["l_orderkey"], n_salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

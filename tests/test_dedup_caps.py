@@ -96,3 +96,25 @@ def test_lsh_plan_tracks_threshold():
 
     with _pytest.raises(ValueError):
         lsh_plan(1.5)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.operators.skew import salted_join
+    from tests.conftest import SF_DIR
+
+    l = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        load_table(spark, SF_DIR, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    salted = salted_join(l, o, ["l_orderkey"], n_salts=4)
+    plain = l.join(o, ["l_orderkey"])
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    # left join keeps unmatched big-side rows exactly once
+    o_half = o.where("l_orderkey % 2 = 0")
+    sl = salted_join(l, o_half, ["l_orderkey"], n_salts=4, how="left")
+    pl = l.join(o_half, ["l_orderkey"], "left")
+    assert sl.count() == pl.count()
+    assert sl.exceptAll(pl).count() == 0
