@@ -90,6 +90,11 @@ def _list_versions(log: Path) -> tuple[list[int], list[int]]:
             if len(seg) == 4 and seg[2].isdigit() and seg[3].isdigit():
                 v, total = int(seg[0]), int(seg[3])
                 parts.setdefault(v, (total, set()))[1].add(int(seg[2]))
+            elif len(seg) == 3 and not seg[2].isdigit():
+                # V2 checkpoint manifest: N.checkpoint.<uniqueStr>.parquet
+                # (protocol "V2 Checkpoints"); file actions may live in
+                # sidecars, resolved by _read_checkpoint
+                checkpoints.append(int(seg[0]))
     for v, (total, have) in parts.items():
         if len(have) == total:
             checkpoints.append(v)
@@ -100,7 +105,15 @@ def _checkpoint_files(log: Path, version: int) -> list[Path]:
     single = log / f"{version:020d}.checkpoint.parquet"
     if single.exists():
         return [single]
-    return sorted(log.glob(f"{version:020d}.checkpoint.*.*.parquet"))
+    multi = sorted(log.glob(f"{version:020d}.checkpoint.*.*.parquet"))
+    if multi:
+        return multi
+    # V2 manifest (exactly one uniqueStr per version is valid)
+    return sorted(
+        p
+        for p in log.glob(f"{version:020d}.checkpoint.*.parquet")
+        if len(p.name[:-8].split(".")) == 3
+    )
 
 
 # Reader features the LOCAL path implements for minReaderVersion 3 tables.
@@ -108,7 +121,7 @@ def _checkpoint_files(log: Path, version: int) -> list[Path]:
 # columnMapping is translated in the shared scan path (schema.py:
 # column_mapping + delta_share._build_tasks/_read_task).
 _SUPPORTED_READER_FEATURES = frozenset(
-    {"deletionVectors", "timestampNtz", "columnMapping"}
+    {"deletionVectors", "timestampNtz", "columnMapping", "v2Checkpoint"}
 )
 
 
@@ -168,9 +181,15 @@ def _read_checkpoint(cp_file: Path, state: dict, table: Path) -> None:
 
     tbl = pq.read_table(cp_file)
     for row in tbl.to_pylist():
-        for key in ("metaData", "protocol", "add", "txn"):
+        for key in ("metaData", "protocol", "add", "txn", "sidecar"):
             a = row.get(key)
             if a is not None and (not isinstance(a, dict) or any(v is not None for v in a.values())):
+                if key == "sidecar":
+                    # V2 checkpoints move file actions into sidecar
+                    # parquet files under _delta_log/_sidecars/
+                    side = cp_file.parent / "_sidecars" / a["path"]
+                    _read_checkpoint(side, state, table)
+                    break
                 if key == "add" and isinstance(a.get("partitionValues"), list):
                     # pyarrow renders map<string,string> as [(k, v), ...]
                     a = dict(a, partitionValues=dict(a["partitionValues"]))
@@ -179,6 +198,7 @@ def _read_checkpoint(cp_file: Path, state: dict, table: Path) -> None:
                 _apply_action(state, {key: a}, table)
                 break
         # checkpoint `remove` rows are vacuum tombstones, not state
+        # (checkpointMetadata rows carry no replayable state either)
 
 
 def _raw_dv(descriptor: dict | None) -> dict | None:
@@ -478,6 +498,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "changeDataFeed",
         "columnMapping",
         "deletionVectors",
+        "v2Checkpoint",
         "timestampNtz",
     }
 )
@@ -1118,6 +1139,23 @@ def checkpoint(
         ]
     )
     log = _log_dir(table)
+    feats = set((snap.protocol or {}).get("writerFeatures") or ())
+    if "v2Checkpoint" in feats:
+        # V2 format (protocol "V2 Checkpoints"): a uuid-named manifest;
+        # file actions may inline in the manifest (spec-legal), plus the
+        # required checkpointMetadata row. Multi-part is a v1-only shape.
+        cp_schema = cp_schema.append(
+            pa.field("checkpointMetadata", pa.struct([("version", pa.int64())]))
+        )
+        rows.append({"checkpointMetadata": {"version": snap.version}})
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=cp_schema),
+            log / f"{snap.version:020d}.checkpoint.{uuid.uuid4()}.parquet",
+        )
+        (log / "_last_checkpoint").write_text(
+            json.dumps({"version": snap.version, "size": len(snap.files)})
+        )
+        return snap.version
     if max_actions_per_part is None or len(rows) <= max_actions_per_part:
         pq.write_table(
             pa.Table.from_pylist(rows, schema=cp_schema),
