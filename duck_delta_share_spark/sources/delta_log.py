@@ -399,8 +399,19 @@ def _file_stats(path: Path, fields: list) -> str:
     )
 
 
+def _ict_enabled(configuration: dict) -> bool:
+    return (
+        (configuration or {}).get("delta.enableInCommitTimestamps", "").lower()
+        == "true"
+    )
+
+
 def _atomic_commit(
-    table: Path, version: int, actions: list[dict], operation: str | None = None
+    table: Path,
+    version: int,
+    actions: list[dict],
+    operation: str | None = None,
+    in_commit_ts: bool = False,
 ) -> None:
     """One JSON file per version, created with O_EXCL: concurrent writers
     race on the create and the loser must retry on a fresh snapshot —
@@ -427,15 +438,16 @@ def _atomic_commit(
                 ts = max(ts, prev_ts + 1)
             except (ValueError, OSError):
                 pass  # legacy commit without commitInfo: wall clock stands
-        actions = [
-            {
-                "commitInfo": {
-                    "timestamp": ts,
-                    "operation": operation,
-                    "engineInfo": "duck_delta_share_spark",
-                }
-            }
-        ] + actions
+        info = {
+            "timestamp": ts,
+            "operation": operation,
+            "engineInfo": "duck_delta_share_spark",
+        }
+        if in_commit_ts:
+            # protocol "In-Commit Timestamps": the authoritative commit
+            # time lives IN the commit (monotonic by the clamp above)
+            info["inCommitTimestamp"] = ts
+        actions = [{"commitInfo": info}] + actions
     path = _commit_path(table, version)
     fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
     with os.fdopen(fd, "w") as f:
@@ -499,6 +511,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "columnMapping",
         "deletionVectors",
         "v2Checkpoint",
+        "inCommitTimestamp",
         "timestampNtz",
     }
 )
@@ -948,15 +961,24 @@ def write_delta(
         # EVOLVED append, whose merged metaData was computed against the
         # losing snapshot — must NOT blind retry: the winning commit may
         # have changed the schema too.
+        ict = _ict_enabled(prev.configuration)
         for _ in range(20):
             try:
-                _atomic_commit(table, version, actions, operation="WRITE")
+                _atomic_commit(
+                    table, version, actions, operation="WRITE", in_commit_ts=ict
+                )
                 return version
             except FileExistsError:
                 version += 1
         raise RuntimeError(f"could not commit after 20 version races in {table}")
     try:
-        _atomic_commit(table, version, actions, operation="WRITE")
+        _atomic_commit(
+            table,
+            version,
+            actions,
+            operation="WRITE",
+            in_commit_ts=version > 0 and _ict_enabled(prev.configuration),
+        )
     except FileExistsError:
         # two concurrent first commits (or an overwrite racing another
         # writer): the actions were computed against a snapshot another
@@ -1392,7 +1414,8 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
         return stats_allow(filters, stats)
 
     version = _commit_with_conflict_check(
-        table, snap.version, actions, "MERGE", removed, add_conflicts
+        table, snap.version, actions, "MERGE", removed, add_conflicts,
+        in_commit_ts=_ict_enabled(snap.configuration),
     )
     return {
         "version": version,
@@ -1414,6 +1437,7 @@ def _commit_with_conflict_check(
     operation: str,
     removed_paths: set[str],
     add_conflicts,
+    in_commit_ts: bool = False,
 ) -> int:
     """Optimistic-concurrency commit (Delta's serializable write rule):
     try version read_version+1 upward; before committing ABOVE commits we
@@ -1461,7 +1485,10 @@ def _commit_with_conflict_check(
                             "retry"
                         )
         try:
-            _atomic_commit(table, version, actions, operation=operation)
+            _atomic_commit(
+                table, version, actions, operation=operation,
+                in_commit_ts=in_commit_ts,
+            )
             return version
         except FileExistsError:
             version += 1
@@ -1702,6 +1729,7 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
         # an arbitrary SQL predicate can't be stats-checked soundly:
         # ANY concurrently appended row might match — conservative abort
         lambda add: True,
+        in_commit_ts=_ict_enabled(snap.configuration),
     )
     return {
         "version": version,
@@ -1781,6 +1809,7 @@ def optimize(
         # compaction rewrites bytes, reads no rows: concurrent APPENDS
         # never conflict; a concurrent remove of a compacted file does
         lambda add: False,
+        in_commit_ts=_ict_enabled(snap.configuration),
     )
     return {
         "version": version,
@@ -1883,6 +1912,7 @@ def restore_delta(table_path: str | Path, version: int) -> dict:
         "RESTORE",
         {str(Path(f["url"]).relative_to(table)) for f in cur.files},
         lambda add: True,
+        in_commit_ts=_ict_enabled(cur.configuration),
     )
     return {
         "version": new_version,
@@ -1939,8 +1969,14 @@ def version_at_timestamp(table_path: str | Path, ts_ms: int) -> int:
             for line in f:
                 if line.strip():
                     a = json.loads(line)
-                    if "commitInfo" in a and a["commitInfo"].get("timestamp"):
-                        t = int(a["commitInfo"]["timestamp"])
+                    ci = a.get("commitInfo") or {}
+                    # the inCommitTimestamp FEATURE value wins over the
+                    # plain provenance timestamp (protocol "In-Commit
+                    # Timestamps"), which wins over file mtime
+                    if ci.get("inCommitTimestamp"):
+                        t = int(ci["inCommitTimestamp"])
+                    elif ci.get("timestamp"):
+                        t = int(ci["timestamp"])
                     break
         if t <= ts_ms:
             best = v

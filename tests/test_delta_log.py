@@ -654,3 +654,45 @@ def test_commit_timestamps_monotonic_under_clock_regression(spark, region, tmp_p
         with open(_commit_path(t, v)) as f:
             stamps.append(_json.loads(f.readline())["commitInfo"]["timestamp"])
     assert stamps[0] < stamps[1] < stamps[2]
+
+
+def test_in_commit_timestamps_feature(spark, region, tmp_path):
+    """delta.enableInCommitTimestamps: commits carry inCommitTimestamp,
+    and timestampAsOf resolution prefers it over the plain timestamp."""
+    import json as _json
+
+    from duck_delta_share_spark.sources.delta_log import (
+        _atomic_commit,
+        _commit_path,
+        version_at_timestamp,
+    )
+
+    t = tmp_path / "ict"
+    write_delta(region, t)
+    snap = snapshot(t)
+    _atomic_commit(
+        t,
+        1,
+        [
+            {
+                "metaData": {
+                    "id": "ict",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": snap.schema_string,
+                    "partitionColumns": [],
+                    "configuration": {"delta.enableInCommitTimestamps": "true"},
+                }
+            }
+        ],
+        operation="SET TBLPROPERTIES",
+    )
+    write_delta(region.limit(1), t)
+    with open(_commit_path(t, 2)) as f:
+        ci = _json.loads(f.readline())["commitInfo"]
+    assert "inCommitTimestamp" in ci
+    # a DIVERGING plain timestamp must lose to inCommitTimestamp
+    lines = open(_commit_path(t, 2)).read().splitlines()
+    ci["timestamp"] = ci["inCommitTimestamp"] + 10_000_000
+    lines[0] = _json.dumps({"commitInfo": ci})
+    open(_commit_path(t, 2), "w").write("\n".join(lines) + "\n")
+    assert version_at_timestamp(t, ci["inCommitTimestamp"]) == 2

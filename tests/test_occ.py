@@ -30,11 +30,11 @@ def test_merge_rebases_over_disjoint_append(spark, tmp_path, monkeypatch):
     real = dl._atomic_commit
     fired = {"done": False}
 
-    def racing(table, version, actions, operation=None):
+    def racing(table, version, actions, operation=None, **kw):
         if operation == "MERGE" and not fired["done"]:
             fired["done"] = True
             write_delta(_df(spark, 1000, 1010), t)  # takes our version
-        return real(table, version, actions, operation)
+        return real(table, version, actions, operation, **kw)
 
     monkeypatch.setattr(dl, "_atomic_commit", racing)
     res = merge_delta(spark, t, _df(spark, 5, 7), ["id"])
@@ -49,11 +49,11 @@ def test_merge_aborts_on_overlapping_append(spark, tmp_path, monkeypatch):
     real = dl._atomic_commit
     fired = {"done": False}
 
-    def racing(table, version, actions, operation=None):
+    def racing(table, version, actions, operation=None, **kw):
         if operation == "MERGE" and not fired["done"]:
             fired["done"] = True
             write_delta(_df(spark, 5, 7), t)  # same key range as the merge
-        return real(table, version, actions, operation)
+        return real(table, version, actions, operation, **kw)
 
     monkeypatch.setattr(dl, "_atomic_commit", racing)
     with pytest.raises(ConcurrentWriteError, match="appended rows"):
@@ -66,11 +66,11 @@ def test_delete_aborts_on_any_concurrent_append(spark, tmp_path, monkeypatch):
     real = dl._atomic_commit
     fired = {"done": False}
 
-    def racing(table, version, actions, operation=None):
+    def racing(table, version, actions, operation=None, **kw):
         if operation == "DELETE" and not fired["done"]:
             fired["done"] = True
             write_delta(_df(spark, 1000, 1002), t)
-        return real(table, version, actions, operation)
+        return real(table, version, actions, operation, **kw)
 
     monkeypatch.setattr(dl, "_atomic_commit", racing)
     with pytest.raises(ConcurrentWriteError, match="appended rows"):
@@ -84,11 +84,11 @@ def test_optimize_rebases_over_append(spark, tmp_path, monkeypatch):
     real = dl._atomic_commit
     fired = {"done": False}
 
-    def racing(table, version, actions, operation=None):
+    def racing(table, version, actions, operation=None, **kw):
         if operation == "OPTIMIZE" and not fired["done"]:
             fired["done"] = True
             write_delta(_df(spark, 1000, 1005), t)
-        return real(table, version, actions, operation)
+        return real(table, version, actions, operation, **kw)
 
     monkeypatch.setattr(dl, "_atomic_commit", racing)
     res = dl.optimize(spark, t)
