@@ -45,6 +45,7 @@ _R4_WINDOW = [
     "window_rolling_median",
     "delta_nested_mapping_scan",
     "salted_join_lineitem",
+    "similarity_ann_ivfpq",
     "simhash_signatures",
     "delta_share_dv_rest_scan",
     "delta_column_mapping_merge",

@@ -2177,3 +2177,35 @@ def quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c for c in FEATURE_COLS if c != "f_len_log"],
         F.round("f_len_log", 6).alias("f_len_log"),
     )
+
+
+@query(
+    "similarity_ann_ivfpq",
+    oracle=None,  # rows-only BY NECESSITY: IVFADC is approximate at TWO
+    # levels (probed-list candidate drop + residual-PQ score error), so no
+    # exact oracle exists for its output; the composed recall behavior is
+    # asserted in tests/test_ivfpq.py (raw, probe-dial monotonicity, and
+    # rerank>=0.9 on clustered data), and each ingredient is separately
+    # oracle-proven: IVF routing by similarity_ann_ivf (n_probe=
+    # n_centroids ≡ exact), PQ encode->ADC->rank by similarity_ann_pq /
+    # similarity_ann_opq (lossless modes, bit-identical to the int8 scan).
+    doc="FAISS IVFADC (operators/similarity.py:ivfpq_topk): IVF coarse "
+    "quantizer routes vectors to inverted lists, RESIDUALS are "
+    "PQ-encoded (m code bytes/vector), queries score only probed lists "
+    "at q.c + m table lookups per candidate, optional exact rerank on "
+    "the shortlist — the standard billion-scale ANN shape, run with "
+    "rerank here",
+)
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.ivfpq_topk(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        dim=64,
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+        m=8,
+        k_codes=32,
+        rerank_factor=8,
+    )
