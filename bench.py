@@ -57,6 +57,11 @@ HEADLINE = [
     # round-4 final wave: exact-substring duplication profile (the
     # heaviest new shape — O(total chars) rows through two shuffles).
     "substring_dedup_spans",
+    # round-4 sixth wave: EWMA recursive fold, quality-classifier
+    # featurization, IVFADC with rerank.
+    "ewma_hourly",
+    "quality_features",
+    "similarity_ann_ivfpq",
 ]
 
 

@@ -276,6 +276,21 @@ def main() -> None:
             rotation=R,
         )
 
+    def ivfpq_shape(emb):
+        from duck_delta_share_spark.operators.similarity import ivfpq_topk
+
+        return ivfpq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 10),
+            dim=64,
+            k=5,
+            n_centroids=16,
+            n_probe=4,
+            m=8,
+            k_codes=32,
+            rerank_factor=8,
+        )
+
     ops = [
         ("q1_agg", q1_shape, l1, lN),
         ("minhash_lsh", minhash_shape, d1, dN),
@@ -297,6 +312,7 @@ def main() -> None:
         ("bigram_lm_join", bigram_lm_shape, d1, dN),
         ("substring_dedup", substring_dedup_shape, d1, dN),
         ("opq_pq_topk", opq_pq_shape, emb1, embN),
+        ("ivfpq_topk", ivfpq_shape, emb1, embN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))

@@ -289,11 +289,11 @@ def test_unsupported_reader_feature_fails_fast(spark, numbers, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["v2Checkpoint", "deletionVectors"],
+                    "readerFeatures": ["variantType", "deletionVectors"],
                 }
             }
         )
         + "\n"
     )
-    with pytest.raises(Exception, match="v2Checkpoint"):
+    with pytest.raises(Exception, match="variantType"):
         read_delta(spark, t).collect()
