@@ -46,6 +46,7 @@ _R4_WINDOW = [
     "delta_nested_mapping_scan",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
+    "domain_mix_resample",
     "simhash_signatures",
     "delta_share_dv_rest_scan",
     "delta_column_mapping_merge",

@@ -2209,3 +2209,64 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_codes=32,
         rerank_factor=8,
     )
+
+
+_DOMAIN_MIX_ORACLE = """
+WITH target(lang, p) AS (
+  VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2), ('fr', 0.1), ('zh', 0.1)
+), quota AS (
+  SELECT d.lang,
+         least(CAST(floor(300 * t.p) AS BIGINT), COUNT(*)) AS q
+  FROM documents d JOIN target t ON d.lang = t.lang
+  GROUP BY d.lang, t.p
+), ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT r.lang, r.doc_id
+FROM ranked r JOIN quota USING (lang)
+WHERE r.rn <= quota.q
+ORDER BY r.lang, r.doc_id
+"""
+
+
+@query(
+    "domain_mix_resample",
+    oracle=_DOMAIN_MIX_ORACLE,
+    doc="DoReMi-style domain mixing: resample the corpus to TARGET "
+    "per-domain proportions (en 40%, de/es 20%, fr/zh 10% of a 300-doc "
+    "budget, clamped to availability) — per-domain quotas are a tiny "
+    "broadcast join, membership is the md5-ranked deterministic sample "
+    "(reproducible across runs/partitionings), one window shuffle total",
+)
+def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    target = spark.createDataFrame(
+        [("en", 0.4), ("de", 0.2), ("es", 0.2), ("fr", 0.1), ("zh", 0.1)],
+        "lang string, p double",
+    )
+    quota = (
+        d.join(F.broadcast(target), "lang")
+        .groupBy("lang", "p")
+        .agg(F.count(F.lit(1)).alias("avail"))
+        .select(
+            "lang",
+            F.least(
+                F.floor(F.lit(300) * F.col("p")).cast("long"), F.col("avail")
+            ).alias("q"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("rn") <= F.col("q"))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
