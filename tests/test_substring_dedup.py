@@ -106,3 +106,57 @@ def test_bad_params_raise(spark):
         duplicated_span_stats(df, n=1)
     with pytest.raises(ValueError):
         duplicated_span_stats(df, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# Property: distributed result == a from-first-principles single-machine
+# reference on random small corpora (hypothesis drives corpus shapes that
+# hand-written cases miss: overlapping islands, within-doc repeats,
+# doc-boundary adjacency, alphabet collisions)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _reference_span_stats(texts: dict[int, str], n: int, min_count: int):
+    from collections import Counter
+
+    grams: Counter = Counter()
+    for t in texts.values():
+        for i in range(len(t) - n + 1):
+            grams[t[i : i + n]] += 1
+    out = {}
+    for doc_id, t in texts.items():
+        pos = [
+            i for i in range(len(t) - n + 1) if grams[t[i : i + n]] >= min_count
+        ]
+        if not pos:
+            continue
+        covered = set()
+        for i in pos:
+            covered.update(range(i, i + n))
+        out[doc_id] = (len(pos), len(covered), len(t))
+    return out
+
+
+@st.composite
+def _corpus(draw):
+    n_docs = draw(st.integers(2, 6))
+    # tiny alphabet → dense collisions; variable lengths straddle n=6
+    return {
+        i: draw(st.text(alphabet="abc", min_size=0, max_size=40))
+        for i in range(n_docs)
+    }
+
+
+@given(_corpus())
+@settings(max_examples=25, deadline=None)
+def test_property_matches_reference(spark, texts):
+    n = 6
+    df = _docs(spark, [(i, t) for i, t in texts.items()])
+    got = {
+        r["doc_id"]: (r["dup_positions"], r["dup_chars"], r["total_chars"])
+        for r in duplicated_span_stats(df, n=n, min_count=2).collect()
+    }
+    assert got == _reference_span_stats(texts, n, 2)
