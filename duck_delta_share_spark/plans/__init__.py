@@ -44,6 +44,7 @@ _R4_WINDOW = [
     "ewma_hourly",
     "window_rolling_median",
     "delta_nested_mapping_scan",
+    "delta_nested_mapping_delete",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
     "domain_mix_resample",

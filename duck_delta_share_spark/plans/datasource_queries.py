@@ -802,18 +802,42 @@ ORDER BY c_custkey
     "the flat SQL oracle",
 )
 def delta_nested_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import read_delta, write_delta
+
+    table = _create_nested_mapped_table("ddss_nm_")
+    c = load_table(spark, sf_dir, "customer").where("c_custkey % 4 = 0")
+    write_delta(
+        c.selectExpr(
+            "c_custkey", "named_struct('name', c_name, 'bal', c_acctbal) AS profile"
+        ),
+        table,
+    )
+    return (
+        read_delta(spark, table)
+        .select(
+            "c_custkey",
+            F.col("profile.name").alias("profile_name"),
+            F.col("profile.bal").alias("profile_bal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def _create_nested_mapped_table(prefix: str):
+    """Commit version 0 (protocol + metaData only) of a delta-spark-style
+    column-mapped table whose struct column carries physicalName metadata
+    at BOTH levels: c_custkey→col-k, profile→col-p, profile.name→col-n,
+    profile.bal→col-b."""
     import json as _json
     import tempfile
     from pathlib import Path
 
-    from duck_delta_share_spark.catalog import load_table
-    from duck_delta_share_spark.sources.delta_log import (
-        _atomic_commit,
-        read_delta,
-        write_delta,
-    )
+    from duck_delta_share_spark.sources.delta_log import _atomic_commit
 
-    table = Path(tempfile.mkdtemp(prefix="ddss_nm_")) / "t"
+    table = Path(tempfile.mkdtemp(prefix=prefix)) / "t"
     (table / "_delta_log").mkdir(parents=True)
     fields = [
         {
@@ -879,6 +903,39 @@ def delta_nested_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         operation="CREATE TABLE",
     )
+    return table
+
+
+@query(
+    "delta_nested_mapping_delete",
+    oracle="""
+SELECT c_custkey,
+       c_name AS profile_name,
+       c_acctbal AS profile_bal
+FROM customer
+WHERE c_custkey % 4 = 0 AND NOT (c_acctbal < 0.0)
+ORDER BY c_custkey
+""",
+    doc="delete_where on a NESTED column-mapped table "
+    "(sources/delta_log.py:delete_where): the physical parquet layout "
+    "(col-p.col-n / col-p.col-b) is read under its physical schema, one "
+    "positional struct cast relabels every depth back to logical names, "
+    "the predicate ON A NESTED FIELD (profile.bal < 0) evaluates "
+    "logically, and matching rows are masked with roaring-bitmap deletion "
+    "vectors (no file rewrite) — the scan-back equals the oracle's "
+    "anti-filter",
+)
+def delta_nested_mapping_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import (
+        delete_where,
+        read_delta,
+        write_delta,
+    )
+
+    table = _create_nested_mapped_table("ddss_nmd_")
     c = load_table(spark, sf_dir, "customer").where("c_custkey % 4 = 0")
     write_delta(
         c.selectExpr(
@@ -886,6 +943,7 @@ def delta_nested_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         table,
     )
+    delete_where(spark, table, "profile.bal < 0.0")
     return (
         read_delta(spark, table)
         .select(

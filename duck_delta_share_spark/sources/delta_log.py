@@ -1563,15 +1563,9 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
     _check_local_writer_protocol(snap, "delete")
     from duck_delta_share_spark.sources.schema import (
         has_nested_mapping as _hnm,
-        schema_from_string as _sfs,
+        physical_data_type as _pdt,
     )
 
-    if _hnm(_sfs(snap.schema_string)):
-        raise NotImplementedError(
-            "delete_where on a table with NESTED column mapping is not "
-            "supported (the raw _metadata.row_index read path does not "
-            "translate nested physical names); reads/appends/merge do"
-        )
     cm = _snap_column_mapping(snap)
     inv = {p: l for l, p in (cm or {}).items()}
     if not snap.files:
@@ -1579,14 +1573,23 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
     part_cols = list(snap.partition_columns)
     full_schema = schema_from_string(snap.schema_string)
     data_fields, part_fields = split_partition_fields(full_schema, part_cols)
-    # mapped tables store PHYSICAL parquet column names: read physically,
-    # rename to logical so ``condition`` (logical names) evaluates
+    # mapped tables store PHYSICAL parquet column names AT EVERY DEPTH:
+    # read fully-physically (physical_data_type renames nested struct
+    # fields too), rename top-level + positionally cast nested structs
+    # back to logical below so ``condition`` (logical names) evaluates
     data_schema = StructType(
         [
-            StructField((cm or {}).get(f.name, f.name), f.dataType, f.nullable)
+            StructField(
+                (cm or {}).get(f.name, f.name), _pdt(f.dataType), f.nullable
+            )
             for f in data_fields
         ]
     )
+    nested_logical = {
+        f.name: f.dataType
+        for f in data_fields
+        if _hnm(StructType([f]))
+    }
     part_types = {f.name: f.dataType for f in part_fields}
 
     # one scan branch per distinct partition-value tuple (partition values
@@ -1608,6 +1611,11 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
         )
         if inv:
             d = d.withColumnsRenamed(inv)
+        # nested physical→logical relabel: Spark's struct cast is
+        # positional, so one cast per affected top-level column renames
+        # every depth (same trick as the write path above)
+        for lname, ldt in nested_logical.items():
+            d = d.withColumn(lname, F.col(lname).cast(ldt))
         for name, raw in pvals:
             logical = inv.get(name, name)  # partitionValues keys physical
             d = d.withColumn(

@@ -1,7 +1,8 @@
 """NESTED column mapping: struct fields at depth carry their own
 delta.columnMapping.physicalName — reads relabel with a zero-copy arrow
-view, appends cast to the physical nested layout, delete_where fails
-fast with a clear error."""
+view, appends cast to the physical nested layout, delete_where reads the
+physical layout and masks rows with deletion vectors under logical
+predicates (including predicates ON nested fields)."""
 
 from __future__ import annotations
 
@@ -9,7 +10,6 @@ import json
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-import pytest
 
 from duck_delta_share_spark.sources.delta_log import (
     delete_where,
@@ -127,7 +127,27 @@ def test_nested_append_stages_physical(spark, tmp_path):
     assert [top.field(i).name for i in range(top.num_fields)] == ["col-c", "col-z"]
 
 
-def test_nested_delete_fails_fast(spark, tmp_path):
+def test_nested_delete_top_level_predicate(spark, tmp_path):
     t = _nested_mapped_table(tmp_path)
-    with pytest.raises(NotImplementedError, match="NESTED column mapping"):
-        delete_where(spark, t, "id = 1")
+    res = delete_where(spark, t, "id = 1")
+    assert res["rows_deleted"] == 1 and res["files_touched"] == 1
+    rows = {r.id: r.addr for r in read_delta(spark, t).collect()}
+    assert set(rows) == {2} and rows[2] is None
+
+
+def test_nested_delete_nested_predicate(spark, tmp_path):
+    t = _nested_mapped_table(tmp_path)
+    # append one more row so the DV masks within a multi-row file set
+    df = spark.createDataFrame(
+        [(3, ("par", 75)), (4, ("ber", 99))],
+        "id long, addr struct<city:string, zip:long>",
+    )
+    write_delta(df, t)
+    res = delete_where(spark, t, "addr.city = 'ber'")
+    assert res["rows_deleted"] == 2  # id=1 (original file) and id=4 (appended)
+    out = read_delta(spark, t)
+    assert {r.id for r in out.collect()} == {2, 3}
+    # repeated delete composes with the existing DV
+    res2 = delete_where(spark, t, "addr.zip = 75")
+    assert res2["rows_deleted"] == 1
+    assert {r.id for r in read_delta(spark, t).collect()} == {2}
