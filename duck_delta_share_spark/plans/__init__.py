@@ -45,6 +45,7 @@ _R4_WINDOW = [
     "window_rolling_median",
     "delta_nested_mapping_scan",
     "delta_nested_mapping_delete",
+    "delta_identity_append",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
     "domain_mix_resample",

@@ -953,3 +953,68 @@ def delta_nested_mapping_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "delta_identity_append",
+    oracle="""
+WITH batches AS (
+  SELECT 1 AS batch, o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT 2 AS batch, o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 3
+), numbered AS (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY batch, o_orderkey) AS rn
+  FROM batches
+)
+SELECT CAST(100 + 3 * (rn - 1) AS BIGINT) AS o_id, o_orderkey, o_totalprice
+FROM numbered
+ORDER BY o_orderkey
+""",
+    doc="identity columns (sources/delta_log.py:_materialize_identity, "
+    "protocol 'Identity Columns' / delta.identity.* field metadata, writer "
+    "v6): the table declares o_id IDENTITY(start 100, step 3); two appends "
+    "OMIT the column and the writer allocates dense ranges — per-partition "
+    "contiguous offsets over a pinned (persisted) input, no global window, "
+    "no shuffle — with the high watermark persisted through the commit's "
+    "metaData so the second batch continues where the first stopped. The "
+    "input is range-partitioned+sorted on o_orderkey, so ids follow key "
+    "order within each batch and the oracle recomputes them as "
+    "ROW_NUMBER() OVER (ORDER BY batch, o_orderkey)",
+)
+def delta_identity_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql.types import DoubleType, LongType, StructField
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import read_delta, write_delta
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_idn_")) / "t"
+    schema = StructType(
+        [
+            StructField(
+                "o_id",
+                LongType(),
+                True,
+                {"delta.identity.start": 100, "delta.identity.step": 3},
+            ),
+            StructField("o_orderkey", LongType(), True),
+            StructField("o_totalprice", DoubleType(), True),
+        ]
+    )
+    write_delta(spark.createDataFrame([], schema), table)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for mod in (0, 3):
+        batch = (
+            o.where(f"o_orderkey % 7 = {mod}")
+            .repartitionByRange(4, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+        )
+        write_delta(batch, table)
+    return (
+        read_delta(spark, table)
+        .select("o_id", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

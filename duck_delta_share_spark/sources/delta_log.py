@@ -499,8 +499,9 @@ def _stage_files(
 # Writer features the local write paths implement for minWriterVersion 7
 # tables; legacy versions 1-6 map onto subsets of these. changeDataFeed
 # holds because our commits always write full CDF-reconstructible
-# add/remove actions; identityColumns / rowTracking / icebergCompatV*
-# are NOT implemented and make the gate refuse.
+# add/remove actions; identityColumns via _materialize_identity;
+# rowTracking / icebergCompatV* are NOT implemented and make the gate
+# refuse.
 _SUPPORTED_WRITER_FEATURES = frozenset(
     {
         "appendOnly",
@@ -513,6 +514,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "v2Checkpoint",
         "inCommitTimestamp",
         "timestampNtz",
+        "identityColumns",
     }
 )
 
@@ -590,6 +592,205 @@ def _materialize_generated(df, schema_string: str, context: str):
                     f"provided values in {context} row: {bad[0].asDict()}"
                 )
     return df
+
+
+def _identity_specs(schema_string: str) -> dict:
+    """name -> {start, step, high, allow_explicit} for fields carrying
+    ``delta.identity.*`` metadata (protocol "Identity Columns";
+    delta-spark stores start/step/highWaterMark/allowExplicitInsert in
+    StructField metadata; the column type must be ``long``)."""
+    if not schema_string:
+        return {}
+    out = {}
+    for f in json.loads(schema_string)["fields"]:
+        md = f.get("metadata") or {}
+        if "delta.identity.start" not in md and "delta.identity.step" not in md:
+            continue
+        if f["type"] != "long":
+            raise ValueError(
+                f"identity column {f['name']} must be of type long/bigint, "
+                f"got {f['type']}"
+            )
+        step = int(md.get("delta.identity.step", 1))
+        if step == 0:
+            raise ValueError(f"identity column {f['name']} has step 0")
+        out[f["name"]] = {
+            "start": int(md.get("delta.identity.start", 1)),
+            "step": step,
+            "high": (
+                int(md["delta.identity.highWaterMark"])
+                if "delta.identity.highWaterMark" in md
+                else None
+            ),
+            "allow_explicit": bool(
+                md.get("delta.identity.allowExplicitInsert", False)
+            ),
+        }
+    return out
+
+
+def _assign_identity_values(df, assigns: dict):
+    """Append one LongType column per ``assigns`` entry (name ->
+    (next_value, step)) holding a DENSE identity range over the whole
+    DataFrame. Returns (df_with_columns, total_rows, persisted_handle).
+
+    Scale shape — no global window, no driver data: the input is persisted
+    (memory-and-disk, spill-safe) so the per-partition row counts seen by
+    the sizing job are EXACTLY the partitions the assignment pass reads
+    (the classic zipWithIndex consistency fix — without the pin, a
+    re-executed nondeterministic shuffle could change partition sizes
+    between the two jobs); the driver collects ONE (pid, count) row per
+    partition, computes cumulative offsets, and each partition then writes
+    its contiguous range [next + step*offset_pid, ...) as a narrow
+    ``mapInPandas`` — zero shuffles over the data. Values follow
+    (partition, position) order: range-partition + sort the input first
+    for key-ordered ids; the caller must unpersist the returned handle
+    after consuming the result.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # The partition id is BAKED INTO the cached rows (not read from
+    # TaskContext at assignment time): downstream operators renumber task
+    # partition ids — e.g. a union offsets the second child's ids — so a
+    # TaskContext-based offset lookup would collide ranges. Cached values
+    # survive any renumbering, and a downstream coalesce that concatenates
+    # partitions is handled per-pid below.
+    persisted = df.withColumn(
+        "__identity_pid", F.spark_partition_id()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = persisted.groupBy("__identity_pid").count().collect()
+    counts = {int(r["__identity_pid"]): int(r["count"]) for r in sizes}
+    total = sum(counts.values())
+    bases: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        bases[pid] = acc
+        acc += counts[pid]
+    # NB: df.schema is cached on the DataFrame and StructType.add mutates
+    # in place — build a FRESH StructType or the input frame's schema
+    # object grows the new column and its column resolution breaks
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(name, LongType(), False) for name in assigns]
+    )
+    spec = {name: (int(nxt), int(step)) for name, (nxt, step) in assigns.items()}
+
+    def gen(batches):
+        import numpy as np
+
+        seen: dict[int, int] = {}
+        for pdf in batches:
+            pids = pdf["__identity_pid"].to_numpy()
+            out = pdf.drop(columns="__identity_pid")
+            idx = np.empty(len(out), dtype=np.int64)
+            for pid in np.unique(pids):
+                base = bases.get(int(pid))
+                if base is None:
+                    raise RuntimeError(
+                        f"identity assignment saw partition {pid} absent "
+                        "from the sizing pass (cache lost and input "
+                        "recomputed nondeterministically?) — refusing to "
+                        "allocate possibly-colliding values"
+                    )
+                mask = pids == pid
+                n = int(mask.sum())
+                s = seen.get(int(pid), 0)
+                idx[mask] = base + s + np.arange(n, dtype=np.int64)
+                seen[int(pid)] = s + n
+            for name, (nxt, step) in spec.items():
+                out[name] = nxt + step * idx
+            yield out
+
+    return persisted.mapInPandas(gen, out_schema), total, persisted
+
+
+def _materialize_identity(df, schema_string: str, context: str):
+    """Delta identity-column write semantics: a MISSING identity column is
+    assigned a dense range continuing from the high watermark; a PROVIDED
+    one requires ``allowExplicitInsert`` (GENERATED BY DEFAULT) — GENERATED
+    ALWAYS columns reject explicit values — and bumps the watermark past
+    the provided extremum, aligned to the (start, step) grid so future
+    generated values never collide. Returns
+    (df, new_high: dict[name, int], persisted_handle | None)."""
+    from pyspark.sql import functions as F
+
+    specs = _identity_specs(schema_string)
+    if not specs:
+        return df, {}, None
+    assigns: dict[str, tuple[int, int]] = {}
+    new_high: dict[str, int] = {}
+    for name, s in specs.items():
+        nxt = s["start"] if s["high"] is None else s["high"] + s["step"]
+        if name in df.columns:
+            agg = df.agg(F.max(name).alias("mx"), F.min(name).alias("mn")).first()
+            v = agg["mx"] if s["step"] > 0 else agg["mn"]
+            if v is None:
+                continue  # no rows (e.g. a typed CREATE frame): nothing to do
+            if not s["allow_explicit"]:
+                raise ValueError(
+                    f"identity column {name} is GENERATED ALWAYS "
+                    f"(allowExplicitInsert=false); drop it from the "
+                    f"{context} DataFrame and let the writer assign values"
+                )
+            # smallest grid value start + k*step (k >= 0) at or past v
+            k = max(-((-(int(v) - s["start"])) // s["step"]), 0)
+            cand = s["start"] + k * s["step"]
+            if (
+                s["high"] is None
+                or (s["step"] > 0 and cand > s["high"])
+                or (s["step"] < 0 and cand < s["high"])
+            ):
+                new_high[name] = cand
+        else:
+            assigns[name] = (nxt, s["step"])
+    handle = None
+    if assigns:
+        df, total, handle = _assign_identity_values(df, assigns)
+        if total > 0:
+            for name, (nxt, step) in assigns.items():
+                new_high[name] = nxt + step * (total - 1)
+    return df, new_high, handle
+
+
+def _carry_identity_watermarks(
+    new_schema_string: str, prev_schema_string: str
+) -> str:
+    """The incoming (overwrite) schemaString with each identity column's
+    high watermark advanced to at least the PREVIOUS table schema's value
+    for the same column — an overwrite replaces rows, not the allocation
+    state, so generated values never restart."""
+    prev = _identity_specs(prev_schema_string)
+    if not prev:
+        return new_schema_string
+    carry: dict[str, int] = {}
+    for name, s in _identity_specs(new_schema_string).items():
+        p = prev.get(name)
+        if p is None or p["high"] is None:
+            continue
+        if (
+            s["high"] is None
+            or (s["step"] > 0 and p["high"] > s["high"])
+            or (s["step"] < 0 and p["high"] < s["high"])
+        ):
+            carry[name] = p["high"]
+    return _apply_identity_watermarks(new_schema_string, carry)
+
+
+def _apply_identity_watermarks(schema_string: str, new_high: dict) -> str:
+    """The schemaString with ``delta.identity.highWaterMark`` updated for
+    each allocated column (persisted via the commit's metaData action —
+    that is how the protocol tracks allocation across writers)."""
+    if not new_high:
+        return schema_string
+    sch = json.loads(schema_string)
+    for f in sch["fields"]:
+        if f["name"] in new_high:
+            md = dict(f.get("metadata") or {})
+            md["delta.identity.highWaterMark"] = int(new_high[f["name"]])
+            f["metadata"] = md
+    return json.dumps(sch)
 
 
 _CONSTRAINT_PREFIX = "delta.constraints."
@@ -792,8 +993,13 @@ def write_delta(
     part_cols = list(partition_by or ())
     cm: dict[str, str] | None = None
     evolved = False
+    id_high: dict = {}
+    id_handle = None
     if version == 0:
         df = _materialize_generated(df, df.schema.json(), "create")
+        df, id_high, id_handle = _materialize_identity(
+            df, df.schema.json(), "create"
+        )
     schema_string = df.schema.json()
     if version > 0:
         prev = snapshot(table)
@@ -804,6 +1010,21 @@ def write_delta(
             df, prev.schema_string if mode == "append" else df.schema.json(), mode
         )
         _enforce_constraints(df, prev.configuration, mode)
+        # identity columns come from the TARGET schema too; an overwrite
+        # swaps the schema but the allocation state survives — the
+        # previous high watermark is carried into the incoming schema so
+        # generated values never restart and collide
+        if mode == "overwrite":
+            schema_string = _carry_identity_watermarks(
+                df.schema.json(), prev.schema_string
+            )
+            df, id_high, id_handle = _materialize_identity(
+                df, schema_string, mode
+            )
+        else:
+            df, id_high, id_handle = _materialize_identity(
+                df, prev.schema_string, mode
+            )
         cm = _snap_column_mapping(prev)
         if cm and mode == "append":
             # column-mapping writes stage with PHYSICAL names; the generic
@@ -911,8 +1132,17 @@ def write_delta(
                     f.name, _F.col(f.name).cast(physical_data_type(f.dataType))
                 )
 
+    if id_high:
+        # allocation state is tracked in the schemaString: emit metaData
+        # (evolved=True) and never blind-retry a commit race — a
+        # concurrent writer may have allocated the same range
+        schema_string = _apply_identity_watermarks(schema_string, id_high)
+        evolved = True
+
     staged, staged_part_cols = _to_physical(df, cm, part_cols)
     adds = _stage_files(staged, table, staged_part_cols)
+    if id_handle is not None:
+        id_handle.unpersist()
 
     actions: list[dict] = []
     if txn is not None:
@@ -928,7 +1158,12 @@ def write_delta(
             }
         )
     if version == 0:
-        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        # identity allocation state must not be clobbered by writers that
+        # don't understand it: protocol "Identity Columns" is writer v6
+        wv = 6 if _identity_specs(schema_string) else 2
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": wv}}
+        )
     if version == 0 or mode == "overwrite" or evolved:
         actions.append(
             {
@@ -1349,6 +1584,12 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
     # CHECK constraints apply to the NEW rows only — surviving rows were
     # validated when they were written
     _enforce_constraints(updates, snap.configuration, "merge updates")
+    # identity columns: updates missing the column get FRESH values (both
+    # replacing and inserted rows — this merge replaces whole rows);
+    # explicit values require allowExplicitInsert and bump the watermark
+    updates, id_high, id_handle = _materialize_identity(
+        updates, snap.schema_string, "merge updates"
+    )
     cm = _snap_column_mapping(snap)
     phys_to_logical = {p: l for l, p in (cm or {}).items()}
     keys = list(key_cols)
@@ -1390,7 +1631,25 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
     rows = merged.count()
     staged, staged_part_cols = _to_physical(merged, cm, part_cols)
     adds = _stage_files(staged, table, staged_part_cols)
-    actions = [
+    if id_handle is not None:
+        id_handle.unpersist()
+    actions = []
+    if id_high:
+        # persist the advanced identity high watermark with this commit
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _apply_identity_watermarks(
+                        snap.schema_string, id_high
+                    ),
+                    "partitionColumns": part_cols,
+                    "configuration": dict(snap.configuration),
+                }
+            }
+        )
+    actions += [
         {"remove": {"path": quote(str(Path(f["url"]).relative_to(table)), safe="/="),
                     "dataChange": True}}
         for f in candidates
