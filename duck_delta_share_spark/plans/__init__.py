@@ -46,6 +46,7 @@ _R4_WINDOW = [
     "delta_nested_mapping_scan",
     "delta_nested_mapping_delete",
     "delta_identity_append",
+    "delta_row_tracking_scan",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
     "domain_mix_resample",

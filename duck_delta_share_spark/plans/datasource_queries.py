@@ -1018,3 +1018,56 @@ def delta_identity_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_id", "o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "delta_row_tracking_scan",
+    oracle="""
+WITH numbered AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_id
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT o_orderkey, o_totalprice, row_id
+FROM numbered
+WHERE o_orderkey % 10 = 0
+ORDER BY o_orderkey
+""",
+    doc="row tracking (sources/delta_log.py:_assign_base_row_ids + "
+    "delta_share.py ROW_ID_COLUMNS, protocol 'Row Tracking' / 'Domain "
+    "Metadata'): the table is created with delta.enableRowTracking=true — "
+    "every add carries baseRowId (allocated driver-side from numRecords "
+    "stats, O(files) metadata, no data pass) and the rowIdHighWaterMark "
+    "advances through the delta.rowTracking domain. The input is range-"
+    "partitioned+sorted on o_orderkey so _row_id equals ROW_NUMBER()-1 in "
+    "key order; rows with o_orderkey%10=5 are then DELETED via deletion "
+    "vectors and the scan-back proves the SURVIVORS keep their original "
+    "pre-delete row ids (stability under merge-on-read deletes — the "
+    "whole point of the feature)",
+)
+def delta_row_tracking_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import (
+        delete_where,
+        read_delta,
+        write_delta,
+    )
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_rt_")) / "t"
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where("o_orderkey % 5 = 0")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(3, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_delta(o, table, configuration={"delta.enableRowTracking": "true"})
+    delete_where(spark, table, "o_orderkey % 10 = 5")
+    return (
+        read_delta(spark, table, with_row_ids=True)
+        .select("o_orderkey", "o_totalprice", F.col("_row_id").alias("row_id"))
+        .orderBy("o_orderkey")
+    )

@@ -62,6 +62,10 @@ class DeltaSnapshot:
     # protocol's idempotent-writer primitive; streaming sinks key their
     # exactly-once batch dedupe off this)
     transactions: dict = dataclasses.field(default_factory=dict)
+    # Domain Metadata state: domain -> configuration string (protocol
+    # "Domain Metadata"; row tracking keeps its rowIdHighWaterMark in the
+    # delta.rowTracking domain)
+    domain_metadata: dict = dataclasses.field(default_factory=dict)
 
 
 def _log_dir(table_path: str | Path) -> Path:
@@ -166,6 +170,10 @@ def _apply_action(state: dict, action: dict, table: Path) -> None:
             # fields (size/modificationTime/dataChange)
             "size": a.get("size"),
             "modificationTime": a.get("modificationTime"),
+            # Row Tracking: first stable row id of the file + the commit
+            # version rows default to (protocol "Row Tracking")
+            "baseRowId": a.get("baseRowId"),
+            "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
         }
     elif "remove" in action:
         state["files"].pop(unquote(action["remove"]["path"]), None)
@@ -174,6 +182,12 @@ def _apply_action(state: dict, action: dict, table: Path) -> None:
         # replay order makes the LAST txn per appId win (protocol
         # "Transaction Identifiers": readers track the latest version)
         state["transactions"][t["appId"]] = int(t["version"])
+    elif "domainMetadata" in action:
+        d = action["domainMetadata"]
+        if d.get("removed"):
+            state["domain_metadata"].pop(d["domain"], None)
+        else:
+            state["domain_metadata"][d["domain"]] = d.get("configuration", "")
 
 
 def _read_checkpoint(cp_file: Path, state: dict, table: Path) -> None:
@@ -181,7 +195,7 @@ def _read_checkpoint(cp_file: Path, state: dict, table: Path) -> None:
 
     tbl = pq.read_table(cp_file)
     for row in tbl.to_pylist():
-        for key in ("metaData", "protocol", "add", "txn", "sidecar"):
+        for key in ("metaData", "protocol", "add", "txn", "domainMetadata", "sidecar"):
             a = row.get(key)
             if a is not None and (not isinstance(a, dict) or any(v is not None for v in a.values())):
                 if key == "sidecar":
@@ -251,6 +265,7 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
         "protocol": None,
         "configuration": {},
         "transactions": {},
+        "domain_metadata": {},
     }
     usable_cp = [v for v in checkpoints if v <= target]
     start = 0
@@ -281,6 +296,8 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
             # persist THIS, not the driver-resolved absolute 'p' path,
             # or a moved/renamed table breaks DV loads (ADVICE r3)
             "deletionVectorLog": _raw_dv(info.get("deletionVector")),
+            "baseRowId": info.get("baseRowId"),
+            "defaultRowCommitVersion": info.get("defaultRowCommitVersion"),
         }
         for rel, info in sorted(state["files"].items())
     )
@@ -292,19 +309,32 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
         protocol=state["protocol"],
         configuration=state["configuration"],
         transactions=state["transactions"],
+        domain_metadata=state["domain_metadata"],
     )
 
 
-def read_delta(spark, table_path: str | Path, version: int | None = None):
+def read_delta(
+    spark,
+    table_path: str | Path,
+    version: int | None = None,
+    with_row_ids: bool = False,
+):
     """Scan a local Delta table at a version through the deltashare
     DataSource (deltaPath mode → shared pruning/read path). Equivalent to
-    ``spark.read.format("deltashare").option("deltaPath", path).load()``."""
+    ``spark.read.format("deltashare").option("deltaPath", path).load()``.
+
+    ``with_row_ids`` materializes the protocol "Row Tracking" columns
+    ``_row_id`` (= add.baseRowId + physical row index, stable under
+    deletion-vector deletes) and ``_row_commit_version`` on tables written
+    with ``delta.enableRowTracking=true``."""
     from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
 
     spark.dataSource.register(DeltaShareDataSource)
     reader = spark.read.format("deltashare").option("deltaPath", str(table_path))
     if version is not None:
         reader = reader.option("versionAsOf", str(version))
+    if with_row_ids:
+        reader = reader.option("withRowIds", "true")
     return reader.load()
 
 
@@ -515,6 +545,8 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "inCommitTimestamp",
         "timestampNtz",
         "identityColumns",
+        "domainMetadata",
+        "rowTracking",
     }
 )
 
@@ -793,6 +825,65 @@ def _apply_identity_watermarks(schema_string: str, new_high: dict) -> str:
     return json.dumps(sch)
 
 
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def _row_tracking_enabled(configuration: dict | None) -> bool:
+    """Protocol "Row Tracking": every add action must carry a baseRowId
+    once ``delta.enableRowTracking`` is set (writerFeatures rowTracking +
+    domainMetadata)."""
+    return (
+        (configuration or {}).get("delta.enableRowTracking", "").lower()
+        == "true"
+    )
+
+
+def _row_id_high_watermark(domain_metadata: dict) -> int:
+    """Highest allocated row id (-1 before any allocation), kept in the
+    ``delta.rowTracking`` metadata domain per the protocol."""
+    raw = (domain_metadata or {}).get(_ROW_TRACKING_DOMAIN)
+    if not raw:
+        return -1
+    try:
+        return int(json.loads(raw).get("rowIdHighWaterMark", -1))
+    except (ValueError, TypeError):
+        return -1
+
+
+def _assign_base_row_ids(adds: list[dict], high: int, version: int) -> list[dict]:
+    """Assign fresh, non-overlapping baseRowId ranges to add actions (in
+    their existing — path-sorted, deterministic — order) continuing from
+    the high watermark, plus the commit version rows default to. Returns
+    the domainMetadata action advancing the watermark (empty when there is
+    nothing to assign). Purely driver-side bookkeeping over O(files)
+    metadata: fresh-id assignment needs no data pass because every add
+    already carries numRecords stats."""
+    if not adds:
+        return []
+    for act in adds:
+        a = act["add"]
+        try:
+            n = json.loads(a.get("stats") or "{}").get("numRecords")
+        except ValueError:
+            n = None
+        if n is None:
+            raise ValueError(
+                "row tracking requires numRecords stats on every add action"
+            )
+        a["baseRowId"] = high + 1
+        a["defaultRowCommitVersion"] = int(version)
+        high += int(n)
+    return [
+        {
+            "domainMetadata": {
+                "domain": _ROW_TRACKING_DOMAIN,
+                "configuration": json.dumps({"rowIdHighWaterMark": high}),
+                "removed": False,
+            }
+        }
+    ]
+
+
 _CONSTRAINT_PREFIX = "delta.constraints."
 
 
@@ -958,6 +1049,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
     txn: tuple[str, int] | None = None,
+    configuration: dict | None = None,
 ) -> int:
     """Write a DataFrame as a Delta-protocol commit; returns the version.
 
@@ -981,6 +1073,13 @@ def write_delta(
     version per app in ``snapshot().transactions``, which is how a
     replayed streaming micro-batch is detected and skipped
     (streaming/delta_sink.py).
+
+    ``configuration`` sets table properties at CREATE time (version 0
+    only — existing tables keep their properties; use the dedicated
+    helpers to alter them). ``delta.enableRowTracking=true`` activates
+    protocol "Row Tracking": every add action carries baseRowId /
+    defaultRowCommitVersion and the rowIdHighWaterMark advances through
+    the delta.rowTracking metadata domain.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite, got {mode!r}")
@@ -990,6 +1089,11 @@ def write_delta(
     commits, checkpoints = _list_versions(log)
     have = commits + checkpoints
     version = (max(have) + 1) if have else 0
+    if configuration and version > 0:
+        raise ValueError(
+            "configuration is a CREATE-time parameter; the existing table "
+            "keeps its properties (use add_check_constraint etc. to alter)"
+        )
     part_cols = list(partition_by or ())
     cm: dict[str, str] | None = None
     evolved = False
@@ -1144,6 +1248,15 @@ def write_delta(
     if id_handle is not None:
         id_handle.unpersist()
 
+    rt_actions: list[dict] = []
+    rt_config = configuration if version == 0 else prev.configuration
+    if _row_tracking_enabled(rt_config):
+        rt_actions = _assign_base_row_ids(
+            adds,
+            -1 if version == 0 else _row_id_high_watermark(prev.domain_metadata),
+            version,
+        )
+
     actions: list[dict] = []
     if txn is not None:
         import time as _time
@@ -1158,12 +1271,28 @@ def write_delta(
             }
         )
     if version == 0:
-        # identity allocation state must not be clobbered by writers that
-        # don't understand it: protocol "Identity Columns" is writer v6
-        wv = 6 if _identity_specs(schema_string) else 2
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": wv}}
-        )
+        if _row_tracking_enabled(configuration):
+            # rowTracking is a v7 table feature (and its watermark lives
+            # in a metadata domain): list every active writer feature
+            feats = ["domainMetadata", "rowTracking"]
+            if _identity_specs(schema_string):
+                feats.append("identityColumns")
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": sorted(feats),
+                    }
+                }
+            )
+        else:
+            # identity allocation state must not be clobbered by writers
+            # that don't understand it: "Identity Columns" is writer v6
+            wv = 6 if _identity_specs(schema_string) else 2
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": wv}}
+            )
     if version == 0 or mode == "overwrite" or evolved:
         actions.append(
             {
@@ -1178,7 +1307,7 @@ def write_delta(
                     # bumped columnMapping.maxColumnId on evolution
                     "configuration": {**dict(prev.configuration), **config_delta}
                     if version > 0
-                    else {},
+                    else dict(configuration or {}),
                 }
             }
         )
@@ -1189,7 +1318,11 @@ def write_delta(
                 {"remove": {"path": quote(rel, safe="/="), "dataChange": True}}
             )
     actions.extend(adds)
-    if mode == "append" and version > 0 and not evolved:
+    actions.extend(rt_actions)
+    if mode == "append" and version > 0 and not evolved and not rt_actions:
+        # (row-tracked appends are excluded: a blind retry would reuse a
+        # row-id range and defaultRowCommitVersion computed against the
+        # losing snapshot)
         # Optimistic concurrency: a pure append conflicts with nothing —
         # losing the O_EXCL race just means bumping the version and
         # retrying the (unchanged) actions. Overwrite/merge — and an
@@ -1308,6 +1441,21 @@ def checkpoint(
                 "txn": {"appId": app_id, "version": txn_ver, "lastUpdated": None},
             }
         )
+    for domain, config_str in sorted(snap.domain_metadata.items()):
+        # Domain Metadata survives log truncation (row tracking keeps its
+        # rowIdHighWaterMark here — dropping it would re-allocate ids)
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": config_str,
+                    "removed": False,
+                },
+            }
+        )
     for f in snap.files:
         rows.append(
             {
@@ -1316,6 +1464,8 @@ def checkpoint(
                 "add": {
                     "path": quote(str(Path(f["url"]).relative_to(table)), safe="/="),
                     "partitionValues": f["partitionValues"],
+                    "baseRowId": f.get("baseRowId"),
+                    "defaultRowCommitVersion": f.get("defaultRowCommitVersion"),
                     # spec-required add fields; fall back to the live file
                     # for logs written before size/mtime were carried
                     "size": f.get("size")
@@ -1380,6 +1530,8 @@ def checkpoint(
                                 ]
                             ),
                         ),
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
                     ]
                 ),
             ),
@@ -1390,6 +1542,16 @@ def checkpoint(
                         ("appId", pa.string()),
                         ("version", pa.int64()),
                         ("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
                     ]
                 ),
             ),
@@ -1633,7 +1795,14 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
     adds = _stage_files(staged, table, staged_part_cols)
     if id_handle is not None:
         id_handle.unpersist()
-    actions = []
+    rt_actions: list[dict] = []
+    if _row_tracking_enabled(snap.configuration):
+        # rewritten rows get FRESH ids (this merge replaces whole rows;
+        # non-preserving per protocol — baseRowId is still mandatory)
+        rt_actions = _assign_base_row_ids(
+            adds, _row_id_high_watermark(snap.domain_metadata), snap.version + 1
+        )
+    actions = list(rt_actions)
     if id_high:
         # persist the advanced identity high watermark with this commit
         actions.append(
@@ -1716,6 +1885,12 @@ def _commit_with_conflict_check(
     """
     version = read_version + 1
     while True:
+        if version != read_version + 1:
+            # rebase: adds land in a LATER commit than planned — keep
+            # defaultRowCommitVersion equal to the actual commit version
+            for a in actions:
+                if "add" in a and a["add"].get("defaultRowCommitVersion") is not None:
+                    a["add"]["defaultRowCommitVersion"] = version
         for v in range(read_version + 1, version):
             with open(_commit_path(table, v)) as f:
                 for line in f:
@@ -1725,6 +1900,13 @@ def _commit_with_conflict_check(
                     if "metaData" in a or "protocol" in a:
                         raise ConcurrentWriteError(
                             f"concurrent metadata/protocol commit at version "
+                            f"{v} of {table}; re-read and retry {operation}"
+                        )
+                    if "domainMetadata" in a:
+                        # e.g. a concurrent row-id allocation advanced the
+                        # delta.rowTracking watermark this operation read
+                        raise ConcurrentWriteError(
+                            f"concurrent domain-metadata commit at version "
                             f"{v} of {table}; re-read and retry {operation}"
                         )
                     if "remove" in a and unquote(a["remove"]["path"]) in removed_paths:
@@ -1976,17 +2158,19 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
             num_records = None
         if num_records is not None and r.new_cardinality >= num_records:
             continue  # every physical row dead: bare remove, no re-add
-        actions.append(
-            {
-                "add": {
-                    "path": quoted,
-                    "partitionValues": f["partitionValues"],
-                    "stats": f["stats"],
-                    "dataChange": True,
-                    "deletionVector": json.loads(r.descriptor),
-                }
-            }
-        )
+        re_add = {
+            "path": quoted,
+            "partitionValues": f["partitionValues"],
+            "stats": f["stats"],
+            "dataChange": True,
+            "deletionVector": json.loads(r.descriptor),
+        }
+        if f.get("baseRowId") is not None:
+            # row tracking: a DV changes no physical row positions, so the
+            # re-added file keeps its stable row ids (preserving)
+            re_add["baseRowId"] = f["baseRowId"]
+            re_add["defaultRowCommitVersion"] = f.get("defaultRowCommitVersion")
+        actions.append({"add": re_add})
     version = _commit_with_conflict_check(
         table,
         snap.version,
@@ -2062,11 +2246,19 @@ def optimize(
         shaped = df.coalesce(n_out)
     staged, staged_part_cols = _to_physical(shaped, cm, part_cols)
     adds = _stage_files(staged, table, staged_part_cols, data_change=False)
+    rt_actions: list[dict] = []
+    if _row_tracking_enabled(snap.configuration):
+        # compacted files get fresh baseRowIds (assignment is mandatory
+        # under rowTracking; this compaction does not preserve row ids —
+        # preservation needs the materialized-row-id column)
+        rt_actions = _assign_base_row_ids(
+            adds, _row_id_high_watermark(snap.domain_metadata), snap.version + 1
+        )
     actions = [
         {"remove": {"path": quote(str(Path(f["url"]).relative_to(table)), safe="/="),
                     "dataChange": False}}
         for f in todo
-    ] + adds
+    ] + adds + rt_actions
     version = _commit_with_conflict_check(
         table,
         snap.version,
@@ -2156,21 +2348,25 @@ def restore_delta(table_path: str | Path, version: int) -> dict:
             actions.append(
                 {"remove": {"path": quote(rel, safe="/="), "dataChange": True}}
             )
-        actions.append(
-            {
-                "add": {
-                    "path": quote(rel, safe="/="),
-                    "partitionValues": f["partitionValues"],
-                    "size": f.get("size")
-                    if f.get("size") is not None
-                    else Path(f["url"]).stat().st_size,
-                    "modificationTime": f.get("modificationTime") or 0,
-                    "dataChange": True,
-                    "stats": f["stats"],
-                    "deletionVector": f.get("deletionVectorLog"),
-                }
-            }
-        )
+        restore_add = {
+            "path": quote(rel, safe="/="),
+            "partitionValues": f["partitionValues"],
+            "size": f.get("size")
+            if f.get("size") is not None
+            else Path(f["url"]).stat().st_size,
+            "modificationTime": f.get("modificationTime") or 0,
+            "dataChange": True,
+            "stats": f["stats"],
+            "deletionVector": f.get("deletionVectorLog"),
+        }
+        if f.get("baseRowId") is not None:
+            # restore resurrects the file's ORIGINAL stable row ids (the
+            # watermark only ever advances, so no new allocation needed)
+            restore_add["baseRowId"] = f["baseRowId"]
+            restore_add["defaultRowCommitVersion"] = f.get(
+                "defaultRowCommitVersion"
+            )
+        actions.append({"add": restore_add})
         added += 1
     new_version = _commit_with_conflict_check(
         table,

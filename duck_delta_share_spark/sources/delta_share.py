@@ -101,6 +101,9 @@ class _FileTask(InputPartition):
     # True when NESTED struct fields also carry physicalName renames —
     # the executor relabels them with a zero-copy arrow view.
     nested_map: bool = False
+    # Row tracking: (baseRowId, defaultRowCommitVersion) when the read
+    # materializes _row_id/_row_commit_version; None otherwise.
+    row_ids: tuple | None = None
 
 
 def _parse_table_path(path: str | None, options: dict[str, str]) -> tuple[str, str, str]:
@@ -116,6 +119,30 @@ def _parse_table_path(path: str | None, options: dict[str, str]) -> tuple[str, s
 # Columns synthesized by change-data-feed reads, mirroring Delta's CDF
 # column contract so downstream MERGE/apply logic ports unchanged.
 CDF_COLUMNS = ("_change_type", "_commit_version", "_commit_timestamp")
+
+# Columns synthesized by row-tracking reads (protocol "Row Tracking"):
+# _row_id = add.baseRowId + physical row index (stable under
+# deletion-vector deletes), _row_commit_version = the add's
+# defaultRowCommitVersion.
+ROW_ID_COLUMNS = ("_row_id", "_row_commit_version")
+
+
+def _row_ids_enabled(options: dict[str, str]) -> bool:
+    raw = options.get("withrowids", options.get("withRowIds", ""))
+    return str(raw).lower() in ("true", "1")
+
+
+def _with_row_id_fields(schema: StructType) -> StructType:
+    from pyspark.sql.types import LongType, StructField
+
+    fields = [f for f in schema.fields if f.name not in ROW_ID_COLUMNS]
+    return StructType(
+        fields
+        + [
+            StructField("_row_id", LongType()),
+            StructField("_row_commit_version", LongType()),
+        ]
+    )
 
 
 def _cdf_enabled(options: dict[str, str]) -> bool:
@@ -201,7 +228,11 @@ class DeltaShareDataSource(DataSource):
             client = _make_client(self.options)
             _, metadata = client.query_table_metadata(share, schema, table)
             base = schema_from_string(metadata.schema_string)
-        return _with_cdf_fields(base) if _cdf_enabled(self.options) else base
+        if _cdf_enabled(self.options):
+            return _with_cdf_fields(base)
+        if _row_ids_enabled(self.options):
+            return _with_row_id_fields(base)
+        return base
 
     def reader(self, schema: StructType) -> "DeltaShareReader":
         return DeltaShareReader(dict(self.options), schema)
@@ -334,7 +365,14 @@ class DeltaShareReader(DataSourceReader):
         refresh = dict(self.options) if rest else None
         if refresh is not None and self._refresh_token:
             refresh["__refreshToken"] = self._refresh_token
-        return _build_tasks(files, part_cols, self.schema, self.pushed, refresh)
+        return _build_tasks(
+            files,
+            part_cols,
+            self.schema,
+            self.pushed,
+            refresh,
+            want_row_ids=_row_ids_enabled(self.options),
+        )
 
     # -- execution (runs on executors) ---------------------------------------
 
@@ -348,6 +386,7 @@ def _build_tasks(
     schema: StructType,
     pushed: list[Filter],
     refresh: dict | None,
+    want_row_ids: bool = False,
 ) -> list[_FileTask]:
     """Driver-side task planning shared by the batch and streaming readers:
     partition + file-stats pruning, then one picklable task per file.
@@ -361,6 +400,10 @@ def _build_tasks(
     from duck_delta_share_spark.sources.schema import column_mapping
 
     base_schema = _strip_cdf_fields(schema)  # CDF columns are synthesized
+    if want_row_ids:  # _row_id/_row_commit_version are synthesized too
+        base_schema = StructType(
+            [f for f in base_schema.fields if f.name not in ROW_ID_COLUMNS]
+        )
     data_fields, part_fields = split_partition_fields(base_schema, part_cols)
     data_schema = StructType(data_fields)
     part_schema = StructType(part_fields)
@@ -393,6 +436,14 @@ def _build_tasks(
                 }
             if not stats_allow(pushed, stats):
                 continue  # min/max stats pruning
+        row_ids = None
+        if want_row_ids:
+            if f.get("baseRowId") is None:
+                raise ValueError(
+                    f"withRowIds read: file {f['url']} carries no baseRowId "
+                    "(table not written with delta.enableRowTracking=true?)"
+                )
+            row_ids = (int(f["baseRowId"]), f.get("defaultRowCommitVersion"))
         tasks.append(
             _FileTask(
                 url=f["url"],
@@ -409,6 +460,7 @@ def _build_tasks(
                 dv=f.get("deletionVector"),
                 col_map=col_map,
                 nested_map=nested_map,
+                row_ids=row_ids,
             )
         )
     return tasks
@@ -446,9 +498,10 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
             else flt
             for flt in filters
         ]
+    need_index = partition.dv is not None or partition.row_ids is not None
     try:
         table, row_index = _fetch_parquet(
-            partition.url, cols, filters, want_row_index=partition.dv is not None
+            partition.url, cols, filters, want_row_index=need_index
         )
     except UrlExpiredError:
         # ONLY an expired presigned URL is refreshable; a 404 (file no
@@ -458,7 +511,7 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
         if fresh is None:
             raise
         table, row_index = _fetch_parquet(
-            fresh, cols, filters, want_row_index=partition.dv is not None
+            fresh, cols, filters, want_row_index=need_index
         )
 
     if partition.dv is not None:
@@ -471,7 +524,11 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
 
         deleted = load_dv(partition.dv, "").astype(np.int64)
         if len(deleted):
-            table = table.filter(pa.array(~np.isin(row_index, deleted)))
+            keep = ~np.isin(row_index, deleted)
+            table = table.filter(pa.array(keep))
+            # keep _row_id aligned: surviving rows KEEP their physical
+            # positions (row ids are stable under DV deletes)
+            row_index = row_index[keep]
 
     if col_map:
         # emit LOGICAL names: relabel the physical parquet columns
@@ -498,6 +555,15 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
         )
         columns[f.name] = pa.nulls(n, type=target) if raw is None else pa.array(
             [scalar.as_py()] * n, type=target
+        )
+
+    if partition.row_ids is not None:
+        base, commit_v = partition.row_ids
+        columns["_row_id"] = pa.array(base + row_index, type=pa.int64())
+        columns["_row_commit_version"] = (
+            pa.array([commit_v] * n, type=pa.int64())
+            if commit_v is not None
+            else pa.nulls(n, type=pa.int64())
         )
 
     if partition.change is not None:
