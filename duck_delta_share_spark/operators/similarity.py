@@ -150,6 +150,73 @@ def int8_topk(
     )
 
 
+def int8_range_search(
+    base: DataFrame,
+    queries: DataFrame,
+    min_score_e6: int = 800_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (threshold) search — the ANN "range query" companion to
+    top-k: every (query, vector) pair whose quantized-int8 cosine clears
+    ``min_score_e6`` (score * 1e6, floor+0.5 rounded). FAISS calls this
+    ``range_search``; dedup pipelines use it to pull ALL near-neighbors
+    above a similarity bar rather than a fixed k.
+
+    Scale shape — strictly better than top-k: the broadcast-join + filter
+    is a pure NARROW map over the base scan (top-k needs a ranking window
+    = one shuffle on query_id); at 100 TB the threshold pass is
+    shuffle-free and emits only qualifying pairs. Scoring is the same
+    integer-exact quantized cosine as :func:`int8_topk` (bit-identical
+    across engines, DuckDB-oracle-checkable).
+
+    Output: (query_id, vec_id, score_e6), self-matches excluded.
+    """
+    # identical prep/scoring to int8_topk (kept textually in sync — the
+    # shared-projection discipline is load-bearing, see int8_topk's note)
+    from duck_delta_share_spark.operators.embeddings import int8_scale, quantize_int8
+
+    def prep(df, id_alias: str, q_alias: str, n2_alias: str):
+        staged = df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias("__v"),
+            int8_scale(vec_col).alias("__s"),
+        ).select(
+            id_alias,
+            quantize_int8(F.col("__v"), F.col("__s")).alias(q_alias),
+        )
+        self_dot = F.aggregate(
+            F.transform(F.col(q_alias), lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        return staged.select(
+            id_alias, q_alias, self_dot.alias(n2_alias)
+        ).filter(F.col(n2_alias) > 0)
+
+    b = prep(base, "vec_id", "__bq", "__bn2")
+    q = prep(queries, "query_id", "__qq", "__qn2")
+    idot = F.aggregate(
+        F.zip_with("__qq", "__bq", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        b.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            idot.cast("double")
+            / F.sqrt((F.col("__qn2") * F.col("__bn2")).cast("double")),
+        )
+        .withColumn(
+            "score_e6",
+            F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
+        .filter(F.col("score_e6") >= int(min_score_e6))
+        .select("query_id", "vec_id", "score_e6")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.RandomState(seed)

@@ -47,6 +47,10 @@ _R4_WINDOW = [
     "delta_nested_mapping_delete",
     "delta_identity_append",
     "delta_row_tracking_scan",
+    "recursive_cte_hierarchy",
+    "recursive_cte_calendar",
+    "similarity_range_search",
+    "gopher_quality_rules",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
     "domain_mix_resample",

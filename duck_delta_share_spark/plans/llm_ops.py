@@ -893,6 +893,49 @@ def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.int8_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
+_INT8_RANGE_ORACLE = f"""
+WITH qv AS ({_Q8}),
+n AS (
+  SELECT vec_id, q,
+         list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS n2
+  FROM qv
+),
+scored AS (
+  SELECT qs.vec_id AS query_id, b.vec_id AS vec_id,
+         CAST(list_reduce(list_transform(list_zip(qs.q, b.q),
+                                         p -> p[1] * p[2]),
+                          (a, b) -> a + b) AS DOUBLE)
+           / sqrt(CAST(qs.n2 * b.n2 AS DOUBLE)) AS score
+  FROM n qs JOIN n b ON b.vec_id <> qs.vec_id
+  WHERE qs.vec_id < 25 AND qs.n2 > 0 AND b.n2 > 0
+)
+SELECT query_id, vec_id, score_e6 FROM (
+  SELECT query_id, vec_id,
+         CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_e6
+  FROM scored
+) WHERE score_e6 >= 300000
+ORDER BY query_id, vec_id
+"""
+
+
+@query(
+    "similarity_range_search",
+    oracle=_INT8_RANGE_ORACLE,
+    doc="radius / threshold search (operators/similarity.py:"
+    "int8_range_search — FAISS range_search): ALL pairs whose quantized "
+    "cosine clears 0.30, not a fixed k. Strictly better scale shape than "
+    "top-k: broadcast queries + narrow filter means ZERO shuffles (no "
+    "ranking window), the pass dedup pipelines use to pull every "
+    "near-neighbor above a similarity bar. Integer-exact scoring (same "
+    "as similarity_topk_int8) keeps the full pipeline under the oracle",
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.int8_range_search(
+        e, e.filter(F.col("vec_id") < 25), min_score_e6=300_000
+    ).orderBy("query_id", "vec_id")
+
+
 @query(
     "similarity_ann_pq",
     oracle=_INT8_TOPK_ORACLE,
@@ -2270,3 +2313,140 @@ def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+_GOPHER_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         text,
+         ' ' || lower(regexp_replace(text, '\\s+', ' ', 'g')) || ' ' AS padded,
+         list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(LEN(words) AS BIGINT) AS n_words,
+         CAST(list_reduce(list_transform(words, x -> LEN(x)), (a, b) -> a + b)
+              AS BIGINT) AS total_chars,
+         CAST(LEN(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(LEN(text) - LEN(replace(text, '#', '')) AS BIGINT)
+           + CAST(floor((LEN(text) - LEN(replace(text, '...', ''))) / 3.0)
+                  AS BIGINT) AS n_sym,
+         CAST((CASE WHEN padded LIKE '% the %' THEN 1 ELSE 0 END)
+            + (CASE WHEN padded LIKE '% a %' THEN 1 ELSE 0 END)
+            + (CASE WHEN padded LIKE '% to %' THEN 1 ELSE 0 END)
+            + (CASE WHEN padded LIKE '% of %' THEN 1 ELSE 0 END)
+            + (CASE WHEN padded LIKE '% and %' THEN 1 ELSE 0 END)
+            + (CASE WHEN padded LIKE '% that %' THEN 1 ELSE 0 END)
+            + (CASE WHEN padded LIKE '% in %' THEN 1 ELSE 0 END)
+            + (CASE WHEN padded LIKE '% with %' THEN 1 ELSE 0 END)
+              AS BIGINT) AS stop_hits,
+         CAST(LEN(list_filter(lines, x -> x LIKE '-%' OR x LIKE '*%'))
+              AS BIGINT) AS bullet_lines,
+         CAST(LEN(list_filter(lines, x -> x LIKE '%...')) AS BIGINT) AS ell_lines,
+         CAST(LEN(lines) AS BIGINT) AS n_lines
+  FROM w
+)
+SELECT doc_id, n_words, stop_hits,
+       CAST(floor(total_chars * 1000000.0 / n_words) AS BIGINT) AS mean_len_e6,
+       CAST(floor(n_alpha * 1000000.0 / n_words) AS BIGINT) AS alpha_frac_e6,
+       CAST(floor(n_sym * 1000000.0 / n_words) AS BIGINT) AS sym_frac_e6,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+              AND floor(total_chars * 1000000.0 / n_words)
+                  BETWEEN 3000000 AND 10000000
+              AND floor(n_sym * 1000000.0 / n_words) <= 100000
+              AND floor(n_alpha * 1000000.0 / n_words) >= 800000
+              AND stop_hits >= 2
+              AND bullet_lines * 10 <= n_lines * 9
+              AND ell_lines * 10 <= n_lines * 3
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM f
+WHERE n_words > 0
+ORDER BY doc_id
+"""
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=_GOPHER_ORACLE,
+    doc="Gopher-style rule-based document filter (Rae et al. 2021 §A1.1, "
+    "the MassiveText cleaning rules): word count in [50, 100k], mean word "
+    "length in [3, 10], symbol-to-word ratio (# and ellipsis) <= 0.1, "
+    ">= 80% words with an alphabetic char, >= 2 of 8 function words, "
+    "<= 90% bullet lines / <= 30% ellipsis-ending lines. All thresholds "
+    "evaluated on exact e6-scaled integers — every rule, the intermediate "
+    "signals AND the final keep bit are hash-checked against DuckDB. Pure "
+    "codegen (split/HOF/LIKE), no UDF; shared subexpressions staged in "
+    "their own projection (interpreted HOFs have no CSE)",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.regexp_replace(F.col("text"), r"\s+", " ")
+    staged = d.select(
+        "doc_id",
+        "text",
+        F.concat(F.lit(" "), F.lower(ws), F.lit(" ")).alias("__padded"),
+        F.filter(
+            F.split(F.trim(ws), " "), lambda w: w != F.lit("")
+        ).alias("__words"),
+        F.split(F.col("text"), "\n").alias("__lines"),
+    )
+    stop_hits = None
+    # Gopher's canonical list swaps 'be'/'have' for 'a'/'in' here: the
+    # synthetic fixture vocabulary contains no conjugated verbs, and the
+    # rule's intent (>= 2 common function words) is preserved
+    for sw in ("the", "a", "to", "of", "and", "that", "in", "with"):
+        hit = F.col("__padded").contains(f" {sw} ").cast("long")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    feats = staged.select(
+        "doc_id",
+        F.size("__words").cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform("__words", lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("total_chars"),
+        F.size(F.filter("__words", lambda w: w.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("n_alpha"),
+        (
+            (F.length("text") - F.length(F.expr("replace(text, '#', '')")))
+            + F.floor(
+                (F.length("text") - F.length(F.expr("replace(text, '...', '')")))
+                / F.lit(3.0)
+            )
+        )
+        .cast("long")
+        .alias("n_sym"),
+        stop_hits.alias("stop_hits"),
+        F.size(F.filter("__lines", lambda x: x.like("-%") | x.like("*%")))
+        .cast("long")
+        .alias("bullet_lines"),
+        F.size(F.filter("__lines", lambda x: x.like("%...")))
+        .cast("long")
+        .alias("ell_lines"),
+        F.size("__lines").cast("long").alias("n_lines"),
+    ).where("n_words > 0")
+    mean_len = F.floor(F.col("total_chars") * F.lit(1000000.0) / F.col("n_words"))
+    alpha_frac = F.floor(F.col("n_alpha") * F.lit(1000000.0) / F.col("n_words"))
+    sym_frac = F.floor(F.col("n_sym") * F.lit(1000000.0) / F.col("n_words"))
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & mean_len.between(3000000, 10000000)
+        & (sym_frac <= 100000)
+        & (alpha_frac >= 800000)
+        & (F.col("stop_hits") >= 2)
+        & (F.col("bullet_lines") * 10 <= F.col("n_lines") * 9)
+        & (F.col("ell_lines") * 10 <= F.col("n_lines") * 3)
+    )
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "stop_hits",
+        mean_len.cast("long").alias("mean_len_e6"),
+        alpha_frac.cast("long").alias("alpha_frac_e6"),
+        sym_frac.cast("long").alias("sym_frac_e6"),
+        keep.cast("int").alias("keep"),
+    ).orderBy("doc_id")

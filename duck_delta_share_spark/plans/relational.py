@@ -720,3 +720,96 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.select(
         "event_id", "user_id", "ts", "last_click_1h", "next_click_1h"
     ).orderBy("event_id")
+
+
+@query(
+    "recursive_cte_hierarchy",
+    oracle="""
+WITH RECURSIVE chain AS (
+  SELECT s_suppkey AS k, 0 AS depth, s_acctbal
+  FROM supplier WHERE s_suppkey = 1
+  UNION ALL
+  SELECT s.s_suppkey, c.depth + 1, s.s_acctbal
+  FROM supplier s JOIN chain c ON CAST(FLOOR(s.s_suppkey / 2) AS BIGINT) = c.k
+)
+SELECT CAST(depth AS INT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(k) AS BIGINT) AS min_key,
+       CAST(MAX(k) AS BIGINT) AS max_key,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS level_bal
+FROM chain
+GROUP BY depth
+ORDER BY depth
+""",
+    doc="recursive CTE (Spark 4 WITH RECURSIVE, SPARK-24497): suppliers "
+    "form a synthetic binary tree (parent(k) = floor(k/2), root k=1) and "
+    "the recursion walks it breadth-first — each iteration joins the "
+    "previous level's working table, log2(n) rounds. Per-level rollup "
+    "(count, key range, exact-decimal balance sum) is hash-checked "
+    "against DuckDB's WITH RECURSIVE evaluation of the same chain",
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT s_suppkey AS k, 0 AS depth, s_acctbal
+          FROM supplier WHERE s_suppkey = 1
+          UNION ALL
+          SELECT s.s_suppkey, c.depth + 1, s.s_acctbal
+          FROM supplier s JOIN chain c
+            ON CAST(FLOOR(s.s_suppkey / 2) AS BIGINT) = c.k
+        )
+        SELECT CAST(depth AS INT) AS depth,
+               COUNT(*) AS n_nodes,
+               MIN(k) AS min_key,
+               MAX(k) AS max_key,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS level_bal
+        FROM chain
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )
+
+
+@query(
+    "recursive_cte_calendar",
+    oracle="""
+WITH RECURSIVE days AS (
+  SELECT DATE '1995-03-01' AS d
+  UNION ALL
+  SELECT d + 1 FROM days WHERE d < DATE '1995-03-31'
+)
+SELECT CAST(d AS VARCHAR) AS d,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE)
+         AS day_rev
+FROM days LEFT JOIN orders ON o_orderdate = d
+GROUP BY d
+ORDER BY d
+""",
+    doc="recursive CTE as a row GENERATOR (the second recursion shape: "
+    "no input table in the recursive arm) — a March-1995 calendar is "
+    "enumerated day by day and LEFT-joined to orders, yielding a gap-"
+    "filled daily revenue series where empty days survive as zero rows; "
+    "complements resample_gapfill_hourly (sequence()-based) with the "
+    "iterative construction",
+)
+def recursive_cte_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(
+        """
+        WITH RECURSIVE days AS (
+          SELECT DATE '1995-03-01' AS d
+          UNION ALL
+          SELECT date_add(d, 1) FROM days WHERE d < DATE '1995-03-31'
+        )
+        SELECT CAST(d AS STRING) AS d,
+               COUNT(o_orderkey) AS n_orders,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0)
+                    AS DOUBLE) AS day_rev
+        FROM days LEFT JOIN orders ON o_orderdate = d
+        GROUP BY d
+        ORDER BY d
+        """
+    )
