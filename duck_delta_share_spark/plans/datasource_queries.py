@@ -1041,9 +1041,12 @@ ORDER BY o_orderkey
     "advances through the delta.rowTracking domain. The input is range-"
     "partitioned+sorted on o_orderkey so _row_id equals ROW_NUMBER()-1 in "
     "key order; rows with o_orderkey%10=5 are then DELETED via deletion "
-    "vectors and the scan-back proves the SURVIVORS keep their original "
-    "pre-delete row ids (stability under merge-on-read deletes — the "
-    "whole point of the feature)",
+    "vectors AND the table is COMPACTED (OPTIMIZE materializes the "
+    "pre-rewrite ids into the hidden physical columns, which win the "
+    "reader's coalesce over the fresh baseRowId) — the scan-back proves "
+    "the SURVIVORS keep their original pre-delete, pre-compaction row ids "
+    "(stability under merge-on-read deletes and preservation through "
+    "rewrites — the whole point of the feature)",
 )
 def delta_row_tracking_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -1052,6 +1055,7 @@ def delta_row_tracking_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duck_delta_share_spark.catalog import load_table
     from duck_delta_share_spark.sources.delta_log import (
         delete_where,
+        optimize,
         read_delta,
         write_delta,
     )
@@ -1066,6 +1070,7 @@ def delta_row_tracking_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_delta(o, table, configuration={"delta.enableRowTracking": "true"})
     delete_where(spark, table, "o_orderkey % 10 = 5")
+    optimize(spark, table)
     return (
         read_delta(spark, table, with_row_ids=True)
         .select("o_orderkey", "o_totalprice", F.col("_row_id").alias("row_id"))

@@ -826,6 +826,19 @@ def _apply_identity_watermarks(schema_string: str, new_high: dict) -> str:
 
 
 _ROW_TRACKING_DOMAIN = "delta.rowTracking"
+# Hidden physical columns that MAY carry per-row materialized ids
+# (protocol "Row Tracking" — preserved row ids): readers compute
+# row_id = coalesce(materialized, baseRowId + row_index), so an operation
+# that rewrites rows without changing them (OPTIMIZE) writes the previous
+# ids into these columns and the logical ids survive compaction.
+_MAT_ROW_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+_MAT_ROW_CV_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+
+def _materialized_row_id_cols(configuration: dict | None) -> tuple | None:
+    c = configuration or {}
+    mat_id, mat_cv = c.get(_MAT_ROW_ID_KEY), c.get(_MAT_ROW_CV_KEY)
+    return (mat_id, mat_cv) if mat_id else None
 
 
 def _row_tracking_enabled(configuration: dict | None) -> bool:
@@ -1094,6 +1107,13 @@ def write_delta(
             "configuration is a CREATE-time parameter; the existing table "
             "keeps its properties (use add_check_constraint etc. to alter)"
         )
+    if version == 0 and _row_tracking_enabled(configuration):
+        # name the hidden materialized-row-id columns up front so OPTIMIZE
+        # can preserve ids later (deterministic uuid5 names, per table)
+        configuration = dict(configuration)
+        tag = uuid.uuid5(uuid.NAMESPACE_URL, f"{table}:rowTracking").hex[:12]
+        configuration.setdefault(_MAT_ROW_ID_KEY, f"_row-id-col-{tag}")
+        configuration.setdefault(_MAT_ROW_CV_KEY, f"_row-cv-col-{tag}")
     part_cols = list(partition_by or ())
     cm: dict[str, str] | None = None
     evolved = False
@@ -1700,7 +1720,14 @@ def version_changes(
 # ---------------------------------------------------------------------------
 
 
-def _direct_read(spark, snap_schema: str, part_cols, files: list[dict]):
+def _direct_read(
+    spark,
+    snap_schema: str,
+    part_cols,
+    files: list[dict],
+    with_row_ids: bool = False,
+    row_id_phys: tuple | None = None,
+):
     from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
 
     spark.dataSource.register(DeltaShareDataSource)
@@ -1711,6 +1738,10 @@ def _direct_read(spark, snap_schema: str, part_cols, files: list[dict]):
     )
     if part_cols:
         reader = reader.option("partitionColumns", ",".join(part_cols))
+    if with_row_ids:
+        reader = reader.option("withRowIds", "true")
+        if row_id_phys:
+            reader = reader.option("rowIdPhysical", json.dumps(list(row_id_phys)))
     return reader.load()
 
 
@@ -2225,7 +2256,23 @@ def optimize(
         list(snap.files) if zorder_by else [f for fs in worth for f in fs]
     )
     part_cols = list(snap.partition_columns)
-    df = _direct_read(spark, snap.schema_string, part_cols, todo)
+    row_tracked = _row_tracking_enabled(snap.configuration)
+    mat_cols = _materialized_row_id_cols(snap.configuration)
+    df = _direct_read(
+        spark,
+        snap.schema_string,
+        part_cols,
+        todo,
+        with_row_ids=row_tracked and mat_cols is not None,
+        row_id_phys=mat_cols,
+    )
+    if row_tracked and mat_cols is not None:
+        # PRESERVE row ids through compaction: materialize the pre-rewrite
+        # ids into the hidden physical columns; readers coalesce them
+        # ahead of the fresh baseRowId+index fallback
+        df = df.withColumnsRenamed(
+            {"_row_id": mat_cols[0], "_row_commit_version": mat_cols[1]}
+        )
     total = sum(Path(f["url"]).stat().st_size for f in todo)
     n_out = max(1, math.ceil(total / max(1, int(target_file_mb * (1 << 20)))))
     if zorder_by:

@@ -104,6 +104,9 @@ class _FileTask(InputPartition):
     # Row tracking: (baseRowId, defaultRowCommitVersion) when the read
     # materializes _row_id/_row_commit_version; None otherwise.
     row_ids: tuple | None = None
+    # physical names of the table's materialized-row-id columns (protocol
+    # preserved row ids): values found there win over baseRowId+row_index
+    row_id_phys: tuple | None = None
 
 
 def _parse_table_path(path: str | None, options: dict[str, str]) -> tuple[str, str, str]:
@@ -295,6 +298,7 @@ class DeltaShareReader(DataSourceReader):
                 snap = snapshot(delta)  # partition columns + protocol gate
                 return version_changes(delta, int(sv), end), snap.partition_columns
             snap = snapshot(delta, _delta_version(self.options, delta))
+            self._delta_conf = dict(snap.configuration)
             return list(snap.files), snap.partition_columns
         share, schema, table = _parse_table_path(self.options.get("path"), self.options)
         client = _make_client(self.options)
@@ -359,12 +363,32 @@ class DeltaShareReader(DataSourceReader):
 
     def partitions(self) -> list[_FileTask]:
         self._refresh_token = None
+        self._delta_conf: dict = {}
         files, part_cols = self._file_actions()
         # only REST mode has a control plane to refresh expired URLs from
         rest = "files" not in self.options and _delta_path(self.options) is None
         refresh = dict(self.options) if rest else None
         if refresh is not None and self._refresh_token:
             refresh["__refreshToken"] = self._refresh_token
+        raw_phys = self.options.get(
+            "rowidphysical", self.options.get("rowIdPhysical")
+        )
+        if raw_phys:
+            row_id_phys = tuple(json.loads(raw_phys))
+        else:  # deltaPath mode: derive from the table configuration
+            mat = self._delta_conf.get(
+                "delta.rowTracking.materializedRowIdColumnName"
+            )
+            row_id_phys = (
+                (
+                    mat,
+                    self._delta_conf.get(
+                        "delta.rowTracking.materializedRowCommitVersionColumnName"
+                    ),
+                )
+                if mat
+                else None
+            )
         return _build_tasks(
             files,
             part_cols,
@@ -372,6 +396,7 @@ class DeltaShareReader(DataSourceReader):
             self.pushed,
             refresh,
             want_row_ids=_row_ids_enabled(self.options),
+            row_id_phys=row_id_phys,
         )
 
     # -- execution (runs on executors) ---------------------------------------
@@ -387,6 +412,7 @@ def _build_tasks(
     pushed: list[Filter],
     refresh: dict | None,
     want_row_ids: bool = False,
+    row_id_phys: tuple | None = None,
 ) -> list[_FileTask]:
     """Driver-side task planning shared by the batch and streaming readers:
     partition + file-stats pruning, then one picklable task per file.
@@ -461,6 +487,7 @@ def _build_tasks(
                 col_map=col_map,
                 nested_map=nested_map,
                 row_ids=row_ids,
+                row_id_phys=row_id_phys if want_row_ids else None,
             )
         )
     return tasks
@@ -480,6 +507,11 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
 
     col_map = partition.col_map or {}
     cols = [col_map.get(f.name, f.name) for f in data_schema.fields]
+    if partition.row_ids is not None and partition.row_id_phys:
+        # materialized-row-id columns are hidden physical columns OUTSIDE
+        # the table schema; _fetch_parquet intersects with the footer, so
+        # files without them (plain appends) just skip the request
+        cols = cols + [c for c in partition.row_id_phys if c]
     if partition.change and partition.change[0] == "cdf":
         # cdf-action files physically carry _change_type (update pre/post
         # images); add/remove files get it synthesized below.
@@ -558,13 +590,24 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
         )
 
     if partition.row_ids is not None:
+        import pyarrow.compute as pc
+
         base, commit_v = partition.row_ids
-        columns["_row_id"] = pa.array(base + row_index, type=pa.int64())
-        columns["_row_commit_version"] = (
+        rid = pa.array(base + row_index, type=pa.int64())
+        cv = (
             pa.array([commit_v] * n, type=pa.int64())
             if commit_v is not None
             else pa.nulls(n, type=pa.int64())
         )
+        phys = partition.row_id_phys or (None, None)
+        if phys[0] and phys[0] in table.column_names:
+            # preserved ids (written by OPTIMIZE) win over the fresh
+            # baseRowId+index fallback, per the protocol's coalesce rule
+            rid = pc.coalesce(pc.cast(table.column(phys[0]), pa.int64()), rid)
+        if len(phys) > 1 and phys[1] and phys[1] in table.column_names:
+            cv = pc.coalesce(pc.cast(table.column(phys[1]), pa.int64()), cv)
+        columns["_row_id"] = rid
+        columns["_row_commit_version"] = cv
 
     if partition.change is not None:
         action, version, ts_ms = partition.change

@@ -112,16 +112,32 @@ def test_checkpoint_preserves_row_tracking(spark, tmp_path):
     assert {r._row_id for r in out} == set(range(12))
 
 
-def test_optimize_assigns_fresh_ids(spark, tmp_path):
+def test_optimize_preserves_row_ids(spark, tmp_path):
     t = _make(spark, tmp_path)
+    before = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in read_delta(spark, t, with_row_ids=True).collect()
+    }
     res = optimize(spark, t)
     assert res["files_after"] < res["files_before"]
-    out = read_delta(spark, t, with_row_ids=True).collect()
-    ids = sorted(r._row_id for r in out)
-    # compaction re-allocates: ids are fresh (past the old watermark),
-    # unique, and the watermark advanced
-    assert len(set(ids)) == 10
-    assert min(ids) == 10 and _watermark(t) == 19
+    after = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in read_delta(spark, t, with_row_ids=True).collect()
+    }
+    # compaction PRESERVES logical row ids: the pre-rewrite ids were
+    # materialized into the hidden physical columns and win the coalesce
+    # over the compacted file's fresh baseRowId
+    assert after == before
+    # the compacted add still allocated fresh baseRowIds (mandatory), so
+    # the watermark advanced even though logical ids did not change
+    assert _watermark(t) == 19
+    # a further delete on the compacted table keeps ids stable too
+    delete_where(spark, t, "k >= 8")
+    final = {
+        r.k: r._row_id
+        for r in read_delta(spark, t, with_row_ids=True).collect()
+    }
+    assert final == {k: before[k][0] for k in range(8)}
 
 
 def test_merge_and_restore_row_ids(spark, tmp_path):
