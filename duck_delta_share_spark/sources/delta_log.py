@@ -1709,6 +1709,9 @@ def version_changes(
                             "action": kind,
                             "version": v,
                             "timestamp": ts_ms,
+                            # admission control (maxBytesPerTrigger) reads
+                            # this; our adds always carry size
+                            "size": f_.get("size"),
                         }
                     )
                     break

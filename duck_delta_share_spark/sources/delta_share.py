@@ -847,11 +847,20 @@ class DeltaShareStreamReader(DataSourceStreamReader):
     - ``readChangeFeed``: emit CDF rows (``_change_type`` /
       ``_commit_version`` / ``_commit_timestamp``) for add, remove AND cdf
       actions instead of append-only inserts.
+    - ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``: admission control —
+      cap how many added files / bytes one micro-batch admits (version
+      granularity: whole commits are admitted until a cap would be
+      exceeded, always at least one commit so the stream advances). The
+      Python DataSource API has no SupportsAdmissionControl hook, so the
+      cap is applied inside ``latestOffset``; the first trigger after a
+      RESTART has no base offset to throttle from and admits everything
+      pending (documented best-effort, steady-state batches are bounded).
 
     At 100 TB the control plane stays O(1) per trigger (one metadata GET in
-    ``latestOffset``, one /changes GET per planned batch); the data plane
-    scales with files-per-commit across executors, never through the
-    driver. The reference client has no streaming surface at all.
+    ``latestOffset``, one /changes GET per planned batch, plus one when
+    rate-limiting); the data plane scales with files-per-commit across
+    executors, never through the driver. The reference client has no
+    streaming surface at all.
     """
 
     def __init__(self, options: dict[str, str], schema: StructType):
@@ -865,6 +874,11 @@ class DeltaShareStreamReader(DataSourceStreamReader):
         self.cdf = _cdf_enabled(options)
         raw = options.get("ignoredeletes", options.get("ignoreDeletes", ""))
         self.ignore_deletes = str(raw).lower() in ("true", "1")
+        mf = options.get("maxfilespertrigger", options.get("maxFilesPerTrigger"))
+        mb = options.get("maxbytespertrigger", options.get("maxBytesPerTrigger"))
+        self.max_files = int(mf) if mf else None
+        self.max_bytes = int(mb) if mb else None
+        self._last_end: int | None = None
 
     # driver-side ------------------------------------------------------------
 
@@ -879,11 +893,45 @@ class DeltaShareStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         sv = self.options.get("startingversion", self.options.get("startingVersion"))
         if sv is None or str(sv).lower() == "latest":
-            return {"version": self._current_version() + 1}
-        return {"version": int(sv)}
+            off = self._current_version() + 1
+        else:
+            off = int(sv)
+        # never REGRESS the throttle base: the engine may probe
+        # latestOffset before calling initialOffset, and a lower base here
+        # would make the next latestOffset go backward past an offset the
+        # engine already committed — which re-reads versions (duplicates)
+        if self._last_end is None or off > self._last_end:
+            self._last_end = off
+        return {"version": off}
 
     def latestOffset(self) -> dict:
-        return {"version": self._current_version() + 1}
+        cur_excl = self._current_version() + 1
+        if self.max_files is None and self.max_bytes is None:
+            return {"version": cur_excl}
+        start = self._last_end
+        if start is None or start >= cur_excl:
+            # restarted stream: no base offset to throttle from — admit
+            # everything pending once, cap from the next trigger on
+            self._last_end = max(cur_excl, start or 0)
+            return {"version": self._last_end}
+        raw, _ = self._changes(start, cur_excl - 1)
+        by_version: dict[int, list[dict]] = {}
+        for f in raw:
+            if f["action"] in ("add", "cdf"):
+                by_version.setdefault(int(f["version"]), []).append(f)
+        admitted, n_files, n_bytes = start, 0, 0
+        for v in range(start, cur_excl):
+            acts = by_version.get(v, [])
+            nf = len(acts)
+            nb = sum(int(f.get("size") or 0) for f in acts)
+            if admitted > start and (
+                (self.max_files is not None and n_files + nf > self.max_files)
+                or (self.max_bytes is not None and n_bytes + nb > self.max_bytes)
+            ):
+                break
+            admitted, n_files, n_bytes = v + 1, n_files + nf, n_bytes + nb
+        self._last_end = admitted
+        return {"version": admitted}
 
     def _changes(self, start: int, end_incl: int) -> tuple[list[dict], tuple[str, ...]]:
         """Raw per-commit file actions from either backend, in the same
@@ -913,12 +961,18 @@ class DeltaShareStreamReader(DataSourceStreamReader):
                 "version": a.file.version,
                 "timestamp": a.file.timestamp,
                 "deletionVector": a.file.deletion_vector,
+                "size": a.file.size,
             }
             for a in changes.actions
         ]
         return files, tuple(changes.metadata.partition_columns)
 
     def partitions(self, start: dict, end: dict) -> list[_FileTask]:
+        # authoritative batch range from the engine: align the admission-
+        # control base with it (covers restarts, where this instance never
+        # saw the committed offset)
+        if self._last_end is None or end["version"] > self._last_end:
+            self._last_end = end["version"]
         if start["version"] >= end["version"]:
             return []
         raw, part_cols = self._changes(start["version"], end["version"] - 1)

@@ -696,3 +696,49 @@ def test_in_commit_timestamps_feature(spark, region, tmp_path):
     lines[0] = _json.dumps({"commitInfo": ci})
     open(_commit_path(t, 2), "w").write("\n".join(lines) + "\n")
     assert version_at_timestamp(t, ci["inCommitTimestamp"]) == 2
+
+
+def test_max_files_per_trigger_rate_limit(spark, tmp_path):
+    """maxFilesPerTrigger admission control: commits appended AFTER the
+    stream starts are admitted one per micro-batch, exactly once, instead
+    of one big batch (the first batch per reader instance is documented
+    best-effort/unthrottled — the Python DataSource API has no
+    SupportsAdmissionControl hook, so the throttle base is learned from
+    the engine's own offsets)."""
+    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+
+    spark.dataSource.register(DeltaShareDataSource)
+    t = tmp_path / "rl"
+    write_delta(spark.range(0, 5).selectExpr("id AS k").coalesce(1), t)
+    sdf = (
+        spark.readStream.format("deltashare")
+        .option("deltaPath", str(t))
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("delta_rate_limited")
+        .option("checkpointLocation", str(tmp_path / "ck_rl"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i in range(1, 4):
+            write_delta(
+                spark.range(i * 10, i * 10 + 5).selectExpr("id AS k").coalesce(1),
+                t,
+            )
+        q.processAllAvailable()
+        rows = [r.k for r in spark.sql("select k from delta_rate_limited").collect()]
+        # exactly-once: no duplicates, nothing lost
+        assert sorted(rows) == sorted(
+            list(range(0, 5)) + [i * 10 + j for i in range(1, 4) for j in range(5)]
+        )
+        batches = [p.numInputRows for p in q.recentProgress if p.numInputRows > 0]
+        # the three appended commits were admitted one per trigger
+        assert len(batches) >= 4
+        assert max(batches) <= 5
+    finally:
+        q.stop()
