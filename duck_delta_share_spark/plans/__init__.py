@@ -51,6 +51,7 @@ _R4_WINDOW = [
     "recursive_cte_calendar",
     "similarity_range_search",
     "gopher_quality_rules",
+    "scd2_dimension_cdf",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
     "domain_mix_resample",

@@ -1076,3 +1076,94 @@ def delta_row_tracking_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", F.col("_row_id").alias("row_id"))
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "scd2_dimension_cdf",
+    oracle="""
+WITH vers AS (
+  SELECT c_custkey, c_acctbal AS val, 0 AS v FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 100.0, 1 FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 200.0, 2 FROM customer WHERE c_custkey % 14 = 0
+)
+SELECT c_custkey,
+       val AS c_acctbal,
+       CAST(v AS BIGINT) AS valid_from,
+       CAST(LEAD(v) OVER (PARTITION BY c_custkey ORDER BY v) AS BIGINT)
+         AS valid_to,
+       CAST(CASE WHEN LEAD(v) OVER (PARTITION BY c_custkey ORDER BY v)
+                 IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM vers
+ORDER BY c_custkey, valid_from
+""",
+    doc="SCD Type-2 dimension build from the change feed (the classic "
+    "warehouse pattern, fed by our CDF batch read): customer lands at v0, "
+    "two MERGE waves update balances at v1 (keys %7=0, +100) and v2 "
+    "(%14=0, +200); the CDF insert stream is folded into versioned "
+    "dimension rows (valid_from / valid_to / is_current) with one window "
+    "pass. File-granular merges rewrite whole files, so unchanged rows "
+    "churn as same-value delete+insert pairs — the fold drops no-op "
+    "transitions (value = lag(value)), the step every real CDF consumer "
+    "needs. Oracle reconstructs the version history from first principles",
+)
+def scd2_dimension_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import merge_delta, write_delta
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_scd2_")) / "t"
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    write_delta(c.repartition(4), table)
+    merge_delta(
+        spark,
+        table,
+        c.where("c_custkey % 7 = 0").select(
+            "c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+        ),
+        ["c_custkey"],
+    )
+    merge_delta(
+        spark,
+        table,
+        c.where("c_custkey % 14 = 0").select(
+            "c_custkey", (F.col("c_acctbal") + 200.0).alias("c_acctbal")
+        ),
+        ["c_custkey"],
+    )
+    _register(spark)
+    changes = (
+        spark.read.format("deltashare")
+        .option("deltaPath", str(table))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .where("_change_type = 'insert'")
+        .select("c_custkey", "c_acctbal", "_commit_version")
+    )
+    w = Window.partitionBy("c_custkey").orderBy("_commit_version")
+    real = changes.withColumn("__prev", F.lag("c_acctbal").over(w)).where(
+        # drop file-rewrite no-ops: same value re-inserted by a merge that
+        # rewrote the file for OTHER keys
+        F.col("__prev").isNull() | (F.col("c_acctbal") != F.col("__prev"))
+    )
+    w2 = Window.partitionBy("c_custkey").orderBy("_commit_version")
+    return (
+        real.select(
+            "c_custkey",
+            "c_acctbal",
+            F.col("_commit_version").alias("valid_from"),
+            F.lead("_commit_version").over(w2).alias("valid_to"),
+            F.lead("_commit_version")
+            .over(w2)
+            .isNull()
+            .cast("int")
+            .alias("is_current"),
+        )
+        .orderBy("c_custkey", "valid_from")
+    )
