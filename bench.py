@@ -62,6 +62,11 @@ HEADLINE = [
     "ewma_hourly",
     "quality_features",
     "similarity_ann_ivfpq",
+    # round-4 seventh wave: shuffle-free threshold ANN, Gopher rule
+    # filter, SCD2 CDF fold over two merge waves.
+    "similarity_range_search",
+    "gopher_quality_rules",
+    "scd2_dimension_cdf",
 ]
 
 

@@ -2383,6 +2383,12 @@ ORDER BY doc_id
 )
 def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_frame(d).orderBy("doc_id")
+
+
+def gopher_quality_frame(d: DataFrame) -> DataFrame:
+    """The Gopher rule featurization over any (doc_id, text) frame — a
+    pure narrow map (scale_check drives it at N# the corpus)."""
     ws = F.regexp_replace(F.col("text"), r"\s+", " ")
     staged = d.select(
         "doc_id",
@@ -2449,4 +2455,4 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_frac.cast("long").alias("alpha_frac_e6"),
         sym_frac.cast("long").alias("sym_frac_e6"),
         keep.cast("int").alias("keep"),
-    ).orderBy("doc_id")
+    )

@@ -442,6 +442,7 @@ def _atomic_commit(
     actions: list[dict],
     operation: str | None = None,
     in_commit_ts: bool = False,
+    operation_params: dict | None = None,
 ) -> None:
     """One JSON file per version, created with O_EXCL: concurrent writers
     race on the create and the loser must retry on a fresh snapshot —
@@ -473,6 +474,13 @@ def _atomic_commit(
             "operation": operation,
             "engineInfo": "duck_delta_share_spark",
         }
+        if operation_params:
+            # delta-spark-style provenance (DESCRIBE HISTORY shows these);
+            # values are stringified like delta-spark's operationParameters
+            info["operationParameters"] = {
+                k: v if isinstance(v, str) else json.dumps(v)
+                for k, v in operation_params.items()
+            }
         if in_commit_ts:
             # protocol "In-Commit Timestamps": the authoritative commit
             # time lives IN the commit (monotonic by the clamp above)
@@ -1353,7 +1361,9 @@ def write_delta(
         for _ in range(20):
             try:
                 _atomic_commit(
-                    table, version, actions, operation="WRITE", in_commit_ts=ict
+                    table, version, actions, operation="WRITE",
+                    in_commit_ts=ict,
+                    operation_params={"mode": mode, "partitionBy": part_cols},
                 )
                 return version
             except FileExistsError:
@@ -1366,6 +1376,7 @@ def write_delta(
             actions,
             operation="WRITE",
             in_commit_ts=version > 0 and _ict_enabled(prev.configuration),
+            operation_params={"mode": mode, "partitionBy": part_cols},
         )
     except FileExistsError:
         # two concurrent first commits (or an overwrite racing another
@@ -1645,6 +1656,48 @@ def latest_version(table_path: str | Path) -> int:
     return max(commits + checkpoints)
 
 
+def describe_history(table_path: str | Path, limit: int | None = None) -> list[dict]:
+    """Newest-first commit provenance (delta-spark ``DESCRIBE HISTORY``
+    twin): one record per RETAINED commit json with {version, timestamp
+    (in-commit value when present), operation, operationParameters,
+    engineInfo}. Commits folded into a checkpoint and truncated no longer
+    have history rows — same as Delta."""
+    table = Path(table_path)
+    commits, checkpoints = _list_versions(_log_dir(table))
+    if not commits and not checkpoints:
+        raise FileNotFoundError(f"empty _delta_log in {table}")
+    out: list[dict] = []
+    for v in sorted(commits, reverse=True):
+        if limit is not None and len(out) >= limit:
+            break
+        entry: dict = {
+            "version": v,
+            "timestamp": None,
+            "operation": None,
+            "operationParameters": {},
+            "engineInfo": None,
+        }
+        with open(_commit_path(table, v)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    ci = a["commitInfo"]
+                    entry.update(
+                        timestamp=ci.get(
+                            "inCommitTimestamp", ci.get("timestamp")
+                        ),
+                        operation=ci.get("operation"),
+                        operationParameters=ci.get("operationParameters")
+                        or {},
+                        engineInfo=ci.get("engineInfo"),
+                    )
+                break  # commitInfo is always the first action when present
+        out.append(entry)
+    return out
+
+
 def version_changes(
     table_path: str | Path, start: int, end: int, include_data_unchanged: bool = False
 ) -> list[dict]:
@@ -1878,6 +1931,7 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
     version = _commit_with_conflict_check(
         table, snap.version, actions, "MERGE", removed, add_conflicts,
         in_commit_ts=_ict_enabled(snap.configuration),
+        operation_params={"predicate": [f"{k} = updates.{k}" for k in keys]},
     )
     return {
         "version": version,
@@ -1900,6 +1954,7 @@ def _commit_with_conflict_check(
     removed_paths: set[str],
     add_conflicts,
     in_commit_ts: bool = False,
+    operation_params: dict | None = None,
 ) -> int:
     """Optimistic-concurrency commit (Delta's serializable write rule):
     try version read_version+1 upward; before committing ABOVE commits we
@@ -1962,7 +2017,7 @@ def _commit_with_conflict_check(
         try:
             _atomic_commit(
                 table, version, actions, operation=operation,
-                in_commit_ts=in_commit_ts,
+                in_commit_ts=in_commit_ts, operation_params=operation_params,
             )
             return version
         except FileExistsError:
@@ -2215,6 +2270,7 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
         # ANY concurrently appended row might match — conservative abort
         lambda add: True,
         in_commit_ts=_ict_enabled(snap.configuration),
+        operation_params={"predicate": condition},
     )
     return {
         "version": version,
@@ -2319,6 +2375,10 @@ def optimize(
         # never conflict; a concurrent remove of a compacted file does
         lambda add: False,
         in_commit_ts=_ict_enabled(snap.configuration),
+        operation_params=(
+            {"zOrderBy": zorder_by} if zorder_by
+            else {"targetFileMB": target_file_mb}
+        ),
     )
     return {
         "version": version,
@@ -2426,6 +2486,7 @@ def restore_delta(table_path: str | Path, version: int) -> dict:
         {str(Path(f["url"]).relative_to(table)) for f in cur.files},
         lambda add: True,
         in_commit_ts=_ict_enabled(cur.configuration),
+        operation_params={"version": target},
     )
     return {
         "version": new_version,

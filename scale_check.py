@@ -291,6 +291,30 @@ def main() -> None:
             rerank_factor=8,
         )
 
+    def range_search_shape(emb):
+        from duck_delta_share_spark.operators.similarity import int8_range_search
+
+        return int8_range_search(
+            emb, emb.filter(F.col("vec_id") < 25), min_score_e6=300_000
+        )
+
+    def gopher_shape(d):
+        from duck_delta_share_spark.plans.llm_ops import gopher_quality_frame
+
+        return gopher_quality_frame(d.select("doc_id", "text"))
+
+    def identity_assign_shape(e):
+        from duck_delta_share_spark.sources.delta_log import (
+            _assign_identity_values,
+        )
+
+        df, _total, handle = _assign_identity_values(
+            e.select("event_id", "user_id"), {"row_seq": (1, 1)}
+        )
+        # the sizing pass (collect of one row per partition) runs eagerly
+        # above; the timed noop write covers the assignment map itself
+        return df
+
     ops = [
         ("q1_agg", q1_shape, l1, lN),
         ("minhash_lsh", minhash_shape, d1, dN),
@@ -313,6 +337,9 @@ def main() -> None:
         ("substring_dedup", substring_dedup_shape, d1, dN),
         ("opq_pq_topk", opq_pq_shape, emb1, embN),
         ("ivfpq_topk", ivfpq_shape, emb1, embN),
+        ("range_search", range_search_shape, emb1, embN),
+        ("gopher_rules", gopher_shape, d1, dN),
+        ("identity_assign", identity_assign_shape, e1, eN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))

@@ -742,3 +742,38 @@ def test_max_files_per_trigger_rate_limit(spark, tmp_path):
         assert max(batches) <= 5
     finally:
         q.stop()
+
+
+def test_describe_history(spark, tmp_path):
+    """DESCRIBE HISTORY twin: newest-first provenance with operation names
+    and delta-spark-style operationParameters."""
+    from duck_delta_share_spark.sources.delta_log import (
+        delete_where,
+        describe_history,
+        merge_delta,
+        optimize,
+    )
+
+    t = tmp_path / "hist"
+    df = spark.range(20).selectExpr("id AS k", "id * 2 AS v")
+    write_delta(df.repartition(3), t)
+    merge_delta(
+        spark, t, spark.createDataFrame([(1, 99)], "k long, v long"), ["k"]
+    )
+    delete_where(spark, t, "k >= 15")
+    optimize(spark, t, zorder_by=["k"])
+    hist = describe_history(t)
+    assert [h["version"] for h in hist] == [3, 2, 1, 0]
+    assert [h["operation"] for h in hist] == [
+        "OPTIMIZE",
+        "DELETE",
+        "MERGE",
+        "WRITE",
+    ]
+    assert hist[0]["operationParameters"]["zOrderBy"] == '["k"]'
+    assert hist[1]["operationParameters"]["predicate"] == "k >= 15"
+    assert hist[3]["operationParameters"]["mode"] == "append"
+    # timestamps are monotonically non-decreasing down the history
+    ts = [h["timestamp"] for h in hist]
+    assert all(a >= b for a, b in zip(ts, ts[1:]))
+    assert describe_history(t, limit=2)[-1]["version"] == 2
