@@ -52,6 +52,7 @@ _R4_WINDOW = [
     "similarity_range_search",
     "gopher_quality_rules",
     "scd2_dimension_cdf",
+    "dsir_importance_weights",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
     "domain_mix_resample",

@@ -2456,3 +2456,98 @@ def gopher_quality_frame(d: DataFrame) -> DataFrame:
         sym_frac.cast("long").alias("sym_frac_e6"),
         keep.cast("int").alias("keep"),
     )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks FROM documents
+),
+terms AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(
+           toks,
+           LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks), 1)),
+                          i -> ARRAY_TO_STRING(toks[i:i+1], ' ')))) AS term
+  FROM base
+),
+b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(term), 1, 7)) AS BIGINT) % 4096 AS bucket
+  FROM terms
+),
+raw AS (SELECT bucket, COUNT(*) AS qc FROM b GROUP BY bucket),
+tgt AS (SELECT bucket, COUNT(*) AS tc FROM b WHERE lang = 'en' GROUP BY bucket),
+ratio AS (
+  SELECT r.bucket,
+         CAST(FLOOR((COALESCE(t.tc, 0) + 1) * 1000000.0 / (r.qc + 1))
+              AS BIGINT) AS ratio_e6
+  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(ratio_e6) AS BIGINT) AS dsir_score
+FROM b JOIN ratio USING (bucket)
+GROUP BY doc_id
+ORDER BY dsir_score DESC, doc_id
+LIMIT 100
+""",
+    doc="DSIR-style data selection (Xie et al. 2023 'Data Selection for "
+    "Language Models via Importance Resampling'): documents are "
+    "featurized into 4096 hashed n-gram buckets (unigrams + bigrams, "
+    "md5 28-bit base — the cross-engine-reproducible hash), bucket "
+    "distributions are fitted for the TARGET slice (lang='en') vs the "
+    "raw corpus, and each document scores the sum of its buckets' "
+    "add-one-smoothed target/raw ratios; top-100 selected. The paper's "
+    "log-likelihood ratio is linearized to e6-integer ratios so every "
+    "term is integer-exact (sum order-independent, no libm ln "
+    "divergence) and the full pipeline sits under the DuckDB oracle. "
+    "Scale shape: explode -> two 4096-row aggs -> broadcast ratio join "
+    "-> per-doc sum; nothing quadratic, nothing driver-side",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.functions.text import tokenize, word_shingles
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(tokenize("text"), word_shingles(tokenize("text"), 2))
+        ).alias("term"),
+    )
+    b = toks.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 7), 16, 10).cast("long")
+            % 4096
+        ).alias("bucket"),
+    )
+    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("qc"))
+    tgt = (
+        b.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    ratio = raw.join(tgt, "bucket", "left").select(
+        "bucket",
+        F.floor(
+            (F.coalesce(F.col("tc"), F.lit(0)) + 1)
+            * F.lit(1000000.0)
+            / (F.col("qc") + 1)
+        )
+        .cast("long")
+        .alias("ratio_e6"),
+    )
+    return (
+        b.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("ratio_e6").cast("long").alias("dsir_score"),
+        )
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(100)
+    )

@@ -1,0 +1,107 @@
+"""Streaming SCD2 maintenance (streaming/scd2.py) vs the batch CDF fold:
+same versioned dimension, including multi-change-per-batch chains,
+no-op-churn collapse, and exactly-once across a restart."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duck_delta_share_spark.sources.delta_log import (
+    merge_delta,
+    read_delta,
+    write_delta,
+)
+from duck_delta_share_spark.streaming.scd2 import maintain_scd2_stream
+
+
+def _batch_fold(spark, source):
+    """The scd2_dimension_cdf query's fold over the FULL change feed."""
+    changes = (
+        spark.read.format("deltashare")
+        .option("deltaPath", str(source))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .where("_change_type = 'insert'")
+        .select("k", "v", "_commit_version")
+    )
+    w = Window.partitionBy("k").orderBy("_commit_version")
+    real = changes.withColumn("__p", F.lag("v").over(w)).where(
+        F.col("__p").isNull() | (F.col("v") != F.col("__p"))
+    )
+    return real.select(
+        "k",
+        "v",
+        F.col("_commit_version").alias("valid_from"),
+        F.lead("_commit_version").over(w).alias("valid_to"),
+        F.lead("_commit_version").over(w).isNull().cast("int").alias("is_current"),
+    )
+
+
+def _dim_rows(spark, dim):
+    return {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in read_delta(spark, dim).collect()
+    }
+
+
+def test_scd2_stream_matches_batch_fold(spark, tmp_path):
+    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+
+    spark.dataSource.register(DeltaShareDataSource)
+    source = tmp_path / "src"
+    dim = tmp_path / "dim"
+    ck = tmp_path / "ck"
+    base = spark.range(20).selectExpr("id AS k", "id * 10 AS v")
+    write_delta(base.repartition(3), source)
+
+    q = maintain_scd2_stream(spark, source, dim, "k", "v", ck)
+    try:
+        q.processAllAvailable()
+        # wave 1 alone in a batch
+        merge_delta(
+            spark,
+            source,
+            base.where("k % 3 = 0").selectExpr("k", "v + 100 AS v"),
+            ["k"],
+        )
+        q.processAllAvailable()
+        # waves 2+3 land in ONE batch: k%6=0 keys chain two versions
+        merge_delta(
+            spark,
+            source,
+            base.where("k % 6 = 0").selectExpr("k", "v + 200 AS v"),
+            ["k"],
+        )
+        merge_delta(
+            spark,
+            source,
+            base.where("k % 6 = 0").selectExpr("k", "v + 300 AS v"),
+            ["k"],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    expected = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in _batch_fold(spark, source).collect()
+    }
+    assert _dim_rows(spark, dim) == expected
+    # k%6=0 keys went v -> v+100 -> v+200 -> v+300: four rows of history
+    k0 = sorted(
+        (r.valid_from, r.v, r.is_current)
+        for r in read_delta(spark, dim).where("k = 6").collect()
+    )
+    assert [x[1] for x in k0] == [60, 160, 260, 360]
+    assert [x[2] for x in k0] == [0, 0, 0, 1]
+
+    # restart with the same checkpoint: nothing re-applied
+    before = _dim_rows(spark, dim)
+    q2 = maintain_scd2_stream(spark, source, dim, "k", "v", ck)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert _dim_rows(spark, dim) == before
