@@ -53,6 +53,8 @@ _R4_WINDOW = [
     "gopher_quality_rules",
     "scd2_dimension_cdf",
     "dsir_importance_weights",
+    "countmin_sketch_estimates",
+    "set_ops_all",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
     "domain_mix_resample",

@@ -2551,3 +2551,137 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(100)
     )
+
+
+_CMS_ORACLE = """
+WITH terms AS (
+  SELECT doc_id, unnest(STRING_SPLIT(text, ' ')) AS term FROM documents
+),
+cellterms AS (
+  SELECT doc_id, j, term,
+         CAST(concat('0x',
+              substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 7))
+              AS BIGINT) % 1024 AS bucket
+  FROM terms CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+),
+cells AS (
+  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cellterms GROUP BY j, bucket
+),
+cells_half AS (
+  SELECT doc_id % 2 AS half, j, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cellterms GROUP BY half, j, bucket
+),
+merged AS (
+  SELECT j, bucket, CAST(SUM(n) AS BIGINT) AS n
+  FROM cells_half GROUP BY j, bucket
+),
+truth AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM terms GROUP BY term
+),
+probes AS (
+  SELECT term, true_n FROM truth ORDER BY true_n DESC, term LIMIT 40
+),
+probe_cells AS (
+  SELECT p.term, p.true_n, j.j,
+         CAST(concat('0x',
+              substr(md5(CAST(j.j AS VARCHAR) || ':' || p.term), 1, 7))
+              AS BIGINT) % 1024 AS bucket
+  FROM probes p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j
+)
+SELECT pc.term, pc.true_n,
+       CAST(MIN(c.n) AS BIGINT) AS cms_est,
+       CAST(MIN(m.n) AS BIGINT) AS cms_est_merged
+FROM probe_cells pc
+JOIN cells c ON c.j = pc.j AND c.bucket = pc.bucket
+JOIN merged m ON m.j = pc.j AND m.bucket = pc.bucket
+GROUP BY pc.term, pc.true_n
+ORDER BY pc.term
+"""
+
+
+@query(
+    "countmin_sketch_estimates",
+    oracle=_CMS_ORACLE,
+    doc="Count-Min sketch (Cormode & Muthukrishnan 2005): a 4x1024 "
+    "mergeable frequency sketch over the corpus term stream, md5-seeded "
+    "row hashes (cross-engine-reproducible). The top-40 terms are probed "
+    "two ways — against the sketch built in one pass AND against the "
+    "cell-wise SUM of two half-corpus sketches — and both estimates are "
+    "hash-checked, evidencing the mergeability law (sketch(A ∪ B) = "
+    "sketch(A) + sketch(B)) that makes CMS shardable at 100 TB; "
+    "estimates upper-bound true counts by construction. Complements "
+    "Misra-Gries heavy hitters (deletion-free mergeable counts vs "
+    "top-k candidates)",
+)
+def countmin_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.functions.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
+
+    def bucket(j, term_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(j)), term_col)), 1, 7
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        )
+
+    cellterms = terms.select(
+        "doc_id",
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), bucket(j, F.col("term")).alias("bucket")
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("jb"),
+    ).select("doc_id", "term", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    cells = cellterms.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    merged = (
+        cellterms.withColumn("half", F.col("doc_id") % 2)
+        .groupBy("half", "j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    truth = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    probes = truth.orderBy(F.col("true_n").desc(), "term").limit(40)
+    probe_cells = probes.select(
+        "term",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), bucket(j, F.col("term")).alias("bucket")
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("jb"),
+    ).select("term", "true_n", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    return (
+        probe_cells.join(F.broadcast(cells.alias("c")), ["j", "bucket"])
+        .join(F.broadcast(merged.alias("m").withColumnsRenamed({"n": "nm"})), ["j", "bucket"])
+        .groupBy("term", "true_n")
+        .agg(
+            F.min("n").cast("long").alias("cms_est"),
+            F.min("nm").cast("long").alias("cms_est_merged"),
+        )
+        .orderBy("term")
+    )

@@ -813,3 +813,49 @@ def recursive_cte_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d
         """
     )
+
+
+@query(
+    "set_ops_all",
+    oracle="""
+SELECT 'intersect_all' AS op, nationkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) GROUP BY op, nationkey
+UNION ALL
+SELECT 'except_all' AS op, nationkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) GROUP BY op, nationkey
+ORDER BY op, nationkey
+""",
+    doc="bag-semantics set operators (INTERSECT ALL / EXCEPT ALL — "
+    "multiplicity-preserving, Spark intersectAll/exceptAll): per-key "
+    "multiplicities of both results are hash-checked, proving the "
+    "min(count)/count-difference semantics rather than distinct-set "
+    "semantics",
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    ia = (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
+    )
+    ea = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "n")
+    )
+    return ia.unionByName(ea).orderBy("op", "nationkey")

@@ -54,7 +54,7 @@ def test_unknown_writer_feature_rejected(spark, tmp_path):
         protocol={
             "minReaderVersion": 1,
             "minWriterVersion": 7,
-            "writerFeatures": ["identityColumns"],
+            "writerFeatures": ["icebergCompatV2"],
         },
     )
     for op in (
@@ -64,9 +64,9 @@ def test_unknown_writer_feature_rejected(spark, tmp_path):
         lambda: optimize(spark, t),
         lambda: restore_delta(t, 0),
     ):
-        with pytest.raises(ValueError, match="identityColumns"):
+        with pytest.raises(ValueError, match="icebergCompatV2"):
             op()
-    # reads are unaffected (identityColumns is writer-only)
+    # reads are unaffected (icebergCompatV2 is writer-only)
     assert read_delta(spark, t).count() == 10
 
 
