@@ -555,6 +555,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "identityColumns",
         "domainMetadata",
         "rowTracking",
+        "clustering",
     }
 )
 
@@ -842,6 +843,23 @@ _ROW_TRACKING_DOMAIN = "delta.rowTracking"
 _MAT_ROW_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
 _MAT_ROW_CV_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
 
+_CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def clustering_columns(snap: "DeltaSnapshot") -> list[str]:
+    """Clustering columns of a protocol "Clustered Table" (the
+    ``delta.clustering`` metadata domain stores them as physical-name
+    paths, e.g. {"clusteringColumns": [["c1"], ["c2"]]}); [] for
+    unclustered tables. OPTIMIZE re-clusters on these by default."""
+    raw = (snap.domain_metadata or {}).get(_CLUSTERING_DOMAIN)
+    if not raw:
+        return []
+    try:
+        cols = json.loads(raw).get("clusteringColumns") or []
+    except (ValueError, TypeError):
+        return []
+    return [c[0] if isinstance(c, list) else c for c in cols]
+
 
 def _materialized_row_id_cols(configuration: dict | None) -> tuple | None:
     c = configuration or {}
@@ -1071,6 +1089,7 @@ def write_delta(
     merge_schema: bool = False,
     txn: tuple[str, int] | None = None,
     configuration: dict | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Write a DataFrame as a Delta-protocol commit; returns the version.
 
@@ -1114,6 +1133,13 @@ def write_delta(
         raise ValueError(
             "configuration is a CREATE-time parameter; the existing table "
             "keeps its properties (use add_check_constraint etc. to alter)"
+        )
+    if cluster_by and version > 0:
+        raise ValueError("cluster_by is a CREATE-time parameter")
+    if cluster_by and partition_by:
+        raise ValueError(
+            "a clustered table cannot also be hive-partitioned "
+            "(protocol 'Clustered Table': partitionColumns must be empty)"
         )
     if version == 0 and _row_tracking_enabled(configuration):
         # name the hidden materialized-row-id columns up front so OPTIMIZE
@@ -1299,10 +1325,14 @@ def write_delta(
             }
         )
     if version == 0:
-        if _row_tracking_enabled(configuration):
-            # rowTracking is a v7 table feature (and its watermark lives
-            # in a metadata domain): list every active writer feature
-            feats = ["domainMetadata", "rowTracking"]
+        if _row_tracking_enabled(configuration) or cluster_by:
+            # rowTracking / clustering are v7 table features (their state
+            # lives in metadata domains): list every active writer feature
+            feats = ["domainMetadata"]
+            if _row_tracking_enabled(configuration):
+                feats.append("rowTracking")
+            if cluster_by:
+                feats.append("clustering")
             if _identity_specs(schema_string):
                 feats.append("identityColumns")
             actions.append(
@@ -1347,6 +1377,21 @@ def write_delta(
             )
     actions.extend(adds)
     actions.extend(rt_actions)
+    if version == 0 and cluster_by:
+        missing = [c for c in cluster_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"cluster_by columns {missing} not in schema")
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": _CLUSTERING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in cluster_by]}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
     if mode == "append" and version > 0 and not evolved and not rt_actions:
         # (row-tracked appends are excluded: a blind retry would reuse a
         # row-id range and defaultRowCommitVersion computed against the
@@ -2304,6 +2349,11 @@ def optimize(
     table = Path(table_path)
     snap = snapshot(table)
     _check_local_writer_protocol(snap, "optimize")
+    if zorder_by is None:
+        # clustered tables (protocol "Clustered Table") re-cluster on
+        # their declared columns by default — OPTIMIZE without arguments
+        # is how delta-spark maintains them
+        zorder_by = clustering_columns(snap) or None
     cm = _snap_column_mapping(snap)
     by_part: dict[tuple, list[dict]] = {}
     for f in snap.files:

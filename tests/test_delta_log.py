@@ -777,3 +777,59 @@ def test_describe_history(spark, tmp_path):
     ts = [h["timestamp"] for h in hist]
     assert all(a >= b for a, b in zip(ts, ts[1:]))
     assert describe_history(t, limit=2)[-1]["version"] == 2
+
+
+def test_clustered_table(spark, tmp_path):
+    """Protocol 'Clustered Table': cluster_by at create records the
+    delta.clustering domain + writer features; OPTIMIZE without arguments
+    re-clusters on the declared columns (Z-order layout -> tight per-file
+    stats on every cluster dimension)."""
+    from duck_delta_share_spark.sources.delta_log import (
+        checkpoint,
+        clustering_columns,
+        describe_history,
+        optimize,
+    )
+
+    t = tmp_path / "clu"
+    df = spark.range(20000).selectExpr(
+        "id AS k", "CAST(pmod(hash(id), 1000) AS LONG) AS a", "id % 997 AS b"
+    )
+    write_delta(df.repartition(8), t, cluster_by=["a", "b"])
+    snap = snapshot(t)
+    assert "clustering" in snap.protocol["writerFeatures"]
+    assert "domainMetadata" in snap.protocol["writerFeatures"]
+    assert clustering_columns(snap) == ["a", "b"]
+    res = optimize(spark, t, target_file_mb=0.02)
+    assert res["files_after"] > 1
+    hist = describe_history(t)
+    assert hist[0]["operation"] == "OPTIMIZE"
+    assert hist[0]["operationParameters"]["zOrderBy"] == '["a", "b"]'
+    # clustered layout: per-file stats ranges on `a` are tighter than the
+    # global range (Z-order puts similar (a, b) in the same files; with
+    # two interleaved dimensions each file's span per dimension shrinks
+    # roughly like global/sqrt(n_files))
+    spans, los, his = [], [], []
+    for f in snapshot(t).files:
+        stats = json.loads(f["stats"])
+        spans.append(stats["maxValues"]["a"] - stats["minValues"]["a"])
+        los.append(stats["minValues"]["a"])
+        his.append(stats["maxValues"]["a"])
+    global_span = max(his) - min(los)
+    assert sorted(spans)[len(spans) // 2] < 0.7 * global_span
+    # domain survives checkpoint + truncation
+    v = checkpoint(t)
+    for n in range(v + 1):
+        (t / "_delta_log" / f"{n:020d}.json").unlink()
+    assert clustering_columns(snapshot(t)) == ["a", "b"]
+    assert read_delta(spark, t).count() == 20000
+
+
+def test_cluster_by_rejects_partitioning(spark, tmp_path):
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        write_delta(
+            spark.range(5).selectExpr("id AS k", "id % 2 AS p"),
+            tmp_path / "x",
+            partition_by=["p"],
+            cluster_by=["k"],
+        )
