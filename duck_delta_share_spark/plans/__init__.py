@@ -55,6 +55,7 @@ _R4_WINDOW = [
     "dsir_importance_weights",
     "countmin_sketch_estimates",
     "set_ops_all",
+    "ols_per_group",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
     "domain_mix_resample",

@@ -859,3 +859,65 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "nationkey", "n")
     )
     return ia.unionByName(ea).orderBy("op", "nationkey")
+
+
+@query(
+    "ols_per_group",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
+         AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
+FROM s
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="closed-form per-group OLS (price ~ quantity by returnflag/"
+    "linestatus): the five sufficient statistics are EXACT decimal sums "
+    "(order-independent — the float-discipline rule), cast once to "
+    "double, and slope/intercept/r-squared are the identical IEEE "
+    "expression on both engines. One hash aggregate, map-side partials, "
+    "no second pass — the 100 TB-safe way to fit millions of small "
+    "regressions",
+)
+def ols_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((y * y).cast("decimal(24,6)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        n.cast("long").alias("n"),
+        # rounded to 9 decimals: DuckDB's compiler may contract a*b-c*d
+        # into an FMA, which differs from JVM arithmetic in the last ulp
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / n, 9).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            9,
+        ).alias("r2"),
+    ).orderBy("l_returnflag", "l_linestatus")
