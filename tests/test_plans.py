@@ -258,3 +258,35 @@ def test_char_entropy_two_aggregations_only(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
     assert "Join" not in plan
+
+
+def test_range_search_zero_shuffle(spark):
+    """int8_range_search's core claim: broadcast queries + narrow filter —
+    NO exchange at all (top-k needs a ranking-window shuffle; the
+    threshold pass must not). The registered query adds one presentation
+    orderBy; the OPERATOR itself is asserted shuffle-free."""
+    from duck_delta_share_spark.operators.similarity import int8_range_search
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(
+        int8_range_search(e, e.filter(F.col("vec_id") < 25), min_score_e6=300_000)
+    )
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 0, f"range search shuffled: {n_exchanges} exchanges"
+    assert "BroadcastExchange" in plan  # the query set ships to executors
+
+
+def test_dsir_ratio_join_broadcasts(spark):
+    """DSIR's bucket-ratio table (4096 rows) must broadcast back onto the
+    exploded term stream, never shuffle it."""
+    plan = _plan(QUERIES["dsir_importance_weights"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gopher_rules_narrow_map(spark):
+    """The Gopher featurization is a pure narrow map over the scan: the
+    only exchange is the output ordering's range shuffle."""
+    plan = _plan(QUERIES["gopher_quality_rules"].spark_fn(spark, SF_DIR))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, f"gopher rules shuffled {n_exchanges}x"
