@@ -56,6 +56,7 @@ _R4_WINDOW = [
     "countmin_sketch_estimates",
     "set_ops_all",
     "ols_per_group",
+    "funnel_stages",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
     "domain_mix_resample",

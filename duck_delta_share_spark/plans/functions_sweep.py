@@ -744,3 +744,87 @@ def salted_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+WITH enc AS (
+  SELECT user_id,
+         epoch_us(ts) * 8 + (CASE event_type WHEN 'view' THEN 1
+                                             WHEN 'click' THEN 2
+                                             WHEN 'purchase' THEN 3 END) AS e
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+arr AS (SELECT user_id, list_sort(list(e)) AS es FROM enc GROUP BY user_id)
+SELECT user_id,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), es), (acc, v) ->
+         CASE WHEN acc % 8 = 0 AND v % 8 = 1
+                THEN (v // 8) * 8 + 1
+              WHEN acc % 8 = 1 AND v % 8 = 2
+                   AND v // 8 - acc // 8 <= 86400000000
+                THEN (v // 8) * 8 + 2
+              WHEN acc % 8 = 2 AND v % 8 = 3
+                   AND v // 8 - acc // 8 <= 86400000000
+                THEN (v // 8) * 8 + 3
+              ELSE acc END) % 8 AS INT) AS funnel_stage
+FROM arr
+ORDER BY user_id
+""",
+    doc="ordered funnel analysis (view -> click -> purchase, strictly in "
+    "time order WITH a 24-hour step deadline — the MATCH_RECOGNIZE-"
+    "class query): each user's relevant events are encoded as ONE "
+    "sortable integer (epoch_us * 8 + step code, ties broken by step), "
+    "sorted per user, and a left fold drives a stage machine whose "
+    "accumulator packs (last-step timestamp * 8 + stage); a step only "
+    "counts if it is in order AND within 24 h of the previous step. A "
+    "click before any view does NOT count — unlike the naive per-type "
+    "min(ts) approach, the fold respects sequencing. Single shuffle on "
+    "user_id; the oracle replays the identical fold via "
+    "list_reduce(list_prepend(0, ...))",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    code = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(3)
+    )
+    enc = e.select(
+        "user_id",
+        # ts may load as TIMESTAMP_NTZ; cast is value-preserving (UTC
+        # session) and unix_micros requires TIMESTAMP
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 8 + code)
+        .cast("long")
+        .alias("e"),
+    )
+    arr = enc.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("e")).alias("es")
+    )
+    window_us = 86_400_000_000  # 24-hour step deadline
+    stage = F.aggregate(
+        F.col("es"),
+        F.lit(0).cast("long"),
+        lambda acc, v: F.when(
+            (acc % 8 == 0) & (v % 8 == 1),
+            F.floor(v / 8).cast("long") * 8 + 1,
+        )
+        .when(
+            (acc % 8 == 1)
+            & (v % 8 == 2)
+            & (F.floor(v / 8) - F.floor(acc / 8) <= window_us),
+            F.floor(v / 8).cast("long") * 8 + 2,
+        )
+        .when(
+            (acc % 8 == 2)
+            & (v % 8 == 3)
+            & (F.floor(v / 8) - F.floor(acc / 8) <= window_us),
+            F.floor(v / 8).cast("long") * 8 + 3,
+        )
+        .otherwise(acc),
+    )
+    return arr.select(
+        "user_id", (stage % 8).cast("int").alias("funnel_stage")
+    ).orderBy("user_id")
