@@ -67,6 +67,10 @@ HEADLINE = [
     "similarity_range_search",
     "gopher_quality_rules",
     "scd2_dimension_cdf",
+    # round-4 eighth wave: hashed n-gram importance resampling, ordered
+    # funnel fold.
+    "dsir_importance_weights",
+    "funnel_stages",
 ]
 
 

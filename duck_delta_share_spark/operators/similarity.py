@@ -867,6 +867,7 @@ def train_opq_rotation(
     opq_iters: int = 8,
     kmeans_iters: int = 6,
     seed: int = 42,
+    init: str = "identity",
 ) -> "np.ndarray":
     """Learn the OPQ orthogonal rotation (Ge et al. 2014, alternating
     minimization): rotate → fit per-subspace codebooks → solve the
@@ -876,6 +877,17 @@ def train_opq_rotation(
     cuts; on real (anisotropic, correlated) embeddings a learned rotation
     aligns principal directions with subspace boundaries and cuts the
     error — on iid-random data it converges to a near-identity no-op.
+
+    ``init="pca"`` starts from the parametric OPQ-P solution (Ge et al.
+    §4 eigenvalue allocation): the PCA basis with principal directions
+    greedily distributed over the m subspaces balancing each subspace's
+    variance PRODUCT. MEASURED caveat for THIS engine: OPQ-P helps
+    float-codebook PQ, but our scan path int8-quantizes per vector with
+    a max-abs scale AFTER rotating — a variance-concentrating basis
+    crushes the low-variance coordinates to +-1 bits and recall drops
+    (anisotropic fixture: pca-init 0.12/0.48 at 1/8 iters vs identity
+    0.34/0.58 — default stays "identity"; the option exists for float
+    pipelines and as the documented negative result).
 
     Trains in FLOAT space on the same bounded deterministic sample
     posture as :func:`train_pq_codebooks` (an OPQ rotation is a tiny
@@ -895,7 +907,28 @@ def train_opq_rotation(
     )
     X = np.vstack([r[0] for r in rows]).astype(np.float64)
     rng = np.random.RandomState(seed)
-    R = np.eye(dim)
+    if init == "pca":
+        Xc = X - X.mean(axis=0)
+        w, V = np.linalg.eigh(Xc.T @ Xc / max(len(Xc), 1))
+        order = np.argsort(w)[::-1]
+        w, V = w[order], V[:, order]
+        # eigenvalue allocation: place each principal direction (variance
+        # descending) into the subspace with the smallest running
+        # log-variance product that still has room
+        buckets: list[list[int]] = [[] for _ in range(m)]
+        logprod = np.zeros(m)
+        for i in range(dim):
+            for b in np.argsort(logprod):
+                if len(buckets[b]) < sub:
+                    buckets[b].append(i)
+                    logprod[b] += np.log(max(w[i], 1e-12))
+                    break
+        perm = [i for b in buckets for i in b]
+        R = V[:, perm]
+    elif init == "identity":
+        R = np.eye(dim)
+    else:
+        raise ValueError(f"unknown OPQ init {init!r}")
     for _ in range(opq_iters):
         Xr = X @ R
         Y = np.empty_like(Xr)

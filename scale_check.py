@@ -315,6 +315,92 @@ def main() -> None:
         # above; the timed noop write covers the assignment map itself
         return df
 
+    def dsir_shape(d):
+        # the registered query takes (spark, sf_dir); re-express its core
+        # over the blowup frame: explode -> 4096-bucket aggs -> broadcast
+        # ratio join -> per-doc sum
+        from pyspark.sql import functions as FF
+
+        from duck_delta_share_spark.functions.text import tokenize, word_shingles
+
+        toks = d.select(
+            "doc_id",
+            "lang",
+            FF.explode(
+                FF.concat(tokenize("text"), word_shingles(tokenize("text"), 2))
+            ).alias("term"),
+        )
+        b = toks.select(
+            "doc_id",
+            "lang",
+            (
+                FF.conv(FF.substring(FF.md5("term"), 1, 7), 16, 10).cast("long")
+                % 4096
+            ).alias("bucket"),
+        )
+        raw = b.groupBy("bucket").agg(FF.count(FF.lit(1)).alias("qc"))
+        tgt = (
+            b.where(FF.col("lang") == "en")
+            .groupBy("bucket")
+            .agg(FF.count(FF.lit(1)).alias("tc"))
+        )
+        ratio = raw.join(tgt, "bucket", "left").select(
+            "bucket",
+            FF.floor(
+                (FF.coalesce(FF.col("tc"), FF.lit(0)) + 1)
+                * FF.lit(1000000.0)
+                / (FF.col("qc") + 1)
+            )
+            .cast("long")
+            .alias("ratio_e6"),
+        )
+        return (
+            b.join(FF.broadcast(ratio), "bucket")
+            .groupBy("doc_id")
+            .agg(FF.sum("ratio_e6").cast("long").alias("dsir_score"))
+        )
+
+    def funnel_shape(e):
+        from pyspark.sql import functions as FF
+
+        ev = e.where(FF.col("event_type").isin("view", "click", "purchase"))
+        code = (
+            FF.when(FF.col("event_type") == "view", 1)
+            .when(FF.col("event_type") == "click", 2)
+            .otherwise(3)
+        )
+        enc = ev.select(
+            "user_id",
+            (FF.unix_micros(FF.col("ts").cast("timestamp")) * 8 + code)
+            .cast("long")
+            .alias("e"),
+        )
+        arr = enc.groupBy("user_id").agg(
+            FF.sort_array(FF.collect_list("e")).alias("es")
+        )
+        stage = FF.aggregate(
+            FF.col("es"),
+            FF.lit(0).cast("long"),
+            lambda acc, v: FF.when(
+                (acc % 8 == 0) & (v % 8 == 1),
+                FF.floor(v / 8).cast("long") * 8 + 1,
+            )
+            .when(
+                (acc % 8 == 1)
+                & (v % 8 == 2)
+                & (FF.floor(v / 8) - FF.floor(acc / 8) <= 86_400_000_000),
+                FF.floor(v / 8).cast("long") * 8 + 2,
+            )
+            .when(
+                (acc % 8 == 2)
+                & (v % 8 == 3)
+                & (FF.floor(v / 8) - FF.floor(acc / 8) <= 86_400_000_000),
+                FF.floor(v / 8).cast("long") * 8 + 3,
+            )
+            .otherwise(acc),
+        )
+        return arr.select("user_id", (stage % 8).cast("int").alias("s"))
+
     ops = [
         ("q1_agg", q1_shape, l1, lN),
         ("minhash_lsh", minhash_shape, d1, dN),
@@ -340,6 +426,8 @@ def main() -> None:
         ("range_search", range_search_shape, emb1, embN),
         ("gopher_rules", gopher_shape, d1, dN),
         ("identity_assign", identity_assign_shape, e1, eN),
+        ("dsir_weights", dsir_shape, d1, dN),
+        ("funnel_fold", funnel_shape, e1, eN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))
