@@ -57,6 +57,7 @@ _R4_WINDOW = [
     "set_ops_all",
     "ols_per_group",
     "funnel_stages",
+    "pretrain_pipeline_e2e",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
     "domain_mix_resample",

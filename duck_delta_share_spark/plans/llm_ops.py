@@ -2315,7 +2315,7 @@ def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GOPHER_ORACLE = """
+_GOPHER_ORACLE_TEMPLATE = """
 WITH w AS (
   SELECT doc_id,
          text,
@@ -2323,7 +2323,7 @@ WITH w AS (
          list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
                      x -> x <> '') AS words,
          string_split(text, chr(10)) AS lines
-  FROM documents
+  FROM {src}
 ), f AS (
   SELECT doc_id,
          CAST(LEN(words) AS BIGINT) AS n_words,
@@ -2366,6 +2366,8 @@ FROM f
 WHERE n_words > 0
 ORDER BY doc_id
 """
+
+_GOPHER_ORACLE = _GOPHER_ORACLE_TEMPLATE.format(src="documents")
 
 
 @query(
@@ -2685,3 +2687,60 @@ def countmin_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+_PIPELINE_GOPHER = _GOPHER_ORACLE_TEMPLATE.format(src="kept").replace(
+    "ORDER BY doc_id", ""
+)
+
+_PIPELINE_ORACLE = f"""
+WITH kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+gq AS ({_PIPELINE_GOPHER}),
+survivors AS (
+  SELECT k.doc_id, CAST(LEN(STRING_SPLIT(k.text, ' ')) AS INT) AS n_tokens
+  FROM kept k JOIN gq g ON g.doc_id = k.doc_id
+  WHERE g.keep = 1
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+  FROM survivors
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR((e - n_tokens) / 256) AS INT) AS bin_id,
+       CAST(e - n_tokens AS BIGINT) AS bin_offset
+FROM c
+ORDER BY doc_id
+"""
+
+
+@query(
+    "pretrain_pipeline_e2e",
+    oracle=_PIPELINE_ORACLE,
+    doc="END-TO-END training-data pipeline composed from the engine's own "
+    "stages, each already oracle-proven alone, now hash-checked as a "
+    "COMPOSITION: exact dedup (md5 fingerprint, lowest doc_id survives) "
+    "-> Gopher rule filter (keep=1) -> greedy sequence packing into "
+    "256-token bins (two-pass distributed prefix sum, no single-task "
+    "window). This is the shape a 100 TB pretraining ingest actually "
+    "runs: one shuffle for dedup, narrow featurize+filter, range-"
+    "partitioned packing — demonstrating the operators compose without "
+    "driver-side glue",
+)
+def pretrain_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.sessionize import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = dd.exact_dedup(d, "text", "doc_id")
+    survivors = kept.join(
+        gopher_quality_frame(kept).where("keep = 1").select("doc_id"),
+        "doc_id",
+    )
+    return pack_sequences(survivors, capacity_tokens=256).orderBy("doc_id")
