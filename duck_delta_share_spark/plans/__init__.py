@@ -58,6 +58,7 @@ _R4_WINDOW = [
     "ols_per_group",
     "funnel_stages",
     "pretrain_pipeline_e2e",
+    "delta_convert_clone_scan",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
     "domain_mix_resample",

@@ -1167,3 +1167,48 @@ def scd2_dimension_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "valid_from")
     )
+
+
+@query(
+    "delta_convert_clone_scan",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderkey % 11 = 0 AND NOT (o_totalprice < 100000.0)
+ORDER BY o_orderkey
+""",
+    doc="CONVERT TO DELTA + SHALLOW CLONE "
+    "(sources/delta_log.py:convert_to_delta / clone_delta): a plain "
+    "parquet directory is imported in place (one commit referencing the "
+    "existing files with footer-derived stats — no data rewritten), "
+    "shallow-cloned by ABSOLUTE-path add actions (zero bytes copied), "
+    "and rows are deleted ON THE CLONE via deletion vectors masking the "
+    "FOREIGN files — the scan-back equals the oracle's anti-filter while "
+    "the converted source keeps every row (divergence asserted in "
+    "tests/test_convert_clone.py)",
+)
+def delta_convert_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import (
+        clone_delta,
+        convert_to_delta,
+        delete_where,
+        read_delta,
+    )
+
+    base = Path(tempfile.mkdtemp(prefix="ddss_cvt_"))
+    plain = base / "plain"
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where("o_orderkey % 11 = 0")
+        .select("o_orderkey", "o_totalprice")
+    )
+    o.repartition(3).write.parquet(str(plain))
+    convert_to_delta(spark, plain)
+    clone = base / "clone"
+    clone_delta(plain, clone)
+    delete_where(spark, clone, "o_totalprice < 100000.0")
+    return read_delta(spark, clone).orderBy("o_orderkey")

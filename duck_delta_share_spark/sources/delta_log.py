@@ -1371,9 +1371,13 @@ def write_delta(
         )
     if mode == "overwrite" and version > 0:
         for f in prev.files:
-            rel = str(Path(f["url"]).relative_to(table))
             actions.append(
-                {"remove": {"path": quote(rel, safe="/="), "dataChange": True}}
+                {
+                    "remove": {
+                        "path": quote(_log_rel(table, f["url"]), safe="/="),
+                        "dataChange": True,
+                    }
+                }
             )
     actions.extend(adds)
     actions.extend(rt_actions)
@@ -1538,7 +1542,7 @@ def checkpoint(
                 "protocol": None,
                 "metaData": None,
                 "add": {
-                    "path": quote(str(Path(f["url"]).relative_to(table)), safe="/="),
+                    "path": quote(_log_rel(table, f["url"]), safe="/="),
                     "partitionValues": f["partitionValues"],
                     "baseRowId": f.get("baseRowId"),
                     "defaultRowCommitVersion": f.get("defaultRowCommitVersion"),
@@ -1951,11 +1955,11 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
             }
         )
     actions += [
-        {"remove": {"path": quote(str(Path(f["url"]).relative_to(table)), safe="/="),
+        {"remove": {"path": quote(_log_rel(table, f["url"]), safe="/="),
                     "dataChange": True}}
         for f in candidates
     ] + adds
-    removed = {str(Path(f["url"]).relative_to(table)) for f in candidates}
+    removed = {_log_rel(table, f["url"]) for f in candidates}
 
     def add_conflicts(add: dict) -> bool:
         # a concurrent append conflicts only if its stats range may hold
@@ -2205,9 +2209,7 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
         matched = matched.unionByName(b)
 
     # suffix-keyed lookup of existing DVs + stats (small; closure-captured)
-    by_rel = {
-        str(Path(f["url"]).resolve().relative_to(table)): f for f in snap.files
-    }
+    by_rel = {_log_rel(table, f["url"]): f for f in snap.files}
     existing_dv = {rel: f.get("deletionVector") for rel, f in by_rel.items()}
     table_str = str(table)
 
@@ -2229,7 +2231,11 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
         fp = pdf["__fp"].iloc[0]
         # _metadata.file_path is a Hadoop URI: file:/x, file:///x, or bare
         local = "/" + fp.split(":", 1)[1].lstrip("/") if fp.startswith("file:") else fp
-        rel = str(Path(local).resolve().relative_to(table_str))
+        resolved = Path(local).resolve()
+        try:
+            rel = str(resolved.relative_to(table_str))
+        except ValueError:
+            rel = str(resolved)  # shallow-clone foreign file: absolute form
         idx = np.unique(pdf["__ri"].to_numpy(dtype=np.int64)).astype(np.uint64)
         old = existing_dv.get(rel)
         before = 0
@@ -2411,7 +2417,7 @@ def optimize(
             adds, _row_id_high_watermark(snap.domain_metadata), snap.version + 1
         )
     actions = [
-        {"remove": {"path": quote(str(Path(f["url"]).relative_to(table)), safe="/="),
+        {"remove": {"path": quote(_log_rel(table, f["url"]), safe="/="),
                     "dataChange": False}}
         for f in todo
     ] + adds + rt_actions
@@ -2420,7 +2426,7 @@ def optimize(
         snap.version,
         actions,
         "OPTIMIZE",
-        {str(Path(f["url"]).relative_to(table)) for f in todo},
+        {_log_rel(table, f["url"]) for f in todo},
         # compaction rewrites bytes, reads no rows: concurrent APPENDS
         # never conflict; a concurrent remove of a compacted file does
         lambda add: False,
@@ -2469,9 +2475,7 @@ def restore_delta(table_path: str | Path, version: int) -> dict:
         )
 
     def by_rel(snap: DeltaSnapshot) -> dict[str, dict]:
-        return {
-            str(Path(f["url"]).relative_to(table)): f for f in snap.files
-        }
+        return {_log_rel(table, f["url"]): f for f in snap.files}
 
     cur_files, tgt_files = by_rel(cur), by_rel(tgt)
     actions: list[dict] = []
@@ -2533,7 +2537,7 @@ def restore_delta(table_path: str | Path, version: int) -> dict:
         cur.version,
         actions,
         "RESTORE",
-        {str(Path(f["url"]).relative_to(table)) for f in cur.files},
+        {_log_rel(table, f["url"]) for f in cur.files},
         lambda add: True,
         in_commit_ts=_ict_enabled(cur.configuration),
         operation_params={"version": target},
@@ -2613,3 +2617,168 @@ def version_at_timestamp(table_path: str | Path, ts_ms: int) -> int:
             f"no version of {table} existed at or before epoch-ms {ts_ms}"
         )
     return best
+
+
+def _log_rel(table: Path, url: str) -> str:
+    """The log-form path for a data file: table-relative when the file
+    lives under the table root, absolute otherwise (shallow clones
+    reference the SOURCE table's files by absolute path — protocol-legal
+    fully-qualified add paths)."""
+    pth = Path(url).resolve()
+    try:
+        return str(pth.relative_to(Path(table).resolve()))
+    except ValueError:
+        return str(pth)
+
+
+def convert_to_delta(
+    spark, directory: str | Path, partition_by: list[str] | None = None
+) -> int:
+    """CONVERT TO DELTA (delta-spark's in-place import): turn a plain
+    parquet directory into a Delta table WITHOUT rewriting any data —
+    one commit whose add actions reference the existing files, with
+    full min/max/nullCount stats computed from each file's footer
+    (driver-side metadata pass over O(files) footers, no data read).
+
+    Hive-partitioned layouts (``col=value`` directories) are recognized:
+    partition values come from the path segments and the declared schema
+    carries the partition columns. Fails fast if the directory is
+    already a Delta table. Returns the created version (0).
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+
+    root = Path(directory).resolve()
+    if (root / "_delta_log").is_dir():
+        raise ValueError(f"{root} is already a Delta table")
+    files = sorted(
+        p
+        for p in root.rglob("*.parquet")
+        if not any(s.startswith((".", "_")) for s in p.relative_to(root).parts)
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {root}")
+    part_cols = list(partition_by or ())
+    # schema from the FIRST footer via Spark (authoritative logical types)
+    data_schema = spark.read.parquet(str(files[0])).schema
+    inferred_parts: dict[str, str] = {}
+    for seg in files[0].relative_to(root).parts[:-1]:
+        k, _, v = seg.partition("=")
+        if _ == "=":
+            inferred_parts[k] = v
+    if not part_cols and inferred_parts:
+        part_cols = list(inferred_parts)
+    # partition columns are NOT in the data files: declare them as strings
+    # unless the caller's frame says otherwise (delta-spark requires an
+    # explicit schema for typed partition conversion; string is the
+    # lossless default — partitionValues are strings in the log anyway)
+    from pyspark.sql.types import StringType, StructField
+
+    full_fields = list(data_schema.fields) + [
+        StructField(c, StringType(), True)
+        for c in part_cols
+        if c not in data_schema.names
+    ]
+    schema_string = StructType(full_fields).json()
+    adds = []
+    data_fields = [f for f in full_fields if f.name not in part_cols]
+    for p in files:
+        rel = p.relative_to(root)
+        pvals: dict[str, str | None] = {}
+        for seg in rel.parts[:-1]:
+            k, _, v = seg.partition("=")
+            if _ == "=":
+                pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        adds.append(
+            {
+                "add": {
+                    "path": quote(str(rel), safe="/="),
+                    "partitionValues": pvals,
+                    "size": p.stat().st_size,
+                    "modificationTime": int(p.stat().st_mtime * 1000),
+                    "dataChange": True,
+                    "stats": _file_stats(p, data_fields),
+                }
+            }
+        )
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(root))),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": part_cols,
+                "configuration": {},
+            }
+        },
+    ] + adds
+    log = _log_dir(root)
+    log.mkdir(parents=True, exist_ok=True)
+    _atomic_commit(root, 0, actions, operation="CONVERT")
+    return 0
+
+
+def clone_delta(
+    source: str | Path, target: str | Path, version: int | None = None
+) -> dict:
+    """SHALLOW CLONE (delta-spark ``CREATE TABLE ... SHALLOW CLONE``):
+    a NEW Delta table whose add actions reference the SOURCE table's
+    data files by absolute path — zero data copied, metadata/schema/
+    stats/deletion-vector state carried over, optionally at a past
+    ``version`` (clone-as-of-time-travel). Writes to the clone never
+    touch the source; vacuuming the SOURCE can break the clone (same
+    caveat as delta-spark). Returns {version, files_referenced}.
+    """
+    src = Path(source).resolve()
+    dst = Path(target).resolve()
+    if (dst / "_delta_log").is_dir():
+        raise ValueError(f"{dst} is already a Delta table")
+    snap = snapshot(src, version)
+    proto = dict(snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2})
+    actions: list[dict] = [
+        {"protocol": proto},
+        {
+            "metaData": {
+                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(dst))),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema_string,
+                "partitionColumns": list(snap.partition_columns),
+                "configuration": dict(snap.configuration),
+            }
+        },
+    ]
+    for domain, config_str in sorted(snap.domain_metadata.items()):
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": config_str,
+                    "removed": False,
+                }
+            }
+        )
+    for f in snap.files:
+        add = {
+            # absolute path: the protocol allows fully-qualified paths,
+            # which is exactly how shallow clones reference foreign files
+            "path": quote(str(Path(f["url"]).resolve()), safe="/="),
+            "partitionValues": f["partitionValues"],
+            "size": f.get("size")
+            if f.get("size") is not None
+            else Path(f["url"]).stat().st_size,
+            "modificationTime": f.get("modificationTime") or 0,
+            "dataChange": True,
+            "stats": f["stats"],
+            # DV descriptors: reuse the DRIVER-RESOLVED absolute form so
+            # the clone never needs the source table root
+            "deletionVector": f.get("deletionVector"),
+        }
+        if f.get("baseRowId") is not None:
+            add["baseRowId"] = f["baseRowId"]
+            add["defaultRowCommitVersion"] = f.get("defaultRowCommitVersion")
+        actions.append({"add": add})
+    log = _log_dir(dst)
+    log.mkdir(parents=True, exist_ok=True)
+    _atomic_commit(dst, 0, actions, operation="CLONE")
+    return {"version": 0, "files_referenced": len(snap.files)}
