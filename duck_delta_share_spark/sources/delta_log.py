@@ -2632,7 +2632,10 @@ def _log_rel(table: Path, url: str) -> str:
 
 
 def convert_to_delta(
-    spark, directory: str | Path, partition_by: list[str] | None = None
+    spark,
+    directory: str | Path,
+    partition_by: list[str] | None = None,
+    partition_schema: "StructType | None" = None,
 ) -> int:
     """CONVERT TO DELTA (delta-spark's in-place import): turn a plain
     parquet directory into a Delta table WITHOUT rewriting any data —
@@ -2642,8 +2645,12 @@ def convert_to_delta(
 
     Hive-partitioned layouts (``col=value`` directories) are recognized:
     partition values come from the path segments and the declared schema
-    carries the partition columns. Fails fast if the directory is
-    already a Delta table. Returns the created version (0).
+    carries the partition columns — STRING-typed by default (the log
+    stores partitionValues as strings regardless); pass
+    ``partition_schema`` (a StructType naming the partition columns with
+    their real types) for typed partition conversion, like delta-spark's
+    explicit-schema CONVERT. Fails fast if the directory is already a
+    Delta table. Returns the created version (0).
     """
     import pyarrow.parquet as pq
     from pyspark.sql.types import StructType
@@ -2674,8 +2681,9 @@ def convert_to_delta(
     # lossless default — partitionValues are strings in the log anyway)
     from pyspark.sql.types import StringType, StructField
 
+    typed = {f.name: f for f in (partition_schema.fields if partition_schema else [])}
     full_fields = list(data_schema.fields) + [
-        StructField(c, StringType(), True)
+        typed.get(c, StructField(c, StringType(), True))
         for c in part_cols
         if c not in data_schema.names
     ]
