@@ -2177,6 +2177,93 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
     for f in snap.files:
         groups.setdefault(tuple(sorted(f["partitionValues"].items())), []).append(f)
 
+    # METADATA-ONLY fast path: a predicate over partition columns alone
+    # deletes whole files from the log with NO data scan at all — at
+    # 100 TB "DELETE WHERE day < retention" must not read a byte.
+    # Applicability is decided by the analyzer itself: the predicate is
+    # evaluated against a tiny driver-built frame holding ONLY the typed
+    # partition tuples; if it references any data column, analysis fails
+    # and the row-level DV path below runs instead.
+    if part_cols:
+        import datetime as _dt
+
+        def _typed(logical: str, raw):
+            if raw is None:
+                return None
+            t = part_types[logical].simpleString()
+            if t in ("int", "smallint", "tinyint", "bigint"):
+                return int(raw)
+            if t in ("double", "float"):
+                return float(raw)
+            if t == "date":
+                return _dt.date.fromisoformat(str(raw))
+            return str(raw)
+
+        tuples = sorted(groups)
+        rows = [
+            tuple(
+                _typed(inv.get(k, k), v)
+                for k, v in sorted(pv, key=lambda kv: inv.get(kv[0], kv[0]))
+            )
+            + (i,)
+            for i, pv in enumerate(tuples)
+        ]
+        ordered_logical = sorted(inv.get(c, c) for c in part_types)
+        part_schema_struct = StructType(
+            [StructField(c, part_types[c], True) for c in ordered_logical]
+            + [StructField("__pv_idx", LongType(), False)]
+        )
+        try:
+            pdf_small = spark.createDataFrame(rows, schema=part_schema_struct)
+            matched_tuples = pdf_small.filter(condition).collect()
+        except Exception:  # references data columns: row-level path below
+            matched_tuples = None
+        if matched_tuples is not None:
+            killed = {tuples[r["__pv_idx"]] for r in matched_tuples}
+            dead_files = [
+                f for pv, fs in groups.items() if pv in killed for f in fs
+            ]
+            if not dead_files:
+                return {
+                    "version": snap.version,
+                    "files_touched": 0,
+                    "rows_deleted": 0,
+                }
+            actions = []
+            rows_deleted = 0
+            for f in dead_files:
+                try:
+                    n = json.loads(f["stats"]).get("numRecords") or 0
+                except (ValueError, AttributeError):
+                    n = 0
+                dv = f.get("deletionVector") or {}
+                rows_deleted += max(0, int(n) - int(dv.get("cardinality") or 0))
+                actions.append(
+                    {
+                        "remove": {
+                            "path": quote(_log_rel(table, f["url"]), safe="/="),
+                            "dataChange": True,
+                            "deletionVector": f.get("deletionVectorLog"),
+                        }
+                    }
+                )
+            version = _commit_with_conflict_check(
+                table,
+                snap.version,
+                actions,
+                "DELETE",
+                {_log_rel(table, f["url"]) for f in dead_files},
+                # a concurrent append may land rows in a killed partition
+                lambda add: True,
+                in_commit_ts=_ict_enabled(snap.configuration),
+                operation_params={"predicate": condition, "partitionOnly": True},
+            )
+            return {
+                "version": version,
+                "files_touched": len(dead_files),
+                "rows_deleted": rows_deleted,
+            }
+
     branches = []
     for pvals, fs in groups.items():
         d = (

@@ -833,3 +833,51 @@ def test_cluster_by_rejects_partitioning(spark, tmp_path):
             partition_by=["p"],
             cluster_by=["k"],
         )
+
+
+def test_partition_only_delete_is_metadata_only(spark, tmp_path):
+    """DELETE WHERE over partition columns alone drops whole files from
+    the log — bare removes, no data scan, no DV files written."""
+    from duck_delta_share_spark.sources.delta_log import delete_where
+
+    t = tmp_path / "pd"
+    df = spark.createDataFrame(
+        [(i, "eu" if i % 2 else "us", i * 1.0) for i in range(20)],
+        "id long, region string, v double",
+    )
+    write_delta(df, t, partition_by=["region"])
+    res = delete_where(spark, t, "region = 'us'")
+    assert res["rows_deleted"] == 10 and res["files_touched"] >= 1
+    assert read_delta(spark, t).count() == 10
+    assert {r.region for r in read_delta(spark, t).collect()} == {"eu"}
+    # metadata-only: the commit holds bare removes, no adds, and no DV
+    # file was created anywhere in the table
+    commit = (t / "_delta_log" / f"{1:020d}.json").read_text()
+    assert '"remove"' in commit and '"add"' not in commit
+    assert not list(t.rglob("deletion_vector_*.bin"))
+    hist_note = json.loads(commit.split("\n")[0])["commitInfo"]
+    assert hist_note["operationParameters"]["partitionOnly"] == "true"
+    # mixed predicates fall back to the row-level DV path
+    res2 = delete_where(spark, t, "region = 'eu' AND v < 3")
+    assert res2["rows_deleted"] == 1  # only id 1 (v=1.0) is eu with v<3
+    assert read_delta(spark, t).count() == 9
+    # the fallback path DID write a DV (row-level, not metadata-only)
+    assert list(t.rglob("deletion_vector_*.bin"))
+
+
+def test_partition_only_delete_typed_and_composite(spark, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import delete_where
+
+    t = tmp_path / "pd2"
+    df = spark.createDataFrame(
+        [(i, i % 3, "a" if i % 2 else "b") for i in range(30)],
+        "id long, bucket int, tag string",
+    )
+    write_delta(df, t, partition_by=["bucket", "tag"])
+    # typed comparison + composite predicate, partition-only
+    res = delete_where(spark, t, "bucket >= 2 OR tag = 'b'")
+    survivors = read_delta(spark, t).collect()
+    assert {(r.bucket, r.tag) for r in survivors} <= {(0, "a"), (1, "a")}
+    expected = [i for i in range(30) if not (i % 3 >= 2 or i % 2 == 0)]
+    assert sorted(r.id for r in survivors) == sorted(expected)
+    assert res["rows_deleted"] == 30 - len(expected)
