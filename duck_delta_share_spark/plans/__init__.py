@@ -59,6 +59,7 @@ _R4_WINDOW = [
     "funnel_stages",
     "pretrain_pipeline_e2e",
     "delta_convert_clone_scan",
+    "delta_update_where",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
     "domain_mix_resample",

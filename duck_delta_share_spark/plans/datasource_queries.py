@@ -1212,3 +1212,41 @@ def delta_convert_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     clone_delta(plain, clone)
     delete_where(spark, clone, "o_totalprice < 100000.0")
     return read_delta(spark, clone).orderBy("o_orderkey")
+
+
+@query(
+    "delta_update_where",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 0.0 - c_acctbal ELSE c_acctbal END
+         AS c_acctbal,
+       c_nationkey
+FROM customer
+ORDER BY c_custkey
+""",
+    doc="UPDATE ... SET (sources/delta_log.py:update_where, copy-on-write "
+    "like delta-spark): negative balances are rectified in place — pass 1 "
+    "finds the files holding >= 1 match (only file paths reach the "
+    "driver), pass 2 rewrites ONLY those files with CASE WHEN cond THEN "
+    "expr ELSE col END, untouched files stay byte-identical, one "
+    "conflict-checked remove+add commit — and the scan-back equals the "
+    "oracle's CASE projection",
+)
+def delta_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import (
+        read_delta,
+        update_where,
+        write_delta,
+    )
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_upd_")) / "t"
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    write_delta(c.repartition(4), table)
+    update_where(spark, table, "c_acctbal < 0", {"c_acctbal": "0.0 - c_acctbal"})
+    return read_delta(spark, table).orderBy("c_custkey")

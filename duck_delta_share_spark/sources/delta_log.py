@@ -2099,6 +2099,91 @@ def _to_physical(df, cm: dict[str, str] | None, part_cols: list[str]):
     )
 
 
+def _partition_types(snap: DeltaSnapshot) -> dict:
+    from duck_delta_share_spark.sources.schema import (
+        schema_from_string,
+        split_partition_fields,
+    )
+
+    full_schema = schema_from_string(snap.schema_string)
+    _, part_fields = split_partition_fields(
+        full_schema, list(snap.partition_columns)
+    )
+    return {f.name: f.dataType for f in part_fields}
+
+
+def _raw_match_scan(spark, snap: DeltaSnapshot, condition: str):
+    """Distributed evaluation of a LOGICAL-named predicate over the raw
+    parquet of every snapshot file, yielding (__fp file path, __ri
+    physical row index) for matching PHYSICAL rows. One scan branch per
+    distinct partition-value tuple (partition values live in the log);
+    column-mapped tables are read fully-physically (physical names at
+    every depth) and relabeled with one positional struct cast per
+    nested column. Deletion vectors are NOT applied here — callers that
+    need mask semantics compose with the file's DV (delete_where unions,
+    update_where drops masked rows in the rewrite)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    from duck_delta_share_spark.sources.schema import (
+        has_nested_mapping as _hnm,
+        physical_data_type as _pdt,
+        schema_from_string,
+        split_partition_fields,
+    )
+
+    cm = _snap_column_mapping(snap)
+    inv = {p: l for l, p in (cm or {}).items()}
+    part_cols = list(snap.partition_columns)
+    full_schema = schema_from_string(snap.schema_string)
+    data_fields, part_fields = split_partition_fields(full_schema, part_cols)
+    data_schema = StructType(
+        [
+            StructField(
+                (cm or {}).get(f.name, f.name), _pdt(f.dataType), f.nullable
+            )
+            for f in data_fields
+        ]
+    )
+    nested_logical = {
+        f.name: f.dataType for f in data_fields if _hnm(StructType([f]))
+    }
+    part_types = {f.name: f.dataType for f in part_fields}
+    groups: dict[tuple, list[dict]] = {}
+    for f in snap.files:
+        groups.setdefault(
+            tuple(sorted(f["partitionValues"].items())), []
+        ).append(f)
+    branches = []
+    for pvals, fs in groups.items():
+        d = (
+            spark.read.schema(data_schema)
+            .parquet(*[f["url"] for f in fs])
+            .select(
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+                "*",
+            )
+        )
+        if inv:
+            d = d.withColumnsRenamed(inv)
+        for lname, ldt in nested_logical.items():
+            d = d.withColumn(lname, F.col(lname).cast(ldt))
+        for name, raw in pvals:
+            logical = inv.get(name, name)  # partitionValues keys physical
+            d = d.withColumn(
+                logical,
+                F.lit(raw).cast(part_types[logical])
+                if raw is not None
+                else F.lit(None).cast(part_types[logical]),
+            )
+        branches.append(d.filter(condition).select("__fp", "__ri"))
+    matched = branches[0]
+    for b in branches[1:]:
+        matched = matched.unionByName(b)
+    return matched
+
+
 def delete_where(spark, table_path: str | Path, condition: str) -> dict:
     """Merge-on-read DELETE: mask matching rows with deletion vectors
     instead of rewriting data files (Delta protocol "Deletion Vectors";
@@ -2150,26 +2235,7 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
     if not snap.files:
         return {"version": snap.version, "files_touched": 0, "rows_deleted": 0}
     part_cols = list(snap.partition_columns)
-    full_schema = schema_from_string(snap.schema_string)
-    data_fields, part_fields = split_partition_fields(full_schema, part_cols)
-    # mapped tables store PHYSICAL parquet column names AT EVERY DEPTH:
-    # read fully-physically (physical_data_type renames nested struct
-    # fields too), rename top-level + positionally cast nested structs
-    # back to logical below so ``condition`` (logical names) evaluates
-    data_schema = StructType(
-        [
-            StructField(
-                (cm or {}).get(f.name, f.name), _pdt(f.dataType), f.nullable
-            )
-            for f in data_fields
-        ]
-    )
-    nested_logical = {
-        f.name: f.dataType
-        for f in data_fields
-        if _hnm(StructType([f]))
-    }
-    part_types = {f.name: f.dataType for f in part_fields}
+    part_types = _partition_types(snap)
 
     # one scan branch per distinct partition-value tuple (partition values
     # live in the log, not the files); unpartitioned tables are 1 branch
@@ -2264,36 +2330,7 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
                 "rows_deleted": rows_deleted,
             }
 
-    branches = []
-    for pvals, fs in groups.items():
-        d = (
-            spark.read.schema(data_schema)
-            .parquet(*[f["url"] for f in fs])
-            .select(
-                F.col("_metadata.file_path").alias("__fp"),
-                F.col("_metadata.row_index").alias("__ri"),
-                "*",
-            )
-        )
-        if inv:
-            d = d.withColumnsRenamed(inv)
-        # nested physical→logical relabel: Spark's struct cast is
-        # positional, so one cast per affected top-level column renames
-        # every depth (same trick as the write path above)
-        for lname, ldt in nested_logical.items():
-            d = d.withColumn(lname, F.col(lname).cast(ldt))
-        for name, raw in pvals:
-            logical = inv.get(name, name)  # partitionValues keys physical
-            d = d.withColumn(
-                logical,
-                F.lit(raw).cast(part_types[logical])
-                if raw is not None
-                else F.lit(None).cast(part_types[logical]),
-            )
-        branches.append(d.filter(condition).select("__fp", "__ri"))
-    matched = branches[0]
-    for b in branches[1:]:
-        matched = matched.unionByName(b)
+    matched = _raw_match_scan(spark, snap, condition)
 
     # suffix-keyed lookup of existing DVs + stats (small; closure-captured)
     by_rel = {_log_rel(table, f["url"]): f for f in snap.files}
@@ -2877,3 +2914,102 @@ def clone_delta(
     log.mkdir(parents=True, exist_ok=True)
     _atomic_commit(dst, 0, actions, operation="CLONE")
     return {"version": 0, "files_referenced": len(snap.files)}
+
+
+def update_where(
+    spark, table_path: str | Path, condition: str, assignments: dict[str, str]
+) -> dict:
+    """UPDATE ... SET (delta-spark's copy-on-write UPDATE): rewrite ONLY
+    the files that contain at least one matching row, applying each
+    assignment expression to matching rows and passing every other row
+    through byte-for-byte semantics.
+
+    Scale shape — file-granular copy-on-write, mirror of merge_delta:
+
+    1. one distributed job finds the files with >= 1 match (the same
+       ``_metadata.file_path`` trick delete_where uses — only file paths
+       reach the driver, never rows);
+    2. ONLY those files are re-read and rewritten with
+       ``CASE WHEN condition THEN expr ELSE col END`` per assignment;
+       untouched files stay byte-identical (time travel cheap);
+    3. one conflict-checked commit: remove(touched) + add(rewritten).
+       Deletion-vector state of touched files is honored when rewriting
+       (masked rows are dropped from the rewrite — they were already
+       deleted) and cleared afterwards (the rewrite materializes the
+       mask).
+
+    Returns {version, files_rewritten, rows_updated}.
+    """
+    from pyspark.sql import functions as F
+
+    table = Path(table_path).resolve()
+    snap = snapshot(table)
+    _check_local_writer_protocol(snap, "merge")  # same class of rewrite
+    cm = _snap_column_mapping(snap)
+    part_cols = list(snap.partition_columns)
+    if not snap.files:
+        return {"version": snap.version, "files_rewritten": 0, "rows_updated": 0}
+    bad = [c for c in assignments if c in part_cols]
+    if bad:
+        raise ValueError(
+            f"cannot UPDATE partition column(s) {bad}; rewrite via merge"
+        )
+
+    # pass 1: which files hold matches (the shared raw scan evaluates the
+    # logical predicate over physical parquet; DV-masked matches may mark
+    # a file touched — harmless, the rewrite drops masked rows anyway)
+    matches = (
+        _raw_match_scan(spark, snap, condition)
+        .select("__fp")
+        .distinct()
+        .collect()
+    )
+
+    def _local(fp: str) -> str:
+        return "/" + fp.split(":", 1)[1].lstrip("/") if fp.startswith("file:") else fp
+
+    touched_rels = {_log_rel(table, _local(r["__fp"])) for r in matches}
+    by_rel = {_log_rel(table, f["url"]): f for f in snap.files}
+    touched = [by_rel[r] for r in touched_rels]
+    if not touched:
+        return {"version": snap.version, "files_rewritten": 0, "rows_updated": 0}
+
+    # pass 2: rewrite only the touched files
+    df = _direct_read(spark, snap.schema_string, part_cols, touched)
+    rows_updated = df.where(condition).count()
+    cond = F.expr(condition)
+    for col, expr in assignments.items():
+        df = df.withColumn(col, F.when(cond, F.expr(expr)).otherwise(F.col(col)))
+    staged, staged_part_cols = _to_physical(df, cm, part_cols)
+    adds = _stage_files(staged, table, staged_part_cols)
+    rt_actions: list[dict] = []
+    if _row_tracking_enabled(snap.configuration):
+        rt_actions = _assign_base_row_ids(
+            adds, _row_id_high_watermark(snap.domain_metadata), snap.version + 1
+        )
+    actions = [
+        {
+            "remove": {
+                "path": quote(rel, safe="/="),
+                "dataChange": True,
+                "deletionVector": by_rel[rel].get("deletionVectorLog"),
+            }
+        }
+        for rel in sorted(touched_rels)
+    ] + adds + rt_actions
+    version = _commit_with_conflict_check(
+        table,
+        snap.version,
+        actions,
+        "UPDATE",
+        set(touched_rels),
+        # any concurrent append might hold matching rows: conservative
+        lambda add: True,
+        in_commit_ts=_ict_enabled(snap.configuration),
+        operation_params={"predicate": condition},
+    )
+    return {
+        "version": version,
+        "files_rewritten": len(touched),
+        "rows_updated": rows_updated,
+    }

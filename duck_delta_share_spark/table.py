@@ -81,6 +81,9 @@ class DeltaTable:
     def delete(self, condition: str) -> dict:
         return _dl.delete_where(self.spark, self.path, condition)
 
+    def update(self, condition: str, assignments: dict[str, str]) -> dict:
+        return _dl.update_where(self.spark, self.path, condition, assignments)
+
     def optimize(self, **kwargs) -> dict:
         return _dl.optimize(self.spark, self.path, **kwargs)
 

@@ -881,3 +881,51 @@ def test_partition_only_delete_typed_and_composite(spark, tmp_path):
     expected = [i for i in range(30) if not (i % 3 >= 2 or i % 2 == 0)]
     assert sorted(r.id for r in survivors) == sorted(expected)
     assert res["rows_deleted"] == 30 - len(expected)
+
+
+def test_update_where_rewrites_only_touched_files(spark, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import (
+        delete_where,
+        update_where,
+    )
+
+    t = tmp_path / "upd"
+    low = spark.createDataFrame(
+        [(i, i * 10.0) for i in range(10)], "id long, v double"
+    )
+    high = spark.createDataFrame(
+        [(i, i * 10.0) for i in range(100, 110)], "id long, v double"
+    )
+    write_delta(low.coalesce(1), t)
+    write_delta(high.coalesce(1), t, mode="append")
+    before = {f["url"] for f in snapshot(t).files}
+    res = update_where(spark, t, "id >= 105", {"v": "v + 1000"})
+    assert res["files_rewritten"] == 1 and res["rows_updated"] == 5
+    after = {f["url"] for f in snapshot(t).files}
+    assert len(before & after) == 1  # the low file is untouched
+    got = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert got[100] == 1000.0 and got[105] == 2050.0 and got[0] == 0.0
+    # update after a DV delete drops the masked rows from the rewrite
+    delete_where(spark, t, "id = 3")
+    res2 = update_where(spark, t, "id < 5", {"v": "0.0"})
+    assert res2["rows_updated"] == 4  # 0,1,2,4 — id 3 already deleted
+    final = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert 3 not in final
+    assert all(final[i] == 0.0 for i in (0, 1, 2, 4))
+    # no matches: version unchanged
+    v = snapshot(t).version
+    assert update_where(spark, t, "id = 9999", {"v": "1.0"})["files_rewritten"] == 0
+    assert snapshot(t).version == v
+
+
+def test_update_rejects_partition_column(spark, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import update_where
+
+    t = tmp_path / "updp"
+    write_delta(
+        spark.createDataFrame([(1, "eu")], "id long, p string"),
+        t,
+        partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        update_where(spark, t, "id = 1", {"p": "'us'"})
