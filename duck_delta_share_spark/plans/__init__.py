@@ -60,6 +60,7 @@ _R4_WINDOW = [
     "pretrain_pipeline_e2e",
     "delta_convert_clone_scan",
     "delta_update_where",
+    "cdc_replication_e2e",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
     "domain_mix_resample",

@@ -1250,3 +1250,70 @@ def delta_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_delta(c.repartition(4), table)
     update_where(spark, table, "c_acctbal < 0", {"c_acctbal": "0.0 - c_acctbal"})
     return read_delta(spark, table).orderBy("c_custkey")
+
+
+@query(
+    "cdc_replication_e2e",
+    oracle="""
+WITH state AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 50.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer
+  WHERE c_custkey % 3 = 0
+)
+SELECT c_custkey, c_acctbal
+FROM state
+WHERE NOT (c_acctbal < 0.0)
+ORDER BY c_custkey
+""",
+    doc="END-TO-END CDC replication (sources/delta_log.py:apply_cdc_batch "
+    "+ delete_keys): the source table lives through create -> MERGE "
+    "(balances +50 for keys %5=0) -> DV DELETE (negatives); its FULL "
+    "change feed is then applied to an EMPTY target — latest action per "
+    "key wins, file-rewrite churn (same-version delete+insert pairs) "
+    "collapses via the type tie-break, upserts merge file-granularly, "
+    "deletes mask via key-frame deletion vectors — and the TARGET "
+    "scan-back equals the oracle's reconstruction of the source's final "
+    "state. The consumer every warehouse-to-lake replication pipeline "
+    "needs, driven entirely through our own CDF reader",
+)
+def cdc_replication_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import (
+        apply_cdc_batch,
+        delete_where,
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    base_dir = Path(tempfile.mkdtemp(prefix="ddss_cdc_"))
+    src = base_dir / "src"
+    c = load_table(spark, sf_dir, "customer").where("c_custkey % 3 = 0").select(
+        "c_custkey", "c_acctbal"
+    )
+    write_delta(c.repartition(3), src)
+    merge_delta(
+        spark,
+        src,
+        c.where("c_custkey % 5 = 0").select(
+            "c_custkey", (F.col("c_acctbal") + 50.0).alias("c_acctbal")
+        ),
+        ["c_custkey"],
+    )
+    delete_where(spark, src, "c_acctbal < 0.0")
+    _register(spark)
+    changes = (
+        spark.read.format("deltashare")
+        .option("deltaPath", str(src))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    tgt = base_dir / "tgt"
+    apply_cdc_batch(spark, tgt, changes, ["c_custkey"])
+    return read_delta(spark, tgt).orderBy("c_custkey")

@@ -2112,7 +2112,7 @@ def _partition_types(snap: DeltaSnapshot) -> dict:
     return {f.name: f.dataType for f in part_fields}
 
 
-def _raw_match_scan(spark, snap: DeltaSnapshot, condition: str):
+def _raw_match_scan(spark, snap: DeltaSnapshot, condition: str | None, matcher=None):
     """Distributed evaluation of a LOGICAL-named predicate over the raw
     parquet of every snapshot file, yielding (__fp file path, __ri
     physical row index) for matching PHYSICAL rows. One scan branch per
@@ -2177,7 +2177,8 @@ def _raw_match_scan(spark, snap: DeltaSnapshot, condition: str):
                 if raw is not None
                 else F.lit(None).cast(part_types[logical]),
             )
-        branches.append(d.filter(condition).select("__fp", "__ri"))
+        hit = matcher(d) if matcher is not None else d.filter(condition)
+        branches.append(hit.select("__fp", "__ri"))
     matched = branches[0]
     for b in branches[1:]:
         matched = matched.unionByName(b)
@@ -2331,6 +2332,17 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
             }
 
     matched = _raw_match_scan(spark, snap, condition)
+    return _dv_delete_matched(spark, snap, table, cm, matched, condition)
+
+
+def _dv_delete_matched(
+    spark, snap: DeltaSnapshot, table: Path, cm, matched, predicate_desc: str
+) -> dict:
+    """Shared merge-on-read DELETE tail: write per-file roaring DVs for
+    the matched (__fp, __ri) rows executor-side, commit remove+add with
+    composed masks. Used by delete_where (SQL predicate) and delete_keys
+    (key-frame semi join)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     # suffix-keyed lookup of existing DVs + stats (small; closure-captured)
     by_rel = {_log_rel(table, f["url"]): f for f in snap.files}
@@ -2445,12 +2457,92 @@ def delete_where(spark, table_path: str | Path, condition: str) -> dict:
         # ANY concurrently appended row might match — conservative abort
         lambda add: True,
         in_commit_ts=_ict_enabled(snap.configuration),
-        operation_params={"predicate": condition},
+        operation_params={"predicate": predicate_desc},
     )
     return {
         "version": version,
         "files_touched": len(touched),
         "rows_deleted": rows_deleted,
+    }
+
+
+def delete_keys(
+    spark, table_path: str | Path, keys, key_cols: list[str]
+) -> dict:
+    """DV-delete every row whose key tuple appears in the ``keys``
+    DataFrame — the replication/CDC form of DELETE (arbitrarily many
+    keys, no IN-list string building). Broadcast LEFT SEMI join inside
+    the shared raw match scan; same merge-on-read commit as
+    delete_where. Returns {version, files_touched, rows_deleted}."""
+    from pyspark.sql import functions as F
+
+    table = Path(table_path).resolve()
+    snap = snapshot(table)
+    _check_local_writer_protocol(snap, "delete")
+    if not snap.files:
+        return {"version": snap.version, "files_touched": 0, "rows_deleted": 0}
+    cm = _snap_column_mapping(snap)
+    key_frame = keys.select(*key_cols).distinct()
+    matched = _raw_match_scan(
+        spark,
+        snap,
+        None,
+        matcher=lambda d: d.join(F.broadcast(key_frame), key_cols, "left_semi"),
+    )
+    return _dv_delete_matched(
+        spark, snap, table, cm, matched, f"keys IN <frame> ON {key_cols}"
+    )
+
+
+def apply_cdc_batch(
+    spark, table_path: str | Path, changes, key_cols: list[str]
+) -> dict:
+    """Replication consumer: apply a CDF-shaped batch (``_change_type``
+    in insert / update_postimage / delete, plus ``_commit_version``) to
+    a target table — upserts via file-granular merge, deletes via
+    key-frame deletion vectors.
+
+    Latest action per key wins; within one commit version the
+    re-insert/update image beats the paired churn delete (file-rewrite
+    commits emit delete+insert for unchanged rows — the tie-break
+    'update_postimage' > 'insert' > 'delete' makes replay idempotent).
+    A missing target is created from the upserts. Returns
+    {upserts, deletes, version}.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    table = Path(table_path)
+    data_cols = [
+        c
+        for c in changes.columns
+        if c not in ("_change_type", "_commit_version", "_commit_timestamp")
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_commit_version").desc(), F.col("_change_type").desc()
+    )
+    latest = (
+        changes.where(
+            F.col("_change_type").isin("insert", "update_postimage", "delete")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+    )
+    upserts = latest.where(F.col("_change_type") != "delete").select(*data_cols)
+    deletes = latest.where(F.col("_change_type") == "delete").select(*key_cols)
+    n_up = upserts.count()
+    n_del = deletes.count()
+    if not (table / "_delta_log").is_dir():
+        if n_up:
+            write_delta(upserts, table)
+    elif n_up:
+        merge_delta(spark, table, upserts, key_cols)
+    if n_del:
+        delete_keys(spark, table, deletes, key_cols)
+    return {
+        "upserts": n_up,
+        "deletes": n_del,
+        "version": latest_version(table) if (table / "_delta_log").is_dir() else -1,
     }
 
 

@@ -929,3 +929,54 @@ def test_update_rejects_partition_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partition column"):
         update_where(spark, t, "id = 1", {"p": "'us'"})
+
+
+def test_delete_keys_and_cdc_apply(spark, tmp_path):
+    """Key-frame deletes + the CDC replication consumer: applying the
+    source's change feed to an empty target reproduces the source."""
+    from duck_delta_share_spark.sources.delta_log import (
+        apply_cdc_batch,
+        delete_keys,
+        delete_where,
+        merge_delta,
+    )
+
+    src = tmp_path / "src"
+    base = spark.range(40).selectExpr("id AS k", "id * 1.0 AS v")
+    write_delta(base.repartition(3), src)                       # v0
+    merge_delta(
+        spark,
+        src,
+        base.where("k % 5 = 0").selectExpr("k", "v + 100 AS v"),
+        ["k"],
+    )                                                           # v1
+    delete_where(spark, src, "k >= 35")                         # v2 (DVs)
+
+    # plain delete_keys on a copy of the base table
+    other = tmp_path / "other"
+    write_delta(base.repartition(2), other)
+    res = delete_keys(
+        spark, other, spark.createDataFrame([(1,), (2,), (99,)], "k long"), ["k"]
+    )
+    assert res["rows_deleted"] == 2
+    assert read_delta(spark, other).count() == 38
+
+    # CDC replication: CDF from v0 applied to an empty target
+    changes = (
+        spark.read.format("deltashare")
+        .option("deltaPath", str(src))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    tgt = tmp_path / "tgt"
+    stats = apply_cdc_batch(spark, tgt, changes, ["k"])
+    assert stats["upserts"] == 35 and stats["deletes"] == 5
+    want = {
+        (r.k, r.v) for r in read_delta(spark, src).collect()
+    }
+    got = {(r.k, r.v) for r in read_delta(spark, tgt).collect()}
+    assert got == want
+    # replay is idempotent
+    apply_cdc_batch(spark, tgt, changes, ["k"])
+    assert {(r.k, r.v) for r in read_delta(spark, tgt).collect()} == want
