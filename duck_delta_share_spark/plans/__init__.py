@@ -61,6 +61,7 @@ _R4_WINDOW = [
     "delta_convert_clone_scan",
     "delta_update_where",
     "cdc_replication_e2e",
+    "delta_partition_delete",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
     "domain_mix_resample",

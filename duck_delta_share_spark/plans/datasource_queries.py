@@ -1317,3 +1317,43 @@ def cdc_replication_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = base_dir / "tgt"
     apply_cdc_batch(spark, tgt, changes, ["c_custkey"])
     return read_delta(spark, tgt).orderBy("c_custkey")
+
+
+@query(
+    "delta_partition_delete",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+WHERE o_orderkey % 4 = 0
+  AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+ORDER BY o_orderkey
+""",
+    doc="METADATA-ONLY partition delete (sources/delta_log.py:delete_where "
+    "fast path): the table is hive-partitioned by o_orderpriority and "
+    "DELETE WHERE o_orderpriority IN ('1-URGENT','2-HIGH') drops whole "
+    "files from the log with ZERO data scan — applicability is decided "
+    "by the ANALYZER (the predicate runs on a tiny typed partition-tuple "
+    "frame; touching a data column falls back to row-level DVs). At "
+    "100 TB 'DELETE WHERE day < retention' must not read a byte; the "
+    "scan-back equals the oracle's anti-filter",
+)
+def delta_partition_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import (
+        delete_where,
+        read_delta,
+        write_delta,
+    )
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_pdel_")) / "t"
+    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 4 = 0").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    write_delta(o, table, partition_by=["o_orderpriority"])
+    delete_where(
+        spark, table, "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    )
+    return read_delta(spark, table).orderBy("o_orderkey")
