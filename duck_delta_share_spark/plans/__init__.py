@@ -62,6 +62,9 @@ _R4_WINDOW = [
     "delta_update_where",
     "cdc_replication_e2e",
     "delta_partition_delete",
+    "listagg_ordered",
+    "histogram_width_bucket",
+    "zipf_term_slope",
     "salted_join_lineitem",
     "similarity_ann_ivfpq",
     "domain_mix_resample",

@@ -828,3 +828,98 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arr.select(
         "user_id", (stage % 8).cast("int").alias("funnel_stage")
     ).orderBy("user_id")
+
+
+@query(
+    "listagg_ordered",
+    oracle="""
+SELECT n_name,
+       STRING_AGG(s_name, ',' ORDER BY s_acctbal DESC, s_name) AS top_suppliers
+FROM (
+  SELECT n_name, s_name, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_nationkey
+                            ORDER BY s_acctbal DESC, s_name) AS rk
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+WHERE rk <= 5
+GROUP BY n_name
+ORDER BY n_name
+""",
+    doc="ordered string aggregation (LISTAGG / STRING_AGG semantics): the "
+    "top-5 suppliers per nation by balance, concatenated in EXPLICIT "
+    "(s_acctbal DESC, s_name) order — Spark's array_sort(collect_list(" 
+    "struct)) + transform + array_join reproduces the deterministic "
+    "ordered concatenation DuckDB's ORDER BY-qualified STRING_AGG "
+    "computes (collect_list alone is partition-order-nondeterministic; "
+    "the sort key rides inside the struct)",
+)
+def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.col("s_acctbal").desc(), "s_name"
+    )
+    top = j.withColumn("rk", F.row_number().over(w)).where("rk <= 5")
+    # sort key: balance DESC then name ASC — negate the balance so one
+    # ascending struct sort yields the target order
+    agg = top.groupBy("n_name").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("s_acctbal")).alias("k1"),
+                            F.col("s_name").alias("k2"),
+                        )
+                    )
+                ),
+                lambda x: x["k2"],
+            ),
+            ",",
+        ).alias("top_suppliers")
+    )
+    return agg.orderBy("n_name")
+
+
+@query(
+    "histogram_width_bucket",
+    oracle="""
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 600000.0 THEN 21
+            ELSE FLOOR(o_totalprice / 30000.0) + 1 END AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+""",
+    doc="equi-width histogram via width_bucket (the SQL-standard binning "
+    "function, Spark 3.5+): 20 price buckets over [0, 600k) with "
+    "per-bucket counts and observed ranges — one hash aggregate, the "
+    "profiling query every column-stats pass runs. DuckDB has no "
+    "width_bucket; the oracle computes the identical bucket "
+    "arithmetically (floor(x/width)+1 with under/overflow buckets 0 and "
+    "n+1), which also cross-checks Spark's implementation against the "
+    "SQL-standard definition",
+)
+def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(20))
+            .cast("int")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -26,7 +26,7 @@ from duck_delta_share_spark.functions.text import (
 )
 from duck_delta_share_spark.operators import dedup as dd
 from duck_delta_share_spark.operators import similarity as sim
-from duck_delta_share_spark.plans.registry import query
+from duck_delta_share_spark.plans.registry import DEC, query
 
 _NORM = "regexp_replace(trim(lower(text)), ' +', ' ', 'g')"
 
@@ -2744,3 +2744,82 @@ def pretrain_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return pack_sequences(survivors, capacity_tokens=256).orderBy("doc_id")
+
+
+@query(
+    "zipf_term_slope",
+    oracle="""
+WITH tf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT doc_id, unnest(STRING_SPLIT(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+ranked AS (
+  SELECT term, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+  FROM tf
+),
+pts AS (
+  SELECT ROUND(LN(CAST(rank AS DOUBLE)), 6) AS x,
+         ROUND(LN(CAST(freq AS DOUBLE)), 6) AS y
+  FROM ranked WHERE rank <= 200
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS zipf_intercept
+FROM s
+""",
+    doc="Zipf's-law fit over the corpus term distribution (the classic "
+    "corpus-statistics health check — natural text gives slope ~ -1): "
+    "term frequencies -> rank -> log-log OLS over the top-200 ranks, "
+    "composing the exact-decimal sufficient-statistic regression "
+    "(ols_per_group's discipline: per-point logs rounded to 6 decimals "
+    "BEFORE the order-independent decimal sums, final expressions "
+    "rounded against FMA contraction). One agg + one 200-row fit",
+)
+def zipf_term_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from duck_delta_share_spark.functions.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "term")
+    # 200 points: the single-partition ranking window is bounded (top-k
+    # of an already-aggregated term table), not a data-sized funnel
+    pts = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .where("rank <= 200")
+        .select(
+            F.round(F.log(F.col("rank").cast("double")), 6).alias("x"),
+            F.round(F.log(F.col("freq").cast("double")), 6).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("long").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+    )
