@@ -105,3 +105,80 @@ def test_scd2_stream_matches_batch_fold(spark, tmp_path):
     finally:
         q2.stop()
     assert _dim_rows(spark, dim) == before
+
+
+def test_scd2_stream_with_rate_limit(spark, tmp_path):
+    """Composition: maxFilesPerTrigger admission control feeding the SCD2
+    maintenance stream — three single-file source commits fold as three
+    bounded micro-batches and the dimension still matches the batch
+    fold exactly (exactly-once survives the throttled pacing)."""
+    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+    from duck_delta_share_spark.sources.delta_log import (
+        last_txn_version,
+        write_delta as _wd,
+    )
+    from duck_delta_share_spark.streaming.scd2 import fold_scd2_batch, _txn_app
+
+    spark.dataSource.register(DeltaShareDataSource)
+    source = tmp_path / "src_rl"
+    dim = tmp_path / "dim_rl"
+    ck = tmp_path / "ck_rl"
+    base = spark.range(10).selectExpr("id AS k", "id * 7 AS v")
+    _wd(base.coalesce(1), source)
+
+    app = _txn_app(dim)
+
+    # hand-built stream with the rate limit option (maintain_scd2_stream
+    # without a limit is covered by the main test)
+    changes = (
+        spark.readStream.format("deltashare")
+        .option("deltaPath", str(source))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+
+    def apply(batch_df, batch_id):
+        if batch_id <= last_txn_version(dim, app):
+            return
+        fold_scd2_batch(spark, batch_df, dim, "k", "v")
+        _wd(
+            batch_df.limit(0).selectExpr(
+                "k", "v",
+                "_commit_version AS valid_from",
+                "_commit_version AS valid_to",
+                "CAST(0 AS INT) AS is_current",
+            ),
+            dim,
+            txn=(app, batch_id),
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(ck))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for wave in range(1, 4):
+            merge_delta(
+                spark,
+                source,
+                base.where("k % 3 = 0").selectExpr(
+                    "k", f"v + {wave * 100} AS v"
+                ),
+                ["k"],
+            )
+        q.processAllAvailable()
+        batches = [p.numInputRows for p in q.recentProgress if p.numInputRows > 0]
+        assert len(batches) >= 4  # the three waves were throttled apart
+    finally:
+        q.stop()
+    expected = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in _batch_fold(spark, source).collect()
+    }
+    assert _dim_rows(spark, dim) == expected
+    # k%3=0 keys have the full 4-version chain despite the pacing
+    assert len(read_delta(spark, dim).where("k = 3").collect()) == 4
