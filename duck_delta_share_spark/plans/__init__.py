@@ -20,15 +20,71 @@ from duck_delta_share_spark.plans import tpch  # noqa: E402,F401
 from duck_delta_share_spark.plans import tpch_extended  # noqa: E402,F401
 from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 
-# Round-4 window rotation (VERDICT r3 #10): the driver's per-round
+# Round-5 window rotation (VERDICT r4 #1): the driver's per-round
 # correctness check covers the FIRST 50 entries. Lead with this round's
-# fixed/new queries (the simhash oracle cast, DV-over-REST,
-# column-mapping MERGE, the now-oracle-gated PNG strict), then the
-# r1-window relational/function/TPC-H entries that have not been
-# re-evidenced since the r3 fixture regeneration changed events.parquet
-# timestamps (events-touching ones like json_functions first). Everything
-# stays registered; only the order changes.
-_R4_WINDOW = [
+# new query (column DEFAULTs), then the NINE oracled queries that never
+# made any round's window (r4 slots 51-59), then every r2-evidenced
+# entry (the delta/udf/events block whose driver evidence predates the
+# r3 events.parquet regeneration), json_functions (r1, events-touching),
+# the full TPC-H sweep (r1 evidence only), and three more r1 entries to
+# fill slot 50. The remaining r1-evidenced relational entries rotate in
+# next round. Everything stays registered; only the order changes.
+_R5_WINDOW = [
+    "delta_column_defaults",
+    # never driver-evidenced oracled queries (r4 slots 51-59)
+    "dataset_split_assign",
+    "similarity_ann_pq",
+    "delta_restore",
+    "exists_subquery",
+    "join_null_safe",
+    "events_hopping_agg",
+    "text_normalize",
+    "weighted_quality_sample",
+    "zorder_write_scan",
+    # r2-evidenced entries (stale: pre-r3 fixture regeneration)
+    "interval_join_events",
+    "resample_gapfill_hourly",
+    "udtf_token_chunks",
+    "udf_pandas_scalar",
+    "udf_python_scalar",
+    "udaf_grouped_pandas",
+    "minhash_md5_lsh_pairs",
+    "delta_share_scan",
+    "delta_log_scan",
+    "delta_merge_upsert",
+    "incremental_rollup_cdf",
+    "sql_text_interface",
+    "string_functions",
+    "date_functions",
+    # r1-evidenced, events-touching first
+    "json_functions",
+    "join_asof",
+    "window_frames",
+    "agg_grouping_sets",
+    # full TPC-H sweep re-evidence (r1-checked only)
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_classes",
+    "q13_count_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    # --- end of slot 50; r4-green entries follow, freshest evidence first
     "substring_dedup_spans",
     "delta_schema_evolution",
     "delta_txn_idempotent_append",
@@ -38,7 +94,6 @@ _R4_WINDOW = [
     "lateral_topk",
     "higher_order_array",
     "delta_check_constraint",
-    "bpe_train_merges",
     "delta_generated_columns",
     "quality_features",
     "ewma_hourly",
@@ -66,13 +121,11 @@ _R4_WINDOW = [
     "histogram_width_bucket",
     "zipf_term_slope",
     "salted_join_lineitem",
-    "similarity_ann_ivfpq",
     "domain_mix_resample",
     "simhash_signatures",
     "delta_share_dv_rest_scan",
     "delta_column_mapping_merge",
     "multimodal_png_strict",
-    # r4 additions (first driver evidence this round)
     "similarity_topk_int8",
     "benchmark_contamination",
     "char_entropy_quality",
@@ -80,68 +133,6 @@ _R4_WINDOW = [
     "delta_share_cdf_scan",
     "window_distribution",
     "map_functions",
-    "dataset_split_assign",
-    "similarity_ann_pq",
-    "delta_restore",
-    "exists_subquery",
-    "join_null_safe",
-    "events_hopping_agg",
-    "text_normalize",
-    "weighted_quality_sample",
-    "zorder_write_scan",
-    # r1-window entries, events-touching first
-    "json_functions",
-    "string_functions",
-    "date_functions",
-    "math_functions",
-    "array_functions",
-    "explode_unnest",
-    "filter_projection",
-    "filter_in_between_null",
-    "sort_limit",
-    "topk_per_group",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "join_theta_band",
-    "join_asof",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "window_ranking",
-    "window_analytic",
-    "window_frames",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "scalar_subquery",
-    "correlated_in_subquery",
-    # full TPC-H sweep re-evidence (r1-checked); the tail past entry 50
-    # rolls into the r5 window
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_classes",
-    "q13_count_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
 ]
 
 
@@ -153,6 +144,6 @@ def _rotate_window(first: list[str]) -> None:
     QUERIES.update({n: snapshot[n] for n in lead + rest})
 
 
-_rotate_window(_R4_WINDOW)
+_rotate_window(_R5_WINDOW)
 
 __all__ = ["QUERIES", "QueryDef", "query"]

@@ -1357,3 +1357,54 @@ def delta_partition_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, table, "o_orderpriority IN ('1-URGENT', '2-HIGH')"
     )
     return read_delta(spark, table).orderBy("o_orderkey")
+
+
+@query(
+    "delta_column_defaults",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment ELSE 'UNKNOWN' END AS segment,
+       CASE WHEN c_custkey % 2 = 0 THEN c_acctbal ELSE 1.5 END AS bal
+FROM customer
+ORDER BY c_custkey
+""",
+    doc="column DEFAULT values (sources/delta_log.py:_apply_column_defaults, "
+    "protocol 'Default Columns' / allowColumnDefaults writer feature, "
+    "CURRENT_DEFAULT field metadata): the table declares segment DEFAULT "
+    "'UNKNOWN' and bal DEFAULT 1.5; even-key customers append WITH both "
+    "columns (provided values win), odd-key customers append with ONLY the "
+    "key (the writer fills the declared defaults, cast to the declared "
+    "type) — the scan-back equals the SQL CASE recomputation, and the "
+    "create advertised the v7 allowColumnDefaults writer feature",
+)
+def delta_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.sources.delta_log import read_delta, write_delta
+
+    table = Path(tempfile.mkdtemp(prefix="ddss_dflt_")) / "t"
+    c = load_table(spark, sf_dir, "customer")
+    even = (
+        c.where("c_custkey % 2 = 0")
+        .selectExpr(
+            "CAST(c_custkey AS LONG) AS c_custkey",
+            "c_mktsegment AS segment",
+            "c_acctbal AS bal",
+        )
+        .withMetadata("segment", {"CURRENT_DEFAULT": "'UNKNOWN'"})
+        .withMetadata("bal", {"CURRENT_DEFAULT": "1.5"})
+    )
+    write_delta(even, table)
+    # odd keys: ONLY the key column — the writer fills both defaults
+    write_delta(
+        c.where("c_custkey % 2 = 1").selectExpr("CAST(c_custkey AS LONG) AS c_custkey"),
+        table,
+    )
+    from duck_delta_share_spark.sources.delta_log import snapshot as _snap
+
+    assert "allowColumnDefaults" in (_snap(table).protocol or {}).get(
+        "writerFeatures", ()
+    )
+    return read_delta(spark, table).orderBy("c_custkey")

@@ -2512,11 +2512,15 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duck_delta_share_spark.functions.text import tokenize, word_shingles
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    toks = d.select(
+    # materialize the token array ONCE before the concat: higher-order
+    # expressions are interpreted (no CSE), so inlining tokenize("text")
+    # twice would tokenize every document twice (project no-CSE rule)
+    tok = d.select("doc_id", "lang", tokenize("text").alias("__toks"))
+    toks = tok.select(
         "doc_id",
         "lang",
         F.explode(
-            F.concat(tokenize("text"), word_shingles(tokenize("text"), 2))
+            F.concat(F.col("__toks"), word_shingles(F.col("__toks"), 2))
         ).alias("term"),
     )
     b = toks.select(

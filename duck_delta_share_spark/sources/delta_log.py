@@ -124,8 +124,16 @@ def _checkpoint_files(log: Path, version: int) -> list[Path]:
 # timestampNtz needs no reader work (pyarrow/Spark read NTZ natively);
 # columnMapping is translated in the shared scan path (schema.py:
 # column_mapping + delta_share._build_tasks/_read_task).
+# vacuumProtocolCheck demands no read-time behavior at all — it obliges
+# VACUUM implementations to run the protocol gate first (vacuum() does).
 _SUPPORTED_READER_FEATURES = frozenset(
-    {"deletionVectors", "timestampNtz", "columnMapping", "v2Checkpoint"}
+    {
+        "deletionVectors",
+        "timestampNtz",
+        "columnMapping",
+        "v2Checkpoint",
+        "vacuumProtocolCheck",
+    }
 )
 
 
@@ -556,8 +564,29 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "domainMetadata",
         "rowTracking",
         "clustering",
+        "allowColumnDefaults",
+        "vacuumProtocolCheck",
     }
 )
+
+# Writer features IMPLIED by each legacy minWriterVersion (protocol
+# "Table Features" upgrade rule: converting a legacy protocol to v7 must
+# list every feature the old version number already demanded).
+_LEGACY_WRITER_FEATURES = {
+    2: {"appendOnly", "invariants"},
+    3: {"checkConstraints"},
+    4: {"changeDataFeed", "generatedColumns"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
+
+
+def _implied_writer_features(wv: int) -> set:
+    out: set = set()
+    for v, feats in _LEGACY_WRITER_FEATURES.items():
+        if v <= wv:
+            out |= feats
+    return out
 
 
 def _check_local_writer_protocol(snap: "DeltaSnapshot", operation: str) -> None:
@@ -607,6 +636,44 @@ def _generation_expressions(schema_string: str) -> dict:
         if expr:
             out[f["name"]] = expr
     return out
+
+
+def _column_defaults(schema_string: str) -> dict:
+    """name -> SQL default expression for fields carrying
+    ``CURRENT_DEFAULT`` metadata (protocol "Default Columns" /
+    allowColumnDefaults writer feature; delta-spark stores the DEFAULT
+    clause's SQL text under that key)."""
+    if not schema_string:
+        return {}
+    out = {}
+    for f in json.loads(schema_string)["fields"]:
+        expr = (f.get("metadata") or {}).get("CURRENT_DEFAULT")
+        if expr is not None:
+            out[f["name"]] = expr
+    return out
+
+
+def _apply_column_defaults(df, schema_string: str):
+    """Fill columns ABSENT from the write frame with their declared
+    DEFAULT, cast to the declared type. Unlike a generated column, a
+    PROVIDED value always wins — the default applies only when the
+    insert omits the column (spec: writers fill defaults at write time;
+    files written before the default was declared are unaffected)."""
+    from pyspark.sql import functions as F
+
+    from duck_delta_share_spark.sources.schema import schema_from_string
+
+    todo = {
+        n: e
+        for n, e in _column_defaults(schema_string).items()
+        if n not in df.columns
+    }
+    if not todo:
+        return df
+    types = {f.name: f.dataType for f in schema_from_string(schema_string).fields}
+    for name, expr in todo.items():
+        df = df.withColumn(name, F.expr(expr).cast(types[name]))
+    return df
 
 
 def _materialize_generated(df, schema_string: str, context: str):
@@ -1154,6 +1221,16 @@ def write_delta(
     id_high: dict = {}
     id_handle = None
     if version == 0:
+        clash = set(_column_defaults(df.schema.json())) & (
+            set(_generation_expressions(df.schema.json()))
+            | set(_identity_specs(df.schema.json()))
+        )
+        if clash:
+            raise ValueError(
+                f"column(s) {sorted(clash)} declare CURRENT_DEFAULT alongside "
+                "a generation expression or identity spec; the protocol "
+                "forbids combining them"
+            )
         df = _materialize_generated(df, df.schema.json(), "create")
         df, id_high, id_handle = _materialize_identity(
             df, df.schema.json(), "create"
@@ -1162,6 +1239,11 @@ def write_delta(
     if version > 0:
         prev = snapshot(table)
         _check_local_writer_protocol(prev, mode)
+        # column DEFAULTs fill before anything else so generated-column
+        # expressions and CHECK constraints referencing a defaulted column
+        # resolve (append only — an overwrite's frame defines its schema)
+        if mode == "append":
+            df = _apply_column_defaults(df, prev.schema_string)
         # generated columns come from the TARGET schema: the table's for
         # append, the incoming frame's for overwrite (schema swap)
         df = _materialize_generated(
@@ -1325,16 +1407,25 @@ def write_delta(
             }
         )
     if version == 0:
-        if _row_tracking_enabled(configuration) or cluster_by:
-            # rowTracking / clustering are v7 table features (their state
-            # lives in metadata domains): list every active writer feature
-            feats = ["domainMetadata"]
+        has_defaults = bool(_column_defaults(schema_string))
+        if _row_tracking_enabled(configuration) or cluster_by or has_defaults:
+            # rowTracking / clustering / allowColumnDefaults are v7 table
+            # features: the protocol must list EVERY active writer feature
+            # (including the legacy-implied baseline) so other engines
+            # keep enforcing them
+            feats = set(_implied_writer_features(2))
+            if _row_tracking_enabled(configuration) or cluster_by:
+                feats.add("domainMetadata")
             if _row_tracking_enabled(configuration):
-                feats.append("rowTracking")
+                feats.add("rowTracking")
             if cluster_by:
-                feats.append("clustering")
+                feats.add("clustering")
             if _identity_specs(schema_string):
-                feats.append("identityColumns")
+                feats.add("identityColumns")
+            if has_defaults:
+                feats.add("allowColumnDefaults")
+            if _generation_expressions(schema_string):
+                feats.add("generatedColumns")
             actions.append(
                 {
                     "protocol": {
@@ -1878,6 +1969,7 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
     table = Path(table_path)
     snap = snapshot(table)
     _check_local_writer_protocol(snap, "merge")
+    updates = _apply_column_defaults(updates, snap.schema_string)
     updates = _materialize_generated(updates, snap.schema_string, "merge updates")
     # CHECK constraints apply to the NEW rows only — surviving rows were
     # validated when they were written
@@ -2537,7 +2629,9 @@ def apply_cdc_batch(
             write_delta(upserts, table)
     elif n_up:
         merge_delta(spark, table, upserts, key_cols)
-    if n_del:
+    # deletes against a still-absent target (delete-only batch before the
+    # first upsert ever arrived) are a no-op, not a FileNotFoundError
+    if n_del and (table / "_delta_log").is_dir():
         delete_keys(spark, table, deletes, key_cols)
     return {
         "upserts": n_up,
@@ -2766,6 +2860,46 @@ def restore_delta(table_path: str | Path, version: int) -> dict:
     }
 
 
+def enable_vacuum_protocol_check(table_path: str | Path) -> int:
+    """Upgrade the table protocol with the ``vacuumProtocolCheck``
+    reader+writer feature (protocol "Vacuum Protocol Check"): from then
+    on every engine must run the protocol gate before VACUUM deletes
+    files. Legacy version numbers are converted to the table-features
+    form (reader 3 / writer 7) with their implied features listed —
+    the protocol's upgrade rule. Returns the committed version."""
+    table = Path(table_path)
+    snap = snapshot(table)
+    proto = dict(snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2})
+    rv = int(proto.get("minReaderVersion", 1))
+    wv = int(proto.get("minWriterVersion", 2))
+    rfeats = set(proto.get("readerFeatures") or ())
+    wfeats = set(proto.get("writerFeatures") or ())
+    if wv < 7:
+        wfeats |= _implied_writer_features(wv)
+    if rv == 2:
+        rfeats.add("columnMapping")
+    rfeats.add("vacuumProtocolCheck")
+    wfeats.add("vacuumProtocolCheck")
+    version = snap.version + 1
+    _atomic_commit(
+        table,
+        version,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(rfeats),
+                    "writerFeatures": sorted(wfeats),
+                }
+            }
+        ],
+        operation="UPGRADE PROTOCOL",
+        in_commit_ts=_ict_enabled(snap.configuration),
+    )
+    return version
+
+
 def vacuum(table_path: str | Path, retain_hours: float = 168.0) -> dict:
     """Delete data files no longer referenced by the CURRENT snapshot and
     older than the retention window (defaults to Delta's 7 days — the
@@ -2774,6 +2908,12 @@ def vacuum(table_path: str | Path, retain_hours: float = 168.0) -> dict:
 
     table = Path(table_path)
     snap = snapshot(table)
+    # protocol "Vacuum Protocol Check" (vacuumProtocolCheck reader+writer
+    # feature): VACUUM must run the full protocol gate before deleting
+    # files — an engine that can't honor the table's features must not
+    # destroy files another engine's invariants may still reference.
+    # (snapshot() already ran the reader gate; this is the writer side.)
+    _check_local_writer_protocol(snap, "vacuum")
     referenced = {Path(f["url"]) for f in snap.files}
     # live deletion-vector files (snapshot resolves u-storage to absolute
     # "p" paths) must survive; orphaned ones age out like data files
@@ -2906,6 +3046,7 @@ def convert_to_delta(
     schema_string = StructType(full_fields).json()
     adds = []
     data_fields = [f for f in full_fields if f.name not in part_cols]
+    expected_keys = set(inferred_parts)
     for p in files:
         rel = p.relative_to(root)
         pvals: dict[str, str | None] = {}
@@ -2913,6 +3054,15 @@ def convert_to_delta(
             k, _, v = seg.partition("=")
             if _ == "=":
                 pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        # every file must yield the SAME partition-key set as files[0]: a
+        # mixed layout (some files lacking the col=value segments) would
+        # otherwise silently produce adds with inconsistent partitionValues
+        if set(pvals) != expected_keys:
+            raise ValueError(
+                f"inconsistent hive layout under {root}: {rel} has partition "
+                f"keys {sorted(pvals)} but {files[0].relative_to(root)} has "
+                f"{sorted(expected_keys)}"
+            )
         adds.append(
             {
                 "add": {
@@ -3046,6 +3196,16 @@ def update_where(
         raise ValueError(
             f"cannot UPDATE partition column(s) {bad}; rewrite via merge"
         )
+    gens = _generation_expressions(snap.schema_string)
+    bad_gen = [c for c in assignments if c in gens]
+    if bad_gen:
+        raise ValueError(
+            f"cannot UPDATE generated column(s) {bad_gen}; they are "
+            "recomputed from their generation expressions"
+        )
+    bad_id = [c for c in assignments if c in _identity_specs(snap.schema_string)]
+    if bad_id:
+        raise ValueError(f"cannot UPDATE identity column(s) {bad_id}")
 
     # pass 1: which files hold matches (the shared raw scan evaluates the
     # logical predicate over physical parquet; DV-masked matches may mark
@@ -3072,6 +3232,14 @@ def update_where(
     cond = F.expr(condition)
     for col, expr in assignments.items():
         df = df.withColumn(col, F.when(cond, F.expr(expr)).otherwise(F.col(col)))
+    # generated columns: recompute on the UPDATED rows (an assignment to a
+    # source column would otherwise leave them stale); unmatched rows pass
+    # through byte-identical
+    for name, gexpr in gens.items():
+        df = df.withColumn(name, F.when(cond, F.expr(gexpr)).otherwise(F.col(name)))
+    # CHECK constraints apply to the rewritten frame like every other
+    # write path (limit(1) early-exit per constraint, touched files only)
+    _enforce_constraints(df, snap.configuration, "UPDATE")
     staged, staged_part_cols = _to_physical(df, cm, part_cols)
     adds = _stage_files(staged, table, staged_part_cols)
     rt_actions: list[dict] = []

@@ -12,10 +12,11 @@ dimension Delta table (key, value, valid_from, valid_to, is_current):
   of intermediate rows (valid_to = next change's version);
 - the upsert into the dimension is a file-granular ``merge_delta`` keyed
   on (key, valid_from): closing rows update in place, new versions
-  insert. The merge is IDEMPOTENT for a replayed micro-batch (same
-  deterministic rows, same keys), which is what makes ``foreachBatch``'s
-  at-least-once delivery exactly-once here; a SetTransaction marker
-  additionally short-circuits replays.
+  insert. A replayed micro-batch (crash between the merge and the txn
+  marker) reduces to an EMPTY fold — insert rows at versions the
+  dimension's current row already covers are dropped up front — which is
+  what makes ``foreachBatch``'s at-least-once delivery exactly-once
+  here; a SetTransaction marker additionally short-circuits replays.
 
 At 100 TB each epoch touches O(changed keys) dimension rows (stats-pruned
 merge), never the base table.
@@ -71,9 +72,18 @@ def fold_scd2_batch(
             )
         )
 
+    # Replay hardening (crash window between the merge and the txn
+    # marker): drop insert rows the dimension already reflects
+    # (__v <= current row's valid_from). A replayed batch then reduces to
+    # an EMPTY fold — without this, a key that changed value twice in the
+    # batch would, on replay, re-admit its earlier versions against the
+    # already-advanced current row and emit a closing row sharing the
+    # (key, valid_from) merge key with the re-derived current row.
     w = Window.partitionBy(key_col).orderBy("__v")
-    cand = inserts.withColumn("__prev_val", F.lag(value_col).over(w)).join(
-        cur, key_col, "left"
+    cand = (
+        inserts.join(cur, key_col, "left")
+        .where(F.col("__cur_from").isNull() | (F.col("__v") > F.col("__cur_from")))
+        .withColumn("__prev_val", F.lag(value_col).over(w))
     )
     # a row opens a new version iff its value differs from the previous
     # state: within-batch lag when there is one, else the dimension's

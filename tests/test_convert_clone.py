@@ -89,3 +89,24 @@ def test_clone_at_version(spark, tmp_path):
     clone_delta(src, dst, version=0)
     assert read_delta(spark, dst).count() == 10
     assert read_delta(spark, src).count() == 20
+
+
+def test_convert_rejects_mixed_layout(spark, tmp_path):
+    """A directory where some files carry the col=value segments and some
+    do not must fail loudly (ADVICE r4) — silently inheriting the first
+    file's partition keys would write inconsistent partitionValues."""
+    d = tmp_path / "mixed"
+    spark.createDataFrame([(1, "eu")], "id long, region string").write.parquet(
+        str(d / "region=eu"), mode="overwrite"
+    )
+    # a stray unpartitioned file at the root
+    spark.createDataFrame([(9,)], "id long").coalesce(1).write.parquet(
+        str(d / "flat"), mode="overwrite"
+    )
+    import shutil
+
+    stray = next((d / "flat").glob("*.parquet"))
+    shutil.move(str(stray), str(d / stray.name))
+    shutil.rmtree(d / "flat")
+    with pytest.raises(ValueError, match="inconsistent hive layout"):
+        convert_to_delta(spark, d)

@@ -984,3 +984,80 @@ def test_delete_keys_and_cdc_apply(spark, tmp_path):
     # replay is idempotent
     apply_cdc_batch(spark, tgt, changes, ["k"])
     assert {(r.k, r.v) for r in read_delta(spark, tgt).collect()} == want
+
+
+def test_update_where_enforces_constraints_and_generated(spark, tmp_path):
+    """UPDATE runs the same guardrails as the other write paths: CHECK
+    constraints reject a violating rewrite, generated columns are
+    recomputed when their source changes, and direct assignment to a
+    generated or identity column is refused (ADVICE r4)."""
+    from duck_delta_share_spark.sources.delta_log import (
+        add_check_constraint,
+        update_where,
+    )
+
+    # CHECK constraint: an UPDATE writing a violating value must fail
+    t = tmp_path / "updc"
+    write_delta(
+        spark.createDataFrame([(i, i * 10.0) for i in range(8)], "id long, v double"),
+        t,
+    )
+    add_check_constraint(spark, t, "v_nonneg", "v >= 0")
+    v = snapshot(t).version
+    with pytest.raises(ValueError, match="CHECK constraint v_nonneg"):
+        update_where(spark, t, "id = 3", {"v": "-1.0"})
+    assert snapshot(t).version == v  # nothing committed
+    assert update_where(spark, t, "id = 3", {"v": "99.0"})["rows_updated"] == 1
+
+    # generated column: updating the source recomputes it; assigning it
+    # directly is rejected
+    g = tmp_path / "updg"
+    df = (
+        spark.range(0, 20)
+        .selectExpr("id", "CAST(id % 10 AS BIGINT) AS bucket")
+        .withMetadata("bucket", {"delta.generationExpression": "CAST(id % 10 AS BIGINT)"})
+    )
+    write_delta(df, g)
+    with pytest.raises(ValueError, match="generated column"):
+        update_where(spark, g, "id = 1", {"bucket": "5"})
+    update_where(spark, g, "id = 7", {"id": "id + 100"})
+    rows = {r.id: r.bucket for r in read_delta(spark, g).collect()}
+    assert rows[107] == 7  # recomputed from the NEW id, not stale 7 % 10
+    assert 7 not in rows
+    assert rows[6] == 6  # unmatched rows untouched
+
+    # identity column assignment is rejected
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    i = tmp_path / "updi"
+    ischema = StructType(
+        [
+            StructField(
+                "seq",
+                LongType(),
+                True,
+                {"delta.identity.start": 1, "delta.identity.step": 1},
+            ),
+            StructField("v", DoubleType(), True),
+        ]
+    )
+    write_delta(spark.createDataFrame([], ischema), i)
+    write_delta(spark.createDataFrame([(float(x),) for x in range(5)], "v double"), i)
+    with pytest.raises(ValueError, match="identity column"):
+        update_where(spark, i, "v = 2.0", {"seq": "42"})
+
+
+def test_cdc_delete_only_batch_missing_target(spark, tmp_path):
+    """A delete-only CDF batch against a target that was never created is
+    a no-op (ADVICE r4) — not a FileNotFoundError from snapshot()."""
+    from duck_delta_share_spark.sources.delta_log import apply_cdc_batch
+
+    tgt = tmp_path / "cdc_absent"
+    changes = spark.createDataFrame(
+        [(1, 1.0, "delete", 3), (2, 2.0, "delete", 3)],
+        "k long, v double, _change_type string, _commit_version long",
+    )
+    stats = apply_cdc_batch(spark, tgt, changes, ["k"])
+    assert stats["upserts"] == 0 and stats["deletes"] == 2
+    assert stats["version"] == -1
+    assert not (tgt / "_delta_log").exists()

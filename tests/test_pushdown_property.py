@@ -268,3 +268,146 @@ def test_null_safe_equal_null_emits_is_null_hint():
     h = filter_to_hint(In(("a",), (None, 3)))
     assert "None" not in str(h) and "3" in str(h)
     assert filter_to_hint(In(("a",), (None,))) is None
+
+
+# ---------------------------------------------------------------------------
+# Temporal literals through BOTH hint grammars (VERDICT r4 #7) — the
+# reference's double-mistyped-as-int bug class (extension.cpp:271-295)
+# applied to DATE/TIMESTAMP: the hint must carry the correct valueType and
+# a value string a real SQL engine parses back to the same instant.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+_dates = st.dates(min_value=_dt.date(1992, 1, 1), max_value=_dt.date(2035, 12, 31))
+_tss = st.datetimes(
+    min_value=_dt.datetime(1992, 1, 1), max_value=_dt.datetime(2035, 12, 31)
+)
+_TCOLS = {"d": _dates, "t": _tss}
+
+
+@st.composite
+def temporal_leaf_filters(draw):
+    col = draw(st.sampled_from(sorted(_TCOLS)))
+    vals = _TCOLS[col]
+    kind = draw(st.sampled_from(["eq", "lt", "le", "gt", "ge", "in"]))
+    attr = (col,)
+    if kind == "eq":
+        return EqualTo(attr, draw(vals))
+    if kind == "lt":
+        return LessThan(attr, draw(vals))
+    if kind == "le":
+        return LessThanOrEqual(attr, draw(vals))
+    if kind == "gt":
+        return GreaterThan(attr, draw(vals))
+    if kind == "ge":
+        return GreaterThanOrEqual(attr, draw(vals))
+    return In(attr, tuple(draw(st.lists(vals, min_size=1, max_size=3))))
+
+
+def _parse_hint_literal(lit: dict):
+    vt, v = lit["valueType"], lit["value"]
+    if vt == "date":
+        return _dt.date.fromisoformat(v)
+    if vt == "timestamp":
+        return _dt.datetime.fromisoformat(v)
+    if vt in ("int", "long"):
+        return int(v)
+    raise AssertionError(f"unexpected valueType {vt} for temporal test")
+
+
+def _eval_hint_typed(node: dict, row: dict):
+    op = node["op"]
+    if op == "and":
+        return all(_eval_hint_typed(c, row) for c in node["children"])
+    if op == "or":
+        return any(_eval_hint_typed(c, row) for c in node["children"])
+    if op == "not":
+        return not _eval_hint_typed(node["children"][0], row)
+    if op == "isNull":
+        return row.get(node["children"][0]["name"]) is None
+    col, lit = node["children"]
+    v = row.get(col["name"])
+    if v is None:
+        return False
+    litv = _parse_hint_literal(lit)
+    return {
+        "equal": v == litv,
+        "lessThan": v < litv,
+        "lessThanOrEqual": v <= litv,
+        "greaterThan": v > litv,
+        "greaterThanOrEqual": v >= litv,
+    }[op]
+
+
+@given(
+    f=temporal_leaf_filters(),
+    row=st.fixed_dictionaries({c: vals for c, vals in _TCOLS.items()}),
+)
+@settings(max_examples=300, deadline=None)
+def test_temporal_json_hint_typed_and_exact(f, row):
+    """A temporal hint must (a) declare valueType date/timestamp — never
+    int/string — on BOTH the column and literal nodes, and (b) evaluate
+    exactly like the filter once the value string is parsed back by type."""
+    from duck_delta_share_spark.sources.pushdown import filter_to_hint
+
+    h = filter_to_hint(f)
+    assert h is not None
+    want_vt = "date" if f.attribute[0] == "d" else "timestamp"
+
+    def walk(node):
+        if node["op"] in ("and", "or", "not"):
+            for c in node["children"]:
+                walk(c)
+            return
+        for c in node["children"]:
+            assert c["valueType"] == want_vt, f"mistyped hint node {c}"
+
+    walk(h)
+    assert _eval_hint_typed(h, row) == _eval_filter(f, row)
+
+
+def _duck_temporal_literal(v):
+    if isinstance(v, _dt.datetime):
+        return "TIMESTAMP '" + v.isoformat(sep=" ") + "'"
+    return "DATE '" + v.isoformat() + "'"
+
+
+@given(
+    filters=st.lists(temporal_leaf_filters(), min_size=1, max_size=3),
+    row=st.fixed_dictionaries({c: vals for c, vals in _TCOLS.items()}),
+)
+@settings(max_examples=150, deadline=None)
+def test_temporal_sql_hints_exact_under_duckdb(filters, row):
+    """Legacy SQL predicateHints with DATE/TIMESTAMP literals, evaluated by
+    DuckDB on a one-row relation: each rendered hint must agree exactly
+    with the reference evaluator (temporal leaves are always translatable,
+    so no weakening is in play)."""
+    import duckdb
+
+    from duck_delta_share_spark.sources.pushdown import filter_to_sql
+
+    sel = ", ".join(f"{_duck_temporal_literal(row[c])} AS {c}" for c in sorted(_TCOLS))
+    for f in filters:
+        s = filter_to_sql(f)
+        assert s is not None
+        got = duckdb.sql(f"SELECT ({s}) FROM (SELECT {sel})").fetchone()[0]
+        assert bool(got) == _eval_filter(f, row), f"{s!r} vs row {row}"
+
+
+def test_temporal_json_hint_value_format():
+    """Spec formats: date hints carry YYYY-MM-DD; timestamp hints carry an
+    ISO-8601 'T'-separated string (both fromisoformat-parsable)."""
+    from duck_delta_share_spark.sources.pushdown import filter_to_hint
+
+    h = filter_to_hint(EqualTo(("d",), _dt.date(2021, 3, 2)))
+    assert h["children"][1] == {
+        "op": "literal",
+        "value": "2021-03-02",
+        "valueType": "date",
+    }
+    h = filter_to_hint(GreaterThan(("t",), _dt.datetime(2021, 3, 2, 4, 5, 6)))
+    lit = h["children"][1]
+    assert lit["valueType"] == "timestamp"
+    assert _dt.datetime.fromisoformat(lit["value"]) == _dt.datetime(2021, 3, 2, 4, 5, 6)
+    assert "T" in lit["value"]

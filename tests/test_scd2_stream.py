@@ -182,3 +182,46 @@ def test_scd2_stream_with_rate_limit(spark, tmp_path):
     assert _dim_rows(spark, dim) == expected
     # k%3=0 keys have the full 4-version chain despite the pacing
     assert len(read_delta(spark, dim).where("k = 3").collect()) == 4
+
+
+def test_scd2_fold_replay_is_noop(spark, tmp_path):
+    """Crash-window replay (merge landed, txn marker did not): re-folding
+    the SAME multi-change batch must be a no-op. Without the __cur_from
+    guard, a key that changed value twice in the batch re-admits its
+    earlier version against the already-advanced current row and the
+    closing row collides with the re-derived current row on the
+    (key, valid_from) merge key — corrupting the dimension."""
+    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+    from duck_delta_share_spark.streaming.scd2 import fold_scd2_batch
+
+    spark.dataSource.register(DeltaShareDataSource)
+    source = tmp_path / "src_replay"
+    dim = tmp_path / "dim_replay"
+    base = spark.range(6).selectExpr("id AS k", "id * 10 AS v")
+    write_delta(base.coalesce(1), source)
+    # two more versions: k%2=0 keys chain v -> v+100 -> v+200
+    merge_delta(
+        spark, source, base.where("k % 2 = 0").selectExpr("k", "v + 100 AS v"), ["k"]
+    )
+    merge_delta(
+        spark, source, base.where("k % 2 = 0").selectExpr("k", "v + 200 AS v"), ["k"]
+    )
+    batch = (
+        spark.read.format("deltashare")
+        .option("deltaPath", str(source))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    fold_scd2_batch(spark, batch, dim, "k", "v")
+    once = _dim_rows(spark, dim)
+    assert once == {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in _batch_fold(spark, source).collect()
+    }
+    # replay the identical batch (crash before the marker): no-op
+    fold_scd2_batch(spark, batch, dim, "k", "v")
+    assert _dim_rows(spark, dim) == once
+    # and every (k, valid_from) key is still unique
+    n = read_delta(spark, dim).count()
+    assert read_delta(spark, dim).select("k", "valid_from").distinct().count() == n
