@@ -71,6 +71,16 @@ HEADLINE = [
     # funnel fold.
     "dsir_importance_weights",
     "funnel_stages",
+    # round-5: the wave-9 capstone paths, baseline-tracked from r5
+    # (BENCH_BASELINE.json "added_r5") so future rounds catch regressions
+    # on the composed pipeline, the CDC replication consumer, and the
+    # copy-on-write UPDATE.
+    "pretrain_pipeline_e2e",
+    "cdc_replication_e2e",
+    "delta_update_where",
+    # round-5 new operator: SemDeDup semantic deduplication (zero-shuffle
+    # centroid assignment + block-scored within-cluster pruning).
+    "semantic_dedup",
 ]
 
 

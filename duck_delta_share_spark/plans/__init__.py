@@ -31,6 +31,7 @@ from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 # next round. Everything stays registered; only the order changes.
 _R5_WINDOW = [
     "delta_column_defaults",
+    "semantic_dedup",
     # never driver-evidenced oracled queries (r4 slots 51-59)
     "dataset_split_assign",
     "similarity_ann_pq",
@@ -60,7 +61,6 @@ _R5_WINDOW = [
     "json_functions",
     "join_asof",
     "window_frames",
-    "agg_grouping_sets",
     # full TPC-H sweep re-evidence (r1-checked only)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

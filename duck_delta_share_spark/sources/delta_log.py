@@ -1042,7 +1042,16 @@ def add_check_constraint(
     config[_CONSTRAINT_PREFIX + name] = expr
     actions = []
     proto = dict(snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2})
-    if int(proto.get("minWriterVersion", 2)) < 3:
+    wv = int(proto.get("minWriterVersion", 2))
+    if wv == 7:
+        # table-features protocol: the version number stays 7 but the
+        # checkConstraints feature must be LISTED or other engines would
+        # keep writing without enforcing the new constraint
+        feats = set(proto.get("writerFeatures") or ())
+        if "checkConstraints" not in feats:
+            proto["writerFeatures"] = sorted(feats | {"checkConstraints"})
+            actions.append({"protocol": proto})
+    elif wv < 3:
         proto["minWriterVersion"] = 3
         actions.append({"protocol": proto})
     actions.append(
@@ -2610,29 +2619,47 @@ def apply_cdc_batch(
         for c in changes.columns
         if c not in ("_change_type", "_commit_version", "_commit_timestamp")
     ]
+    from pyspark import StorageLevel
+
     w = Window.partitionBy(*key_cols).orderBy(
         F.col("_commit_version").desc(), F.col("_change_type").desc()
     )
+    # latest is read FOUR times (both counts, the merge source, the delete
+    # key frame): persist the O(changed keys) winner set once instead of
+    # re-running the window — and re-scanning the change feed — per use
     latest = (
         changes.where(
             F.col("_change_type").isin("insert", "update_postimage", "delete")
         )
         .withColumn("__rn", F.row_number().over(w))
         .where("__rn = 1")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    upserts = latest.where(F.col("_change_type") != "delete").select(*data_cols)
-    deletes = latest.where(F.col("_change_type") == "delete").select(*key_cols)
-    n_up = upserts.count()
-    n_del = deletes.count()
-    if not (table / "_delta_log").is_dir():
-        if n_up:
-            write_delta(upserts, table)
-    elif n_up:
-        merge_delta(spark, table, upserts, key_cols)
-    # deletes against a still-absent target (delete-only batch before the
-    # first upsert ever arrived) are a no-op, not a FileNotFoundError
-    if n_del and (table / "_delta_log").is_dir():
-        delete_keys(spark, table, deletes, key_cols)
+    try:
+        upserts = latest.where(F.col("_change_type") != "delete").select(*data_cols)
+        deletes = latest.where(F.col("_change_type") == "delete").select(*key_cols)
+        # one job for both counts
+        by_kind = {
+            bool(r["__is_del"]): int(r["count"])
+            for r in latest.groupBy(
+                (F.col("_change_type") == "delete").alias("__is_del")
+            )
+            .count()
+            .collect()
+        }
+        n_up = by_kind.get(False, 0)
+        n_del = by_kind.get(True, 0)
+        if not (table / "_delta_log").is_dir():
+            if n_up:
+                write_delta(upserts, table)
+        elif n_up:
+            merge_delta(spark, table, upserts, key_cols)
+        # deletes against a still-absent target (delete-only batch before
+        # the first upsert ever arrived) are a no-op, not FileNotFoundError
+        if n_del and (table / "_delta_log").is_dir():
+            delete_keys(spark, table, deletes, key_cols)
+    finally:
+        latest.unpersist()
     return {
         "upserts": n_up,
         "deletes": n_del,

@@ -66,6 +66,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     spark = get_spark(app_name="scale_check")
     spark.sparkContext.setLogLevel("ERROR")
+    pending_unpersist: list[DataFrame] = []
 
     l1 = load_table(spark, SF_DIR, "lineitem")
     lN = blowup(l1, n, ["l_orderkey"]).cache()
@@ -312,7 +313,10 @@ def main() -> None:
             e.select("event_id", "user_id"), {"row_seq": (1, 1)}
         )
         # the sizing pass (collect of one row per partition) runs eagerly
-        # above; the timed noop write covers the assignment map itself
+        # above; the timed noop write covers the assignment map itself.
+        # The API contract says the CALLER unpersists the handle — stash
+        # it for the harness loop to release after the timed write.
+        pending_unpersist.append(handle)
         return df
 
     def dsir_shape(d):
@@ -323,11 +327,12 @@ def main() -> None:
 
         from duck_delta_share_spark.functions.text import tokenize, word_shingles
 
-        toks = d.select(
+        tok = d.select("doc_id", "lang", tokenize("text").alias("__toks"))
+        toks = tok.select(
             "doc_id",
             "lang",
             FF.explode(
-                FF.concat(tokenize("text"), word_shingles(tokenize("text"), 2))
+                FF.concat(FF.col("__toks"), word_shingles(FF.col("__toks"), 2))
             ).alias("term"),
         )
         b = toks.select(
@@ -401,6 +406,67 @@ def main() -> None:
         )
         return arr.select("user_id", (stage % 8).cast("int").alias("s"))
 
+    def scd2_fold_shape(e):
+        # the scd2 batch fold's data plane: per-key version chain with
+        # no-op-churn collapse (one window shuffle keyed on the dimension
+        # key), over an events-derived change feed
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as FF
+
+        ch = e.select(
+            FF.col("user_id").alias("k"),
+            FF.col("event_type").alias("v"),
+            FF.col("event_id").alias("__v"),
+        )
+        w = W.partitionBy("k").orderBy("__v")
+        real = ch.withColumn("__p", FF.lag("v").over(w)).where(
+            FF.col("__p").isNull() | (FF.col("v") != FF.col("__p"))
+        )
+        return real.select(
+            "k",
+            "v",
+            FF.col("__v").alias("valid_from"),
+            FF.lead("__v").over(w).alias("valid_to"),
+            FF.lead("__v").over(w).isNull().cast("int").alias("is_current"),
+        )
+
+    def cdc_latest_shape(e):
+        # apply_cdc_batch's data plane: latest action per key with the
+        # churn tie-break (one window shuffle), then the upsert/delete split
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as FF
+
+        ch = e.select(
+            FF.col("user_id").alias("k"),
+            FF.col("value").alias("v"),
+            (FF.col("event_id") % 50).alias("_commit_version"),
+            FF.when(FF.col("event_id") % 11 == 0, "delete")
+            .when(FF.col("event_id") % 3 == 0, "update_postimage")
+            .otherwise("insert")
+            .alias("_change_type"),
+        )
+        w = W.partitionBy("k").orderBy(
+            FF.col("_commit_version").desc(), FF.col("_change_type").desc()
+        )
+        latest = ch.withColumn("__rn", FF.row_number().over(w)).where("__rn = 1")
+        return latest.select(
+            "k", "v", (FF.col("_change_type") == "delete").alias("is_delete")
+        )
+
+    def pretrain_shape(d):
+        # the wave-9 capstone composition: exact dedup -> Gopher rules ->
+        # sequence packing (three shuffles, each keyed differently)
+        from duck_delta_share_spark.operators import dedup as dd
+        from duck_delta_share_spark.operators.sessionize import pack_sequences
+        from duck_delta_share_spark.plans.llm_ops import gopher_quality_frame
+
+        kept = dd.exact_dedup(d.select("doc_id", "text"), "text", "doc_id")
+        survivors = kept.join(
+            gopher_quality_frame(kept).where("keep = 1").select("doc_id"),
+            "doc_id",
+        )
+        return pack_sequences(survivors, capacity_tokens=256)
+
     ops = [
         ("q1_agg", q1_shape, l1, lN),
         ("minhash_lsh", minhash_shape, d1, dN),
@@ -428,6 +494,9 @@ def main() -> None:
         ("identity_assign", identity_assign_shape, e1, eN),
         ("dsir_weights", dsir_shape, d1, dN),
         ("funnel_fold", funnel_shape, e1, eN),
+        ("scd2_fold", scd2_fold_shape, e1, eN),
+        ("cdc_latest", cdc_latest_shape, e1, eN),
+        ("pretrain_pipeline", pretrain_shape, d1, dN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))
@@ -440,6 +509,8 @@ def main() -> None:
         fn(small).write.format("noop").mode("overwrite").save()  # warm
         t1 = timed(fn(small))
         tN = timed(fn(big))
+        while pending_unpersist:
+            pending_unpersist.pop().unpersist()
         factor = round(tN / t1, 2)
         results.append({"op": name, "t1": round(t1, 2), "tN": round(tN, 2), "factor": factor})
         print(json.dumps(results[-1]))

@@ -4,8 +4,6 @@ reader+writer feature gate."""
 
 from __future__ import annotations
 
-import json
-
 import pytest
 from pyspark.sql.types import (
     DoubleType,
@@ -136,3 +134,25 @@ def test_vacuum_protocol_check_gate(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="icebergCompatV2"):
         vacuum(t)
+
+
+def test_add_constraint_on_v7_table_lists_feature(spark, tmp_path):
+    """ALTER TABLE ADD CONSTRAINT on a table-features (v7) protocol must
+    LIST checkConstraints in writerFeatures — the version number alone
+    carries no meaning there, so a bare metaData commit would let other
+    engines write without enforcing the constraint."""
+    from duck_delta_share_spark.sources.delta_log import add_check_constraint
+
+    t = tmp_path / "c7"
+    df = spark.createDataFrame([(0, "x", 1.0)], _DEFAULTS_SCHEMA)
+    write_delta(df, t)  # defaults schema -> v7 allowColumnDefaults protocol
+    assert snapshot(t).protocol["minWriterVersion"] == 7
+    add_check_constraint(spark, t, "pos", "score >= 0")
+    proto = snapshot(t).protocol
+    assert proto["minWriterVersion"] == 7
+    assert "checkConstraints" in proto["writerFeatures"]
+    # the constraint enforces
+    with pytest.raises(ValueError, match="CHECK constraint pos"):
+        write_delta(
+            spark.createDataFrame([(9, "y", -1.0)], _DEFAULTS_SCHEMA), t
+        )

@@ -96,3 +96,41 @@ def test_quantize_zero_vector(spark):
     scale = int8_scale("embedding")
     row = df.select(quantize_int8("embedding", scale).alias("q")).first()
     assert row.q == [0, 0, 0, 0]
+
+
+def test_semantic_dedup_mechanics(spark):
+    """semantic_dedup (SemDeDup): hand-built corpus with two obvious
+    semantic clusters — near-identical vectors collapse to the lowest id,
+    orthogonal vectors survive, centroid assignment is deterministic."""
+    import math
+
+    from duck_delta_share_spark.operators.dedup import semantic_dedup
+
+    def unit(*xs):
+        n = math.sqrt(sum(x * x for x in xs))
+        return [x / n for x in xs]
+
+    rows = [
+        # cluster around e1: ids 0 (centroid), 2, 3 near-dups of each other
+        (0, unit(1.0, 0.0, 0.05, 0.0)),
+        (2, unit(1.0, 0.01, 0.0, 0.0)),
+        (3, unit(0.99, 0.0, 0.01, 0.0)),
+        # cluster around e2: ids 1 (centroid), 4 near-dup, 5 far
+        (1, unit(0.0, 1.0, 0.0, 0.05)),
+        (4, unit(0.01, 1.0, 0.0, 0.0)),
+        (5, unit(0.3, -0.7, 0.6, 0.0)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.cluster_id, r.kept)
+        for r in semantic_dedup(df, k=2, threshold=0.9).collect()
+    }
+    # centroids are ids 0 and 1 (lowest ids); e1-ish vectors go to 0
+    assert out[0] == (0, 1) and out[2] == (0, 0) and out[3] == (0, 0)
+    assert out[1] == (1, 1) and out[4] == (1, 0)
+    assert out[5][1] == 1  # far vector survives regardless of its cluster
+    # idempotence of the keep rule: re-running on the survivors drops none
+    kept_ids = [i for i, (_, k) in out.items() if k == 1]
+    df2 = df.where(F.col("vec_id").isin(kept_ids))
+    out2 = semantic_dedup(df2, k=2, threshold=0.9).collect()
+    assert all(r.kept == 1 for r in out2)
