@@ -742,49 +742,27 @@ def duplicated_span_stats(
     )
 
 
-def semantic_dedup(
+def assign_nearest_centroid(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 16,
-    threshold: float = 0.35,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
-    deduplication over an embedding column: cluster the corpus with a
-    coarse quantizer, then drop near-duplicate vectors WITHIN each
-    cluster (cosine > threshold), keeping one representative per
-    epsilon-ball. Returns (id_col, cluster_id, kept int).
-
-    Determinism contract (what makes the full pipeline oracle-checkable):
-
-    - centroid set = ``centroids`` if given, else the k lowest-id vectors
-      (a deterministic seed; production swaps in spherical k-means from
-      operators/similarity without changing the downstream shape);
-    - assignment = argmax cosine, ties to the LOWEST centroid id (struct
-      ordering over (cos, -cid)); cosines use the order-pinned double
-      left fold (functions/vectors.dot_fast), bit-identical to DuckDB's
-      ``list_reduce`` per the project rule;
-    - keep rule = a vector is dropped iff a LOWER-id vector in the same
-      cluster scores cosine > threshold (the paper keeps one element per
-      ball; lowest-id is the auditable choice).
-
-    Scale shape (100 TB posture): centroids are collected ONCE
-    (control-plane, k x d floats, same bound class as the bloom bitset)
-    and folded per row as an array literal — the assignment pass is
-    ZERO-shuffle, pure codegen-side projection. The only wide exchange is
-    the within-cluster self-join keyed on cluster_id; clusters bound the
-    pair blow-up to ~(n/k)^2 per cluster, and an oversized cluster is the
-    same skew case the LSH bucket caps handle (_cap_buckets) — raise k or
-    cap cluster size for pathological corpora. Nothing all-pairs, nothing
-    driver-side beyond the k x d centroid pull.
-    """
+    """Spherical (argmax-cosine) centroid assignment as a ZERO-shuffle
+    projection: the k centroids — ``centroids`` if given, else the k
+    lowest-id vectors of ``df`` — are collected ONCE (control-plane,
+    k x d floats) and folded per row as an array literal, so the pass is
+    pure codegen-side map work with no exchange. Ties break to the LOWEST
+    centroid id (struct ordering over (cos, -cid)); cosines use the
+    order-pinned double left fold (functions/vectors.dot_fast),
+    bit-identical to DuckDB's ``list_reduce``. Returns
+    (id_col, vec_col, __nrm, cluster_id) — shared by semantic_dedup
+    (SemDeDup) and the k-means Lloyd update."""
     from duck_delta_share_spark.functions.vectors import dot_fast, norm_fast
 
     src = centroids if centroids is not None else df
-    cent_rows = (
-        src.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    )
+    cent_rows = src.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
 
     def _norm(vec) -> float:
         # sequential double left fold — bit-identical to dot_fast/DuckDB
@@ -826,11 +804,47 @@ def semantic_dedup(
             ),
         ).alias("__scored"),
     )
-    assigned = scored.select(
+    return scored.select(
         id_col,
         vec_col,
         "__nrm",
         (-F.array_max("__scored")["negcid"]).cast("long").alias("cluster_id"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.35,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication over an embedding column: cluster the corpus with a
+    coarse quantizer, then drop near-duplicate vectors WITHIN each
+    cluster (cosine > threshold), keeping one representative per
+    epsilon-ball. Returns (id_col, cluster_id, kept int).
+
+    Determinism contract (what makes the full pipeline oracle-checkable):
+
+    - centroid set / assignment / tie-breaks: see
+      :func:`assign_nearest_centroid` (the shared zero-shuffle pass);
+    - keep rule = a vector is dropped iff a LOWER-id vector in the same
+      cluster scores cosine > threshold (the paper keeps one element per
+      ball; lowest-id is the auditable choice).
+
+    Scale shape (100 TB posture): the assignment pass is ZERO-shuffle
+    (centroids folded per row as an array literal). The only wide
+    exchange is the within-cluster self-join keyed on cluster_id;
+    clusters bound the pair blow-up to ~(n/k)^2 per cluster, and an
+    oversized cluster is the same skew case the LSH bucket caps handle
+    (_cap_buckets) — raise k or cap cluster size for pathological
+    corpora. Nothing all-pairs, nothing driver-side beyond the k x d
+    centroid pull.
+    """
+    assigned = assign_nearest_centroid(
+        df, id_col=id_col, vec_col=vec_col, k=k, centroids=centroids
     )
 
     # within-cluster pruning reuses the block scorer: ONE shuffle row per

@@ -176,3 +176,46 @@ def quantize_int8(col: Column | str, scale: Column) -> Column:
 def dequantize_int8(qcol: Column | str, scale: Column) -> Column:
     q = F.col(qcol) if isinstance(qcol, str) else qcol
     return F.transform(q, lambda x: x.cast("double") * scale)
+
+
+def kmeans_lloyd_update(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    centroids: DataFrame | None = None,
+):
+    """One Lloyd iteration of k-means (Lloyd 1982): spherical assignment
+    to the current centroids, then the centroid UPDATE as a single
+    combiner-friendly hash aggregation. Returns the flat frame
+    (cluster_id, dim, mean_val, n_members) — dim is 1-based.
+
+    The iterative loop this composes into is driver-side over O(k*d)
+    state only (collect the k x d means, feed them back as the next
+    round's ``centroids``) — the classic Spark k-means shape: per
+    iteration ONE zero-shuffle assignment pass
+    (operators/dedup.assign_nearest_centroid: centroids folded per row as
+    an array literal) plus ONE shuffle whose key space is k*d groups with
+    map-side partial aggregation, so the exchanged rows collapse to
+    partitions x k x d regardless of corpus size. Means use the exact
+    decimal-sum discipline (registry.davg), so the update is
+    order-independent and oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    from duck_delta_share_spark.operators.dedup import assign_nearest_centroid
+    from duck_delta_share_spark.plans.registry import davg
+
+    assigned = assign_nearest_centroid(
+        df, id_col=id_col, vec_col=vec_col, k=k, centroids=centroids
+    )
+    expl = assigned.select(
+        "cluster_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).select(
+        "cluster_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("v").cast("double").alias("val"),
+    )
+    return expl.groupBy("cluster_id", "dim").agg(
+        davg("val").alias("mean_val"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )

@@ -32,6 +32,9 @@ from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 _R5_WINDOW = [
     "delta_column_defaults",
     "semantic_dedup",
+    "kmeans_lloyd_round",
+    "bm25_topk",
+    "delta_rename_drop_scan",
     # never driver-evidenced oracled queries (r4 slots 51-59)
     "dataset_split_assign",
     "similarity_ann_pq",
@@ -57,10 +60,9 @@ _R5_WINDOW = [
     "sql_text_interface",
     "string_functions",
     "date_functions",
-    # r1-evidenced, events-touching first
+    # r1-evidenced, events-touching first (join_asof/window_frames roll to
+    # the r6 rotation — their operator families hold r3/r4 twin evidence)
     "json_functions",
-    "join_asof",
-    "window_frames",
     # full TPC-H sweep re-evidence (r1-checked only)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -83,8 +85,9 @@ _R5_WINDOW = [
     "q19_disjunctive_predicates",
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
+    # --- end of slot 50 (q22 rolls to the r6 rotation with the other
+    # r1-evidenced entries); r4-green entries follow, freshest first
     "q22_dormant_customers",
-    # --- end of slot 50; r4-green entries follow, freshest evidence first
     "substring_dedup_spans",
     "delta_schema_evolution",
     "delta_txn_idempotent_append",

@@ -2887,3 +2887,164 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.semantic_dedup(
         e, id_col="vec_id", vec_col="embedding", k=16, threshold=0.35
     ).orderBy("vec_id")
+
+
+_KMEANS_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding,
+         SQRT({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+n AS (
+  SELECT vec_id, embedding,
+         SQRT({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+a AS (
+  SELECT n.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {_DOT.format(a='n.embedding', b='c.embedding')}
+                    / (n.nrm * c.nrm) DESC, c.cid
+         ) AS rn
+  FROM n CROSS JOIN c
+),
+asg AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+x AS (
+  SELECT asg.cid, d.dim, CAST(e.embedding[d.dim] AS DOUBLE) AS val
+  FROM asg JOIN embeddings e USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d
+)
+SELECT cid AS cluster_id, CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(val) AS mean_val,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM x
+GROUP BY cid, dim
+ORDER BY cluster_id, dim
+"""
+
+
+@query(
+    "kmeans_lloyd_round",
+    oracle=_KMEANS_ORACLE,
+    doc="one Lloyd iteration of k-means over the embedding corpus "
+    "(operators/embeddings.py:kmeans_lloyd_update; Lloyd 1982): spherical "
+    "assignment to the 16 deterministic lowest-id centroids (the shared "
+    "zero-shuffle array-literal pass, argmax margins >= 1.1e-5), then the "
+    "centroid update as ONE combiner-friendly hash agg keyed on "
+    "(cluster, dim) — k*d = 1024 groups regardless of corpus size, means "
+    "under the exact-decimal discipline. The full iterative loop is "
+    "driver-side over O(k*d) floats only; this query hash-checks a "
+    "complete round, which is the induction step of the whole algorithm",
+)
+def kmeans_lloyd_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.embeddings import kmeans_lloyd_update
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_lloyd_update(e, k=16).orderBy("cluster_id", "dim")
+
+
+_BM25_TERMS = ("hash", "join", "scan", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+),
+dl AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl FROM tok),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(dl) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ('hash', 'join', 'scan', 'vector')
+  GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term,
+         ROUND(LN((t.n_docs - df + 0.5) / (df + 0.5) + 1), 6) AS idf
+  FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+  CROSS JOIN totals t
+),
+scored AS (
+  SELECT tf.doc_id,
+         idf.idf * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / t.avgdl)) AS s
+  FROM tf JOIN idf USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN totals t
+)
+SELECT doc_id,
+       ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 50
+"""
+
+
+@query(
+    "bm25_topk",
+    oracle=_BM25_ORACLE,
+    doc="BM25 retrieval (Robertson & Zaragoza 2009, the Lucene-style "
+    "+1 idf variant; k1=1.2, b=0.75) for a fixed query over the corpus — "
+    "the retrieval primitive of data-curation pipelines (dedup against "
+    "eval sets, quality mining). Scale shape: the token stream is "
+    "SEMI-FILTERED to the query terms before any shuffle (selectivity "
+    "first), df/N/avgdl are broadcast scalars, the idf join broadcasts "
+    "|query| rows, and the final per-doc sum aggregates only matching "
+    "docs. Cross-engine floats: idf logs rounded to 6 decimals before "
+    "use (the libm-divergence rule), document-length means and score "
+    "sums under the exact-decimal discipline, final score rounded to 6",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.plans.registry import davg, dsum
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", tokenize("text").alias("__toks"))
+    dl = tok.select("doc_id", F.size("__toks").cast("long").alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        davg("dl").alias("avgdl"),
+    )
+    terms = tok.select(
+        "doc_id", F.explode("__toks").alias("term")
+    ).where(F.col("term").isin(*_BM25_TERMS))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = df_t.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1),
+            6,
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals.select("avgdl")))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(dsum("s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+    )

@@ -3300,3 +3300,115 @@ def update_where(
         "files_rewritten": len(touched),
         "rows_updated": rows_updated,
     }
+
+
+def _reject_column_references(snap: "DeltaSnapshot", col: str, action: str) -> None:
+    """Refuse to rename/drop a column referenced by a CHECK constraint or
+    a generation expression — the stored SQL text would silently dangle
+    (delta-spark enforces the same)."""
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(col)}\b")
+    for cname, expr in _check_constraints(snap.configuration).items():
+        if pat.search(expr):
+            raise ValueError(
+                f"cannot {action} column {col}: CHECK constraint {cname} "
+                f"({expr}) references it; drop the constraint first"
+            )
+    for gname, gexpr in _generation_expressions(snap.schema_string).items():
+        if gname != col and pat.search(gexpr):
+            raise ValueError(
+                f"cannot {action} column {col}: generated column {gname} = "
+                f"{gexpr} references it"
+            )
+
+
+def _commit_schema_change(
+    table: Path, snap: "DeltaSnapshot", schema_string: str,
+    part_cols: list[str], operation: str,
+) -> int:
+    version = snap.version + 1
+    _atomic_commit(
+        table,
+        version,
+        [
+            {
+                "metaData": {
+                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": part_cols,
+                    "configuration": dict(snap.configuration),
+                }
+            }
+        ],
+        operation=operation,
+        in_commit_ts=_ict_enabled(snap.configuration),
+    )
+    return version
+
+
+def rename_column(table_path: str | Path, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN — METADATA-ONLY on a column-mapped table:
+    the field keeps its delta.columnMapping.id/physicalName, so every
+    existing parquet file stays valid and zero bytes of data move; only
+    the LOGICAL name in schemaString changes (one metaData commit). This
+    is the protocol's whole point of name-mode column mapping. Renaming a
+    partition column updates metaData.partitionColumns too (logical
+    names; partitionValues stay keyed by physicalName). Refused without
+    column mapping — physical parquet columns would no longer resolve."""
+    table = Path(table_path)
+    snap = snapshot(table)
+    _check_local_writer_protocol(snap, "rename column")
+    if _snap_column_mapping(snap) is None:
+        raise ValueError(
+            "RENAME COLUMN requires delta.columnMapping.mode=name — without "
+            "the logical/physical indirection a rename would orphan every "
+            "existing file's columns"
+        )
+    sch = json.loads(snap.schema_string)
+    names = [f["name"] for f in sch["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old} on {table} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new} already exists on {table}")
+    _reject_column_references(snap, old, "rename")
+    sch["fields"] = [
+        dict(f, name=new) if f["name"] == old else f for f in sch["fields"]
+    ]
+    part_cols = [new if c == old else c for c in snap.partition_columns]
+    return _commit_schema_change(
+        table, snap, json.dumps(sch), part_cols, "RENAME COLUMN"
+    )
+
+
+def drop_column(table_path: str | Path, name: str) -> int:
+    """ALTER TABLE DROP COLUMN — METADATA-ONLY on a column-mapped table:
+    the field leaves schemaString, its physical data stays in the files
+    (unreadable ghost bytes until files rewrite through OPTIMIZE/merge —
+    exactly delta-spark's behavior). Partition columns, constraint- or
+    generated-referenced columns, and the last remaining column are
+    refused."""
+    table = Path(table_path)
+    snap = snapshot(table)
+    _check_local_writer_protocol(snap, "drop column")
+    if _snap_column_mapping(snap) is None:
+        raise ValueError(
+            "DROP COLUMN requires delta.columnMapping.mode=name (the "
+            "protocol's dropped-field ids must stay reserved via "
+            "maxColumnId; without mapping the physical file schema would "
+            "disagree with schemaString)"
+        )
+    sch = json.loads(snap.schema_string)
+    names = [f["name"] for f in sch["fields"]]
+    if name not in names:
+        raise ValueError(f"no column {name} on {table} (have {names})")
+    if name in snap.partition_columns:
+        raise ValueError(f"cannot drop partition column {name}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the last column")
+    _reject_column_references(snap, name, "drop")
+    sch["fields"] = [f for f in sch["fields"] if f["name"] != name]
+    return _commit_schema_change(
+        table, snap, json.dumps(sch), list(snap.partition_columns), "DROP COLUMN"
+    )

@@ -316,3 +316,90 @@ def test_mapped_schema_evolution_overwrite(spark, tmp_path):
     assert fields["name"]["metadata"]["delta.columnMapping.physicalName"] == "col-bbb222"
     out = read_delta(spark, t).collect()
     assert len(out) == 1 and out[0].extra == 5
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """RENAME COLUMN on a mapped table: one metaData commit, zero files
+    touched, reads resolve the NEW logical name against the OLD physical
+    parquet columns; guards refuse duplicates/unknowns/unmapped tables."""
+    from duck_delta_share_spark.sources.delta_log import (
+        rename_column,
+        write_delta,
+    )
+
+    t = _mapped_table(tmp_path)
+    files_before = sorted(p.name for p in t.glob("*.parquet"))
+    v = rename_column(t, "name", "label")
+    assert v == 1
+    assert sorted(p.name for p in t.glob("*.parquet")) == files_before
+    df = read_delta(spark, t)
+    assert set(df.columns) == {"id", "label", "region"}
+    rows = sorted((r.id, r.label) for r in df.collect())
+    assert rows == [(1, "a"), (2, "b"), (10, "x"), (20, "y")]
+    # the field kept its physicalName: stats pruning on id still works,
+    # and appends through the renamed schema land physically
+    write_delta(
+        spark.createDataFrame([(30, "z", "ap")], "id long, label string, region string"),
+        t,
+    )
+    assert read_delta(spark, t).where("label = 'z'").count() == 1
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(t, "id", "label")
+    with pytest.raises(ValueError, match="no column"):
+        rename_column(t, "ghost", "x")
+
+
+def test_rename_partition_column_updates_partition_columns(spark, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import rename_column
+
+    t = _mapped_table(tmp_path, partitioned=True)
+    rename_column(t, "region", "geo")
+    snap = snapshot(t)
+    assert list(snap.partition_columns) == ["geo"]
+    df = read_delta(spark, t)
+    assert sorted(r.id for r in df.where("geo = 'us'").collect()) == [10, 20]
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import (
+        drop_column,
+        rename_column,
+    )
+
+    t = _mapped_table(tmp_path)
+    drop_column(t, "name")
+    df = read_delta(spark, t)
+    assert set(df.columns) == {"id", "region"}
+    assert df.count() == 4
+    with pytest.raises(ValueError, match="partition column"):
+        drop_column(_mapped_table(tmp_path / "p", partitioned=True), "region")
+    # dropped field's ghost bytes stay in the files; the reader never
+    # surfaces them, and renaming another column still works after
+    rename_column(t, "id", "ident")
+    assert sorted(r.ident for r in read_delta(spark, t).collect()) == [1, 2, 10, 20]
+
+
+def test_rename_drop_refuse_unmapped_and_references(spark, tmp_path):
+    from duck_delta_share_spark.sources.delta_log import (
+        add_check_constraint,
+        drop_column,
+        rename_column,
+        write_delta,
+    )
+
+    plain = tmp_path / "plain"
+    write_delta(spark.createDataFrame([(1, 2.0)], "id long, v double"), plain)
+    with pytest.raises(ValueError, match="columnMapping"):
+        rename_column(plain, "v", "w")
+    with pytest.raises(ValueError, match="columnMapping"):
+        drop_column(plain, "v")
+
+    t = _mapped_table(tmp_path)
+    add_check_constraint(spark, t, "id_pos", "id >= 0")
+    with pytest.raises(ValueError, match="CHECK constraint id_pos"):
+        rename_column(t, "id", "ident")
+    with pytest.raises(ValueError, match="CHECK constraint id_pos"):
+        drop_column(t, "id")
+    # unreferenced columns still rename fine under the constraint
+    rename_column(t, "name", "label")
+    assert "label" in read_delta(spark, t).columns

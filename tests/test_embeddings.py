@@ -134,3 +134,54 @@ def test_semantic_dedup_mechanics(spark):
     df2 = df.where(F.col("vec_id").isin(kept_ids))
     out2 = semantic_dedup(df2, k=2, threshold=0.9).collect()
     assert all(r.kept == 1 for r in out2)
+
+
+def test_kmeans_lloyd_update_composes_iteratively(spark):
+    """kmeans_lloyd_update: one round computes exact per-cluster means,
+    and the O(k*d) driver feedback loop composes — two rounds on a
+    well-separated corpus converge to the true cluster centers."""
+    import math
+
+    from duck_delta_share_spark.operators.embeddings import kmeans_lloyd_update
+
+    def unit(*xs):
+        n = math.sqrt(sum(x * x for x in xs))
+        return [x / n for x in xs]
+
+    # two tight direction-clusters; ids 0 and 1 are the (poor) seeds
+    rows = [
+        (0, unit(1.0, 0.2, 0.0)),
+        (1, unit(0.2, 1.0, 0.0)),
+        (2, unit(1.0, 0.0, 0.1)),
+        (3, unit(0.9, 0.1, 0.0)),
+        (4, unit(0.0, 1.0, 0.1)),
+        (5, unit(0.1, 0.9, 0.0)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run_round(cents_df):
+        out = kmeans_lloyd_update(df, k=2, centroids=cents_df).collect()
+        sizes = {}
+        means: dict[int, list] = {}
+        for r in sorted(out, key=lambda r: (r.cluster_id, r.dim)):
+            means.setdefault(r.cluster_id, []).append(r.mean_val)
+            sizes[r.cluster_id] = r.n_members
+        return means, sizes
+
+    means, sizes = run_round(None)
+    assert sorted(sizes.values()) == [3, 3]
+    # exact mean check for the e1-ish cluster (ids 0, 2, 3)
+    expect = [sum(rows[i][1][d] for i in (0, 2, 3)) / 3 for d in range(3)]
+    got = means[0]
+    assert all(abs(g - e) < 1e-6 for g, e in zip(got, expect))
+
+    # feed the means back as round-2 centroids (the driver loop)
+    cents = spark.createDataFrame(
+        [(cid, v) for cid, v in means.items()],
+        "vec_id long, embedding array<double>",
+    )
+    means2, sizes2 = run_round(cents)
+    assert sorted(sizes2.values()) == [3, 3]  # assignment is stable now
+    assert all(
+        abs(a - b) < 1e-9 for a, b in zip(means2[0], means[0])
+    )  # converged: second update is a fixed point

@@ -109,3 +109,33 @@ def test_pq_codebooks_deterministic(spark):
     b2 = train_pq_codebooks(e, dim=64, m=8, k_codes=16, seed=7)
     assert all(np.array_equal(x, y) for x, y in zip(b1, b2))
     assert len(b1) == 8 and all(b.shape == (16, 8) for b in b1)
+
+
+def test_bm25_ranks_term_stuffed_doc_first(spark):
+    """bm25_topk sanity on a hand corpus: a document containing every
+    query term beats single-term docs; a no-term doc never appears; term
+    saturation (k1) keeps a 100x-stuffed doc from scoring 100x."""
+    from duck_delta_share_spark.plans.llm_ops import bm25_topk
+    import duck_delta_share_spark.plans.llm_ops as llm
+
+    rows = [
+        (0, "hash join scan vector pipeline data"),
+        (1, "hash hash hash hash table probe build side"),
+        (2, "sort merge exchange partition broadcast"),
+        (3, " ".join(["vector"] * 100)),
+        (4, "join order optimizer statistics"),
+    ]
+    import pandas as pd
+    import tempfile, pathlib
+
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="bm25_"))
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp / "documents.parquet"
+    )
+    out = bm25_topk(spark, str(tmp)).collect()
+    ranked = [r.doc_id for r in out]
+    assert ranked[0] == 0  # all four query terms
+    assert 2 not in ranked  # zero query terms -> filtered before scoring
+    scores = {r.doc_id: r.bm25 for r in out}
+    # saturation: 100 copies of one term score FAR below 4 distinct terms
+    assert scores[3] < scores[0]
