@@ -748,21 +748,66 @@ def assign_nearest_centroid(
     vec_col: str = "embedding",
     k: int = 16,
     centroids: DataFrame | None = None,
+    engine: str = "literal",
 ) -> DataFrame:
     """Spherical (argmax-cosine) centroid assignment as a ZERO-shuffle
-    projection: the k centroids — ``centroids`` if given, else the k
-    lowest-id vectors of ``df`` — are collected ONCE (control-plane,
-    k x d floats) and folded per row as an array literal, so the pass is
-    pure codegen-side map work with no exchange. Ties break to the LOWEST
-    centroid id (struct ordering over (cos, -cid)); cosines use the
-    order-pinned double left fold (functions/vectors.dot_fast),
-    bit-identical to DuckDB's ``list_reduce``. Returns
-    (id_col, vec_col, __nrm, cluster_id) — shared by semantic_dedup
-    (SemDeDup) and the k-means Lloyd update."""
+    pass: the k centroids — ``centroids`` if given, else the k lowest-id
+    vectors of ``df`` — are collected ONCE (control-plane, k x d floats)
+    and scored per row with no exchange. Ties break to the LOWEST
+    centroid id. Returns (id_col, vec_col, __nrm, cluster_id) — shared by
+    semantic_dedup (SemDeDup) and the k-means Lloyd update.
+
+    Two engines, same zero-shuffle shape:
+
+    - ``'literal'`` (default, the oracle-checkable one): centroids folded
+      per row as an array literal; cosines via the order-pinned double
+      left fold (functions/vectors.dot_fast), bit-identical to DuckDB's
+      ``list_reduce``. Right for COARSE k (<= ~256 — the expression tree
+      holds k*(d+2) literal nodes).
+    - ``'arrow'``: the centroid matrix rides the task closure (k x d
+      float64, ~0.5 MB at k=1024/d=64) and each Arrow batch scores as ONE
+      numpy matmul + argmax — the production engine when k scales with
+      the corpus (SemDeDup uses k ~ n/1000). numpy cosines differ from
+      the fold in the last ulp, so this engine serves scale paths, not
+      value-hash oracles; ties still break to the lowest centroid id
+      (centroid rows sorted by id, argmax picks the first maximum)."""
     from duck_delta_share_spark.functions.vectors import dot_fast, norm_fast
 
     src = centroids if centroids is not None else df
     cent_rows = src.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+
+    if engine == "arrow":
+        import numpy as np
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        C = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+        cids = np.asarray([int(r[id_col]) for r in cent_rows], dtype=np.int64)
+        Cn = C / np.sqrt(np.einsum("ij,ij->i", C, C))[:, None]
+        out_schema = StructType(
+            list(df.select(id_col, vec_col).schema.fields)
+            + [
+                StructField("__nrm", DoubleType()),
+                StructField("cluster_id", LongType()),
+            ]
+        )
+
+        def score(batches):
+            for pdf in batches:
+                A = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                nrm = np.sqrt(np.einsum("ij,ij->i", A, A))
+                sims = (A / nrm[:, None]) @ Cn.T
+                best = sims.argmax(axis=1)  # first max = lowest cid (sorted)
+                pdf = pdf[[id_col, vec_col]].copy()
+                pdf["__nrm"] = nrm
+                pdf["cluster_id"] = cids[best]
+                yield pdf
+
+        return df.select(id_col, vec_col).mapInPandas(score, out_schema)
 
     def _norm(vec) -> float:
         # sequential double left fold — bit-identical to dot_fast/DuckDB
@@ -819,6 +864,7 @@ def semantic_dedup(
     k: int = 16,
     threshold: float = 0.35,
     centroids: DataFrame | None = None,
+    engine: str = "literal",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     deduplication over an embedding column: cluster the corpus with a
@@ -844,7 +890,8 @@ def semantic_dedup(
     centroid pull.
     """
     assigned = assign_nearest_centroid(
-        df, id_col=id_col, vec_col=vec_col, k=k, centroids=centroids
+        df, id_col=id_col, vec_col=vec_col, k=k, centroids=centroids,
+        engine=engine,
     )
 
     # within-cluster pruning reuses the block scorer: ONE shuffle row per

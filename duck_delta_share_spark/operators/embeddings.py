@@ -184,6 +184,7 @@ def kmeans_lloyd_update(
     vec_col: str = "embedding",
     k: int = 16,
     centroids: DataFrame | None = None,
+    engine: str = "literal",
 ):
     """One Lloyd iteration of k-means (Lloyd 1982): spherical assignment
     to the current centroids, then the centroid UPDATE as a single
@@ -206,7 +207,8 @@ def kmeans_lloyd_update(
     from duck_delta_share_spark.plans.registry import davg
 
     assigned = assign_nearest_centroid(
-        df, id_col=id_col, vec_col=vec_col, k=k, centroids=centroids
+        df, id_col=id_col, vec_col=vec_col, k=k, centroids=centroids,
+        engine=engine,
     )
     expl = assigned.select(
         "cluster_id", F.posexplode(F.col(vec_col)).alias("pos", "v")

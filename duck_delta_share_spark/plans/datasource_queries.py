@@ -1418,78 +1418,34 @@ FROM customer
 WHERE c_custkey % 3 IN (0, 1)
 ORDER BY c_custkey
 """,
-    doc="metadata-only ALTER TABLE RENAME/DROP COLUMN on a column-mapped "
-    "table (sources/delta_log.py:rename_column/drop_column — the "
-    "protocol's point of name-mode mapping): c_name renames to "
+    doc="the full ALTER COLUMN lifecycle on the local Delta write path "
+    "(sources/delta_log.py:enable_column_mapping + rename_column + "
+    "drop_column — the protocol's point of name-mode mapping): a PLAIN "
+    "table is upgraded in place (physicalNames frozen to the current "
+    "names; the existing files already store them), c_name renames to "
     "customer_name and c_mktsegment drops WITHOUT touching any parquet "
-    "file (the fields keep their columnMapping id/physicalName), then an "
-    "append lands THROUGH the renamed logical schema and the scan-back "
-    "reads both pre- and post-rename files under the new names",
+    "file, then an append lands THROUGH the renamed logical schema and "
+    "the scan-back reads pre- and post-rename files under the new names",
 )
 def delta_rename_drop_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import json as _json
     import tempfile
     from pathlib import Path
 
     from duck_delta_share_spark.catalog import load_table
     from duck_delta_share_spark.sources.delta_log import (
         drop_column,
+        enable_column_mapping,
         read_delta,
         rename_column,
         write_delta,
     )
 
     table = Path(tempfile.mkdtemp(prefix="ddss_ren_")) / "t"
-    log = table / "_delta_log"
-    log.mkdir(parents=True)
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
-    logical = ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]
-    physical = {col: f"col-{i + 1:03d}" for i, col in enumerate(logical)}
-    base = c.where("c_custkey % 3 = 0")
-    base.toDF(*[physical[col] for col in logical]).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(str(table / "data"))
-    fields = [
-        dict(
-            f,
-            metadata={
-                "delta.columnMapping.id": i + 1,
-                "delta.columnMapping.physicalName": physical[f["name"]],
-            },
-        )
-        for i, f in enumerate(c.schema.jsonValue()["fields"])
-    ]
-    actions = [
-        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-        {
-            "metaData": {
-                "id": "rename-drop",
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": _json.dumps({"type": "struct", "fields": fields}),
-                "partitionColumns": [],
-                "configuration": {
-                    "delta.columnMapping.mode": "name",
-                    "delta.columnMapping.maxColumnId": "4",
-                },
-            }
-        },
-    ] + [
-        {
-            "add": {
-                "path": f"data/{p.name}",
-                "partitionValues": {},
-                "size": p.stat().st_size,
-                "modificationTime": 0,
-                "dataChange": True,
-            }
-        }
-        for p in sorted((table / "data").glob("*.parquet"))
-    ]
-    (log / f"{0:020d}.json").write_text(
-        "\n".join(_json.dumps(a) for a in actions) + "\n"
-    )
+    write_delta(c.where("c_custkey % 3 = 0"), table)
+    enable_column_mapping(table)
     rename_column(table, "c_name", "customer_name")
     drop_column(table, "c_mktsegment")
     # append THROUGH the renamed logical schema (physical staging under

@@ -3006,16 +3006,22 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = d.select("doc_id", tokenize("text").alias("__toks"))
-    dl = tok.select("doc_id", F.size("__toks").cast("long").alias("dl"))
-    totals = dl.agg(
+    # pass 1 (no explode): corpus stats — one narrow scan + a 1-row agg
+    totals = tok.select(F.size("__toks").cast("long").alias("dl")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         davg("dl").alias("avgdl"),
     )
+    # pass 2: dl rides ALONG the exploded term stream (first() per group),
+    # so no per-doc length join over the whole corpus is ever needed —
+    # after the query-term semi-filter only matching docs shuffle at all
     terms = tok.select(
-        "doc_id", F.explode("__toks").alias("term")
+        "doc_id",
+        F.size("__toks").cast("long").alias("dl"),
+        F.explode("__toks").alias("term"),
     ).where(F.col("term").isin(*_BM25_TERMS))
     tf = terms.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.first("dl").alias("dl"),
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     idf = df_t.crossJoin(F.broadcast(totals)).select(
@@ -3027,7 +3033,6 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(totals.select("avgdl")))
         .select(
             "doc_id",

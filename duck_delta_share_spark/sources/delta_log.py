@@ -3302,6 +3302,22 @@ def update_where(
     }
 
 
+def _mapping_enabled(snap: "DeltaSnapshot") -> bool:
+    """True when the table carries column mapping — by mode config or by
+    physicalName field metadata (hand-built tables may lack the config).
+    Distinct from _snap_column_mapping, which returns the NON-IDENTITY
+    translations only and is None right after enable_column_mapping
+    (physicalNames frozen to the current names)."""
+    if (snap.configuration or {}).get("delta.columnMapping.mode", "none") != "none":
+        return True
+    if not snap.schema_string:
+        return False
+    return any(
+        _CM_PHYS_KEY in (f.get("metadata") or {})
+        for f in json.loads(snap.schema_string)["fields"]
+    )
+
+
 def _reject_column_references(snap: "DeltaSnapshot", col: str, action: str) -> None:
     """Refuse to rename/drop a column referenced by a CHECK constraint or
     a generation expression — the stored SQL text would silently dangle
@@ -3360,7 +3376,7 @@ def rename_column(table_path: str | Path, old: str, new: str) -> int:
     table = Path(table_path)
     snap = snapshot(table)
     _check_local_writer_protocol(snap, "rename column")
-    if _snap_column_mapping(snap) is None:
+    if not _mapping_enabled(snap):
         raise ValueError(
             "RENAME COLUMN requires delta.columnMapping.mode=name — without "
             "the logical/physical indirection a rename would orphan every "
@@ -3392,7 +3408,7 @@ def drop_column(table_path: str | Path, name: str) -> int:
     table = Path(table_path)
     snap = snapshot(table)
     _check_local_writer_protocol(snap, "drop column")
-    if _snap_column_mapping(snap) is None:
+    if not _mapping_enabled(snap):
         raise ValueError(
             "DROP COLUMN requires delta.columnMapping.mode=name (the "
             "protocol's dropped-field ids must stay reserved via "
@@ -3412,3 +3428,77 @@ def drop_column(table_path: str | Path, name: str) -> int:
     return _commit_schema_change(
         table, snap, json.dumps(sch), list(snap.partition_columns), "DROP COLUMN"
     )
+
+
+def enable_column_mapping(table_path: str | Path) -> int:
+    """ALTER TABLE SET delta.columnMapping.mode = name on an EXISTING
+    plain table — delta-spark's upgrade path, and the prerequisite for
+    metadata-only RENAME/DROP COLUMN: every current field gets a mapping
+    id and, crucially, ``physicalName = its CURRENT name`` (the files on
+    disk already store those column names, so the physical layer is
+    frozen at upgrade time and only LOGICAL names move afterwards).
+    Fields added later get fresh ``col-<uuid>`` physical names through
+    _evolve_column_mapping. One commit: protocol upgrade (reader>=2 /
+    writer>=5 — or feature-listed on v7 tables) + patched metaData."""
+    table = Path(table_path)
+    snap = snapshot(table)
+    _check_local_writer_protocol(snap, "enable column mapping")
+    if _mapping_enabled(snap):
+        raise ValueError(f"{table} already has column mapping enabled")
+    sch = json.loads(snap.schema_string)
+    out_fields = []
+    for i, f in enumerate(sch["fields"], start=1):
+        meta = dict(f.get("metadata") or {})
+        meta[_CM_ID_KEY] = i
+        meta[_CM_PHYS_KEY] = f["name"]
+        out_fields.append(dict(f, metadata=meta))
+    config = dict(snap.configuration)
+    config["delta.columnMapping.mode"] = "name"
+    config[_CM_MAX_ID_KEY] = str(len(out_fields))
+    proto = dict(snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2})
+    rv = int(proto.get("minReaderVersion", 1))
+    wv = int(proto.get("minWriterVersion", 2))
+    actions: list[dict] = []
+    if wv == 7:
+        # table-features protocol: LIST columnMapping on the writer side
+        # and, when the reader side is feature-listed too (rv 3), there as
+        # well; a legacy reader version below 2 bumps to 2
+        wfeats = set(proto.get("writerFeatures") or ())
+        rfeats = set(proto.get("readerFeatures") or ())
+        proto["writerFeatures"] = sorted(wfeats | {"columnMapping"})
+        if rv >= 3:
+            proto["readerFeatures"] = sorted(rfeats | {"columnMapping"})
+        else:
+            proto["minReaderVersion"] = max(2, rv)
+        actions.append({"protocol": proto})
+    elif rv < 2 or wv < 5:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": max(2, rv),
+                    "minWriterVersion": max(5, wv),
+                }
+            }
+        )
+    actions.append(
+        {
+            "metaData": {
+                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": out_fields}
+                ),
+                "partitionColumns": list(snap.partition_columns),
+                "configuration": config,
+            }
+        }
+    )
+    version = snap.version + 1
+    _atomic_commit(
+        table,
+        version,
+        actions,
+        operation="SET COLUMN MAPPING",
+        in_commit_ts=_ict_enabled(snap.configuration),
+    )
+    return version

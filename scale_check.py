@@ -467,6 +467,68 @@ def main() -> None:
         )
         return pack_sequences(survivors, capacity_tokens=256)
 
+    def semantic_dedup_shape(emb):
+        # production posture: k grows with the corpus (SemDeDup uses
+        # k ~ n/1000; here n/100 so the small frame still gets >= 20
+        # clusters) and the arrow assignment engine (centroid matrix in
+        # the task closure — the literal fold is for coarse oracle-grade
+        # k). The count() runs during frame construction, OUTSIDE the
+        # timed window.
+        from duck_delta_share_spark.operators.dedup import semantic_dedup
+
+        v = emb.select("vec_id", "embedding")
+        k = max(20, v.count() // 100)
+        return semantic_dedup(v, k=k, threshold=0.35, engine="arrow")
+
+    def kmeans_shape(emb):
+        from duck_delta_share_spark.operators.embeddings import kmeans_lloyd_update
+
+        v = emb.select("vec_id", "embedding")
+        k = max(20, v.count() // 100)
+        return kmeans_lloyd_update(v, k=k, engine="arrow")
+
+    def bm25_shape(d):
+        # the registered query's core over the blowup frame: corpus-stats
+        # agg + semi-filtered explode -> tf -> broadcast idf join
+        from pyspark.sql import functions as FF
+
+        from duck_delta_share_spark.functions.text import tokenize
+        from duck_delta_share_spark.plans.registry import davg
+
+        tok = d.select("doc_id", tokenize("text").alias("__toks"))
+        totals = tok.select(FF.size("__toks").cast("long").alias("dl")).agg(
+            FF.count(FF.lit(1)).cast("long").alias("n_docs"),
+            davg("dl").alias("avgdl"),
+        )
+        terms = tok.select(
+            "doc_id",
+            FF.size("__toks").cast("long").alias("dl"),
+            FF.explode("__toks").alias("term"),
+        ).where(FF.col("term").isin("hash", "join", "scan", "vector"))
+        tf = terms.groupBy("doc_id", "term").agg(
+            FF.count(FF.lit(1)).cast("long").alias("tf"),
+            FF.first("dl").alias("dl"),
+        )
+        df_t = tf.groupBy("term").agg(FF.count(FF.lit(1)).cast("long").alias("df"))
+        idf = df_t.crossJoin(FF.broadcast(totals)).select(
+            "term",
+            FF.round(
+                FF.log((FF.col("n_docs") - FF.col("df") + 0.5) / (FF.col("df") + 0.5) + 1), 6
+            ).alias("idf"),
+        )
+        return (
+            tf.join(FF.broadcast(idf), "term")
+            .crossJoin(FF.broadcast(totals.select("avgdl")))
+            .select(
+                "doc_id",
+                (FF.col("idf") * (FF.col("tf") * 2.2)
+                 / (FF.col("tf") + 1.2 * (0.25 + 0.75 * FF.col("dl") / FF.col("avgdl")))
+                 ).alias("s"),
+            )
+            .groupBy("doc_id")
+            .agg(FF.sum("s").alias("bm25"))
+        )
+
     ops = [
         ("q1_agg", q1_shape, l1, lN),
         ("minhash_lsh", minhash_shape, d1, dN),
@@ -497,6 +559,9 @@ def main() -> None:
         ("scd2_fold", scd2_fold_shape, e1, eN),
         ("cdc_latest", cdc_latest_shape, e1, eN),
         ("pretrain_pipeline", pretrain_shape, d1, dN),
+        ("semantic_dedup", semantic_dedup_shape, emb1, embN),
+        ("kmeans_round", kmeans_shape, emb1, embN),
+        ("bm25_score", bm25_shape, d1, dN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))

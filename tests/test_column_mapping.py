@@ -403,3 +403,63 @@ def test_rename_drop_refuse_unmapped_and_references(spark, tmp_path):
     # unreferenced columns still rename fine under the constraint
     rename_column(t, "name", "label")
     assert "label" in read_delta(spark, t).columns
+
+
+def test_enable_column_mapping_then_rename_full_lifecycle(spark, tmp_path):
+    """The delta-spark upgrade path: a PLAIN table our writer created gets
+    column mapping enabled in place (physicalName frozen to the current
+    names — the files already store them), then rename/drop/append/merge/
+    DV-delete all work through the mapped machinery."""
+    from duck_delta_share_spark.sources.delta_log import (
+        delete_where,
+        drop_column,
+        enable_column_mapping,
+        merge_delta,
+        rename_column,
+        write_delta,
+    )
+
+    t = tmp_path / "up"
+    write_delta(
+        spark.createDataFrame(
+            [(i, f"n{i}", i * 1.0, "x") for i in range(10)],
+            "id long, name string, v double, junk string",
+        ),
+        t,
+    )
+    with pytest.raises(ValueError, match="columnMapping"):
+        rename_column(t, "name", "label")  # not mapped yet
+    v = enable_column_mapping(t)
+    snap = snapshot(t)
+    proto = snap.protocol
+    assert proto["minReaderVersion"] >= 2 and proto["minWriterVersion"] >= 5
+    sch = json.loads(snap.schema_string)
+    assert all(
+        f["metadata"]["delta.columnMapping.physicalName"] == f["name"]
+        for f in sch["fields"]
+    )
+    with pytest.raises(ValueError, match="already has column mapping"):
+        enable_column_mapping(t)
+
+    rename_column(t, "name", "label")
+    drop_column(t, "junk")
+    df = read_delta(spark, t)
+    assert set(df.columns) == {"id", "label", "v"}
+    assert {r.label for r in df.collect()} == {f"n{i}" for i in range(10)}
+    # append + merge + DV delete through the renamed logical schema
+    write_delta(
+        spark.createDataFrame([(10, "n10", 10.0)], "id long, label string, v double"),
+        t,
+    )
+    merge_delta(
+        spark,
+        t,
+        spark.createDataFrame([(0, "N0", 0.5)], "id long, label string, v double"),
+        ["id"],
+    )
+    delete_where(spark, t, "id = 5")
+    rows = {r.id: (r.label, r.v) for r in read_delta(spark, t).collect()}
+    assert rows[0] == ("N0", 0.5) and rows[10] == ("n10", 10.0)
+    assert 5 not in rows and len(rows) == 10
+    # five commits after the upgrade: rename, drop, append, merge, delete
+    assert snapshot(t).version == v + 5

@@ -185,3 +185,53 @@ def test_kmeans_lloyd_update_composes_iteratively(spark):
     assert all(
         abs(a - b) < 1e-9 for a, b in zip(means2[0], means[0])
     )  # converged: second update is a fixed point
+
+
+def test_semantic_dedup_keep_rule_property(spark):
+    """Property (hypothesis): on random small corpora, semantic_dedup's
+    kept set equals the brute-force rule — dropped iff a LOWER-id vector
+    in the same (argmax-cosine, lowest-cid-tie) cluster has cosine >
+    threshold."""
+    import math
+    import random
+
+    from duck_delta_share_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        n, d, k, tau = 24, 6, 4, 0.8
+        vecs = []
+        for i in range(n):
+            base = [rng.gauss(0, 1) for _ in range(d)]
+            if i % 3 == 0 and i > 0:
+                # perturbed copy of an earlier vector — guarantees near-dups
+                src = vecs[rng.randrange(0, i)][1]
+                base = [x + rng.gauss(0, 0.05) for x in src]
+            nrm = math.sqrt(sum(x * x for x in base)) or 1.0
+            vecs.append((i, [x / nrm for x in base]))
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        got = {
+            r.vec_id: (r.cluster_id, r.kept)
+            for r in semantic_dedup(df, k=k, threshold=tau).collect()
+        }
+
+        def cos(a, b):
+            return sum(x * y for x, y in zip(a, b))
+
+        cents = vecs[:k]
+        assign = {}
+        for i, v in vecs:
+            scored = sorted(
+                ((cos(v, cv), -cid) for cid, cv in cents), reverse=True
+            )
+            assign[i] = -scored[0][1]
+        by_vec = dict(vecs)
+        for i, v in vecs:
+            dropped = any(
+                j < i and assign[j] == assign[i] and cos(by_vec[j], v) > tau
+                for j, _ in vecs
+            )
+            assert got[i] == (assign[i], 0 if dropped else 1), (
+                f"trial {trial} vec {i}: got {got[i]}, want "
+                f"({assign[i]}, {0 if dropped else 1})"
+            )

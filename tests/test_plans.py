@@ -290,3 +290,27 @@ def test_gopher_rules_narrow_map(spark):
     plan = _plan(QUERIES["gopher_quality_rules"].spark_fn(spark, SF_DIR))
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 1, f"gopher rules shuffled {n_exchanges}x"
+
+
+def test_centroid_assignment_zero_shuffle(spark):
+    """assign_nearest_centroid (both engines): the assignment pass itself
+    contains NO exchange — the per-row argmax happens map-side with the
+    centroids in the expression tree / task closure."""
+    from duck_delta_share_spark.operators.dedup import assign_nearest_centroid
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    for engine in ("literal", "arrow"):
+        plan = _plan(assign_nearest_centroid(e, k=8, engine=engine))
+        assert "Exchange" not in plan, f"{engine}: assignment shuffled"
+
+
+def test_bm25_no_per_doc_length_join(spark):
+    """bm25_topk: dl rides the exploded term stream (first() per group) —
+    there must be NO doc_id-keyed join over the whole corpus, only the
+    broadcast idf join (|query| rows) and scalar cross-broadcasts."""
+    plan = _plan(QUERIES["bm25_topk"].spark_fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    # every hash join builds a broadcast side; none joins on doc_id
+    for m in re.findall(r"BroadcastHashJoin \[([^\]]*)\]", plan):
+        assert "doc_id" not in m, f"per-doc join crept back: {m}"
+    assert "CartesianProduct" not in plan
