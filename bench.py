@@ -78,9 +78,13 @@ HEADLINE = [
     "pretrain_pipeline_e2e",
     "cdc_replication_e2e",
     "delta_update_where",
-    # round-5 new operator: SemDeDup semantic deduplication (zero-shuffle
-    # centroid assignment + block-scored within-cluster pruning).
+    # round-5 new operators: SemDeDup semantic deduplication (zero-shuffle
+    # centroid assignment + block-scored within-cluster pruning), BM25
+    # retrieval, one k-means Lloyd round, hourly TWAP.
     "semantic_dedup",
+    "bm25_topk",
+    "kmeans_lloyd_round",
+    "twap_hourly",
 ]
 
 

@@ -184,3 +184,68 @@ def ewma(
         return res
 
     return hourly.groupBy(*key_cols).applyInPandas(fold, schema)
+
+
+def twap(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    value_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Time-weighted average price/value per (group, bucket) — the
+    classic TWAP rollup: each observation is weighted by its HOLDING
+    time, i.e. until the next observation in the same bucket, the last
+    one until the bucket's end. Irregularly-sampled series aggregate
+    correctly (a value held for 59 minutes dominates one held for one
+    second — a plain AVG would weight them equally).
+
+    Shape: ONE window pass (lead over (group, bucket) keyed partitions,
+    micros-exact integer deltas) + ONE hash agg on the same key — the
+    window's shuffle is reused by the agg, so a single exchange total.
+    Weighted sums follow the exact-decimal discipline (value*dt addends
+    in decimal(27,6)); the time axis never touches doubles."""
+    from duck_delta_share_spark.plans.registry import dsum
+
+    # NTZ space like every helper above — no LTZ detour, no session-tz
+    # dependence (the driver runs a vanilla, possibly non-UTC session)
+    anchor = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    tus = F.timestamp_diff(
+        "MICROSECOND", anchor, F.col(ts_col).cast("timestamp_ntz")
+    )
+    bucket = F.floor(tus / F.lit(bucket_seconds * 1_000_000)).cast("long")
+    w = Window.partitionBy(*group_cols, "__bucket").orderBy("__tus", value_col)
+    base = df.select(
+        *group_cols,
+        F.col(value_col),
+        tus.alias("__tus"),
+        bucket.alias("__bucket"),
+    ).withColumn(
+        "__dt",
+        F.coalesce(
+            F.lead("__tus").over(w),
+            (F.col("__bucket") + 1) * F.lit(bucket_seconds * 1_000_000),
+        )
+        - F.col("__tus"),
+    )
+    return (
+        base.groupBy(*group_cols, "__bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                dsum(F.col(value_col) * F.col("__dt"), "decimal(27,6)")
+                / F.nullif(F.sum("__dt"), F.lit(0)),
+                6,
+            ).alias("twap"),
+        )
+        .select(
+            *group_cols,
+            F.timestamp_add(
+                "SECOND",
+                (F.col("__bucket") * bucket_seconds).cast("long"),
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            ).alias("bucket_ts"),
+            "n_events",
+            "twap",
+        )
+    )

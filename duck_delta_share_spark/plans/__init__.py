@@ -35,6 +35,7 @@ _R5_WINDOW = [
     "kmeans_lloyd_round",
     "bm25_topk",
     "delta_rename_drop_scan",
+    "twap_hourly",
     # never driver-evidenced oracled queries (r4 slots 51-59)
     "dataset_split_assign",
     "similarity_ann_pq",
@@ -84,9 +85,9 @@ _R5_WINDOW = [
     "q18_large_orders",
     "q19_disjunctive_predicates",
     "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    # --- end of slot 50 (q22 rolls to the r6 rotation with the other
+    # --- end of slot 50 (q21/q22 roll to the r6 rotation with the other
     # r1-evidenced entries); r4-green entries follow, freshest first
+    "q21_waiting_suppliers",
     "q22_dormant_customers",
     "substring_dedup_spans",
     "delta_schema_evolution",

@@ -12,6 +12,7 @@ from duck_delta_share_spark.operators.timeseries import (
     ewma,
     interval_join_bucketed,
     resample_gapfill,
+    twap,
 )
 from duck_delta_share_spark.plans.registry import query
 
@@ -172,4 +173,48 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"percentile(value, 0.5) {frame} AS med10",
         f"min(value) {frame} AS min10",
         f"max(value) {frame} AS max10",
+    )
+
+
+@query(
+    "twap_hourly",
+    oracle="""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS tus, value,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket
+  FROM events
+),
+o AS (
+  SELECT event_type, bucket, tus, value,
+         LEAD(tus) OVER (PARTITION BY event_type, bucket
+                         ORDER BY tus, value) AS nxt
+  FROM e
+),
+w AS (
+  SELECT event_type, bucket, value,
+         COALESCE(nxt, (bucket + 1) * 3600000000) - tus AS dt
+  FROM o
+)
+SELECT event_type,
+       CAST(to_timestamp(bucket * 3600) AS TIMESTAMP) AS bucket_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value * dt AS DECIMAL(27,6))) AS DOUBLE)
+             / NULLIF(SUM(dt), 0), 6) AS twap
+FROM w
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+""",
+    doc="hourly TWAP per event_type (operators/timeseries.py:twap — the "
+    "time-weighted rollup irregular series need; a plain AVG weights a "
+    "59-minute holding equal to a 1-second one): each value is weighted "
+    "by microseconds held until the next observation in the bucket, the "
+    "last until bucket end. ONE window pass + ONE agg on the SAME "
+    "(type, bucket) key — the exchange is reused, integer time axis, "
+    "exact-decimal weighted sums, all in NTZ space (no session-tz "
+    "dependence)",
+)
+def twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return twap(e, "ts", ["event_type"], "value", bucket_seconds=3600).orderBy(
+        "event_type", "bucket_ts"
     )

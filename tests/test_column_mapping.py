@@ -463,3 +463,29 @@ def test_enable_column_mapping_then_rename_full_lifecycle(spark, tmp_path):
     assert 5 not in rows and len(rows) == 10
     # five commits after the upgrade: rename, drop, append, merge, delete
     assert snapshot(t).version == v + 5
+
+
+def test_update_where_after_mapping_upgrade_and_rename(spark, tmp_path):
+    """UPDATE...SET composes with the mapping upgrade + rename: the
+    logical predicate and assignments resolve against renamed columns
+    while files stay physically named from before the upgrade."""
+    from duck_delta_share_spark.sources.delta_log import (
+        enable_column_mapping,
+        rename_column,
+        update_where,
+        write_delta,
+    )
+
+    t = tmp_path / "updmap"
+    write_delta(
+        spark.createDataFrame(
+            [(i, i * 1.0) for i in range(8)], "id long, price double"
+        ),
+        t,
+    )
+    enable_column_mapping(t)
+    rename_column(t, "price", "amount")
+    res = update_where(spark, t, "amount >= 5.0", {"amount": "amount * 2"})
+    assert res["rows_updated"] == 3
+    rows = {r.id: r.amount for r in read_delta(spark, t).collect()}
+    assert rows[7] == 14.0 and rows[4] == 4.0

@@ -170,3 +170,31 @@ def test_ewma_linear_fold_matches_reference(spark):
     assert out[("a", "2024-01-01 01:00:00")] == 12.5
     assert out[("a", "2024-01-01 02:00:00")] == 21.25
     assert out[("b", "2024-01-01 00:00:00")] == 2.5
+
+
+def test_twap_weights_by_holding_time(spark):
+    """twap: a value held 59 minutes dominates one held 1 minute — the
+    plain AVG would say 50/50; the last observation is held to bucket
+    end; buckets and groups are independent."""
+    from duck_delta_share_spark.operators.timeseries import twap
+
+    rows = [
+        # type a, hour 0: v=100 held 00:00->00:59 (59 min), v=0 held 1 min
+        ("a", "2024-01-01 00:00:00", 100.0),
+        ("a", "2024-01-01 00:59:00", 0.0),
+        # type a, hour 1: single value held the whole hour
+        ("a", "2024-01-01 01:30:00", 42.0),
+        # type b, hour 0: two equal holdings -> plain mean
+        ("b", "2024-01-01 00:00:00", 10.0),
+        ("b", "2024-01-01 00:30:00", 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).selectExpr("event_type", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "value")
+    out = {
+        (r.event_type, str(r.bucket_ts)): (r.n_events, r.twap)
+        for r in twap(df, "ts", ["event_type"], "value").collect()
+    }
+    assert out[("a", "2024-01-01 00:00:00")] == (2, round(100 * 59 / 60, 6))
+    assert out[("a", "2024-01-01 01:00:00")] == (1, 42.0)
+    assert out[("b", "2024-01-01 00:00:00")] == (2, 15.0)
