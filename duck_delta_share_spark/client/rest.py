@@ -69,7 +69,16 @@ def parse_ndjson(body: str) -> list[dict[str, Any]]:
 # all, hpp:41-43, and returns deleted rows on DV tables).
 MAX_SUPPORTED_READER_VERSION = 3
 SUPPORTED_READER_FEATURES = frozenset(
-    {"deletionVectors", "columnMapping", "timestampNtz"}
+    {
+        "deletionVectors",
+        "columnMapping",
+        "timestampNtz",
+        "v2Checkpoint",
+        # demands no READ-time behavior (it obliges VACUUM implementations
+        # to run the protocol gate) — a server forwarding it must not make
+        # the scan path refuse the table
+        "vacuumProtocolCheck",
+    }
 )
 
 

@@ -894,32 +894,54 @@ def semantic_dedup(
         engine=engine,
     )
 
-    # within-cluster pruning reuses the block scorer: ONE shuffle row per
-    # vector (groupBy cluster -> applyInPandas matmul), only surviving
-    # pairs materialize — never (n/k)^2 joined rows carrying both vectors.
-    # numpy-vs-fold cosine divergence is last-ulp; the data's minimum
-    # |cos - threshold| proximity (7.8e-6 at sf0.1) makes the keep
-    # decision engine-stable.
-    from duck_delta_share_spark.operators.similarity import (
-        embedding_near_dup_pairs,
+    # within-cluster pruning in the SAME single pass over the assignment:
+    # one shuffle row per vector (groupBy cluster -> applyInPandas), one
+    # C-speed matmul per block, and the kept flag computed in place — no
+    # pair frame, no join back, and crucially the assignment pass runs
+    # ONCE (a join of `assigned` against pairs derived from `assigned`
+    # would evaluate the whole scoring lineage twice). numpy-vs-fold
+    # cosine divergence is last-ulp; the data's minimum |cos - threshold|
+    # proximity (7.8e-6 at sf0.1) makes the keep decision engine-stable.
+    import numpy as np
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
 
-    pairs = embedding_near_dup_pairs(
-        assigned.select(id_col, vec_col, "cluster_id"),
-        block_col="cluster_id",
-        threshold=float(threshold),
-        id_col=id_col,
-        vec_col=vec_col,
-        scorer="block",
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("cluster_id", LongType()),
+            StructField("kept", IntegerType()),
+        ]
     )
-    dropped = pairs.select(F.col("id_b").alias("__dropped_id")).distinct()
+    tau = float(threshold)
+
+    def keep_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf[id_col].to_numpy()
+        if n == 1:
+            kept = np.ones(1, dtype=np.int32)
+        else:
+            A = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", A, A))
+            sims = (A @ A.T) / np.outer(norms, norms)
+            near = sims > tau
+            lower = ids[None, :] < ids[:, None]  # [i, j]: j has a lower id
+            kept = (~(near & lower).any(axis=1)).astype(np.int32)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster_id": pdf["cluster_id"].to_numpy(),
+                "kept": kept,
+            }
+        )
+
     return (
-        assigned.join(
-            dropped, assigned[id_col] == dropped["__dropped_id"], "left"
-        )
-        .select(
-            id_col,
-            "cluster_id",
-            F.col("__dropped_id").isNull().cast("int").alias("kept"),
-        )
+        assigned.select(id_col, vec_col, "cluster_id")
+        .groupBy("cluster_id")
+        .applyInPandas(keep_block, out_schema)
     )

@@ -1445,9 +1445,17 @@ def write_delta(
                 }
             )
         else:
-            # identity allocation state must not be clobbered by writers
-            # that don't understand it: "Identity Columns" is writer v6
-            wv = 6 if _identity_specs(schema_string) else 2
+            # legacy version numbers must DECLARE every feature the table
+            # uses, or a lower-version foreign writer may legally write
+            # without enforcing it: identity -> 6, generated columns -> 4,
+            # CHECK constraints (create-time configuration) -> 3
+            wv = 2
+            if _check_constraints(configuration or {}):
+                wv = 3
+            if _generation_expressions(schema_string):
+                wv = 4
+            if _identity_specs(schema_string):
+                wv = 6
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": wv}}
             )
@@ -3253,17 +3261,34 @@ def update_where(
     if not touched:
         return {"version": snap.version, "files_rewritten": 0, "rows_updated": 0}
 
-    # pass 2: rewrite only the touched files
+    # pass 2: rewrite only the touched files. The match bit is
+    # MATERIALIZED from the ORIGINAL rows first — re-evaluating the
+    # condition after a withColumn would resolve it against
+    # already-mutated columns, silently skipping later assignments and
+    # the generated-column recompute whenever the condition references
+    # an assigned column. All assignment RHS then evaluate in ONE
+    # projection (SQL UPDATE's simultaneous semantics: SET x = y, y = x
+    # swaps).
     df = _direct_read(spark, snap.schema_string, part_cols, touched)
-    rows_updated = df.where(condition).count()
-    cond = F.expr(condition)
-    for col, expr in assignments.items():
-        df = df.withColumn(col, F.when(cond, F.expr(expr)).otherwise(F.col(col)))
+    df = df.withColumn("__ddss_match", F.expr(condition))
+    m = F.col("__ddss_match")
+    rows_updated = df.where(m).count()
+    df = df.select(
+        *[
+            F.when(m, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in df.columns
+            if c != "__ddss_match"
+        ],
+        m,
+    )
     # generated columns: recompute on the UPDATED rows (an assignment to a
     # source column would otherwise leave them stale); unmatched rows pass
     # through byte-identical
     for name, gexpr in gens.items():
-        df = df.withColumn(name, F.when(cond, F.expr(gexpr)).otherwise(F.col(name)))
+        df = df.withColumn(name, F.when(m, F.expr(gexpr)).otherwise(F.col(name)))
+    df = df.drop("__ddss_match")
     # CHECK constraints apply to the rewritten frame like every other
     # write path (limit(1) early-exit per constraint, touched files only)
     _enforce_constraints(df, snap.configuration, "UPDATE")
@@ -3336,6 +3361,15 @@ def _reject_column_references(snap: "DeltaSnapshot", col: str, action: str) -> N
             raise ValueError(
                 f"cannot {action} column {col}: generated column {gname} = "
                 f"{gexpr} references it"
+            )
+    # CURRENT_DEFAULT expressions may be non-literal (evaluated with
+    # F.expr at write time): a dangling reference would fail the NEXT
+    # append that omits the defaulted column
+    for dname, dexpr in _column_defaults(snap.schema_string).items():
+        if dname != col and pat.search(dexpr):
+            raise ValueError(
+                f"cannot {action} column {col}: column {dname} DEFAULT "
+                f"{dexpr} references it"
             )
 
 
@@ -3446,15 +3480,36 @@ def enable_column_mapping(table_path: str | Path) -> int:
     if _mapping_enabled(snap):
         raise ValueError(f"{table} already has column mapping enabled")
     sch = json.loads(snap.schema_string)
-    out_fields = []
-    for i, f in enumerate(sch["fields"], start=1):
+    counter = {"n": 0}
+
+    def _stamp_type(t):
+        # spec: with columnMapping.mode=name EVERY nested struct field
+        # carries its own id + physicalName (frozen to the current name
+        # on upgrade); arrays/maps recurse into their element/value types
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return dict(t, fields=[_stamp_field(f) for f in t["fields"]])
+            if t.get("type") == "array":
+                return dict(t, elementType=_stamp_type(t["elementType"]))
+            if t.get("type") == "map":
+                return dict(
+                    t,
+                    keyType=_stamp_type(t["keyType"]),
+                    valueType=_stamp_type(t["valueType"]),
+                )
+        return t
+
+    def _stamp_field(f):
+        counter["n"] += 1
         meta = dict(f.get("metadata") or {})
-        meta[_CM_ID_KEY] = i
+        meta[_CM_ID_KEY] = counter["n"]
         meta[_CM_PHYS_KEY] = f["name"]
-        out_fields.append(dict(f, metadata=meta))
+        return dict(f, metadata=meta, type=_stamp_type(f["type"]))
+
+    out_fields = [_stamp_field(f) for f in sch["fields"]]
     config = dict(snap.configuration)
     config["delta.columnMapping.mode"] = "name"
-    config[_CM_MAX_ID_KEY] = str(len(out_fields))
+    config[_CM_MAX_ID_KEY] = str(counter["n"])
     proto = dict(snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2})
     rv = int(proto.get("minReaderVersion", 1))
     wv = int(proto.get("minWriterVersion", 2))

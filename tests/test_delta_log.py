@@ -1061,3 +1061,135 @@ def test_cdc_delete_only_batch_missing_target(spark, tmp_path):
     assert stats["upserts"] == 0 and stats["deletes"] == 2
     assert stats["version"] == -1
     assert not (tgt / "_delta_log").exists()
+
+
+def test_update_where_simultaneous_semantics(spark, tmp_path):
+    """UPDATE's condition and every assignment RHS evaluate against the
+    ORIGINAL row (self-review r5, empirically confirmed bug): a condition
+    referencing an assigned column must not skip later assignments or the
+    generated-column recompute, and SET x = y, y = x swaps."""
+    from duck_delta_share_spark.sources.delta_log import update_where
+
+    # condition references the assigned column: BOTH assignments apply
+    t = tmp_path / "sim"
+    write_delta(
+        spark.createDataFrame([(1, 10.0), (5, 50.0)], "x long, y double"), t
+    )
+    update_where(spark, t, "x < 3", {"x": "x + 100", "y": "y + 0.5"})
+    rows = {r.x: r.y for r in read_delta(spark, t).collect()}
+    assert rows == {101: 10.5, 5: 50.0}
+
+    # swap: RHS see original values
+    s = tmp_path / "swap"
+    write_delta(spark.createDataFrame([(1, 2)], "a long, b long"), s)
+    update_where(spark, s, "a = 1", {"a": "b", "b": "a"})
+    r = read_delta(spark, s).collect()[0]
+    assert (r.a, r.b) == (2, 1)
+
+    # generated column recomputes from the NEW source even when the
+    # condition references that source (107 % 10 != 8 guards the trap)
+    g = tmp_path / "gen"
+    df = (
+        spark.range(0, 20)
+        .selectExpr("id", "CAST(id % 10 AS BIGINT) AS bucket")
+        .withMetadata(
+            "bucket", {"delta.generationExpression": "CAST(id % 10 AS BIGINT)"}
+        )
+    )
+    write_delta(df, g)
+    update_where(spark, g, "id = 7", {"id": "id + 101"})
+    rows = {r.id: r.bucket for r in read_delta(spark, g).collect()}
+    assert rows[108] == 8 and 7 not in rows
+
+
+def test_rename_drop_refuse_default_reference(spark, tmp_path):
+    """A non-literal CURRENT_DEFAULT referencing another column blocks
+    that column's rename/drop (the next omitting append would dangle)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from duck_delta_share_spark.sources.delta_log import (
+        drop_column,
+        enable_column_mapping,
+        rename_column,
+    )
+
+    t = tmp_path / "dref"
+    schema = StructType(
+        [
+            StructField("base", LongType(), True),
+            StructField("bonus", DoubleType(), True, {"CURRENT_DEFAULT": "base * 0.1"}),
+        ]
+    )
+    write_delta(spark.createDataFrame([(10, 1.0)], schema), t)
+    enable_column_mapping(t)
+    with pytest.raises(ValueError, match="DEFAULT"):
+        rename_column(t, "base", "root")
+    with pytest.raises(ValueError, match="DEFAULT"):
+        drop_column(t, "base")
+    rename_column(t, "bonus", "extra")  # the defaulted column itself is fine
+
+
+def test_create_protocol_declares_generated_and_constraints(spark, tmp_path):
+    """Legacy create protocol maps features to the spec's minimum writer
+    versions: generated columns -> 4, create-time CHECK constraints -> 3."""
+    g = tmp_path / "gp"
+    df = (
+        spark.range(3)
+        .selectExpr("id", "CAST(id % 10 AS BIGINT) AS bucket")
+        .withMetadata(
+            "bucket", {"delta.generationExpression": "CAST(id % 10 AS BIGINT)"}
+        )
+    )
+    write_delta(df, g)
+    assert snapshot(g).protocol["minWriterVersion"] == 4
+    c = tmp_path / "cp"
+    write_delta(
+        spark.range(3).selectExpr("id"),
+        c,
+        configuration={"delta.constraints.pos": "id >= 0"},
+    )
+    assert snapshot(c).protocol["minWriterVersion"] == 3
+
+
+def test_enable_column_mapping_stamps_nested_fields(spark, tmp_path):
+    """The upgrade stamps id/physicalName at EVERY depth (spec: all nested
+    struct fields carry mapping metadata in name mode)."""
+    import json as _json
+
+    from duck_delta_share_spark.sources.delta_log import enable_column_mapping
+
+    t = tmp_path / "nest"
+    df = spark.createDataFrame(
+        [(1, ("a", 2.0), [("k", 3)])],
+        "id long, s struct<name:string, score:double>, "
+        "arr array<struct<key:string, n:long>>",
+    )
+    write_delta(df, t)
+    enable_column_mapping(t)
+    sch = _json.loads(snapshot(t).schema_string)
+    ids = []
+
+    def walk_type(tp):
+        if isinstance(tp, dict):
+            if tp.get("type") == "struct":
+                for f in tp["fields"]:
+                    walk_field(f)
+            elif tp.get("type") == "array":
+                walk_type(tp["elementType"])
+            elif tp.get("type") == "map":
+                walk_type(tp["keyType"]); walk_type(tp["valueType"])
+
+    def walk_field(f):
+        md = f.get("metadata") or {}
+        assert md.get("delta.columnMapping.physicalName") == f["name"], f
+        ids.append(md["delta.columnMapping.id"])
+        walk_type(f["type"])
+
+    for f in sch["fields"]:
+        walk_field(f)
+    # 3 top-level + 2 struct members + 2 array-struct members
+    assert sorted(ids) == list(range(1, 8))
+    assert snapshot(t).configuration["delta.columnMapping.maxColumnId"] == "7"
+    # the table still reads back correctly after the upgrade
+    row = read_delta(spark, t).collect()[0]
+    assert row.id == 1 and row.s.name == "a" and row.arr[0].n == 3
