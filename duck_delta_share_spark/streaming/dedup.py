@@ -38,8 +38,12 @@ def dedup_stream_content(
     ts_col: str = "ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Keep the first arrival per content fingerprint (normalized md5)."""
-    fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), " +", " "))
+    """Keep the first arrival per content fingerprint (normalized md5) —
+    the SAME fingerprint as the batch dedup path (functions.text), so a
+    doc deduped by the pipeline is deduped identically here."""
+    from duck_delta_share_spark.functions.text import fingerprint
+
+    fp = fingerprint(text_col)
     return (
         docs.withColumn("__fp", fp)
         .withWatermark(ts_col, watermark)

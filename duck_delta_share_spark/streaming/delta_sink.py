@@ -56,16 +56,19 @@ def stream_to_delta(
     app_id: str,
     partition_by: list[str] | None = None,
     available_now: bool = True,
+    merge_schema: bool = False,
 ):
     """Run a streaming query that lands every micro-batch as one Delta
     commit carrying a SetTransaction marker; returns the StreamingQuery.
 
     With ``available_now`` the query drains the source and stops (the
     batch-refresh pattern); otherwise it runs until stopped.
+    ``merge_schema`` lets a micro-batch that gained new columns evolve the
+    table instead of failing the query (same semantics as write_delta).
     """
     writer = (
         stream_df.writeStream.foreachBatch(
-            delta_batch_writer(table_path, app_id, partition_by)
+            delta_batch_writer(table_path, app_id, partition_by, merge_schema)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

@@ -12,27 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# events.parquet physical schema when ts is TIMESTAMP(NANOS) under
-# nanosAsLong (ts arrives as long ns). Newer fixtures use TIMESTAMP(MICROS)
-# and infer a timestamp_ntz ts directly; read_events_stream handles both.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from pyspark.sql.types import LongType
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,12 +48,17 @@ def windowed_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling 1-hour windows per event type with a late-data watermark.
     State size is bounded by (windows in watermark horizon × event types);
     Spark drops state for windows older than the watermark."""
+    from duck_delta_share_spark.plans.registry import dsum
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("total_value"),
+            # same exact-decimal discipline as the batch twin
+            # events_windowed_agg: a raw double sum would drift with
+            # partition order and type-mismatch the twin
+            dsum("value").alias("total_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),

@@ -55,12 +55,22 @@ def maintain_rollup_stream(
     out.mkdir(parents=True, exist_ok=True)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         from pyspark.sql import functions as F
 
         meta_file = out / "_meta.json"
         meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
         if batch_id <= meta.get("last_batch", -1):
             return  # replayed epoch: rollup already reflects it
+        # an EMPTY batch leaves the rollup bytes untouched — only the
+        # replay watermark advances (rewriting the full rollup per no-op
+        # trigger would copy the whole aggregate every epoch)
+        if meta and batch_df.isEmpty():
+            meta_file.write_text(
+                json.dumps({**meta, "last_batch": batch_id})
+            )
+            return
         prev = read_rollup(spark, out)
         if prev is None:
             # empty, correctly-typed rollup frame for the first batch
@@ -71,9 +81,21 @@ def maintain_rollup_stream(
         new = apply_changes_to_rollup(prev, batch_df, keys, sum_cols)
         target = f"data_{batch_id}"
         new.write.mode("overwrite").parquet(str(out / target))
+        prev_current = meta.get("current")
         meta_file.write_text(
             json.dumps({"current": target, "last_batch": batch_id})
         )
+        # GC superseded generations AFTER the pointer flip, keeping the
+        # immediately-previous one for crash safety (a reader that loaded
+        # _meta.json just before the flip may still be scanning it);
+        # without this the rollup directory grows one full copy per epoch
+        for d in out.iterdir():
+            if (
+                d.is_dir()
+                and d.name.startswith("data_")
+                and d.name not in (target, prev_current)
+            ):
+                shutil.rmtree(d, ignore_errors=True)
 
     changes = (
         spark.readStream.format("deltashare")

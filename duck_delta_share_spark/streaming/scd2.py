@@ -60,6 +60,7 @@ def fold_scd2_batch(
                 F.col(key_col),
                 F.col(value_col).alias("__cur_val"),
                 F.col("valid_from").alias("__cur_from"),
+                F.lit(1).alias("__cur_present"),
             )
         )
     else:
@@ -69,6 +70,7 @@ def fold_scd2_batch(
                 key_col,
                 F.col(value_col).alias("__cur_val"),
                 F.col("__v").alias("__cur_from"),
+                F.lit(1).alias("__cur_present"),
             )
         )
 
@@ -84,21 +86,27 @@ def fold_scd2_batch(
         inserts.join(cur, key_col, "left")
         .where(F.col("__cur_from").isNull() | (F.col("__v") > F.col("__cur_from")))
         .withColumn("__prev_val", F.lag(value_col).over(w))
+        # presence flags, NOT value-null probes: both the previous row's
+        # value and the dimension's current value may legitimately be
+        # NULL, and NULL transitions must still fold (self-review r5 —
+        # the old `!=` dropped value->NULL changes and misread a NULL
+        # prev value as "no previous row")
+        .withColumn("__has_prev", F.lag(F.lit(1)).over(w))
     )
-    # a row opens a new version iff its value differs from the previous
-    # state: within-batch lag when there is one, else the dimension's
-    # current value (absent current row = genuinely new key)
+    # a row opens a new version iff its value differs (NULL-SAFELY) from
+    # the previous state: within-batch predecessor when there is one,
+    # else the dimension's current value (absent row = genuinely new key)
     real = cand.where(
         (
-            F.col("__prev_val").isNull()
+            F.col("__has_prev").isNull()
             & (
-                F.col("__cur_val").isNull()
-                | (F.col(value_col) != F.col("__cur_val"))
+                F.col("__cur_present").isNull()
+                | ~F.col(value_col).eqNullSafe(F.col("__cur_val"))
             )
         )
         | (
-            F.col("__prev_val").isNotNull()
-            & (F.col(value_col) != F.col("__prev_val"))
+            F.col("__has_prev").isNotNull()
+            & ~F.col(value_col).eqNullSafe(F.col("__prev_val"))
         )
     ).select(key_col, value_col, "__v")
     w2 = Window.partitionBy(key_col).orderBy("__v")
@@ -121,6 +129,12 @@ def fold_scd2_batch(
         )
     )
     updates = rows_new.unionByName(closings)
+    # an effect-free batch (no inserts, pure churn, or a replay) must NOT
+    # reach merge_delta: empty update bounds make stats_allow pass every
+    # file and the merge would rewrite the ENTIRE dimension as remove+add
+    # (self-review r5); the limit(1) probe is O(changes)
+    if real.limit(1).count() == 0:
+        return
     if not dim_exists:
         write_delta(updates, dim_table)
     else:

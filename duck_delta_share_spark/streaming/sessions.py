@@ -120,7 +120,12 @@ def sessionize_with_state(
                 cur = None
             if cur is None:
                 cur = [us, us, 0, 0.0]
-            cur[1] = us
+            # min/max extension, NOT assignment: a late-but-not-dropped
+            # cross-batch event (inside the watermark) must never REGRESS
+            # the open session's bounds — the batch twin and native
+            # session_window both min/max-extend (self-review r5)
+            cur[0] = min(cur[0], us)
+            cur[1] = max(cur[1], us)
             cur[2] += 1
             cur[3] += float(value)
         state.update(tuple(cur))

@@ -114,3 +114,39 @@ def test_streaming_maintained_rollup_tracks_table(spark, tmp_path):
         assert _as_set(read_rollup(spark, roll)) == expect()
     finally:
         q2.stop()
+
+
+def test_streaming_rollup_gcs_generations(spark, tmp_path):
+    """Superseded data_<id> generations are GC'd after the pointer flip
+    (keeping one for crash safety), and a no-op epoch only advances the
+    replay watermark instead of rewriting the rollup (self-review r5)."""
+    import json as _json
+
+    from duck_delta_share_spark.sources.delta_log import write_delta
+    from duck_delta_share_spark.streaming.incremental import (
+        maintain_rollup_stream,
+        read_rollup,
+    )
+
+    t = tmp_path / "tbl"
+    base = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], "k long, v double"
+    )
+    write_delta(base, t)
+    roll, ck = tmp_path / "roll", tmp_path / "ck"
+    q = maintain_rollup_stream(spark, t, ["k"], {"total": "v"}, roll, ck)
+    try:
+        q.processAllAvailable()
+        for wave in range(3):
+            write_delta(
+                spark.createDataFrame([(3 + wave, 1.0)], "k long, v double"), t
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    gens = sorted(d.name for d in roll.iterdir() if d.name.startswith("data_"))
+    assert len(gens) <= 2, gens  # current + one crash-safety predecessor
+    meta = _json.loads((roll / "_meta.json").read_text())
+    assert meta["current"] in gens
+    got = {(r.k, round(r.total, 6)) for r in read_rollup(spark, roll).collect()}
+    assert got == {(1, 15.0), (2, 7.0), (3, 1.0), (4, 1.0), (5, 1.0)}

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from duck_delta_share_spark.sources.delta_log import (
     merge_delta,
     read_delta,
+    snapshot,
     write_delta,
 )
 from duck_delta_share_spark.streaming.scd2 import maintain_scd2_stream
@@ -225,3 +226,71 @@ def test_scd2_fold_replay_is_noop(spark, tmp_path):
     # and every (k, valid_from) key is still unique
     n = read_delta(spark, dim).count()
     assert read_delta(spark, dim).select("k", "valid_from").distinct().count() == n
+
+
+def test_scd2_fold_null_transitions(spark, tmp_path):
+    """NULL is a real dimension value (self-review r5): value -> NULL and
+    NULL -> value transitions open versions, NULL -> NULL churn does not,
+    and a NULL mid-chain must not fabricate a same-value version."""
+    from duck_delta_share_spark.streaming.scd2 import fold_scd2_batch
+
+    dim = tmp_path / "dim_null"
+    # batch 1: k=1 starts at 'a'; k=2 starts at NULL
+    b1 = spark.createDataFrame(
+        [(1, "a", "insert", 0), (2, None, "insert", 0)],
+        "k long, v string, _change_type string, _commit_version long",
+    )
+    fold_scd2_batch(spark, b1, dim, "k", "v")
+    # batch 2, multi-change: k=1 goes a -> b -> NULL -> b (three versions);
+    # k=2 sees NULL churn (no version) then 'x'
+    b2 = spark.createDataFrame(
+        [
+            (1, "b", "insert", 1),
+            (1, None, "insert", 2),
+            (1, "b", "insert", 3),
+            (2, None, "insert", 2),
+            (2, "x", "insert", 3),
+        ],
+        "k long, v string, _change_type string, _commit_version long",
+    )
+    fold_scd2_batch(spark, b2, dim, "k", "v")
+    rows = sorted(
+        (
+            (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+            for r in read_delta(spark, dim).collect()
+        ),
+        key=lambda x: (x[0], x[2]),
+    )
+    assert rows == [
+        (1, "a", 0, 1, 0),
+        (1, "b", 1, 2, 0),
+        (1, None, 2, 3, 0),
+        (1, "b", 3, None, 1),
+        (2, None, 0, 3, 0),
+        (2, "x", 3, None, 1),
+    ], rows
+
+
+def test_scd2_fold_effectless_batch_no_rewrite(spark, tmp_path):
+    """A pure-churn batch must not touch the dimension at all (self-review
+    r5): an empty merge frame would pass every file through stats_allow
+    and rewrite the ENTIRE table as remove+add."""
+    from duck_delta_share_spark.sources.delta_log import latest_version
+    from duck_delta_share_spark.streaming.scd2 import fold_scd2_batch
+
+    dim = tmp_path / "dim_churn"
+    base = spark.range(10).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS v",
+        "'insert' AS _change_type", "CAST(0 AS LONG) AS _commit_version",
+    )
+    fold_scd2_batch(spark, base, dim, "k", "v")
+    v0 = latest_version(dim)
+    files0 = {f["url"] for f in snapshot(dim).files}
+    # churn: identical values re-inserted at a later version
+    churn = spark.range(10).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS v",
+        "'insert' AS _change_type", "CAST(1 AS LONG) AS _commit_version",
+    )
+    fold_scd2_batch(spark, churn, dim, "k", "v")
+    assert latest_version(dim) == v0  # no commit at all
+    assert {f["url"] for f in snapshot(dim).files} == files0

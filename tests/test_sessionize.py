@@ -78,3 +78,71 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     )
     _drain(stream, tmp_path, "t_sess_state")
     _check_emitted(spark, "t_sess_state", batch)
+
+
+def test_stateful_sessionize_late_event_does_not_regress(spark, tmp_path):
+    """A late-but-within-watermark cross-batch event must MIN/MAX-extend
+    the open session, never regress its bounds (self-review r5): user 1
+    has events at 12:00, then a late 11:30 plus 12:25 in the next batch —
+    one session [11:30, 12:25] x3, not a split with session_end <
+    session_start."""
+    import pandas as pd
+
+    from duck_delta_share_spark.streaming.sessions import sessionize_with_state
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pd.DataFrame(rows, columns=["user_id", "ts", "value"]).astype(
+            {"user_id": "int64", "value": "float64"}
+        ).to_parquet(src / f"{name}.parquet", coerce_timestamps="us")
+
+    out_dir = tmp_path / "late_out"
+
+    def drain(name):
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp_ntz, value double")
+            .parquet(str(src))
+            .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+        )
+        out = sessionize_with_state(stream, gap_seconds=1800, watermark="2 hours")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, _: b.write.mode("append").parquet(str(out_dir))
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        try:
+            return spark.read.parquet(str(out_dir)).collect()
+        except Exception:
+            return []
+
+    T = pd.Timestamp
+    write_batch("b1", [(1, T("2024-01-01 12:00:00"), 1.0)])
+    drain("late_s1")
+    write_batch(
+        "b2",
+        [(1, T("2024-01-01 11:30:00"), 1.0), (1, T("2024-01-01 12:25:00"), 1.0)],
+    )
+    drain("late_s2")
+    # two pushes of a far-future user advance the watermark past the gap
+    # (batch N's events raise the watermark used by batch N+1), firing the
+    # open session's event-time timeout
+    write_batch("b3", [(2, T("2024-01-01 16:00:00"), 0.0)])
+    drain("late_s3")
+    write_batch("b4", [(2, T("2024-01-01 17:00:00"), 0.0)])
+    emitted = drain("late_s4")
+
+    u1 = [r for r in emitted if r.user_id == 1]
+    assert len(u1) == 1, f"expected one merged session, got {u1}"
+    s = u1[0]
+    assert s.session_start.replace(tzinfo=None) == T("2024-01-01 11:30:00")
+    assert s.session_end.replace(tzinfo=None) == T("2024-01-01 12:25:00")
+    assert s.n_events == 3
+    for r in emitted:
+        assert r.session_end >= r.session_start
