@@ -162,11 +162,18 @@ class FileAction:
             url=inner.get("path", ""),
             id=obj.get("id") or "",
             partition_values=inner.get("partitionValues") or {},
-            size=int(inner.get("size", 0)),
+            # `x or default` guards: optional numeric fields may arrive as
+            # EXPLICIT JSON nulls (remove.size is optional in the Delta
+            # spec) — .get defaults don't apply to present-but-null keys
+            size=int(inner.get("size") or 0),
             stats=inner.get("stats") or "",
-            version=int(obj.get("version", -1)),
-            timestamp=int(obj.get("timestamp", -1)),
-            expiration_timestamp=int(obj.get("expirationTimestamp", -1)),
+            version=int(obj.get("version") if obj.get("version") is not None else -1),
+            timestamp=int(obj.get("timestamp") if obj.get("timestamp") is not None else -1),
+            expiration_timestamp=int(
+                obj.get("expirationTimestamp")
+                if obj.get("expirationTimestamp") is not None
+                else -1
+            ),
             deletion_vector=inner.get("deletionVector"),
         )
         return ("cdf" if kind == "cdc" else kind), fa
@@ -179,11 +186,15 @@ class FileAction:
             url=obj.get("url", ""),
             id=obj.get("id") or "",
             partition_values=obj.get("partitionValues") or {},
-            size=int(obj.get("size", 0)),
+            size=int(obj.get("size") or 0),
             stats=obj.get("stats") or "",
-            version=int(obj.get("version", -1)),
-            timestamp=int(obj.get("timestamp", -1)),
-            expiration_timestamp=int(obj.get("expirationTimestamp", -1)),
+            version=int(obj.get("version") if obj.get("version") is not None else -1),
+            timestamp=int(obj.get("timestamp") if obj.get("timestamp") is not None else -1),
+            expiration_timestamp=int(
+                obj.get("expirationTimestamp")
+                if obj.get("expirationTimestamp") is not None
+                else -1
+            ),
             deletion_vector=obj.get("deletionVector"),
         )
 

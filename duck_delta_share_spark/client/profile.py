@@ -47,6 +47,15 @@ class DeltaSharingProfile:
         {"shareCredentialsVersion": 1, "endpoint": ..., "bearerToken": ...,
          "expirationTime": ...}"""
         obj = json.loads(Path(path).read_text())
+        ver = int(obj.get("shareCredentialsVersion", 1))
+        if ver > 1:
+            # gate on the version FIRST (standard-connector behavior): a
+            # v2 OAuth profile has no bearerToken, and the token-missing
+            # error would send the user hunting for the wrong thing
+            raise ValueError(
+                f"unsupported shareCredentialsVersion {ver}: this client "
+                "implements version 1 (bearer-token profiles)"
+            )
         return cls(
             endpoint=obj.get("endpoint", ""),
             bearer_token=obj.get("bearerToken", ""),

@@ -141,7 +141,10 @@ class DeltaSharingClient:
         path: str,
         query: dict[str, str] | None = None,
         body: dict[str, Any] | None = None,
-    ) -> str:
+        with_headers: bool = False,
+    ):
+        import http.client
+
         url = self.profile.endpoint + path
         if query:
             url += "?" + urllib.parse.urlencode(query)
@@ -153,7 +156,8 @@ class DeltaSharingClient:
             req = urllib.request.Request(url, data=data, headers=self._headers(), method=method)
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
-                    return resp.read().decode()
+                    text = resp.read().decode()
+                    return (text, dict(resp.headers)) if with_headers else text
             except urllib.error.HTTPError as e:
                 raw = e.read().decode(errors="replace")
                 message = raw
@@ -167,8 +171,12 @@ class DeltaSharingClient:
                     time.sleep(min(2**attempt * 0.2, 2.0))
                     continue
                 raise err from None
-            except urllib.error.URLError as e:
-                last_err = DeltaSharingError(0, str(e.reason), url)
+            except (OSError, http.client.HTTPException) as e:
+                # URLError covers connect-phase failures only; read-phase
+                # drops surface as TimeoutError / ConnectionResetError /
+                # IncompleteRead — all transient, all retried, all mapped
+                # to DeltaSharingError like the module contract promises
+                last_err = DeltaSharingError(0, str(getattr(e, "reason", e)), url)
                 if attempt < self.max_retries:
                     time.sleep(min(2**attempt * 0.2, 2.0))
                     continue
@@ -180,7 +188,7 @@ class DeltaSharingClient:
         (reference only forwards caller paging params, cpp:184-191; we
         iterate to exhaustion)."""
         token: str | None = None
-        while True:
+        for _ in range(10_000):  # same runaway-token bound as /query
             query: dict[str, str] = {}
             if max_results is not None:
                 query["maxResults"] = str(max_results)
@@ -191,6 +199,9 @@ class DeltaSharingClient:
             token = obj.get("nextPageToken")
             if not token:
                 return
+        raise DeltaSharingError(
+            0, "listing pagination exceeded 10000 pages (token loop?)", path
+        )
 
     # -- catalog discovery (A1-A5) -------------------------------------------
 
@@ -198,18 +209,19 @@ class DeltaSharingClient:
         return [Share.from_json(o) for o in self._paged_items("/shares", max_results)]
 
     def get_share(self, name: str) -> Share:
-        obj = json.loads(self._request("GET", f"/shares/{urllib.parse.quote(name)}"))
+        obj = json.loads(self._request("GET", f"/shares/{urllib.parse.quote(name, safe='')}"))
         return Share.from_json(obj.get("share", obj))
 
     def list_schemas(self, share: str, max_results: int | None = None) -> list[Schema]:
-        path = f"/shares/{urllib.parse.quote(share)}/schemas"
+        path = f"/shares/{urllib.parse.quote(share, safe='')}/schemas"
         return [Schema.from_json(o, share=share) for o in self._paged_items(path, max_results)]
 
     def list_tables(
         self, share: str, schema: str, max_results: int | None = None
     ) -> list[Table]:
         path = (
-            f"/shares/{urllib.parse.quote(share)}/schemas/{urllib.parse.quote(schema)}/tables"
+            f"/shares/{urllib.parse.quote(share, safe='')}"
+            f"/schemas/{urllib.parse.quote(schema, safe='')}/tables"
         )
         return [
             Table.from_json(o, share=share, schema=schema)
@@ -217,22 +229,32 @@ class DeltaSharingClient:
         ]
 
     def list_all_tables(self, share: str, max_results: int | None = None) -> list[Table]:
-        path = f"/shares/{urllib.parse.quote(share)}/all-tables"
+        path = f"/shares/{urllib.parse.quote(share, safe='')}/all-tables"
         return [Table.from_json(o, share=share) for o in self._paged_items(path, max_results)]
 
     # -- table metadata / version (A6, A7) -----------------------------------
 
     def _table_path(self, share: str, schema: str, table: str) -> str:
         return (
-            f"/shares/{urllib.parse.quote(share)}"
-            f"/schemas/{urllib.parse.quote(schema)}"
-            f"/tables/{urllib.parse.quote(table)}"
+            f"/shares/{urllib.parse.quote(share, safe='')}"
+            f"/schemas/{urllib.parse.quote(schema, safe='')}"
+            f"/tables/{urllib.parse.quote(table, safe='')}"
         )
 
     def query_table_metadata(self, share: str, schema: str, table: str) -> tuple[Protocol, TableMetadata]:
         """GET .../metadata → NDJSON: line 0 protocol, line 1 metaData
-        (cpp:305-355)."""
-        body = self._request("GET", self._table_path(share, schema, table) + "/metadata")
+        (cpp:305-355). The table VERSION travels in the
+        ``Delta-Table-Version`` response header (classic parquet-format
+        metaData bodies carry no version field) — captured here so the
+        no-HEAD fallback of query_table_version returns a real version
+        instead of -1."""
+        import dataclasses
+
+        body, headers = self._request(
+            "GET",
+            self._table_path(share, schema, table) + "/metadata",
+            with_headers=True,
+        )
         protocol = Protocol()
         metadata = TableMetadata()
         for line in parse_ndjson(body):
@@ -240,18 +262,41 @@ class DeltaSharingClient:
                 protocol = check_protocol(Protocol.from_json(line["protocol"]), table)
             elif "metaData" in line:
                 metadata = TableMetadata.from_json(line["metaData"])
+        raw_v = headers.get("Delta-Table-Version") or headers.get(
+            "delta-table-version"
+        )
+        if metadata.version < 0 and raw_v is not None:
+            try:
+                metadata = dataclasses.replace(metadata, version=int(raw_v))
+            except ValueError:
+                pass
         return protocol, metadata
 
     def _head_version(self, path: str) -> int | None:
-        """HEAD the table endpoint and read ``Delta-Table-Version``."""
+        """HEAD the table endpoint and read ``Delta-Table-Version``.
+
+        Servers that DON'T implement HEAD (404/405/501) or omit the header
+        are remembered per client, so a polling streaming source doesn't
+        pay one doomed HEAD before every metadata fetch, trigger after
+        trigger. Transient failures (5xx, connection drops) are NOT
+        cached — the next trigger retries the cheap path."""
+        if getattr(self, "_head_unsupported", False):
+            return None
         url = self.profile.endpoint + path
         req = urllib.request.Request(url, headers=self._headers(), method="HEAD")
         try:
             with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
                 raw = resp.headers.get("Delta-Table-Version")
-                return int(raw) if raw is not None else None
-        except (urllib.error.HTTPError, urllib.error.URLError, ValueError):
-            return None  # server doesn't support HEAD/the header → fall back
+                if raw is None:
+                    self._head_unsupported = True  # header not implemented
+                    return None
+                return int(raw)
+        except urllib.error.HTTPError as e:
+            if e.code in (404, 405, 501):
+                self._head_unsupported = True  # HEAD not implemented
+            return None
+        except (urllib.error.URLError, OSError, ValueError):
+            return None  # transient → fall back this trigger only
 
     def query_table_version(self, share: str, schema: str, table: str) -> int:
         """Table version probe — the protocol's cheap path: HEAD the table

@@ -298,3 +298,81 @@ def test_query_table_changes_pagination(client, server):
     assert [(a.action_type, a.file.id) for a in paged.actions] == [
         (a.action_type, a.file.id) for a in full.actions
     ]
+
+
+def test_path_quoting_escapes_slash():
+    """Share/schema/table names containing '/' must round-trip as ONE path
+    segment (self-review r5: default quote keeps '/' unescaped and the
+    server would route the wrong resource)."""
+    from duck_delta_share_spark.client.rest import DeltaSharingClient as C
+
+    c = C(DeltaSharingProfile(endpoint="http://x", bearer_token="t"))
+    p = c._table_path("a/b", "s c", "t/u")
+    assert p == "/shares/a%2Fb/schemas/s%20c/tables/t%2Fu"
+
+
+def test_delta_action_null_numeric_fields_parse():
+    """Explicit JSON nulls in optional numeric fields (remove.size is
+    optional per the Delta spec) parse instead of raising TypeError."""
+    from duck_delta_share_spark.client.models import FileAction
+
+    kind, fa = FileAction.from_delta_action(
+        {
+            "id": "f1",
+            "version": None,
+            "timestamp": None,
+            "expirationTimestamp": None,
+            "deltaSingleAction": {
+                "remove": {"path": "http://u", "size": None}
+            },
+        }
+    )
+    assert kind == "remove" and fa.size == 0 and fa.version == -1
+
+
+def test_profile_rejects_unsupported_credentials_version(tmp_path):
+    prof = tmp_path / "p.json"
+    prof.write_text(
+        json.dumps(
+            {
+                "shareCredentialsVersion": 2,
+                "endpoint": "http://x",
+                "tokenEndpoint": "http://oauth",
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="shareCredentialsVersion 2"):
+        DeltaSharingProfile.from_file(prof)
+
+
+def test_metadata_get_carries_version_header(client, server):
+    """query_table_metadata captures Delta-Table-Version from the response
+    HEADERS (classic parquet-format metaData bodies carry no version), so
+    the no-HEAD fallback of query_table_version never returns -1."""
+    _, md = client.query_table_metadata("sales", "web", "clicks")
+    assert md.version >= 0
+
+
+def test_head_unsupported_cached(client, server, monkeypatch):
+    """After a header-less HEAD the client stops HEAD-ing (one doomed
+    probe per POLLING TRIGGER otherwise); transient errors don't cache."""
+    calls = {"n": 0}
+    import urllib.request as _ur
+
+    real = _ur.urlopen
+
+    def counting(req, *a, **kw):
+        if getattr(req, "method", None) == "HEAD" or (
+            hasattr(req, "get_method") and req.get_method() == "HEAD"
+        ):
+            calls["n"] += 1
+        return real(req, *a, **kw)
+
+    monkeypatch.setattr(_ur, "urlopen", counting)
+    client._head_unsupported = True  # pretend a prior probe failed 405
+    v1 = client.query_table_version("sales", "web", "clicks")
+    assert calls["n"] == 0  # no HEAD issued while cached
+    assert v1 >= 0  # fallback still returns a real version (header GET)
+    client._head_unsupported = False
+    v2 = client.query_table_version("sales", "web", "clicks")
+    assert calls["n"] == 1 and v2 == v1
