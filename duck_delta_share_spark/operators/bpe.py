@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
+from duck_delta_share_spark.operators.checkpoints import release_local_checkpoint
+
 _EOW = "</w>"
 
 
@@ -111,9 +113,15 @@ def train_bpe_merges(
             break
         left, right = pairs[0]["l"], pairs[0]["r"]
         merges.append((left, right))
+        prev = words
         words = words.select(
             merger(left, right)(F.col("syms")).alias("syms"), "freq"
         ).localCheckpoint(eager=True)
+        # the new round is materialized — release the superseded round's
+        # cached blocks now, not at some future driver GC (n_merges rounds
+        # would otherwise pin n_merges copies of the word table)
+        release_local_checkpoint(prev)
+    release_local_checkpoint(words)
     return merges
 
 

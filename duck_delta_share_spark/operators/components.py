@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from duck_delta_share_spark.operators.checkpoints import release_local_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -83,6 +85,10 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the superseded round's checkpoint is no longer referenced (the
+        # new round is materialized and the changed-count consumed it) —
+        # release its blocks instead of pinning one copy per round
+        release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -99,6 +105,9 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    # the returned plan reads only the FINAL labels checkpoint — the
+    # symmetrized edge table is loop-internal and can be dropped now
+    release_local_checkpoint(sym)
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
@@ -164,7 +173,9 @@ def _connected_components_star(
     prev = None
     converged = False
     for _ in range(max_iterations):
+        prev_e = e
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        release_local_checkpoint(prev_e)  # new round materialized — drop old blocks
         cur = sig(e)
         if cur == prev:
             converged = True
@@ -181,10 +192,21 @@ def _connected_components_star(
             stacklevel=3,
         )
     # Fixpoint edges are (node, component-min) stars; centers map to
-    # themselves. Isolated-after-dedup nodes cannot occur (self loops were
-    # the only way in, and those nodes still appear as centers).
-    return (
+    # themselves. Nodes that appeared ONLY in self-loop edges were removed
+    # by the a != b filter before the iteration and never enter the star
+    # graph — re-admit them as singleton components (parity with the
+    # hashmin branch, whose symmetrized edge set keeps self loops).
+    stars = (
         e.select(F.col("a").alias("node"), F.col("b").alias("component"))
         .union(e.select(F.col("b").alias("node"), F.col("b").alias("component")))
         .distinct()
+    )
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    singletons = all_nodes.join(stars.select("node"), "node", "left_anti")
+    return stars.union(
+        singletons.select("node", F.col("node").alias("component"))
     )

@@ -44,6 +44,8 @@ def _moment_partials(batches):
     s = None
     g = None
     for pdf in batches:
+        if len(pdf) == 0:  # Arrow may deliver empty batches
+            continue
         for col in pdf.columns:
             mat = np.stack(pdf[col].to_numpy()).astype(np.float64)
             n += mat.shape[0]
@@ -142,6 +144,8 @@ def pca_project(
 
     def project(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # Arrow may deliver empty batches
+                continue
             mat = np.stack(pdf[col].to_numpy()).astype(np.float64)
             proj = (mat - mu) @ comps
             pdf = pdf.copy()

@@ -61,15 +61,27 @@ def apply_changes_to_rollup(
         for out, src in sum_cols.items()
     ]
     deltas = changes.groupBy(*ks).agg(*delta_aggs)
+
+    def _sum_merge(out: str):
+        # SUM over an all-NULL key is NULL, not 0 — keep NULL when BOTH
+        # sides are NULL so a key inserted with only NULL values matches
+        # rollup_from_scratch bit-for-bit. (Residual edge, documented: if
+        # every non-NULL row of a key is later deleted while NULL rows
+        # remain, the maintained sum is 0 where a recompute says NULL —
+        # resolving that needs a per-key non-null count, i.e. more state
+        # than the rollup shape carries.)
+        p, d = F.col(out), F.col(f"__d_{out}")
+        return (
+            F.when(p.isNull() & d.isNull(), F.lit(None).cast(DEC))
+            .otherwise(
+                F.coalesce(p, F.lit(0).cast(DEC)) + F.coalesce(d, F.lit(0).cast(DEC))
+            )
+            .alias(out)
+        )
+
     merged = prev.join(deltas, ks, "full_outer").select(
         *ks,
         (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))).alias("n"),
-        *[
-            (
-                F.coalesce(F.col(out), F.lit(0).cast(DEC))
-                + F.coalesce(F.col(f"__d_{out}"), F.lit(0).cast(DEC))
-            ).alias(out)
-            for out in sum_cols
-        ],
+        *[_sum_merge(out) for out in sum_cols],
     )
     return merged.filter(F.col("n") > 0)

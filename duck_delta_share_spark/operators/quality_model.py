@@ -44,7 +44,6 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.filter(F.split(t, " "), lambda x: x != "")
     n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
     n_chr = F.greatest(F.length(t), F.lit(1)).cast("double")
-    stop_arr = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
     return (
         df.withColumn("__toks", toks)
         .withColumn(
@@ -57,8 +56,13 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             / n_tok,
         )
         .withColumn(
+            # occurrence count, NOT array_intersect (which dedups to
+            # distinct stopword TYPES — 'the the the the cat' must score
+            # 0.8, not 0.2, or the feature saturates at |stoplist|/n_tok)
             "f_stopword_frac",
-            F.size(F.array_intersect(F.col("__toks"), stop_arr)).cast("double")
+            F.size(
+                F.filter(F.col("__toks"), lambda x: x.isin(*_EN_STOPWORDS))
+            ).cast("double")
             / n_tok,
         )
         .withColumn(

@@ -145,13 +145,35 @@ def pack_sequences(
     spark = docs.sparkSession
     n = num_range_partitions or spark.sparkContext.defaultParallelism
     with_tok = docs.select(F.col(id_col), toks.alias("n_tokens"))
-    # Range partitioner boundaries come from deterministic (seeded) sampling,
-    # so __pid is stable across the two passes over the same input.
-    ranged = (
-        with_tok.repartitionByRange(n, F.col(id_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
+    # Deterministic range assignment: boundaries are sampled ONCE on the
+    # driver (bounded ~200·n ids — control plane) and baked into the plan
+    # as LITERALS, so both passes (and any recompute) assign identical
+    # range ids. The previous shape used repartitionByRange +
+    # spark_partition_id, whose boundary sampling is seeded from the RDD
+    # id (varies per job) — it had to pin the whole projection in cache
+    # across the call boundary to keep the passes consistent, leaking a
+    # corpus-sized persisted frame per call.
+    boundaries: list = []
+    if n > 1:
+        n_rows = docs.select(id_col).count()
+        if n_rows:
+            frac = min(1.0, (n * 200) / n_rows)
+            ids = sorted(
+                r[0]
+                for r in docs.select(id_col).sample(fraction=frac, seed=41).collect()
+                if r[0] is not None
+            )
+            for i in range(1, n):
+                if ids:
+                    b = ids[min(len(ids) - 1, (len(ids) * i) // n)]
+                    if not boundaries or b != boundaries[-1]:
+                        boundaries.append(b)
+    if boundaries:
+        barr = F.array(*[F.lit(b) for b in boundaries])
+        pid = F.size(F.filter(barr, lambda b: F.col(id_col) >= b))
+    else:
+        pid = F.lit(0)
+    ranged = with_tok.withColumn("__pid", pid)
     # Pass 1: per-range totals -> exclusive prefix offsets. ≤ n rows cross the
     # driver (control plane, not data plane).
     totals = {

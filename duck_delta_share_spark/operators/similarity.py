@@ -49,16 +49,19 @@ def brute_force_topk(
     dot = dot_exact if exact else dot_fast
     norm = norm_exact if exact else norm_fast
 
+    # Zero-norm vectors have no cosine (0/0 = NaN, which Spark orders
+    # ABOVE every real double — one zero vector in base would become rk=1
+    # for every query); skip them like the int8 twin's __n2 > 0 guard.
     b = base.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("__bv"),
         norm(vec_col).alias("__bn"),
-    )
+    ).filter(F.col("__bn") > 0)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         norm(vec_col).alias("__qn"),
-    )
+    ).filter(F.col("__qn") > 0)
     scored = (
         b.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine", dot(F.col("__qv"), F.col("__bv")) / (F.col("__qn") * F.col("__bn")))
@@ -96,34 +99,14 @@ def int8_topk(
     Output: (query_id, vec_id, score_e6, rk), rk <= k, self-matches
     excluded, zero vectors skipped (no cosine exists).
     """
-    from duck_delta_share_spark.operators.embeddings import int8_scale, quantize_int8
-
-    def prep(df, id_alias: str, q_alias: str, n2_alias: str):
-        # three projections on purpose: higher-order functions are
-        # interpreted with NO common-subexpression elimination, so the
-        # scale (itself an array_max over a transform) must be a plain
-        # column before quantize references it per element, and the
-        # quantized array must be a plain column before the self-dot
-        # folds over it — inlining either is O(dim^2) per row
-        staged = df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias("__v"),
-            int8_scale(vec_col).alias("__s"),
-        ).select(
-            id_alias,
-            quantize_int8(F.col("__v"), F.col("__s")).alias(q_alias),
-        )
-        self_dot = F.aggregate(
-            F.transform(F.col(q_alias), lambda x: (x * x).cast("long")),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-        return staged.select(
-            id_alias, q_alias, self_dot.alias(n2_alias)
-        ).filter(F.col(n2_alias) > 0)
-
-    b = prep(base, "vec_id", "__bq", "__bn2")
-    q = prep(queries, "query_id", "__qq", "__qn2")
+    # staging discipline (three projections, no HOF inlining) lives ONCE
+    # in _int8_prep; only the column names differ per side
+    b = _int8_prep(base, id_col, vec_col, "vec_id").withColumnsRenamed(
+        {"__q": "__bq", "__n2": "__bn2"}
+    )
+    q = _int8_prep(queries, id_col, vec_col, "query_id").withColumnsRenamed(
+        {"__q": "__qq", "__n2": "__qn2"}
+    )
     idot = F.aggregate(
         F.zip_with("__qq", "__bq", lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),
@@ -172,30 +155,14 @@ def int8_range_search(
 
     Output: (query_id, vec_id, score_e6), self-matches excluded.
     """
-    # identical prep/scoring to int8_topk (kept textually in sync — the
-    # shared-projection discipline is load-bearing, see int8_topk's note)
-    from duck_delta_share_spark.operators.embeddings import int8_scale, quantize_int8
-
-    def prep(df, id_alias: str, q_alias: str, n2_alias: str):
-        staged = df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias("__v"),
-            int8_scale(vec_col).alias("__s"),
-        ).select(
-            id_alias,
-            quantize_int8(F.col("__v"), F.col("__s")).alias(q_alias),
-        )
-        self_dot = F.aggregate(
-            F.transform(F.col(q_alias), lambda x: (x * x).cast("long")),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-        return staged.select(
-            id_alias, q_alias, self_dot.alias(n2_alias)
-        ).filter(F.col(n2_alias) > 0)
-
-    b = prep(base, "vec_id", "__bq", "__bn2")
-    q = prep(queries, "query_id", "__qq", "__qn2")
+    # identical prep/scoring to int8_topk via the SHARED _int8_prep —
+    # one copy of the load-bearing projection discipline, not three
+    b = _int8_prep(base, id_col, vec_col, "vec_id").withColumnsRenamed(
+        {"__q": "__bq", "__n2": "__bn2"}
+    )
+    q = _int8_prep(queries, id_col, vec_col, "query_id").withColumnsRenamed(
+        {"__q": "__qq", "__n2": "__qn2"}
+    )
     idot = F.aggregate(
         F.zip_with("__qq", "__bq", lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),
@@ -296,6 +263,8 @@ def lsh_bucket_topk(
 
     @F.pandas_udf(ArrayType(LongType()))
     def table_buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # Arrow may deliver empty batches
+            return pd.Series([], dtype=object)
         V = np.vstack(v.to_numpy()).astype(np.float64)
         bits = ((V @ planes.T) > 0).reshape(len(V), n_tables, n_planes)
         per_table = (bits * weights).sum(axis=2) + offsets  # (rows, n_tables)
@@ -319,8 +288,15 @@ def lsh_bucket_topk(
         .select("query_id", "vec_id")
         .distinct()
     )
-    bv = base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__bv"))
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    # zero-norm guard BEFORE scoring: under ANSI the expr scorer's
+    # division throws DIVIDE_BY_ZERO outright (and the arrow scorer's NaN
+    # would sort above every real cosine)
+    bv = base.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__bv")
+    ).filter(norm_fast(F.col("__bv")) > 0)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).filter(norm_fast(F.col("__qv")) > 0)
     pairs = candidates.join(bv, "vec_id").join(F.broadcast(qv), "query_id")
     if scorer == "arrow":
         cosine = _cosine_arrow_udf()(F.col("__qv"), F.col("__bv"))
@@ -328,7 +304,9 @@ def lsh_bucket_topk(
         cosine = dot_fast(F.col("__qv"), F.col("__bv")) / (
             norm_fast(F.col("__qv")) * norm_fast(F.col("__bv"))
         )
-    scored = pairs.withColumn("cosine", cosine)
+    # zero-norm vectors score NaN (0/0) and Spark orders NaN ABOVE every
+    # real double — drop them (no cosine exists), matching int8_topk
+    scored = pairs.withColumn("cosine", cosine).filter(~F.isnan("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -414,12 +392,16 @@ def ivf_topk(
 
     @F.pandas_udf(IntegerType())
     def nearest_centroid(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # Arrow may deliver empty batches
+            return pd.Series([], dtype="int32")
         V = np.vstack(v.to_numpy()).astype(np.float64)
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_centroids(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # Arrow may deliver empty batches
+            return pd.Series([], dtype=object)
         V = np.vstack(v.to_numpy()).astype(np.float64)
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         order = np.argsort(-(V @ C.T), axis=1)[:, :n_probe].astype(np.int32)
@@ -440,7 +422,7 @@ def ivf_topk(
     )
     scored = pairs.withColumn(
         "cosine", _cosine_arrow_udf()(F.col("__qv"), F.col("__bv"))
-    )
+    ).filter(~F.isnan("cosine"))  # zero-norm guard: NaN sorts above reals
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -461,6 +443,8 @@ def _cosine_arrow_udf():
     def cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
         import numpy as np
 
+        if len(a) == 0:  # Arrow may deliver empty batches
+            return pd.Series([], dtype="float64")
         A = np.vstack(a.to_numpy()).astype(np.float64)
         B = np.vstack(b.to_numpy()).astype(np.float64)
         num = np.einsum("ij,ij->i", A, B)
@@ -540,7 +524,7 @@ def embedding_near_dup_pairs(
         F.col(id_col),
         F.col(block_col).alias("__blk"),
         F.col(vec_col).alias("__v"),
-    )
+    ).filter(norm_fast(F.col("__v")) > 0)  # ANSI: zero-norm division throws
     a = v.alias("a")
     b = v.alias("b")
     joined = a.join(
@@ -560,7 +544,11 @@ def embedding_near_dup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             cosine.alias("cosine"),
         )
-        .filter(F.col("cosine") > threshold)
+        # NaN guard must precede the threshold: Spark orders NaN ABOVE
+        # every double, so `NaN > threshold` is TRUE — a zero-norm vector
+        # would "near-dup" with its whole block (the numpy block scorer is
+        # immune: NaN > t is False there)
+        .filter(~F.isnan(F.col("cosine")) & (F.col("cosine") > threshold))
     )
 
 
@@ -725,9 +713,11 @@ def pq_topk(
     books = [np.asarray(b, dtype=np.int16) for b in books]
     self_dots = [np.einsum("kd,kd->k", b.astype(np.int64), b.astype(np.int64)) for b in books]
 
+    # preserve the actual id type (string/int ids must survive the Arrow
+    # round-trip — a hardcoded LongType breaks non-bigint id columns)
     enc_schema = StructType(
         [
-            StructField("vec_id", LongType()),
+            StructField("vec_id", base.schema[id_col].dataType),
             StructField("codes", ArrayType(IntegerType())),
             StructField("rn2", LongType()),
         ]
@@ -1077,6 +1067,8 @@ def ivfpq_topk(
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # Arrow may deliver empty batches
+            return pd.Series([], dtype=object)
         V = np.vstack(v.to_numpy()).astype(np.float64)
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         return pd.Series(
@@ -1085,6 +1077,8 @@ def ivfpq_topk(
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def unit(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # Arrow may deliver empty batches
+            return pd.Series([], dtype=object)
         V = np.vstack(v.to_numpy()).astype(np.float64)
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         return pd.Series(list(V))

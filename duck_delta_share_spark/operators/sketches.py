@@ -78,10 +78,25 @@ def heavy_hitter_terms(
     so the θ·N comparison is bit-identical across engines.
     """
     k = int(math.ceil(1.0 / threshold))
+    spark = df.sparkSession
     toks = df.select(F.explode(tokenize(text_col)).alias("term"))
     summary = misra_gries_candidates(toks, "term", k).cache()
     total = summary.agg(F.sum("__n")).collect()[0][0] or 0
-    candidates = summary.filter(F.col("term").isNotNull()).select("term").distinct()
+    # ≤ k distinct candidate terms by the Misra-Gries guarantee — collect
+    # them (control plane) and bake as literals so the summary cache can
+    # be RELEASED now instead of staying pinned for the session because
+    # the returned lazy plan still referenced it
+    cand_terms = [
+        r[0]
+        for r in summary.filter(F.col("term").isNotNull())
+        .select("term")
+        .distinct()
+        .collect()
+    ]
+    summary.unpersist()
+    candidates = spark.createDataFrame(
+        [(t,) for t in cand_terms], "`term` STRING"
+    )
     counts = (
         toks.join(F.broadcast(candidates), "term")
         .groupBy("term")

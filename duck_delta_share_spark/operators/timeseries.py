@@ -150,14 +150,12 @@ def ewma(
     from pyspark.sql import functions as F
 
     a = float(alpha)
-    bucket = (
-        F.timestamp_seconds(
-            (F.unix_timestamp(ts_col) / bucket_seconds).cast("long")
-            * bucket_seconds
-        )
-        if bucket_seconds
-        else F.col(ts_col)
-    )
+    # NTZ-space bucketing like every sibling helper (time_bucket):
+    # unix_timestamp would interpret the NTZ ts in the SESSION timezone,
+    # landing bucket boundaries at :30 wall-clock under e.g. +5:30 — the
+    # module's "must not assume UTC" invariant and the oracle's
+    # date_trunc('hour', ts) both demand timezone-free flooring
+    bucket = time_bucket(ts_col, bucket_seconds) if bucket_seconds else F.col(ts_col)
     hourly = (
         df.groupBy(*key_cols, bucket.alias("__b"))
         .agg(
@@ -170,7 +168,8 @@ def ewma(
     out_fields = ", ".join(
         f"`{c}` {hourly.schema[c].dataType.simpleString()}" for c in key_cols
     )
-    schema = f"{out_fields}, bucket timestamp, ewma double"
+    bucket_type = hourly.schema["__b"].dataType.simpleString()
+    schema = f"{out_fields}, bucket {bucket_type}, ewma double"
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__b")

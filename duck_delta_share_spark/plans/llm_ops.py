@@ -2181,9 +2181,9 @@ WITH t AS (
 SELECT doc_id,
        CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / n_tok
          AS f_mean_word_len,
-       CAST(len(list_intersect(toks,
+       CAST(len(list_filter(toks, x -> list_contains(
            ['the','a','an','and','or','of','to','in','is','was','for','on',
-            'with','as','by','at','it','this','that','be','are','from']))
+            'with','as','by','at','it','this','that','be','are','from'], x)))
          AS DOUBLE) / n_tok AS f_stopword_frac,
        (n_chr - length(regexp_replace(text, '[0-9]', '', 'g'))) / n_chr
          AS f_digit_frac,
