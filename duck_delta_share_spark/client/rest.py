@@ -241,7 +241,14 @@ class DeltaSharingClient:
             f"/tables/{urllib.parse.quote(table, safe='')}"
         )
 
-    def query_table_metadata(self, share: str, schema: str, table: str) -> tuple[Protocol, TableMetadata]:
+    def query_table_metadata(
+        self,
+        share: str,
+        schema: str,
+        table: str,
+        version: int | None = None,
+        timestamp: str | None = None,
+    ) -> tuple[Protocol, TableMetadata]:
         """GET .../metadata → NDJSON: line 0 protocol, line 1 metaData
         (cpp:305-355). The table VERSION travels in the
         ``Delta-Table-Version`` response header (classic parquet-format
@@ -253,6 +260,14 @@ class DeltaSharingClient:
         body, headers = self._request(
             "GET",
             self._table_path(share, schema, table) + "/metadata",
+            # public protocol: version/timestamp query params return the
+            # metadata AT that table version (time travel must read the
+            # point-in-time SCHEMA, not the latest one)
+            query=(
+                {"version": str(version)}
+                if version is not None
+                else ({"timestamp": timestamp} if timestamp is not None else None)
+            ),
             with_headers=True,
         )
         protocol = Protocol()
@@ -322,6 +337,7 @@ class DeltaSharingClient:
         predicate_hints: list[str] | None = None,
         limit_hint: int | None = None,
         version: int | None = None,
+        timestamp: str | None = None,
         max_files: int | None = None,
         include_refresh_token: bool = False,
         refresh_token: str | None = None,
@@ -351,8 +367,15 @@ class DeltaSharingClient:
                 base_body["predicateHints"] = predicate_hints
             if limit_hint is not None and limit_hint >= 0:
                 base_body["limitHint"] = limit_hint
+            if version is not None and timestamp is not None:
+                raise ValueError(
+                    "version and timestamp are mutually exclusive in a "
+                    "/query request (public protocol)"
+                )
             if version is not None and version >= 0:
                 base_body["version"] = version
+            if timestamp is not None:
+                base_body["timestamp"] = timestamp
         if max_files is not None and max_files > 0:
             base_body["maxFiles"] = max_files
         if include_refresh_token:

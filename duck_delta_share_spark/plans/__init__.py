@@ -141,7 +141,17 @@ _R5_WINDOW = [
 
 
 def _rotate_window(first: list[str]) -> None:
-    lead = [n for n in first if n in QUERIES]
+    # fail LOUD on a typo / renamed query: silently dropping an unknown
+    # name would shift every later entry up one slot and push the last
+    # intended member out of the driver's checked-first-50 window —
+    # exactly the silent evidence loss the rotation exists to prevent
+    unknown = [n for n in first if n not in QUERIES]
+    if unknown:
+        raise ValueError(f"window rotation names unknown queries: {unknown}")
+    dupes = [n for n in set(first) if first.count(n) > 1]
+    if dupes:
+        raise ValueError(f"window rotation repeats queries: {dupes}")
+    lead = list(first)
     rest = [n for n in QUERIES if n not in set(lead)]
     snapshot = dict(QUERIES)
     QUERIES.clear()

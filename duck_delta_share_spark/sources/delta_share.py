@@ -229,7 +229,18 @@ class DeltaShareDataSource(DataSource):
         else:
             share, schema, table = _parse_table_path(self.options.get("path"), self.options)
             client = _make_client(self.options)
-            _, metadata = client.query_table_metadata(share, schema, table)
+            version = self.options.get("versionasof", self.options.get("versionAsOf"))
+            ts = self.options.get("timestampasof", self.options.get("timestampAsOf"))
+            # time travel must read the POINT-IN-TIME schema: a column
+            # added after the requested version would otherwise appear as
+            # a spurious all-null column (or mis-cast a re-added column)
+            _, metadata = client.query_table_metadata(
+                share,
+                schema,
+                table,
+                version=int(version) if version is not None else None,
+                timestamp=ts if version is None else None,
+            )
             base = schema_from_string(metadata.schema_string)
         if _cdf_enabled(self.options):
             return _with_cdf_fields(base)
@@ -264,7 +275,11 @@ class DeltaShareReader(DataSourceReader):
         self.pushed: list[Filter] = []
         self._refresh_token: str | None = None
         self.partition_columns = tuple(
-            c for c in options.get("partitioncolumns", options.get("partitionColumns", "")).split(",") if c
+            c.strip()
+            for c in options.get(
+                "partitioncolumns", options.get("partitionColumns", "")
+            ).split(",")
+            if c.strip()
         )
 
     # -- pushdown (§A10): store filters, forward ALL of them to Spark -------
@@ -331,6 +346,9 @@ class DeltaShareReader(DataSourceReader):
             ]
             return files, tuple(changes.metadata.partition_columns) or self.partition_columns
         version = self.options.get("versionasof", self.options.get("versionAsOf"))
+        ts = self.options.get("timestampasof", self.options.get("timestampAsOf"))
+        if version is not None and ts is not None:
+            raise ValueError("versionAsOf and timestampAsOf are mutually exclusive")
         limit = self.options.get("limithint", self.options.get("limitHint"))
         result = client.query_table(
             share,
@@ -342,6 +360,10 @@ class DeltaShareReader(DataSourceReader):
             predicate_hints=filters_to_sql_hints(self.pushed) or None,
             limit_hint=int(limit) if limit is not None else None,
             version=int(version) if version is not None else None,
+            # protocol time travel: the /query body's timestamp field —
+            # previously this option was silently IGNORED over REST and
+            # the scan returned the latest version labeled point-in-time
+            timestamp=ts,
             # ask for a refresh token so URL-expiry recovery can be a cheap
             # token-only re-query instead of a full re-plan (VERDICT r3 #9)
             include_refresh_token=True,
@@ -395,7 +417,12 @@ class DeltaShareReader(DataSourceReader):
             self.schema,
             self.pushed,
             refresh,
-            want_row_ids=_row_ids_enabled(self.options),
+            # schema() gives the CDF branch precedence over row-id
+            # columns — mirror it here, or a readChangeFeed+withRowIds
+            # read would demand baseRowId from change actions that never
+            # carry one and fail with a misleading error
+            want_row_ids=_row_ids_enabled(self.options)
+            and not _cdf_enabled(self.options),
             row_id_phys=row_id_phys,
         )
 
@@ -542,9 +569,21 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
         fresh = _refresh_url(partition)
         if fresh is None:
             raise
-        table, row_index = _fetch_parquet(
-            fresh, cols, filters, want_row_index=need_index
-        )
+        try:
+            table, row_index = _fetch_parquet(
+                fresh, cols, filters, want_row_index=need_index
+            )
+        except UrlExpiredError:
+            # the process-cached refreshed URL has ITSELF expired (second
+            # expiry generation in a long job): force a fresh /query —
+            # returning the stale cache entry again would fail every task
+            # retry although one control-plane round-trip recovers
+            fresh = _refresh_url(partition, skip_cache=True)
+            if fresh is None:
+                raise
+            table, row_index = _fetch_parquet(
+                fresh, cols, filters, want_row_index=need_index
+            )
 
     if partition.dv is not None:
         # merge-on-read: mask deleted physical rows before emitting.
@@ -582,12 +621,13 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
     for f in part_schema.fields:
         target = arrow_full.field(f.name).type
         raw = partition.partition_values.get(f.name)
-        scalar = pa.scalar(None, type=target) if raw is None else pa.scalar(
-            _cast_partition_value(raw, target), type=target
-        )
-        columns[f.name] = pa.nulls(n, type=target) if raw is None else pa.array(
-            [scalar.as_py()] * n, type=target
-        )
+        if raw is None:
+            columns[f.name] = pa.nulls(n, type=target)
+        else:
+            # pa.repeat builds the constant column natively — no O(n)
+            # Python list + per-element boxing on the executor hot path
+            scalar = pa.scalar(_cast_partition_value(raw, target), type=target)
+            columns[f.name] = pa.repeat(scalar, n)
 
     if partition.row_ids is not None:
         import pyarrow.compute as pc
@@ -595,7 +635,7 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
         base, commit_v = partition.row_ids
         rid = pa.array(base + row_index, type=pa.int64())
         cv = (
-            pa.array([commit_v] * n, type=pa.int64())
+            pa.repeat(pa.scalar(commit_v, type=pa.int64()), n)
             if commit_v is not None
             else pa.nulls(n, type=pa.int64())
         )
@@ -612,12 +652,12 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
     if partition.change is not None:
         action, version, ts_ms = partition.change
         if action != "cdf":
-            columns["_change_type"] = pa.array(
-                ["insert" if action == "add" else "delete"] * n, pa.string()
+            columns["_change_type"] = pa.repeat(
+                pa.scalar("insert" if action == "add" else "delete", pa.string()), n
             )
-        columns["_commit_version"] = pa.array([version] * n, pa.int64())
-        columns["_commit_timestamp"] = pa.array(
-            [ts_ms * 1000] * n, type=arrow_full.field("_commit_timestamp").type
+        columns["_commit_version"] = pa.repeat(pa.scalar(version, pa.int64()), n)
+        columns["_commit_timestamp"] = pa.repeat(
+            pa.scalar(ts_ms * 1000, arrow_full.field("_commit_timestamp").type), n
         )
 
     # Emit in declared schema order, casting data columns to the
@@ -648,7 +688,7 @@ _REFRESH_CACHE: dict[tuple, dict[str, str]] = {}
 _REFRESH_TOKENS: dict[tuple, str] = {}
 
 
-def _refresh_url(partition: _FileTask) -> str | None:
+def _refresh_url(partition: _FileTask, skip_cache: bool = False) -> str | None:
     """Re-query the sharing server for a fresh presigned URL for this file
     (expired-URL recovery). Prefers the protocol's REFRESH-TOKEN flow
     (token-only /query — the server re-signs the same file list without
@@ -661,9 +701,10 @@ def _refresh_url(partition: _FileTask) -> str | None:
     options = partition.refresh
     share, schema, table = _parse_table_path(options.get("path"), options)
     version = options.get("versionasof", options.get("versionAsOf"))
-    key = (options.get("endpoint", ""), share, schema, table, version)
+    ts = options.get("timestampasof", options.get("timestampAsOf"))
+    key = (options.get("endpoint", ""), share, schema, table, version, ts)
     cached = _REFRESH_CACHE.get(key, {}).get(partition.file_id)
-    if cached is not None and cached != partition.url:
+    if not skip_cache and cached is not None and cached != partition.url:
         return cached  # another task in this process already refreshed
     client = _make_client(options)
     token = _REFRESH_TOKENS.get(key) or options.get("__refreshToken")
@@ -681,7 +722,11 @@ def _refresh_url(partition: _FileTask) -> str | None:
             _REFRESH_TOKENS.pop(key, None)
     if result is None:
         result = client.query_table(
-            share, schema, table, version=int(version) if version is not None else None
+            share,
+            schema,
+            table,
+            version=int(version) if version is not None else None,
+            timestamp=ts if version is None else None,
         )
     if result.refresh_token:
         _REFRESH_TOKENS[key] = result.refresh_token
@@ -704,6 +749,15 @@ def _cast_partition_value(raw: str, target: "pa.DataType") -> Any:  # noqa: F821
         return dt.date.fromisoformat(str(raw)[:10])
     if pa.types.is_timestamp(target):
         return dt.datetime.fromisoformat(str(raw).replace("Z", "+00:00")).replace(tzinfo=None)
+    if pa.types.is_decimal(target):
+        # pa.scalar refuses a str for decimal types ("int or Decimal
+        # object expected") — a DECIMAL-partitioned table would crash
+        # every scan without this branch
+        import decimal
+
+        return decimal.Decimal(raw)
+    if pa.types.is_binary(target) or pa.types.is_fixed_size_binary(target):
+        return str(raw).encode("utf-8")
     return str(raw)
 
 
@@ -879,6 +933,15 @@ class DeltaShareStreamReader(DataSourceStreamReader):
         self.max_files = int(mf) if mf else None
         self.max_bytes = int(mb) if mb else None
         self._last_end: int | None = None
+        # partition columns are fixed for a stream's lifetime (Delta
+        # treats repartitioning as a breaking change requiring a restart)
+        # — cache them instead of replaying the FULL delta log every
+        # micro-batch just to re-derive a constant
+        self._part_cols: tuple[str, ...] | None = None
+        # one-shot cache of the last /changes fetch: with admission
+        # control, latestOffset and partitions would otherwise fetch
+        # overlapping version ranges twice per trigger
+        self._changes_cache: tuple[int, int, list, tuple[str, ...]] | None = None
 
     # driver-side ------------------------------------------------------------
 
@@ -914,7 +977,8 @@ class DeltaShareStreamReader(DataSourceStreamReader):
             # everything pending once, cap from the next trigger on
             self._last_end = max(cur_excl, start or 0)
             return {"version": self._last_end}
-        raw, _ = self._changes(start, cur_excl - 1)
+        raw, pc = self._changes(start, cur_excl - 1)
+        self._changes_cache = (start, cur_excl - 1, raw, pc)
         by_version: dict[int, list[dict]] = {}
         for f in raw:
             if f["action"] in ("add", "cdf"):
@@ -943,7 +1007,9 @@ class DeltaShareStreamReader(DataSourceStreamReader):
             )
 
             files = version_changes(self.delta_path, start, end_incl)
-            return files, snapshot(self.delta_path).partition_columns
+            if self._part_cols is None:
+                self._part_cols = snapshot(self.delta_path).partition_columns
+            return files, self._part_cols
         changes = _make_client(self.options).query_table_changes(
             self.share,
             self.schema_name,
@@ -975,7 +1041,19 @@ class DeltaShareStreamReader(DataSourceStreamReader):
             self._last_end = end["version"]
         if start["version"] >= end["version"]:
             return []
-        raw, part_cols = self._changes(start["version"], end["version"] - 1)
+        cached = self._changes_cache
+        self._changes_cache = None
+        if (
+            cached is not None
+            and cached[0] == start["version"]
+            and cached[1] >= end["version"] - 1
+        ):
+            # reuse the throttle pass's fetch for the admitted prefix —
+            # one /changes (or local log read) per trigger, not two
+            raw = [f for f in cached[2] if int(f["version"]) < end["version"]]
+            part_cols = cached[3]
+        else:
+            raw, part_cols = self._changes(start["version"], end["version"] - 1)
         name = self.delta_path or f"{self.share}.{self.schema_name}.{self.table}"
         files = []
         for f in raw:
