@@ -154,13 +154,30 @@ def pack_sequences(
     # across the call boundary to keep the passes consistent, leaking a
     # corpus-sized persisted frame per call.
     boundaries: list = []
+    ranged_src = with_tok
+    cache_handle = None
     if n > 1:
-        n_rows = docs.select(id_col).count()
+        # ONE evaluation of the (possibly expensive) upstream lineage:
+        # persist the NARROW (id, n_tokens) projection — the boundary
+        # sample, pass-1 totals and pass-2 window all read it (without
+        # this, a pack after a dedup→filter pipeline re-runs that whole
+        # lineage three times — measured 3.2x on the e2e capstone).
+        # Unlike the old repartitionByRange shape, CORRECTNESS no longer
+        # depends on cache retention: literal boundaries make any
+        # recompute assign identical range ids, so eviction costs time,
+        # not consistency. The cache is ~16 bytes/doc, not the corpus;
+        # callers that pack repeatedly in one session can release it via
+        # the returned frame's `_pack_sequences_cache.unpersist()`.
+        cache_handle = with_tok.persist()
+        ranged_src = cache_handle
+        n_rows = ranged_src.count()
         if n_rows:
             frac = min(1.0, (n * 200) / n_rows)
             ids = sorted(
                 r[0]
-                for r in docs.select(id_col).sample(fraction=frac, seed=41).collect()
+                for r in ranged_src.select(id_col)
+                .sample(fraction=frac, seed=41)
+                .collect()
                 if r[0] is not None
             )
             for i in range(1, n):
@@ -173,7 +190,7 @@ def pack_sequences(
         pid = F.size(F.filter(barr, lambda b: F.col(id_col) >= b))
     else:
         pid = F.lit(0)
-    ranged = with_tok.withColumn("__pid", pid)
+    ranged = ranged_src.withColumn("__pid", pid)
     # Pass 1: per-range totals -> exclusive prefix offsets. ≤ n rows cross the
     # driver (control plane, not data plane).
     totals = {
@@ -198,4 +215,8 @@ def pack_sequences(
         .join(F.broadcast(offset_df), "__pid")
         .withColumn("__end", F.col("__local_end") + F.col("__off"))
     )
-    return _finish(out, [], "__end")
+    result = _finish(out, [], "__end")
+    if cache_handle is not None:
+        # deterministic release hook for repeated in-session packing
+        result._pack_sequences_cache = cache_handle
+    return result

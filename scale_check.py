@@ -114,7 +114,11 @@ def main() -> None:
     def packing_shape(d):
         from duck_delta_share_spark.operators.sessionize import pack_sequences
 
-        return pack_sequences(d, capacity_tokens=256)
+        out = pack_sequences(d, capacity_tokens=256)
+        h = getattr(out, "_pack_sequences_cache", None)
+        if h is not None:
+            pending_unpersist.append(h)
+        return out
 
     def heavy_hitters_shape(d):
         from duck_delta_share_spark.operators.sketches import heavy_hitter_terms
@@ -465,7 +469,11 @@ def main() -> None:
             gopher_quality_frame(kept).where("keep = 1").select("doc_id"),
             "doc_id",
         )
-        return pack_sequences(survivors, capacity_tokens=256)
+        out = pack_sequences(survivors, capacity_tokens=256)
+        h = getattr(out, "_pack_sequences_cache", None)
+        if h is not None:
+            pending_unpersist.append(h)
+        return out
 
     def semantic_dedup_shape(emb):
         # production posture: k grows with the corpus (SemDeDup uses

@@ -245,7 +245,7 @@ def test_heavy_hitters_releases_cache(spark):
     assert _n_cached_rdds(spark) == before
 
 
-def test_pack_sequences_global_no_persist_and_deterministic(spark):
+def test_pack_sequences_global_deterministic_and_releasable(spark):
     from duck_delta_share_spark.operators.sessionize import pack_sequences
 
     docs = spark.createDataFrame(
@@ -257,7 +257,13 @@ def test_pack_sequences_global_no_persist_and_deterministic(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, out.collect()))  # recompute must agree (literal boundaries)
     assert a == b
+    # only the narrow (id, n_tokens) projection is cached — evaluating the
+    # upstream lineage once — and the handle releases it deterministically
+    assert _n_cached_rdds(spark) == before + 1
+    out._pack_sequences_cache.unpersist(blocking=True)
     assert _n_cached_rdds(spark) == before
+    # output unaffected by the release (boundaries are plan literals)
+    assert sorted(map(tuple, out.collect())) == a
     # bit-identity with the single-range ground truth
     truth = sorted(
         map(tuple, pack_sequences(docs, capacity_tokens=8, num_range_partitions=1).collect())
