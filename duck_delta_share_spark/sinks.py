@@ -300,12 +300,20 @@ def upsert_partitioned(
     for row in touched:
         clause = None
         for c in part_cols:
-            eq = F.col(c) == F.lit(row[c])
+            # eqNullSafe, not ==: a NULL partition value compared with ==
+            # is never true, so the existing rows of the NULL partition
+            # directory would be EXCLUDED from `kept` while the dynamic
+            # overwrite still rewrites that directory — silently deleting
+            # every pre-existing non-matching row in it
+            eq = F.col(c).eqNullSafe(F.lit(row[c]))
             clause = eq if clause is None else (clause & eq)
         cond = clause if cond is None else (cond | clause)
     affected = existing.filter(cond) if cond is not None else existing.limit(0)
     kept = affected.join(F.broadcast(updates.select(*keys)), keys, "left_anti")
-    merged = kept.unionByName(updates.select(*existing.columns))
+    # persist: the row count and the write would otherwise EACH evaluate
+    # the affected-partition read + anti-join (count-then-write double
+    # evaluation); the cache is bounded by the touched partitions
+    merged = kept.unionByName(updates.select(*existing.columns)).persist()
     n_rows = merged.count()
     (
         merged.repartition(*[F.col(c) for c in part_cols])
@@ -315,4 +323,5 @@ def upsert_partitioned(
         .partitionBy(*part_cols)
         .save(path)
     )
+    merged.unpersist()
     return {"partitions_touched": len(touched), "rows_written": n_rows}

@@ -1358,7 +1358,13 @@ def write_delta(
                 schema_string = prev.schema_string
 
     config_delta: dict = {}
-    if cm is not None:
+    if cm is not None or (version > 0 and _mapping_enabled(prev)):
+        # gate on _mapping_enabled, NOT `cm is not None`: right after
+        # enable_column_mapping every physicalName equals its logical name,
+        # so _snap_column_mapping returns None — but a NEW column on such a
+        # table still needs a field id + col-<uuid> physical name, or the
+        # commit produces a protocol-invalid mapped table (unmapped field,
+        # un-bumped maxColumnId) that delta-spark rejects
         schema_string, cm, config_delta = _evolve_column_mapping(
             prev, schema_string, table
         )
@@ -1417,12 +1423,23 @@ def write_delta(
         )
     if version == 0:
         has_defaults = bool(_column_defaults(schema_string))
-        if _row_tracking_enabled(configuration) or cluster_by or has_defaults:
-            # rowTracking / clustering / allowColumnDefaults are v7 table
-            # features: the protocol must list EVERY active writer feature
-            # (including the legacy-implied baseline) so other engines
-            # keep enforcing them
+        ict0 = _ict_enabled(configuration or {})
+        if (
+            _row_tracking_enabled(configuration)
+            or cluster_by
+            or has_defaults
+            or ict0
+        ):
+            # rowTracking / clustering / allowColumnDefaults /
+            # inCommitTimestamp are v7 table features: the protocol must
+            # list EVERY active writer feature (including the
+            # legacy-implied baseline) so other engines keep enforcing
+            # them — a table created with enableInCommitTimestamps=true
+            # previously committed wv=2 and foreign writers could legally
+            # break the monotonic-timestamp obligation
             feats = set(_implied_writer_features(2))
+            if ict0:
+                feats.add("inCommitTimestamp")
             if _row_tracking_enabled(configuration) or cluster_by:
                 feats.add("domainMetadata")
             if _row_tracking_enabled(configuration):
@@ -1532,7 +1549,12 @@ def write_delta(
             version,
             actions,
             operation="WRITE",
-            in_commit_ts=version > 0 and _ict_enabled(prev.configuration),
+            # commit 0 of a table CREATED with enableInCommitTimestamps
+            # must itself carry the in-commit timestamp (the feature is
+            # active from the enablement version onward)
+            in_commit_ts=_ict_enabled(prev.configuration)
+            if version > 0
+            else _ict_enabled(configuration or {}),
             operation_params={"mode": mode, "partitionBy": part_cols},
         )
     except FileExistsError:
@@ -1897,7 +1919,11 @@ def version_changes(
                 else:
                     actions.append(a)
         for a in actions:
-            for kind in ("add", "cdf", "remove"):
+            # the Delta log's change-data action key is "cdc" (AddCDCFile);
+            # "cdf" is only the sharing-protocol wire name — accept both so
+            # foreign-written CDC commits surface their precise change
+            # files instead of the add/remove rewrite churn
+            for kind in ("add", "cdc", "cdf", "remove"):
                 if kind in a:
                     f_ = a[kind]
                     if (
@@ -1916,7 +1942,7 @@ def version_changes(
                             "deletionVector": _resolve_dv(
                                 f_.get("deletionVector"), table
                             ),
-                            "action": kind,
+                            "action": "cdf" if kind == "cdc" else kind,
                             "version": v,
                             "timestamp": ts_ms,
                             # admission control (maxBytesPerTrigger) reads
@@ -2001,9 +2027,24 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
     phys_to_logical = {p: l for l, p in (cm or {}).items()}
     keys = list(key_cols)
     b = updates.agg(
+        F.count(F.lit(1)).alias("__n"),
         *[F.min(k).alias(f"lo_{k}") for k in keys],
         *[F.max(k).alias(f"hi_{k}") for k in keys],
     ).first()
+    if b["__n"] == 0:
+        # an EMPTY updates frame yields no key bounds → zero filters →
+        # stats_allow admits every file → the whole table would be read,
+        # anti-joined against nothing and rewritten as a no-op (and row
+        # tracking would reassign every baseRowId). Nothing to merge.
+        if id_handle is not None:
+            id_handle.unpersist()
+        return {
+            "version": snap.version,
+            "files_rewritten": 0,
+            "files_untouched": len(snap.files),
+            "rows_written": 0,
+        }
+    all_null_keys = [k for k in keys if b[f"lo_{k}"] is None]
     filters = []
     for k in keys:
         if b[f"lo_{k}"] is not None:
@@ -2025,7 +2066,12 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
             }
         return stats_allow(filters, stats)
 
-    candidates = [f for f in snap.files if may_match(f)]
+    # a key column that is entirely NULL in updates can never EQUAL any
+    # existing row (the anti-join is null-rejecting) — no file needs a
+    # rewrite; the merge degenerates to a pure append of the update rows
+    candidates = (
+        [] if all_null_keys else [f for f in snap.files if may_match(f)]
+    )
     untouched = len(snap.files) - len(candidates)
 
     part_cols = list(snap.partition_columns)
@@ -2035,9 +2081,14 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
         merged = kept.unionByName(updates.select(*existing.columns))
     else:
         merged = updates
-    rows = merged.count()
     staged, staged_part_cols = _to_physical(merged, cm, part_cols)
     adds = _stage_files(staged, table, staged_part_cols)
+    # row count for free from the staged files' numRecords stats — a
+    # separate merged.count() would re-read every candidate file and
+    # re-run the anti-join (the heaviest lineage, evaluated twice)
+    rows = sum(
+        int(json.loads(a["add"]["stats"]).get("numRecords") or 0) for a in adds
+    )
     if id_handle is not None:
         id_handle.unpersist()
     rt_actions: list[dict] = []
@@ -2510,6 +2561,14 @@ def _dv_delete_matched(
     prior = snap.protocol or {}
     reader_feats = {"deletionVectors"} | set(prior.get("readerFeatures") or ())
     writer_feats = {"deletionVectors"} | set(prior.get("writerFeatures") or ())
+    # upgrading a LEGACY protocol to v7 must LIST the features the old
+    # minWriterVersion implied (invariants/appendOnly/checkConstraints/
+    # generatedColumns/...), or a compliant v7 engine legally stops
+    # enforcing them (same rule enable_vacuum_protocol_check follows)
+    if int(prior.get("minWriterVersion", 2)) != 7:
+        writer_feats |= _implied_writer_features(
+            int(prior.get("minWriterVersion", 2))
+        )
     if cm or int(prior.get("minReaderVersion", 1)) == 2:
         reader_feats.add("columnMapping")
         writer_feats.add("columnMapping")
@@ -2700,12 +2759,19 @@ def optimize(
     table = Path(table_path)
     snap = snapshot(table)
     _check_local_writer_protocol(snap, "optimize")
+    cm = _snap_column_mapping(snap)
     if zorder_by is None:
         # clustered tables (protocol "Clustered Table") re-cluster on
         # their declared columns by default — OPTIMIZE without arguments
-        # is how delta-spark maintains them
-        zorder_by = clustering_columns(snap) or None
-    cm = _snap_column_mapping(snap)
+        # is how delta-spark maintains them. The clustering domain stores
+        # PHYSICAL-name paths; the frame read below carries LOGICAL names,
+        # so translate (a mapped clustered table whose logical name
+        # differs would otherwise crash zorder_repartition)
+        declared = clustering_columns(snap)
+        if declared and cm:
+            inv = {p: l for l, p in cm.items()}
+            declared = [inv.get(c, c) for c in declared]
+        zorder_by = declared or None
     by_part: dict[tuple, list[dict]] = {}
     for f in snap.files:
         by_part.setdefault(tuple(sorted(f["partitionValues"].items())), []).append(f)
@@ -3241,6 +3307,18 @@ def update_where(
     bad_id = [c for c in assignments if c in _identity_specs(snap.schema_string)]
     if bad_id:
         raise ValueError(f"cannot UPDATE identity column(s) {bad_id}")
+    table_cols = {
+        f["name"] for f in json.loads(snap.schema_string)["fields"]
+    }
+    unknown = [c for c in assignments if c not in table_cols]
+    if unknown:
+        # silently dropping an unknown assignment key would rewrite the
+        # matched files byte-identically while REPORTING rows_updated > 0
+        # — a typo'd column name must fail loudly, like delta-spark
+        raise ValueError(
+            f"UPDATE assigns to column(s) {unknown} not in the table "
+            f"schema {sorted(table_cols)}"
+        )
 
     # pass 1: which files hold matches (the shared raw scan evaluates the
     # logical predicate over physical parquet; DV-masked matches may mark
@@ -3269,8 +3347,15 @@ def update_where(
     # an assigned column. All assignment RHS then evaluate in ONE
     # projection (SQL UPDATE's simultaneous semantics: SET x = y, y = x
     # swaps).
-    df = _direct_read(spark, snap.schema_string, part_cols, touched)
-    df = df.withColumn("__ddss_match", F.expr(condition))
+    # persist the touched-file read + match bit: the match count below
+    # and the staged rewrite would otherwise each evaluate the full
+    # touched-file scan (count-then-write double evaluation)
+    base = (
+        _direct_read(spark, snap.schema_string, part_cols, touched)
+        .withColumn("__ddss_match", F.expr(condition))
+        .persist()
+    )
+    df = base
     m = F.col("__ddss_match")
     rows_updated = df.where(m).count()
     df = df.select(
@@ -3294,6 +3379,7 @@ def update_where(
     _enforce_constraints(df, snap.configuration, "UPDATE")
     staged, staged_part_cols = _to_physical(df, cm, part_cols)
     adds = _stage_files(staged, table, staged_part_cols)
+    base.unpersist()  # staging (an eager write) consumed the cached scan
     rt_actions: list[dict] = []
     if _row_tracking_enabled(snap.configuration):
         rt_actions = _assign_base_row_ids(

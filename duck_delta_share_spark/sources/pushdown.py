@@ -144,6 +144,14 @@ def filter_to_hint(f: Filter) -> dict[str, Any] | None:
             return None
         return children[0] if len(children) == 1 else {"op": "or", "children": children}
     if isinstance(f, Not):
+        if isinstance(f.child, EqualNullSafe) and f.child.value is not None:
+            # NOT(col <=> v) is TRUE for NULL rows, but not(equal(col, v))
+            # evaluates to NULL for them under SQL 3VL — a stats-pruning
+            # server (min=max=v, nullCount>0) would conclude no row can
+            # match and drop the file holding the NULL rows. The hint must
+            # be IMPLIED BY the filter: emit nothing. (Not(EqualTo) stays
+            # sound because `=` is null-rejecting on the filter side too.)
+            return None
         child = filter_to_hint(f.child)
         return {"op": "not", "children": [child]} if child else None
     # StringStartsWith/EndsWith/Contains have no hint-grammar equivalent.
