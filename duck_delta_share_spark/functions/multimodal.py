@@ -84,8 +84,13 @@ def strict_decode(payload: bytes) -> list[float]:
     # WAV bytes, which used to make the WAV branch unreachable wherever
     # PIL is installed (ADVICE r2).
     if wav_codec.is_wav(data):
-        rate, _, samples = wav_codec.decode_wav(data)
-        return wav_codec.audio_features(rate, samples, bins=FEATURE_DIM)
+        rate, ch, width, samples = wav_codec.decode_wav(data)
+        # pass the REAL sample width and channel count: a 32-bit or stereo
+        # WAV featurized under the old hardcoded 16-bit-mono assumption
+        # clamped the histogram and doubled the duration
+        return wav_codec.audio_features(
+            rate, samples, sampwidth=width, channels=ch, bins=FEATURE_DIM
+        )
     try:
         from PIL import Image  # real imaging lib, when the cluster has it
     except ImportError:
@@ -170,8 +175,13 @@ def frame_sample(
     order). The chunking is real distributed plumbing; only the frame
     *decode* is faked downstream."""
     n_frames = F.ceil(F.octet_length(payload_col) / F.lit(every_n_bytes)).cast("int")
+    # sequence(0, -1) counts DOWN ([0, -1]) — an empty payload must yield
+    # an empty array (posexplode then emits zero rows), not two bogus frames
+    idx = F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     frames = F.transform(
-        F.sequence(F.lit(0), n_frames - 1),
+        idx,
         lambda i: F.substring(
             F.col(payload_col), (i * every_n_bytes + 1).cast("int"), every_n_bytes
         ),
@@ -231,22 +241,30 @@ def resize_images(
     cost scales with bytes scanned, batch size bounds executor memory."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        png_magic = b"\x89PNG\r\n\x1a\n"
+
         for pdf in it:
             resized = pdf[payload_col].map(lambda p: resizer(p, target_w, target_h))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "payload": resized,
+                    # format from the ACTUAL output bytes: strict_resize
+                    # re-encodes PNG containers, fake_resize emits raw
+                    # buffers — a hardcoded 'raw' label would make
+                    # consumers misread PNG bytes as pixels
                     "media_meta": [
                         {
                             "media_type": "image",
-                            "format": "raw",
+                            "format": "png"
+                            if (p or b"")[:8] == png_magic
+                            else "raw",
                             "width": target_w,
                             "height": target_h,
                             "duration_ms": 0,
                         }
-                    ]
-                    * len(pdf),
+                        for p in resized
+                    ],
                 }
             )
 

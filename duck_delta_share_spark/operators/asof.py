@@ -69,9 +69,21 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(right_side).alias("__side"),
         F.col(right_value).alias("__rv"),
-    )
+        # a NULL right timestamp can never satisfy right.ts <= left.ts (or
+        # >=): drop it, or ASC NULLS FIRST would sort it to the partition
+        # head and backward mode would carry its value onto every left row
+        # preceding the first real right row (DuckDB ASOF never matches
+        # NULL timestamps)
+    ).filter(F.col("__ts").isNotNull())
 
-    base = Window.partitionBy(on).orderBy("__ts", "__side")
+    from pyspark.sql.types import MapType
+
+    # deterministic tie-break among right rows sharing (key, ts): order by
+    # the carried value too (shuffle fetch order is nondeterministic and
+    # last()/first() would otherwise flicker run-to-run); maps aren't
+    # orderable — such ties stay engine-ordered
+    tie = [] if isinstance(rv_type, MapType) else [F.col("__rv")]
+    base = Window.partitionBy(on).orderBy(F.col("__ts"), F.col("__side"), *tie)
     carried = F.struct(F.col("__ts").alias("mts"), F.col("__rv").alias("mrv"))
     is_right = F.col("__side") == F.lit(right_side)
     if direction == "backward":
@@ -84,7 +96,10 @@ def asof_join(
     out = lhs.unionByName(rhs).withColumn("__m", match).filter(
         F.col("__side") == left_side
     )
-    value = F.col("__m.mrv")
+    # a NULL LEFT timestamp matches nothing either (it sorts to the
+    # partition head, where forward mode would otherwise "match" the
+    # earliest right row)
+    value = F.when(F.col("__ts").isNotNull(), F.col("__m.mrv"))
     if tolerance_seconds is not None:
         bound = F.expr(f"interval {int(tolerance_seconds)} seconds")
         in_window = (

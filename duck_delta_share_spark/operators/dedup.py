@@ -215,6 +215,12 @@ def lsh_candidate_pairs(
     everything" clusters better handled by exact dedup on a normalized
     fingerprint; pass ``None`` to disable.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: trailing "
+            "signature components would be silently dropped and recall "
+            "would quietly fall below the (bands, rows) S-curve"
+        )
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -370,12 +376,21 @@ def ngram_jaccard_pairs(
     set intersection as a distributed hash join, not per-row set ops.
     Output: (id_a, id_b, jaccard) with jaccard > threshold.
     """
+    # the per-doc shingle-set SIZE rides on the exploded rows (one size()
+    # over the materialized array) instead of a separate aggregation of
+    # the same lineage — the old shape evaluated tokenize+shingle over
+    # the corpus TWICE per action (self-join sides share one exchange;
+    # the sizes agg did not) and joined the sizes back with two joins
     sh = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        F.explode(F.array_distinct(word_shingles(tokenize(text_col), shingle_n))).alias("__sh"),
+        F.array_distinct(word_shingles(tokenize(text_col), shingle_n)).alias("__shs"),
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.size("__shs").alias("__sz"),
+        F.explode("__shs").alias("__sh"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     block_cond = None
@@ -393,14 +408,14 @@ def ngram_jaccard_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .agg(F.count(F.lit(1)).alias("__inter"))
+        .agg(
+            F.count(F.lit(1)).alias("__inter"),
+            F.first(F.col("a.__sz")).alias("__sza"),
+            F.first(F.col("b.__sz")).alias("__szb"),
+        )
     )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"))
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             (
@@ -525,6 +540,11 @@ def minhash_md5_lsh_pairs(
     (concat_ws would collapse all empty-signature docs into one giant ''
     bucket); otherwise the exact same capped bucket self-join as
     ``lsh_candidate_pairs``."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: trailing "
+            "signature components would be silently dropped"
+        )
     rows = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -620,8 +640,6 @@ def benchmark_containment(
     Output: (doc_id, n_shingles, n_overlap, containment), one row per
     corpus document that has at least one shingle (>= n tokens).
     """
-    from duck_delta_share_spark.functions.text import tokenize, word_shingles
-
     def shingled(df: DataFrame) -> DataFrame:
         return df.select(
             F.col(id_col),
@@ -631,22 +649,26 @@ def benchmark_containment(
         )
 
     c = shingled(corpus)
-    bench = shingled(benchmark).select("__sh").distinct()
-    sizes = c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    overlap = (
-        c.join(F.broadcast(bench), "__sh", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    bench = shingled(benchmark).select("__sh").distinct().withColumn(
+        "__hit", F.lit(1)
     )
+    # ONE pass over the corpus shingles: the broadcast left join marks
+    # benchmark hits and a single groupBy counts rows AND hits per doc —
+    # the old sizes/overlap split evaluated the corpus shingle lineage
+    # twice and joined the halves back
+    marked = c.join(F.broadcast(bench), "__sh", "left")
     return (
-        sizes.join(overlap, id_col, "left")
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_overlap"),  # count() skips NULLs
+        )
         .select(
             id_col,
             "n_shingles",
-            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            "n_overlap",
             (
-                F.coalesce("n_overlap", F.lit(0)).cast("double")
-                / F.col("n_shingles")
+                F.col("n_overlap").cast("double") / F.col("n_shingles")
             ).alias("containment"),
         )
     )

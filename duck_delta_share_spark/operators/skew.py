@@ -49,7 +49,10 @@ def salted_agg(
     (sum of counts, sum of sums, min of mins, ...). Exact-decimal sums
     stay exact: decimal addition is associative across the two phases.
     """
-    salt = (F.xxhash64(F.col(salt_col)) % n_salts).alias("__salt")
+    # pmod, not %: xxhash64 is signed and Spark's % follows the dividend's
+    # sign, which would spread each key over up to 2*n_salts-1 partials
+    # (the sibling salted_join already uses pmod)
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)).alias("__salt")
     phase1 = df.groupBy(*keys, salt).agg(
         *[a1.alias(name) for name, (a1, _) in aggs.items()]
     )

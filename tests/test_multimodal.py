@@ -236,8 +236,8 @@ def test_wav_roundtrip_and_features():
     samples = [int(10_000 * math.sin(2 * math.pi * 440 * t / 8000)) for t in range(1600)]
     data = wc.encode_wav(samples, sample_rate=8000)
     assert wc.is_wav(data)
-    rate, channels, back = wc.decode_wav(data)
-    assert (rate, channels) == (8000, 1)
+    rate, channels, width, back = wc.decode_wav(data)
+    assert (rate, channels, width) == (8000, 1, 2)
     assert back == samples
 
     f = wc.audio_features(rate, back)
