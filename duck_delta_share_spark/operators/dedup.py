@@ -332,6 +332,7 @@ def simhash_near_pairs(
     prefix_bits: int = 12,
     bits: int = 48,
     max_bucket_size: int | None = 2000,
+    method: str = "prefix",
 ) -> DataFrame:
     """Near-dup candidates: block on the signature's top ``prefix_bits``
     (cheap LSH for SimHash), then exact Hamming distance via bit_count(xor).
@@ -340,7 +341,61 @@ def simhash_near_pairs(
     (ADVICE r1: a hardcoded 48 silently blocked on the wrong bit range for
     64-bit signatures). ``max_bucket_size`` drops degenerate prefix blocks
     before the quadratic pair step — see :func:`_cap_buckets`.
+
+    ``method='pigeonhole'`` is the SCALE mode (Manku et al. 2007,
+    "Detecting Near-Duplicates for Web Crawling"): the signature splits
+    into ``max_hamming + 1`` disjoint blocks; any pair within the Hamming
+    budget must agree EXACTLY on at least one block (pigeonhole), so
+    bucketing per (block index, block bits) gives EXACT recall — unlike
+    prefix blocking, which silently misses every pair that differs inside
+    the prefix AND collapses to ``2^prefix_bits`` buckets that all
+    overflow the cap once the corpus outgrows ``2^prefix_bits *
+    max_bucket_size`` rows (a production corpus under the default 8-bit
+    prefix would silently emit ZERO pairs).
     """
+    if method == "pigeonhole":
+        nb = max_hamming + 1
+        width = bits // nb
+        parts = []
+        for j in range(nb):
+            lo = j * width
+            w = bits - lo if j == nb - 1 else width
+            parts.append(
+                F.struct(
+                    F.lit(j).alias("tbl"),
+                    F.shiftright(F.col("simhash"), lo)
+                    .bitwiseAND(F.lit((1 << w) - 1))
+                    .alias("blk"),
+                )
+            )
+        exploded = sig.select(
+            F.col(id_col), F.col("simhash"), F.explode(F.array(*parts)).alias("bb")
+        ).select(
+            id_col,
+            "simhash",
+            F.col("bb.tbl").alias("__tbl"),
+            F.col("bb.blk").alias("__blk"),
+        )
+        exploded = _cap_buckets(exploded, ["__tbl", "__blk"], max_bucket_size)
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        return (
+            a.join(
+                b,
+                (F.col("a.__tbl") == F.col("b.__tbl"))
+                & (F.col("a.__blk") == F.col("b.__blk"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                ham.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            # a pair can agree on several blocks — emit it once
+            .distinct()
+        )
     blocked = sig.withColumn("__blk", F.shiftright(F.col("simhash"), bits - prefix_bits))
     blocked = _cap_buckets(blocked, ["__blk"], max_bucket_size)
     a = blocked.alias("a")

@@ -468,7 +468,7 @@ _DV_REST_SERVERS: dict[str, Any] = {}
     oracle="""
 SELECT doc_id, lang, source, n_chars
 FROM documents
-WHERE doc_id % 7 <> 0
+WHERE doc_id % 7 <> 0 OR doc_id >= 3500
 ORDER BY doc_id
 """,
     doc="DV-bearing SHARED table over REST (public delta response format): "
@@ -498,10 +498,21 @@ def delta_share_dv_rest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         from duck_delta_share_spark.testing import MiniSharingServer
 
         doc = Path(sf_dir) / "documents.parquet"
-        # bounded demo setup (driver-side): one int column of the fixture
-        # to compute the deleted PHYSICAL positions the oracle mirrors
-        ids = pq.read_table(doc, columns=["doc_id"]).column(0).to_pylist()
-        deleted = [i for i, v in enumerate(ids) if v % 7 == 0]
+        # BOUNDED demo setup: the deleted set is capped (doc_id % 7 = 0
+        # AND doc_id < 3500 → ≤ 500 positions at ANY fixture scale) so
+        # the driver-side DV fixture stays O(1); positions come from
+        # Arrow compute kernels over the compact column buffer, never an
+        # O(n) Python list of ids. The PRODUCT write path builds DVs
+        # executor-side (delete_where); this list only authors the
+        # served fixture.
+        import pyarrow.compute as pc
+
+        ids = pq.read_table(doc, columns=["doc_id"]).column(0).combine_chunks()
+        sel = pc.and_(
+            pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7)), 0),
+            pc.less(ids, 3500),
+        )
+        deleted = pc.indices_nonzero(sel).to_pylist()
         data = dvmod.serialize_dv(deleted)
         tmp = Path(tempfile.mkdtemp(prefix="ddss_dvrest_"))
         (tmp / "documents.dv").write_bytes(

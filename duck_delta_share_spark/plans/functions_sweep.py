@@ -800,33 +800,67 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("e"),
     )
-    arr = enc.groupBy("user_id").agg(
-        F.sort_array(F.collect_list("e")).alias("es")
-    )
     window_us = 86_400_000_000  # 24-hour step deadline
-    stage = F.aggregate(
-        F.col("es"),
-        F.lit(0).cast("long"),
-        lambda acc, v: F.when(
-            (acc % 8 == 0) & (v % 8 == 1),
-            F.floor(v / 8).cast("long") * 8 + 1,
-        )
-        .when(
-            (acc % 8 == 1)
-            & (v % 8 == 2)
-            & (F.floor(v / 8) - F.floor(acc / 8) <= window_us),
-            F.floor(v / 8).cast("long") * 8 + 2,
-        )
-        .when(
-            (acc % 8 == 2)
-            & (v % 8 == 3)
-            & (F.floor(v / 8) - F.floor(acc / 8) <= window_us),
-            F.floor(v / 8).cast("long") * 8 + 3,
-        )
-        .otherwise(acc),
+    # BOUNDED-MEMORY equivalent of the packed-int fold over
+    # sort_array(collect_list(...)): a hot user with 10^8 events would
+    # materialize an ~800 MB array in ONE aggregation row. The fold's
+    # transitions are monotone, so they reduce to running-min window
+    # candidates — v1 = first view; c1 = first click at-or-after v1
+    # (later clicks are strictly farther from v1, so only the first can
+    # pass the deadline); p1 = first purchase at-or-after c1, admitted
+    # only once the stage-2 deadline held. Running MIN over an
+    # unbounded-preceding frame is constant-state streaming; the final
+    # per-user agg reuses the window's partitioning (no extra shuffle).
+    # Equivalence with the literal fold is pinned by the hypothesis
+    # property test (tests/test_funnel.py).
+    from pyspark.sql import Window
+
+    ts = F.floor(F.col("e") / 8)
+    kind = F.col("e") % 8
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return arr.select(
-        "user_id", (stage % 8).cast("int").alias("funnel_stage")
+    s1 = enc.withColumn("__vrun", F.min(F.when(kind == 1, ts)).over(wrun))
+    c_cand = F.when((kind == 2) & F.col("__vrun").isNotNull(), ts)
+    s2 = s1.withColumn("__ccand", c_cand).withColumn(
+        "__crun", F.min(c_cand).over(wrun)
+    )
+    p_cand = F.when(
+        (kind == 3)
+        & F.col("__crun").isNotNull()
+        & (F.col("__crun") - F.col("__vrun") <= window_us),
+        ts,
+    )
+    res = (
+        s2.select(
+            "user_id",
+            F.when(kind == 1, ts).alias("__vcand"),
+            F.col("__ccand"),
+            p_cand.alias("__pcand"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("__vcand").alias("v1"),
+            F.min("__ccand").alias("c1"),
+            F.min("__pcand").alias("p1"),
+        )
+    )
+    stage = (
+        F.when(
+            F.col("p1").isNotNull() & (F.col("p1") - F.col("c1") <= window_us),
+            3,
+        )
+        .when(
+            F.col("c1").isNotNull() & (F.col("c1") - F.col("v1") <= window_us),
+            2,
+        )
+        .when(F.col("v1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return res.select(
+        "user_id", stage.cast("int").alias("funnel_stage")
     ).orderBy("user_id")
 
 

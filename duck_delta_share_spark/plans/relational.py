@@ -221,9 +221,14 @@ GROUP BY p_brand
 def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
+    # no broadcast hint: part grows linearly with scale factor, and the
+    # join has an EQUI key (l_partkey) — a shuffle hash join with the
+    # theta residual as a post-filter is scale-safe; a forced broadcast
+    # would blow the 8 GB cap at large SF (AQE may still choose broadcast
+    # when the dimension is genuinely small)
     return (
         l.join(
-            F.broadcast(p),
+            p,
             (F.col("l_partkey") == F.col("p_partkey")) & (F.col("l_quantity") > F.col("p_size")),
         )
         .groupBy("p_brand")

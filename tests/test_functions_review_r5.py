@@ -214,3 +214,39 @@ def test_lsh_bands_must_divide(spark):
     sigs = minhash_signatures(df, num_hashes=32)
     with pytest.raises(ValueError, match="divide"):
         lsh_candidate_pairs(sigs, num_hashes=32, bands=5)
+
+
+# ---------------------------------------------------------------------------
+# simhash: pigeonhole blocking has exact recall at the hamming budget
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_pigeonhole_exact_recall(spark):
+    from duck_delta_share_spark.operators.dedup import simhash_near_pairs
+
+    # signatures differing ONLY in the top prefix bits: prefix blocking
+    # (the old default) separates them into different buckets and misses
+    # the pair; pigeonhole must find every pair within the budget
+    sig = spark.createDataFrame(
+        [
+            (1, (0b1 << 47) | 0b1010),
+            (2, 0b1010),              # hamming 1 from doc 1 (top bit)
+            (3, 0b1010 ^ 0b11),       # hamming 2 from doc 2 (low bits)
+            (4, (1 << 40) | (1 << 20) | (1 << 5)),  # far from everything
+        ],
+        "doc_id long, simhash long",
+    )
+    prefix = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            sig, max_hamming=2, prefix_bits=8, bits=48
+        ).collect()
+    }
+    pigeon = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            sig, max_hamming=2, bits=48, method="pigeonhole"
+        ).collect()
+    }
+    assert (1, 2) not in prefix  # the old mode's documented miss
+    assert pigeon == {(1, 2), (2, 3)}  # exact recall, no false pairs kept

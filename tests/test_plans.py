@@ -319,3 +319,29 @@ def test_bm25_no_per_doc_length_join(spark):
     for m in re.findall(r"BroadcastHashJoin \[([^\]]*)\]", plan):
         assert "doc_id" not in m, f"per-doc join crept back: {m}"
     assert "CartesianProduct" not in plan
+
+
+def test_zipf_top200_is_take_ordered_not_global_window(spark):
+    """Ranking must TakeOrdered the vocabulary-sized term table down to
+    200 rows BEFORE any no-partition window — a global window over the
+    raw term table funnels the whole vocabulary through one task."""
+    df = QUERIES["zipf_term_slope"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_funnel_no_per_user_array_materialization(spark):
+    """The funnel fold must run as constant-state running-min windows —
+    collect_list would materialize a hot user's whole event history in
+    one aggregation row."""
+    df = QUERIES["funnel_stages"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "collect_list" not in plan and "sort_array" not in plan, plan[:2000]
+
+
+def test_per_group_sample_two_level_topk(spark):
+    """lang has ~5 values: the sample must pre-prune per (lang, input
+    partition) so no single window task sees the whole corpus."""
+    df = QUERIES["per_group_deterministic_sample"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "SPARK_PARTITION_ID" in plan.upper() or "__pid" in plan, plan[:2000]
