@@ -384,31 +384,55 @@ def main() -> None:
             .cast("long")
             .alias("e"),
         )
-        arr = enc.groupBy("user_id").agg(
-            FF.sort_array(FF.collect_list("e")).alias("es")
+        # mirrors the product query's bounded-memory running-min shape
+        # (functions_sweep.funnel_stages) — the old collect_list fold
+        # materialized a hot user's whole history in one aggregation row
+        from pyspark.sql import Window as W
+
+        win = 86_400_000_000
+        ts = FF.floor(FF.col("e") / 8)
+        kind = FF.col("e") % 8
+        wrun = (
+            W.partitionBy("user_id")
+            .orderBy("e")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        stage = FF.aggregate(
-            FF.col("es"),
-            FF.lit(0).cast("long"),
-            lambda acc, v: FF.when(
-                (acc % 8 == 0) & (v % 8 == 1),
-                FF.floor(v / 8).cast("long") * 8 + 1,
+        s1 = enc.withColumn("__vrun", FF.min(FF.when(kind == 1, ts)).over(wrun))
+        c_cand = FF.when((kind == 2) & FF.col("__vrun").isNotNull(), ts)
+        s2 = s1.withColumn("__ccand", c_cand).withColumn(
+            "__crun", FF.min(c_cand).over(wrun)
+        )
+        p_cand = FF.when(
+            (kind == 3)
+            & FF.col("__crun").isNotNull()
+            & (FF.col("__crun") - FF.col("__vrun") <= win),
+            ts,
+        )
+        res = (
+            s2.select(
+                "user_id",
+                FF.when(kind == 1, ts).alias("__vc"),
+                FF.col("__ccand"),
+                p_cand.alias("__pc"),
+            )
+            .groupBy("user_id")
+            .agg(
+                FF.min("__vc").alias("v1"),
+                FF.min("__ccand").alias("c1"),
+                FF.min("__pc").alias("p1"),
+            )
+        )
+        stage = (
+            FF.when(
+                FF.col("p1").isNotNull() & (FF.col("p1") - FF.col("c1") <= win), 3
             )
             .when(
-                (acc % 8 == 1)
-                & (v % 8 == 2)
-                & (FF.floor(v / 8) - FF.floor(acc / 8) <= 86_400_000_000),
-                FF.floor(v / 8).cast("long") * 8 + 2,
+                FF.col("c1").isNotNull() & (FF.col("c1") - FF.col("v1") <= win), 2
             )
-            .when(
-                (acc % 8 == 2)
-                & (v % 8 == 3)
-                & (FF.floor(v / 8) - FF.floor(acc / 8) <= 86_400_000_000),
-                FF.floor(v / 8).cast("long") * 8 + 3,
-            )
-            .otherwise(acc),
+            .when(FF.col("v1").isNotNull(), 1)
+            .otherwise(0)
         )
-        return arr.select("user_id", (stage % 8).cast("int").alias("s"))
+        return res.select("user_id", stage.cast("int").alias("s"))
 
     def scd2_fold_shape(e):
         # the scd2 batch fold's data plane: per-key version chain with
