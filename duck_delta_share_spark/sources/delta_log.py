@@ -66,6 +66,21 @@ class DeltaSnapshot:
     # "Domain Metadata"; row tracking keeps its rowIdHighWaterMark in the
     # delta.rowTracking domain)
     domain_metadata: dict = dataclasses.field(default_factory=dict)
+    # metaData.id from replay: created once at table creation and
+    # PRESERVED by every later metaData commit (PROTOCOL.md) — foreign
+    # streaming readers treat an id change as "table deleted+recreated"
+    metadata_id: str | None = None
+
+
+def _table_id(snap: "DeltaSnapshot | None", table: Path) -> str:
+    """metaData.id for a commit: PRESERVE the replayed id (the spec says
+    it is created once and never changes — regenerating it makes foreign
+    streaming readers believe the table was deleted and recreated); the
+    deterministic uuid5 fallback only names BRAND-NEW tables and logs
+    that never wrote an id."""
+    if snap is not None and snap.metadata_id:
+        return snap.metadata_id
+    return str(uuid.uuid5(uuid.NAMESPACE_URL, str(table)))
 
 
 def _log_dir(table_path: str | Path) -> Path:
@@ -161,6 +176,7 @@ def _apply_action(state: dict, action: dict, table: Path) -> None:
         md = action["metaData"]
         state["schema_string"] = md.get("schemaString") or state["schema_string"]
         state["partition_columns"] = tuple(md.get("partitionColumns") or ())
+        state["metadata_id"] = md.get("id") or state.get("metadata_id")
         # absent key (old checkpoints) keeps prior config; an explicit
         # value — including {} — replaces it (metaData is a full swap)
         if md.get("configuration") is not None:
@@ -318,6 +334,7 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
         configuration=state["configuration"],
         transactions=state["transactions"],
         domain_metadata=state["domain_metadata"],
+        metadata_id=state.get("metadata_id"),
     )
 
 
@@ -473,7 +490,16 @@ def _atomic_commit(
             try:
                 with open(prev_path) as pf:
                     first = json.loads(pf.readline())
-                prev_ts = int(first.get("commitInfo", {}).get("timestamp", 0))
+                info_prev = first.get("commitInfo", {})
+                # clamp against the previous IN-COMMIT timestamp first: a
+                # foreign ICT writer may have clamped its own value ABOVE
+                # its wall-clock commitInfo.timestamp, and regressing
+                # below it breaks the strictly-increasing ICT rule (and
+                # timestampAsOf ordering)
+                prev_ts = int(
+                    info_prev.get("inCommitTimestamp")
+                    or info_prev.get("timestamp", 0)
+                )
                 ts = max(ts, prev_ts + 1)
             except (ValueError, OSError):
                 pass  # legacy commit without commitInfo: wall clock stands
@@ -494,10 +520,39 @@ def _atomic_commit(
             # time lives IN the commit (monotonic by the clamp above)
             info["inCommitTimestamp"] = ts
         actions = [{"commitInfo": info}] + actions
+    # protocol "Add File and Remove File": tombstones carry
+    # deletionTimestamp — foreign VACUUM implementations read a missing
+    # value as epoch 0 and delete the just-removed file IMMEDIATELY,
+    # breaking in-flight readers and time travel inside the retention
+    # window. Stamp every remove here (single choke point).
+    import time as _time
+
+    _now_ms = int(_time.time() * 1000)
+    for a in actions:
+        r = a.get("remove")
+        if isinstance(r, dict) and "deletionTimestamp" not in r:
+            r["deletionTimestamp"] = _now_ms
     path = _commit_path(table, version)
-    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-    with os.fdopen(fd, "w") as f:
-        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    # write-then-LINK, not O_EXCL-then-write: creating the final name
+    # before the content exists opens a torn window where a concurrent
+    # conflict-checking replayer reads an empty/partial commit (missing
+    # the winner's removes → silent lost update) and a crash leaves a
+    # permanently-empty version. os.link is atomic and fails with
+    # FileExistsError when the version already exists — the same race
+    # semantics as O_EXCL, but the full content appears in one shot.
+    tmp = path.with_name(f".{path.name}.{uuid.uuid4().hex[:8]}.tmp")
+    fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.link(tmp, path)
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def _stage_files(
@@ -1057,7 +1112,7 @@ def add_check_constraint(
     actions.append(
         {
             "metaData": {
-                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                "id": _table_id(snap, table),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": snap.schema_string,
                 "partitionColumns": list(snap.partition_columns),
@@ -1088,7 +1143,7 @@ def drop_check_constraint(table_path: str | Path, name: str) -> int:
         [
             {
                 "metaData": {
-                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                    "id": _table_id(snap, table),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": snap.schema_string,
                     "partitionColumns": list(snap.partition_columns),
@@ -1480,7 +1535,7 @@ def write_delta(
         actions.append(
             {
                 "metaData": {
-                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                    "id": _table_id(prev if version > 0 else None, table),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_string,
                     "partitionColumns": part_cols,
@@ -1532,6 +1587,9 @@ def write_delta(
         # losing snapshot — must NOT blind retry: the winning commit may
         # have changed the schema too.
         ict = _ict_enabled(prev.configuration)
+        my_txn_apps = {
+            a["txn"]["appId"] for a in actions if "txn" in a
+        }
         for _ in range(20):
             try:
                 _atomic_commit(
@@ -1541,6 +1599,39 @@ def write_delta(
                 )
                 return version
             except FileExistsError:
+                # Delta's conflict rules: a concurrent metaData/protocol
+                # commit conflicts with EVERY transaction (our rows were
+                # validated against the losing snapshot's constraints/
+                # schema/appendOnly), and a concurrent txn with the same
+                # appId means another instance already applied this batch
+                # (retrying would double-apply it). Only data-only
+                # winners are safe to blind-retry past.
+                winner = _commit_path(table, version)
+                try:
+                    with open(winner) as wf:
+                        for line in wf:
+                            if not line.strip():
+                                continue
+                            a = json.loads(line)
+                            if "metaData" in a or "protocol" in a:
+                                raise RuntimeError(
+                                    f"concurrent metadata/protocol commit at "
+                                    f"version {version} of {table}; re-read "
+                                    "the table and retry the append"
+                                )
+                            if (
+                                "txn" in a
+                                and a["txn"].get("appId") in my_txn_apps
+                            ):
+                                raise RuntimeError(
+                                    f"concurrent transaction for appId "
+                                    f"{a['txn']['appId']!r} committed at "
+                                    f"version {version} of {table}; this "
+                                    "batch may already be applied — re-read "
+                                    "last_txn_version before retrying"
+                                )
+                except OSError:
+                    pass  # winner vanished (log truncation): retry blindly
                 version += 1
         raise RuntimeError(f"could not commit after 20 version races in {table}")
     try:
@@ -1566,6 +1657,69 @@ def write_delta(
             "first; re-read the table and retry the write"
         ) from None
     return version
+
+
+def _write_parquet_atomic(tbl, final: Path) -> None:
+    """temp + rename: a crash mid-write must never leave a torn parquet
+    under the FINAL checkpoint name — _list_versions would count it and
+    every later snapshot() dies reading the truncated file, with no
+    fallback (the torn-write tolerance only covers incomplete MULTI-part
+    sets)."""
+    import pyarrow.parquet as pq
+
+    tmp = final.with_name(f".{final.name}.{uuid.uuid4().hex[:8]}.tmp")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, final)
+
+
+def _write_last_checkpoint(log: Path, payload: dict) -> None:
+    """Atomic _last_checkpoint: write_text truncates-then-writes, exposing
+    readers to empty/partial JSON (delta-spark reads this file before
+    listing). ``size`` is the NUMBER OF ACTIONS in the checkpoint per the
+    spec, not the table's file count."""
+    tmp = log / f"._last_checkpoint.{uuid.uuid4().hex[:8]}.tmp"
+    tmp.write_text(json.dumps(payload))
+    os.replace(tmp, log / "_last_checkpoint")
+
+
+def _recent_tombstones(table: Path, snap: "DeltaSnapshot") -> list[dict]:
+    """Remove tombstones to persist in a checkpoint (PROTOCOL.md
+    Checkpoints: removes must be kept until tombstone-retention expiry —
+    dropping them right after a rewrite makes the replaced files
+    invisible to foreign VACUUMs and to readers reasoning about recent
+    deletes). Last action per path wins: a path re-added later, or live
+    in the current snapshot, is NOT a tombstone. Sources are the RETAINED
+    commit jsons; tombstones older than the truncated log have aged past
+    any sane retention window."""
+    live = {_log_rel(table, f["url"]) for f in snap.files}
+    commits, _ = _list_versions(_log_dir(table))
+    tombs: dict[str, dict] = {}
+    for v in sorted(c for c in commits if c <= snap.version):
+        try:
+            with open(_commit_path(table, v)) as f:
+                lines = [json.loads(x) for x in f if x.strip()]
+        except (OSError, ValueError):
+            continue
+        ts = next(
+            (
+                int(a["commitInfo"].get("timestamp", 0))
+                for a in lines
+                if "commitInfo" in a
+            ),
+            0,
+        )
+        for a in lines:
+            if "remove" in a:
+                rel = unquote(a["remove"]["path"])
+                tombs[rel] = {
+                    "path": a["remove"]["path"],
+                    "deletionTimestamp": a["remove"].get("deletionTimestamp")
+                    or ts,
+                    "dataChange": False,
+                }
+            elif "add" in a:
+                tombs.pop(unquote(a["add"]["path"]), None)
+    return [t for rel, t in sorted(tombs.items()) if rel not in live]
 
 
 def checkpoint(
@@ -1626,7 +1780,7 @@ def checkpoint(
         {
             "protocol": None,
             "metaData": {
-                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                "id": _table_id(snap, table),
                 # spec-required field: compliant external readers reject a
                 # metaData action with no format
                 "format": {"provider": "parquet"},
@@ -1691,6 +1845,8 @@ def checkpoint(
                 },
             }
         )
+    for t in _recent_tombstones(table, snap):
+        rows.append({"protocol": None, "metaData": None, "add": None, "remove": t})
     # explicit schema: partitionValues must be map<string,string> (an empty
     # dict would otherwise infer an unwritable zero-field struct)
     cp_schema = pa.schema(
@@ -1746,6 +1902,16 @@ def checkpoint(
                 ),
             ),
             (
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            (
                 "txn",
                 pa.struct(
                     [
@@ -1777,22 +1943,18 @@ def checkpoint(
             pa.field("checkpointMetadata", pa.struct([("version", pa.int64())]))
         )
         rows.append({"checkpointMetadata": {"version": snap.version}})
-        pq.write_table(
+        _write_parquet_atomic(
             pa.Table.from_pylist(rows, schema=cp_schema),
             log / f"{snap.version:020d}.checkpoint.{uuid.uuid4()}.parquet",
         )
-        (log / "_last_checkpoint").write_text(
-            json.dumps({"version": snap.version, "size": len(snap.files)})
-        )
+        _write_last_checkpoint(log, {"version": snap.version, "size": len(rows)})
         return snap.version
     if max_actions_per_part is None or len(rows) <= max_actions_per_part:
-        pq.write_table(
+        _write_parquet_atomic(
             pa.Table.from_pylist(rows, schema=cp_schema),
             log / f"{snap.version:020d}.checkpoint.parquet",
         )
-        (log / "_last_checkpoint").write_text(
-            json.dumps({"version": snap.version, "size": len(snap.files)})
-        )
+        _write_last_checkpoint(log, {"version": snap.version, "size": len(rows)})
         return snap.version
     per = max(1, int(max_actions_per_part))
     chunks = [rows[i : i + per] for i in range(0, len(rows), per)]
@@ -1810,10 +1972,8 @@ def checkpoint(
         tmp_paths.append((tmp, final))
     for tmp, final in tmp_paths:
         tmp.rename(final)
-    (log / "_last_checkpoint").write_text(
-        json.dumps(
-            {"version": snap.version, "size": len(snap.files), "parts": total}
-        )
+    _write_last_checkpoint(
+        log, {"version": snap.version, "size": len(rows), "parts": total}
     )
     return snap.version
 
@@ -1918,13 +2078,19 @@ def version_changes(
                     _check_local_protocol(a["protocol"], table)
                 else:
                     actions.append(a)
+        # the Delta log's change-data action key is "cdc" (AddCDCFile);
+        # "cdf" is only the sharing-protocol wire name — accept both so
+        # foreign-written CDC commits surface their precise change files.
+        # When a version carries cdc actions they are EXCLUSIVE: the
+        # add/remove churn of the same commit restates rewritten files
+        # and would double-count unchanged rows (PROTOCOL.md "Change
+        # Data Files")
+        has_cdc = any(("cdc" in a) or ("cdf" in a) for a in actions)
         for a in actions:
-            # the Delta log's change-data action key is "cdc" (AddCDCFile);
-            # "cdf" is only the sharing-protocol wire name — accept both so
-            # foreign-written CDC commits surface their precise change
-            # files instead of the add/remove rewrite churn
             for kind in ("add", "cdc", "cdf", "remove"):
                 if kind in a:
+                    if has_cdc and kind in ("add", "remove"):
+                        break
                     f_ = a[kind]
                     if (
                         kind in ("add", "remove")
@@ -2104,7 +2270,7 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
         actions.append(
             {
                 "metaData": {
-                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                    "id": _table_id(snap, table),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": _apply_identity_watermarks(
                         snap.schema_string, id_high
@@ -2181,6 +2347,7 @@ def _commit_with_conflict_check(
     Disjoint blind appends — the common case under concurrent loaders —
     commit on the bumped version without rereading any data.
     """
+    my_txn_apps = {a["txn"]["appId"] for a in actions if "txn" in a}
     version = read_version + 1
     while True:
         if version != read_version + 1:
@@ -2195,6 +2362,17 @@ def _commit_with_conflict_check(
                     if not line.strip():
                         continue
                     a = json.loads(line)
+                    if "txn" in a and a["txn"].get("appId") in my_txn_apps:
+                        # ConcurrentTransaction: another instance of the
+                        # same app committed — our idempotence check read
+                        # a stale last_txn_version; retrying would apply
+                        # the batch twice
+                        raise ConcurrentWriteError(
+                            f"concurrent transaction for appId "
+                            f"{a['txn']['appId']!r} at version {v} of "
+                            f"{table}; re-read last_txn_version and retry "
+                            f"{operation}"
+                        )
                     if "metaData" in a or "protocol" in a:
                         raise ConcurrentWriteError(
                             f"concurrent metadata/protocol commit at version "
@@ -2899,7 +3077,7 @@ def restore_delta(table_path: str | Path, version: int) -> dict:
         actions.append(
             {
                 "metaData": {
-                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                    "id": _table_id(cur, table),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": tgt.schema_string,
                     "partitionColumns": list(tgt.partition_columns),
@@ -3470,7 +3648,7 @@ def _commit_schema_change(
         [
             {
                 "metaData": {
-                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                    "id": _table_id(snap, table),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_string,
                     "partitionColumns": part_cols,
@@ -3624,7 +3802,7 @@ def enable_column_mapping(table_path: str | Path) -> int:
     actions.append(
         {
             "metaData": {
-                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, str(table))),
+                "id": _table_id(snap, table),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": json.dumps(
                     {"type": "struct", "fields": out_fields}
