@@ -928,6 +928,19 @@ class DeltaShareStreamReader(DataSourceStreamReader):
         self.cdf = _cdf_enabled(options)
         raw = options.get("ignoredeletes", options.get("ignoreDeletes", ""))
         self.ignore_deletes = str(raw).lower() in ("true", "1")
+        raw = options.get("ignorechanges", options.get("ignoreChanges", ""))
+        # delta-spark semantics: ignoreChanges implies ignoreDeletes and
+        # ADDITIONALLY admits the dataChange re-adds of update/DV-delete
+        # rewrites (knowingly re-delivering the surviving rows)
+        self.ignore_changes = str(raw).lower() in ("true", "1")
+        if self.ignore_changes:
+            self.ignore_deletes = True
+        raw = options.get("failondataloss", options.get("failOnDataLoss", "true"))
+        self.fail_on_data_loss = str(raw).lower() not in ("false", "0")
+        # table identity captured in offsets: a dropped-and-recreated
+        # table must not be silently misread against an old checkpoint
+        self._tid: str | None = None
+        self._tid_probed = False
         mf = options.get("maxfilespertrigger", options.get("maxFilesPerTrigger"))
         mb = options.get("maxbytespertrigger", options.get("maxBytesPerTrigger"))
         self.max_files = int(mf) if mf else None
@@ -944,6 +957,24 @@ class DeltaShareStreamReader(DataSourceStreamReader):
         self._changes_cache: tuple[int, int, list, tuple[str, ...]] | None = None
 
     # driver-side ------------------------------------------------------------
+
+    def _table_identity(self) -> str | None:
+        if self._tid_probed:
+            return self._tid
+        self._tid_probed = True
+        try:
+            if self.delta_path is not None:
+                from duck_delta_share_spark.sources.delta_log import snapshot
+
+                self._tid = snapshot(self.delta_path).metadata_id
+            else:
+                _, md = _make_client(self.options).query_table_metadata(
+                    self.share, self.schema_name, self.table
+                )
+                self._tid = md.id or None
+        except Exception:
+            self._tid = None  # id-less logs / legacy servers: no check
+        return self._tid
 
     def _current_version(self) -> int:
         if self.delta_path is not None:
@@ -965,11 +996,23 @@ class DeltaShareStreamReader(DataSourceStreamReader):
         # engine already committed — which re-reads versions (duplicates)
         if self._last_end is None or off > self._last_end:
             self._last_end = off
-        return {"version": off}
+        off_d = {"version": off}
+        tid = self._table_identity()
+        if tid:
+            off_d["tableId"] = tid
+        return off_d
 
     def latestOffset(self) -> dict:
         cur_excl = self._current_version() + 1
+        # monotone guard on EVERY path (CLAUDE.md): a regressed version
+        # probe (lagging replica, HEAD failover, directory swap) must not
+        # hand the engine a backward offset — it would commit it and
+        # re-read the regressed versions (duplicates) once the probe
+        # recovers
+        if self._last_end is not None and cur_excl < self._last_end:
+            cur_excl = self._last_end
         if self.max_files is None and self.max_bytes is None:
+            self._last_end = cur_excl
             return {"version": cur_excl}
         start = self._last_end
         if start is None or start >= cur_excl:
@@ -1055,6 +1098,25 @@ class DeltaShareStreamReader(DataSourceStreamReader):
         else:
             raw, part_cols = self._changes(start["version"], end["version"] - 1)
         name = self.delta_path or f"{self.share}.{self.schema_name}.{self.table}"
+        start_tid = start.get("tableId")
+        cur_tid = self._table_identity()
+        if start_tid and cur_tid and start_tid != cur_tid:
+            # the checkpointed offsets belong to a DIFFERENT table
+            # incarnation: silently continuing would skip the recreated
+            # table's first `start` versions and splice two lineages
+            raise ValueError(
+                f"streaming checkpoint was created against table id "
+                f"{start_tid} but {name} now has id {cur_tid} — the table "
+                "was dropped and recreated; start the stream with a fresh "
+                "checkpoint"
+            )
+        # versions whose commit REWROTE files (remove + dataChange add —
+        # update_where / DV delete / merge): under ignoreDeletes alone the
+        # re-add would re-deliver every surviving row of the file as fresh
+        # inserts; delta-spark requires ignoreChanges to opt into that
+        versions_with_removes = {
+            int(f["version"]) for f in raw if f["action"] == "remove"
+        }
         files = []
         for f in raw:
             if not self.cdf:
@@ -1074,8 +1136,38 @@ class DeltaShareStreamReader(DataSourceStreamReader):
                         f"version {f['version']} contains change-data files; "
                         "set readChangeFeed=true to stream them"
                     )
+                if (
+                    f["action"] == "add"
+                    and int(f["version"]) in versions_with_removes
+                    and not self.ignore_changes
+                ):
+                    raise ValueError(
+                        f"version {f['version']} of {name} REWROTE data "
+                        "(update/delete): its re-added files contain "
+                        "already-delivered rows. Set ignoreChanges=true to "
+                        "accept re-delivery of the surviving rows, or "
+                        "readChangeFeed=true for precise change rows."
+                    )
                 f = {k: v for k, v in f.items() if k not in ("action", "version", "timestamp")}
             files.append(f)
+        if not self.fail_on_data_loss and self.delta_path is not None:
+            # recovery escape (delta-spark failOnDataLoss=false): files
+            # vacuumed past retention while the stream was down would
+            # otherwise wedge every restart with FileNotFoundError
+            from pathlib import Path as _P
+
+            present = [f for f in files if _P(f["url"]).exists()]
+            if len(present) < len(files):
+                import warnings
+
+                warnings.warn(
+                    f"failOnDataLoss=false: skipping {len(files) - len(present)} "
+                    f"vacuumed file(s) in {name} versions "
+                    f"[{start['version']}, {end['version']})",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            files = present
         refresh = dict(self.options) if self.delta_path is None else None
         return _build_tasks(files, part_cols, self.schema, [], refresh)
 

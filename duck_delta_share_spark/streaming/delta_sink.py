@@ -32,10 +32,36 @@ def delta_batch_writer(
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
 ):
-    """The ``foreachBatch`` callable: idempotent txn-guarded append."""
+    """The ``foreachBatch`` callable: idempotent txn-guarded append.
+
+    COUPLING (same as delta-spark's txnAppId): batch ids are scoped to
+    the streaming CHECKPOINT. If the checkpoint is recreated (corruption
+    recovery, relocation) while ``app_id`` stays the same, the renumbered
+    batches compare against the old marker and the whole backlog is
+    skipped — a fresh checkpoint requires a fresh ``app_id`` (or
+    clearing the marker). Skipped batches are logged loudly so this
+    failure mode is visible instead of silent.
+    """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_txn_version(table_path, app_id):
+        marker = last_txn_version(table_path, app_id)
+        if batch_id <= marker:
+            if batch_id < marker:
+                # a crash replay is exactly batch_id == marker; STRICTLY
+                # below means the batch numbering restarted — the
+                # checkpoint was recreated with the same appId and the
+                # backlog is being silently dropped
+                import warnings
+
+                warnings.warn(
+                    f"delta sink skipped batch {batch_id} for appId "
+                    f"{app_id!r} whose marker is at {marker}: batch "
+                    "numbering restarted — if this stream got a NEW "
+                    "checkpoint, use a fresh appId or the backlog is "
+                    "dropped.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             return  # replayed micro-batch: already committed atomically
         write_delta(
             batch_df,

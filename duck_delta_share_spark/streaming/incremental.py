@@ -54,6 +54,17 @@ def maintain_rollup_stream(
     out = Path(rollup_path)
     out.mkdir(parents=True, exist_ok=True)
 
+    def _write_meta(meta_file: Path, payload: dict) -> None:
+        # atomic pointer flip: write_text truncates first, so a crash
+        # mid-write would corrupt the pointer and wedge every restart on
+        # json.loads — contradicting the crash-safety the GC relies on
+        import os as _os
+        import uuid as _uuid
+
+        tmp = meta_file.with_name(f".{meta_file.name}.{_uuid.uuid4().hex[:8]}.tmp")
+        tmp.write_text(json.dumps(payload))
+        _os.replace(tmp, meta_file)
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
 
@@ -61,16 +72,37 @@ def maintain_rollup_stream(
 
         meta_file = out / "_meta.json"
         meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
-        if batch_id <= meta.get("last_batch", -1):
-            return  # replayed epoch: rollup already reflects it
+        # replay watermark = max applied SOURCE version (durable across
+        # checkpoint recreation), not the checkpoint-scoped batch id —
+        # after a checkpoint reset, batch 0 covers ALL pending versions
+        # and `batch_id <= last_batch` would drop their deltas forever.
+        # Signed deltas are NOT idempotent, so a batch that partially
+        # overlaps the watermark (fresh checkpoint spanning old + new
+        # versions) applies ONLY the rows above it — per-version deltas
+        # are independent, so the filtered remainder is exactly the
+        # unapplied increment.
+        bounds = batch_df.agg(
+            F.min("_commit_version"), F.max("_commit_version")
+        ).first()
+        lo, hi = bounds[0], bounds[1]
+        last = meta.get("last_version")
+        if last is None and "last_batch" in meta:
+            # legacy meta written before version watermarks: fall back to
+            # the old batch-id guard once; the next applied batch records
+            # last_version
+            if batch_id <= meta["last_batch"]:
+                return
+            last = -1
+        last = -1 if last is None else int(last)
+        if hi is not None and int(hi) <= last:
+            return  # true replay: rollup already reflects every version
+        if lo is not None and int(lo) <= last:
+            batch_df = batch_df.filter(F.col("_commit_version") > last)
         # an EMPTY batch leaves the rollup bytes untouched — only the
         # replay watermark advances (rewriting the full rollup per no-op
         # trigger would copy the whole aggregate every epoch)
-        if meta and batch_df.isEmpty():
-            meta_file.write_text(
-                json.dumps({**meta, "last_batch": batch_id})
-            )
-            return
+        if meta and hi is None:
+            return  # no versions in the batch: nothing to record
         prev = read_rollup(spark, out)
         if prev is None:
             # empty, correctly-typed rollup frame for the first batch
@@ -82,8 +114,12 @@ def maintain_rollup_stream(
         target = f"data_{batch_id}"
         new.write.mode("overwrite").parquet(str(out / target))
         prev_current = meta.get("current")
-        meta_file.write_text(
-            json.dumps({"current": target, "last_batch": batch_id})
+        _write_meta(
+            meta_file,
+            {
+                "current": target,
+                "last_version": int(hi) if hi is not None else -1,
+            },
         )
         # GC superseded generations AFTER the pointer flip, keeping the
         # immediately-previous one for crash safety (a reader that loaded

@@ -161,8 +161,19 @@ def maintain_scd2_stream(
     app = _txn_app(dim_table)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_txn_version(dim_table, app):
-            return  # replayed epoch already folded (SetTransaction marker)
+        # the txn marker records the max folded SOURCE version, not the
+        # Spark batch id: batch ids are CHECKPOINT-scoped and restart from
+        # 0 when a checkpoint is recreated, so `batch_id <= marker` would
+        # silently discard every pending source version forever after a
+        # routine checkpoint-loss recovery. Source versions are durable
+        # and monotone; a batch whose max version <= marker is a true
+        # replay, and a partially-overlapping batch refolds idempotently
+        # (the __cur_from guard drops already-reflected inserts).
+        mv = batch_df.agg(F.max("_commit_version")).first()[0]
+        if mv is None:
+            return  # empty batch: nothing to fold, nothing to mark
+        if int(mv) <= last_txn_version(dim_table, app):
+            return  # replayed versions already folded (SetTransaction)
         fold_scd2_batch(spark, batch_df, dim_table, key_col, value_col)
         # marker commit: empty append carrying only the txn action — a
         # crash between the merge and this marker replays an IDEMPOTENT
@@ -176,7 +187,7 @@ def maintain_scd2_stream(
                 F.lit(0).alias("is_current"),
             ),
             dim_table,
-            txn=(app, batch_id),
+            txn=(app, int(mv)),
         )
 
     changes = (
