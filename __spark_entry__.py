@@ -46,7 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2. The per-round
     window rotation (the driver's correctness gate covers the FIRST 50
     entries) lives in ``duck_delta_share_spark/plans/__init__.py``
-    (``_R4_WINDOW``) — registry order IS the driver order."""
+    (``_R{N}_WINDOW list in plans/__init__.py (rotated each round)``) — registry order IS the driver order."""
     from duck_delta_share_spark.plans import QUERIES
 
     def _wrap(fn):

@@ -95,7 +95,10 @@ def _force(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    try:
+        sf = float(Path(sf_dir).name.removeprefix("sf") or 0.1)
+    except ValueError:
+        sf = None  # non-"sf<N>" directory name: still bench, just untagged
 
     from duck_delta_share_spark.plans import QUERIES
     from duck_delta_share_spark.session import get_spark
@@ -121,6 +124,15 @@ def main() -> None:
     # N times and report per-query MEDIANS, so one noisy run can't read as
     # a regression. Spread (max/min of the per-run totals) is included so
     # the reader can see how noisy the box was.
+    # CACHE SEMANTICS (known, deliberate): a few queries persist
+    # intermediates (minhash signatures, the packing projection) that the
+    # warmup pass materializes, so the timed runs measure the WARM-cache
+    # steady state for those stages — a regression inside a cached stage
+    # is invisible to this bench. Every recorded baseline was measured
+    # under the identical discipline, so per-query ratios stay
+    # apples-to-apples; switching to cold-cache timing (clearCache
+    # between runs) requires re-recording BENCH_BASELINE.json in the
+    # same change.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     per_run: list[dict[str, float]] = []
     for _ in range(runs):

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import json
 import threading
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Any
 
@@ -162,17 +162,33 @@ class MiniSharingServer:
                     if p is None or not p.exists():
                         self._reply(404, b'{"message": "no such file"}')
                         return
-                    data = p.read_bytes()
+                    size = p.stat().st_size
                     rng = self.headers.get("Range", "")
                     if rng.startswith("bytes="):
-                        start_s, _, end_s = rng[6:].partition("-")
-                        size = len(data)
-                        if start_s == "":
-                            start, end = max(0, size - int(end_s)), size - 1
-                        else:
-                            start = int(start_s)
-                            end = min(int(end_s), size - 1) if end_s else size - 1
-                        chunk = data[start : end + 1]
+                        # seek + read the requested range only (a footer
+                        # probe must not re-read the whole file), and
+                        # reject malformed/out-of-range requests with 416
+                        # instead of emitting an invalid 206 or crashing
+                        try:
+                            start_s, _, end_s = rng[6:].partition("-")
+                            if start_s == "":
+                                start = max(0, size - int(end_s))
+                                end = size - 1
+                            else:
+                                start = int(start_s)
+                                end = min(int(end_s), size - 1) if end_s else size - 1
+                        except ValueError:
+                            self._reply(416, b'{"message": "bad range"}')
+                            return
+                        if start >= size or start > end:
+                            self.send_response(416)
+                            self.send_header("Content-Range", f"bytes */{size}")
+                            self.send_header("Content-Length", "0")
+                            self.end_headers()
+                            return
+                        with open(p, "rb") as fh:
+                            fh.seek(start)
+                            chunk = fh.read(end - start + 1)
                         self.send_response(206)
                         self.send_header("Content-Type", "application/octet-stream")
                         self.send_header("Content-Range", f"bytes {start}-{end}/{size}")
@@ -180,7 +196,7 @@ class MiniSharingServer:
                         self.end_headers()
                         self.wfile.write(chunk)
                         return
-                    self._reply(200, data, "application/octet-stream")
+                    self._reply(200, p.read_bytes(), "application/octet-stream")
                     return
                 if self.headers.get("Authorization") != f"Bearer {outer.token}":
                     self._reply(401, b'{"message": "unauthorized"}')
@@ -205,7 +221,11 @@ class MiniSharingServer:
                     return
                 self._reply(404, b'{"message": "not found"}')
 
-        self.httpd = HTTPServer(("127.0.0.1", 0), Handler)
+        # threaded: local[32] executors fetch ranges CONCURRENTLY — a
+        # single-threaded server with a backlog of 5 serializes them and
+        # drops connects under load (kernel SYN retransmit stalls)
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.httpd.daemon_threads = True
         self.port = self.httpd.server_address[1]
         threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
         return self
@@ -217,3 +237,4 @@ class MiniSharingServer:
     def stop(self) -> None:
         if self.httpd:
             self.httpd.shutdown()
+            self.httpd.server_close()  # release the listening socket fd
