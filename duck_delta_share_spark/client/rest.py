@@ -241,6 +241,13 @@ class DeltaSharingClient:
             f"/tables/{urllib.parse.quote(table, safe='')}"
         )
 
+    @staticmethod
+    def _raise_if_both(version, timestamp):
+        if version is not None and timestamp is not None:
+            raise ValueError(
+                "version and timestamp are mutually exclusive (public protocol)"
+            )
+
     def query_table_metadata(
         self,
         share: str,
@@ -257,12 +264,14 @@ class DeltaSharingClient:
         instead of -1."""
         import dataclasses
 
+        self._raise_if_both(version, timestamp)
         body, headers = self._request(
             "GET",
             self._table_path(share, schema, table) + "/metadata",
             # public protocol: version/timestamp query params return the
             # metadata AT that table version (time travel must read the
-            # point-in-time SCHEMA, not the latest one)
+            # point-in-time SCHEMA, not the latest one); both together is
+            # a caller error, same rule as query_table
             query=(
                 {"version": str(version)}
                 if version is not None
@@ -367,11 +376,7 @@ class DeltaSharingClient:
                 base_body["predicateHints"] = predicate_hints
             if limit_hint is not None and limit_hint >= 0:
                 base_body["limitHint"] = limit_hint
-            if version is not None and timestamp is not None:
-                raise ValueError(
-                    "version and timestamp are mutually exclusive in a "
-                    "/query request (public protocol)"
-                )
+            self._raise_if_both(version, timestamp)
             if version is not None and version >= 0:
                 base_body["version"] = version
             if timestamp is not None:

@@ -149,17 +149,24 @@ def _small_star(e: DataFrame) -> DataFrame:
 def _connected_components_star(
     edges: DataFrame, src: str, dst: str, max_iterations: int
 ) -> DataFrame:
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        raw.filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # nodes appearing in SELF-LOOP edges, captured EAGERLY up front: the
+    # singleton re-admission below must not embed fresh scans of the
+    # (possibly very expensive — LSH pair join) edges lineage into the
+    # returned lazy plan, which would re-run it on every action
+    loop_nodes = (
+        raw.filter(F.col("a") == F.col("b"))
+        .select(F.col("a").alias("node"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     if not e.take(1):  # no non-self edges: every edge node is its own root
-        nodes = edges.select(F.col(src).alias("node")).union(
-            edges.select(F.col(dst).alias("node"))
-        ).distinct()
-        return nodes.select("node", F.col("node").alias("component"))
+        return loop_nodes.select("node", F.col("node").alias("component"))
 
     def sig(d: DataFrame):
         # count + order-independent xor of row hashes: a cheap set identity
@@ -201,12 +208,7 @@ def _connected_components_star(
         .union(e.select(F.col("b").alias("node"), F.col("b").alias("component")))
         .distinct()
     )
-    all_nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    singletons = all_nodes.join(stars.select("node"), "node", "left_anti")
+    singletons = loop_nodes.join(stars.select("node"), "node", "left_anti")
     return stars.union(
         singletons.select("node", F.col("node").alias("component"))
     )

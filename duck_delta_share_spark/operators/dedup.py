@@ -360,13 +360,16 @@ def simhash_near_pairs(
         for j in range(nb):
             lo = j * width
             w = bits - lo if j == nb - 1 else width
+            shifted = F.shiftright(F.col("simhash"), lo)
+            # a 64-bit block's mask (2^64-1) does not fit LongType — the
+            # full shifted value IS the block, no masking needed
+            blk = (
+                shifted
+                if w >= 64
+                else shifted.bitwiseAND(F.lit((1 << w) - 1))
+            )
             parts.append(
-                F.struct(
-                    F.lit(j).alias("tbl"),
-                    F.shiftright(F.col("simhash"), lo)
-                    .bitwiseAND(F.lit((1 << w) - 1))
-                    .alias("blk"),
-                )
+                F.struct(F.lit(j).alias("tbl"), blk.alias("blk"))
             )
         exploded = sig.select(
             F.col(id_col), F.col("simhash"), F.explode(F.array(*parts)).alias("bb")

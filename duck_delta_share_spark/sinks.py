@@ -314,14 +314,16 @@ def upsert_partitioned(
     # the affected-partition read + anti-join (count-then-write double
     # evaluation); the cache is bounded by the touched partitions
     merged = kept.unionByName(updates.select(*existing.columns)).persist()
-    n_rows = merged.count()
-    (
-        merged.repartition(*[F.col(c) for c in part_cols])
-        .write.format(fmt)
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*part_cols)
-        .save(path)
-    )
-    merged.unpersist()
+    try:
+        n_rows = merged.count()
+        (
+            merged.repartition(*[F.col(c) for c in part_cols])
+            .write.format(fmt)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .save(path)
+        )
+    finally:
+        merged.unpersist()
     return {"partitions_touched": len(touched), "rows_written": n_rows}

@@ -3535,7 +3535,11 @@ def update_where(
     )
     df = base
     m = F.col("__ddss_match")
-    rows_updated = df.where(m).count()
+    try:
+        rows_updated = df.where(m).count()
+    except Exception:
+        base.unpersist()
+        raise
     df = df.select(
         *[
             F.when(m, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
@@ -3554,10 +3558,14 @@ def update_where(
     df = df.drop("__ddss_match")
     # CHECK constraints apply to the rewritten frame like every other
     # write path (limit(1) early-exit per constraint, touched files only)
-    _enforce_constraints(df, snap.configuration, "UPDATE")
-    staged, staged_part_cols = _to_physical(df, cm, part_cols)
-    adds = _stage_files(staged, table, staged_part_cols)
-    base.unpersist()  # staging (an eager write) consumed the cached scan
+    try:
+        _enforce_constraints(df, snap.configuration, "UPDATE")
+        staged, staged_part_cols = _to_physical(df, cm, part_cols)
+        adds = _stage_files(staged, table, staged_part_cols)
+    finally:
+        # release on the guardrail/failure paths too (a CHECK-constraint
+        # violation would otherwise pin the touched-file scan per attempt)
+        base.unpersist()
     rt_actions: list[dict] = []
     if _row_tracking_enabled(snap.configuration):
         rt_actions = _assign_base_row_ids(

@@ -231,6 +231,13 @@ class DeltaShareDataSource(DataSource):
             client = _make_client(self.options)
             version = self.options.get("versionasof", self.options.get("versionAsOf"))
             ts = self.options.get("timestampasof", self.options.get("timestampAsOf"))
+            if version is not None and ts is not None:
+                # fail at PLANNING time, consistent with _file_actions —
+                # silently preferring version would resolve the schema
+                # from an option the read later rejects
+                raise ValueError(
+                    "versionAsOf and timestampAsOf are mutually exclusive"
+                )
             # time travel must read the POINT-IN-TIME schema: a column
             # added after the requested version would otherwise appear as
             # a spurious all-null column (or mis-cast a re-added column)
@@ -239,7 +246,7 @@ class DeltaShareDataSource(DataSource):
                 schema,
                 table,
                 version=int(version) if version is not None else None,
-                timestamp=ts if version is None else None,
+                timestamp=ts,
             )
             base = schema_from_string(metadata.schema_string)
         if _cdf_enabled(self.options):
@@ -1011,15 +1018,27 @@ class DeltaShareStreamReader(DataSourceStreamReader):
         # recovers
         if self._last_end is not None and cur_excl < self._last_end:
             cur_excl = self._last_end
+
+        def _off(v: int) -> dict:
+            # EVERY offset carries the table identity: the committed end
+            # offset becomes the next batch's start (and the restart
+            # offset), so attaching the id only in initialOffset would
+            # make the drop/recreate check dead after the first batch
+            o = {"version": v}
+            tid = self._table_identity()
+            if tid:
+                o["tableId"] = tid
+            return o
+
         if self.max_files is None and self.max_bytes is None:
             self._last_end = cur_excl
-            return {"version": cur_excl}
+            return _off(cur_excl)
         start = self._last_end
         if start is None or start >= cur_excl:
             # restarted stream: no base offset to throttle from — admit
             # everything pending once, cap from the next trigger on
             self._last_end = max(cur_excl, start or 0)
-            return {"version": self._last_end}
+            return _off(self._last_end)
         raw, pc = self._changes(start, cur_excl - 1)
         self._changes_cache = (start, cur_excl - 1, raw, pc)
         by_version: dict[int, list[dict]] = {}
@@ -1038,7 +1057,7 @@ class DeltaShareStreamReader(DataSourceStreamReader):
                 break
             admitted, n_files, n_bytes = v + 1, n_files + nf, n_bytes + nb
         self._last_end = admitted
-        return {"version": admitted}
+        return _off(admitted)
 
     def _changes(self, start: int, end_incl: int) -> tuple[list[dict], tuple[str, ...]]:
         """Raw per-commit file actions from either backend, in the same

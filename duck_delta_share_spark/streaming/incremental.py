@@ -111,7 +111,12 @@ def maintain_rollup_stream(
                 *[F.sum(F.col(src).cast(DEC)).alias(o) for o, src in sum_cols.items()],
             )
         new = apply_changes_to_rollup(prev, batch_df, keys, sum_cols)
-        target = f"data_{batch_id}"
+        # generation name keyed on the SOURCE-version watermark, not the
+        # batch id: after a checkpoint reset, renumbered batch 0 would
+        # reuse the LIVE generation's name and overwrite it in place —
+        # voiding the write-then-flip crash safety (the guard above makes
+        # each applied watermark unique, so names can never collide)
+        target = f"data_v{int(hi) if hi is not None else 0}"
         new.write.mode("overwrite").parquet(str(out / target))
         prev_current = meta.get("current")
         _write_meta(

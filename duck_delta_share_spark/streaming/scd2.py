@@ -31,7 +31,15 @@ from pyspark.sql import functions as F
 
 
 def _txn_app(dim_table: str | Path) -> str:
-    return f"scd2:{Path(dim_table).resolve()}"
+    # ":srcver" namespaces the marker SEMANTICS: the value is the max
+    # folded SOURCE version (durable), not the checkpoint-scoped batch id
+    # the pre-r5 marker stored. Reusing the old app id would compare a
+    # version against a stale batch-id watermark — a batch-id marker
+    # larger than the source's current version would silently drop every
+    # future batch. Old-marker dimensions simply refold once under the
+    # new id; the fold is replay-idempotent, so the migration is a no-op
+    # merge.
+    return f"scd2:srcver:{Path(dim_table).resolve()}"
 
 
 def fold_scd2_batch(

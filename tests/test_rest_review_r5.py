@@ -54,16 +54,17 @@ def test_timestamp_as_of_sent_in_query_body(registered, server):
 
 
 def test_version_and_timestamp_mutually_exclusive(registered, server):
-    df = (
-        registered.read.format("deltashare")
-        .option("endpoint", server.endpoint)
-        .option("bearerToken", "secret-token")
-        .option("versionAsOf", "1")
-        .option("timestampAsOf", "2024-01-01T00:00:00Z")
-        .load("sales.web.clicks")
-    )
+    # fails at PLANNING time now (schema resolution), not first collect
     with pytest.raises(Exception, match="mutually exclusive"):
-        df.collect()
+        (
+            registered.read.format("deltashare")
+            .option("endpoint", server.endpoint)
+            .option("bearerToken", "secret-token")
+            .option("versionAsOf", "1")
+            .option("timestampAsOf", "2024-01-01T00:00:00Z")
+            .load("sales.web.clicks")
+            .collect()
+        )
 
 
 def test_version_as_of_fetches_metadata_at_version(registered, server):
