@@ -158,7 +158,13 @@ FROM events WHERE event_id % 17 = 0
     doc="rolling EXACT median (+min/max) over a 10-row frame per type — "
     "Spark's percentile(value, 0.5) as a WINDOW aggregate vs DuckDB "
     "median(): both interpolate even-count middles identically, so the "
-    "robust-smoothing primitive is hash-checked, not approximated",
+    "robust-smoothing primitive is hash-checked, not approximated. "
+    "SCALE NOTE: the per-type window holds a type's whole sampled "
+    "history in one task — fine while per-key history is bounded; for "
+    "unbounded histories the production shape is time-bucketed windows "
+    "with frame-width overlap replication (not used here because sparse "
+    "buckets let a 10-row frame span multiple buckets, breaking the "
+    "bit-exact oracle contract this query exists to pin)",
 )
 def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").where("event_id % 17 = 0")
@@ -204,7 +210,12 @@ FROM w
 GROUP BY event_type, bucket
 ORDER BY event_type, bucket
 """,
-    doc="hourly TWAP per event_type (operators/timeseries.py:twap — the "
+    doc="SCALE NOTE: window partitions are (type, hour); fixture "
+    "timestamps span a FIXED month so per-partition density grows with "
+    "SF, but a production event stream grows along TIME — per-(type, "
+    "hour) rows are bounded by arrival rate, the natural partitioning "
+    "assumption. "
+    "hourly TWAP per event_type (operators/timeseries.py:twap — the "
     "time-weighted rollup irregular series need; a plain AVG weights a "
     "59-minute holding equal to a 1-second one): each value is weighted "
     "by microseconds held until the next observation in the bucket, the "

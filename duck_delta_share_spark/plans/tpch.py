@@ -157,7 +157,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            s,  # supplier is SF-proportional: no forced broadcast (AQE
+            # still broadcasts it while genuinely small)
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -309,6 +310,6 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1997-09-01"))
             & (F.col("l_shipdate") < _ts("1997-10-01"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))  # part scales with SF
         .agg((dsum(promo) / dsum(disc_price)).alias("promo_revenue_ratio"))
     )

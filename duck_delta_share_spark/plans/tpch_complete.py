@@ -83,7 +83,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         p.filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
         .join(cost, F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(eu, F.col("l_suppkey") == F.col("s_suppkey"))  # eu suppliers scale with SF
         .withColumn(
             "best_cost", F.min("supply_cost").over(Window.partitionBy("p_partkey"))
         )
@@ -125,8 +125,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # part slice + supplier both scale with SF — only nation is a
+        # bounded dimension here; AQE broadcasts the small sides at runtime
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -211,7 +213,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1997-01-01"))
             & (F.col("l_shipdate") < _ts("1998-01-01"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))  # part slice scales with SF
         .groupBy("l_suppkey")
         .agg(dsum("l_quantity").alias("qty"))
     )
@@ -221,7 +223,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shipped.crossJoin(F.broadcast(threshold))
         .filter(F.col("qty") > F.col("thr"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))  # supplier scales with SF
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name", "qty")
         .orderBy("s_name")

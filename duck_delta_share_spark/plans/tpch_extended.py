@@ -273,8 +273,17 @@ WHERE p_brand = 'Brand#1'
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    # semi-filter lineitem to the surviving brand's partkeys BEFORE the
+    # per-part average: per-key averages are unaffected by dropping other
+    # keys, and aggregating ALL of lineitem for a 1/25 brand slice is
+    # SF-proportional wasted shuffle
+    l_brand = l.join(
+        p.select(F.col("p_partkey").alias("sp_partkey")),
+        F.col("l_partkey") == F.col("sp_partkey"),
+        "left_semi",
+    )
     per_part_avg = (
-        l.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        l_brand.groupBy(F.col("l_partkey").alias("ap_partkey"))
         .agg(
             (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("l_quantity")).alias(
                 "avg_qty"
@@ -282,7 +291,9 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        # the brand slice of part is a constant FRACTION — still
+        # SF-proportional, so no forced broadcast (AQE decides at runtime)
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(per_part_avg, F.col("ap_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
@@ -366,7 +377,9 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        # full part table scales with SF — no forced broadcast; AQE still
+        # chooses broadcast while it is genuinely small
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )

@@ -127,7 +127,12 @@ GROUP BY lang, source
 """,
     doc="custom UDAF via applyInPandas: exact per-group median (linear "
     "interpolation = QUANTILE_CONT) + exact int sums; whole group required "
-    "per task — groups are (lang, source)-bounded, not corpus-bounded",
+    "per task. SCALE NOTE: grouped-map materializes each WHOLE group as "
+    "one pandas frame, and with a fixed (lang, source) set the group "
+    "SIZE is corpus-proportional — this query deliberately exercises the "
+    "UDAF surface; the production form of this aggregate is the builtin "
+    "percentile() (see window_rolling_median), which never copies a "
+    "group into Python",
 )
 def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
