@@ -411,3 +411,117 @@ def test_temporal_json_hint_value_format():
     assert lit["valueType"] == "timestamp"
     assert _dt.datetime.fromisoformat(lit["value"]) == _dt.datetime(2021, 3, 2, 4, 5, 6)
     assert "T" in lit["value"]
+
+
+# ---------------------------------------------------------------------------
+# 3VL (Kleene) soundness: a stats-pruning server evaluates hints under SQL
+# three-valued logic, where a NULL operand makes a comparison UNKNOWN and
+# not(UNKNOWN) stays UNKNOWN — "unknown for a matching row" means the server
+# may legally prune the file holding that row. The 2VL test above cannot see
+# this class: the Not(EqualNullSafe) unsoundness (fixed in r5) evaluated
+# not(False) = True under 2VL while being UNKNOWN under 3VL.
+# ---------------------------------------------------------------------------
+
+
+def _eval_hint3(node: dict, row: dict):
+    """Kleene interpreter: returns True / False / None (unknown)."""
+    op = node["op"]
+    if op == "and":
+        vals = [_eval_hint3(c, row) for c in node["children"]]
+        if any(v is False for v in vals):
+            return False
+        return None if any(v is None for v in vals) else True
+    if op == "or":
+        vals = [_eval_hint3(c, row) for c in node["children"]]
+        if any(v is True for v in vals):
+            return True
+        return None if any(v is None for v in vals) else False
+    if op == "not":
+        v = _eval_hint3(node["children"][0], row)
+        return None if v is None else (not v)
+    if op == "isNull":
+        return row.get(node["children"][0]["name"]) is None
+    col, lit = node["children"]
+    v = row.get(col["name"])
+    if v is None:
+        return None  # UNKNOWN, not False — the whole point of 3VL
+    litv = int(lit["value"]) if lit["valueType"] in ("int", "long") else lit["value"]
+    return {
+        "equal": v == litv,
+        "lessThan": v < litv,
+        "lessThanOrEqual": v <= litv,
+        "greaterThan": v > litv,
+        "greaterThanOrEqual": v >= litv,
+    }[op]
+
+
+@st.composite
+def negated_filter_lists(draw):
+    """Like filter_lists but Not may wrap ANY negatable leaf, including
+    EqualNullSafe — the exact shape whose naive translation is unsound."""
+    leaves = draw(st.lists(leaf_filters(), min_size=1, max_size=4))
+    out = []
+    for f in leaves:
+        if draw(st.booleans()) and isinstance(
+            f, (EqualTo, EqualNullSafe, In, IsNull, IsNotNull)
+        ):
+            out.append(Not(f))
+        else:
+            out.append(f)
+    return out
+
+
+def _eval_filter3(f, row: dict):
+    """SQL (Kleene) reference semantics for the pushed Filters themselves:
+    True / False / None. A row MATCHES a filter only when this is True —
+    the plain `_eval_filter` above collapses Not(UNKNOWN) to True, which
+    over-claims which rows match (SQL NOT(a=0) is UNKNOWN for NULL a)."""
+    if isinstance(f, Not):
+        v = _eval_filter3(f.child, row)
+        return None if v is None else (not v)
+    v = row.get(f.attribute[0])
+    if isinstance(f, IsNull):
+        return v is None
+    if isinstance(f, IsNotNull):
+        return v is not None
+    if isinstance(f, EqualNullSafe):  # <=> is 2VL by definition
+        return v is None if f.value is None else (v is not None and v == f.value)
+    if isinstance(f, In):
+        if v is None:
+            return None
+        if v in [x for x in f.value if x is not None]:
+            return True
+        return None if any(x is None for x in f.value) else False
+    if v is None or getattr(f, "value", 0) is None:
+        return None
+    if isinstance(f, EqualTo):
+        return v == f.value
+    if isinstance(f, LessThan):
+        return v < f.value
+    if isinstance(f, LessThanOrEqual):
+        return v <= f.value
+    if isinstance(f, GreaterThan):
+        return v > f.value
+    if isinstance(f, GreaterThanOrEqual):
+        return v >= f.value
+    raise AssertionError(f"unhandled {f}")
+
+
+@given(
+    filters=negated_filter_lists(),
+    row=st.fixed_dictionaries({c: st.one_of(st.none(), _ints) for c in COLS}),
+)
+@settings(max_examples=400, deadline=None)
+def test_hint_tree_3vl_sound(filters, row):
+    """For every row matching all filters (definitely TRUE under SQL
+    semantics), the emitted hint tree must also be DEFINITELY TRUE under
+    Kleene logic — UNKNOWN lets a stats-pruning server drop the file that
+    holds the matching row. This is the class the r5 Not(EqualNullSafe)
+    fix closed; the generator covers every negatable leaf."""
+    hints = filters_to_json_hints(filters)
+    if hints is None:
+        return
+    if all(_eval_filter3(f, row) is True for f in filters):
+        assert _eval_hint3(hints, row) is True, (
+            f"hint UNKNOWN/False for a matching row: {filters} {row}"
+        )
