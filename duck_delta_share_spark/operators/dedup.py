@@ -945,6 +945,8 @@ def semantic_dedup(
     threshold: float = 0.35,
     centroids: DataFrame | None = None,
     engine: str = "literal",
+    max_cluster_size: int = 100_000,
+    oversize: str = "error",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     deduplication over an embedding column: cluster the corpus with a
@@ -963,12 +965,25 @@ def semantic_dedup(
     Scale shape (100 TB posture): the assignment pass is ZERO-shuffle
     (centroids folded per row as an array literal). The only wide
     exchange is the within-cluster self-join keyed on cluster_id;
-    clusters bound the pair blow-up to ~(n/k)^2 per cluster, and an
-    oversized cluster is the same skew case the LSH bucket caps handle
-    (_cap_buckets) — raise k or cap cluster size for pathological
-    corpora. Nothing all-pairs, nothing driver-side beyond the k x d
-    centroid pull.
+    clusters bound the pair blow-up to ~(n/k)^2 per cluster. A
+    pathological corpus (everything lands in one cluster) is ENFORCED
+    against, not just documented: per-task memory is O(block x n) (the
+    similarity matmul is row-blocked, never the n x n matrix), and a
+    cluster larger than ``max_cluster_size`` either fails LOUDLY inside
+    the task (``oversize="error"``, the default — quadratic time in a
+    degenerate cluster is a k/threshold misconfiguration the job owner
+    must see) or is pigeonhole-sharded (``oversize="shard"``:
+    ceil(size/cap) hash shards per oversized cluster, dedup within each
+    shard — bounded ~cap^2 work per group at the cost of cross-shard
+    recall, the same trade `_cap_buckets` makes for hot LSH buckets; the
+    shard count rides the SAME window count the group shuffle already
+    hash-partitions for, so it adds no exchange). Nothing all-pairs,
+    nothing driver-side beyond the k x d centroid pull.
     """
+    if oversize not in ("error", "shard"):
+        raise ValueError(f"oversize must be 'error' or 'shard', got {oversize!r}")
+    if max_cluster_size < 1:
+        raise ValueError("max_cluster_size must be >= 1")
     assigned = assign_nearest_centroid(
         df, id_col=id_col, vec_col=vec_col, k=k, centroids=centroids,
         engine=engine,
@@ -999,19 +1014,36 @@ def semantic_dedup(
         ]
     )
     tau = float(threshold)
+    cap = int(max_cluster_size)
+    row_block = 4096  # similarity matmul block: O(block x n) memory
 
-    def keep_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    # NB: applyInPandas dispatches on ARITY — a two-parameter function
+    # would be called as (key, pdf) — so the per-mode group cap is bound
+    # via a factory, never a second parameter.
+    def _keep_block(pdf: pd.DataFrame, group_cap: int) -> pd.DataFrame:
         n = len(pdf)
+        if n > group_cap:
+            # loud in-task failure: the task holds exactly one group, so
+            # this fires before any quadratic work is attempted
+            raise ValueError(
+                f"semantic_dedup cluster {pdf['cluster_id'].iloc[0]} has "
+                f"{n} vectors > max_cluster_size={cap}; raise k, raise "
+                "max_cluster_size, or pass oversize='shard'"
+            )
         ids = pdf[id_col].to_numpy()
         if n == 1:
             kept = np.ones(1, dtype=np.int32)
         else:
             A = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.sqrt(np.einsum("ij,ij->i", A, A))
-            sims = (A @ A.T) / np.outer(norms, norms)
-            near = sims > tau
-            lower = ids[None, :] < ids[:, None]  # [i, j]: j has a lower id
-            kept = (~(near & lower).any(axis=1)).astype(np.int32)
+            kept = np.empty(n, dtype=np.int32)
+            # row-blocked: never materialize the n x n similarity matrix
+            for s in range(0, n, row_block):
+                e = min(s + row_block, n)
+                sims = (A[s:e] @ A.T) / np.outer(norms[s:e], norms)
+                near = sims > tau
+                lower = ids[None, :] < ids[s:e, None]  # [i, j]: j lower id
+                kept[s:e] = (~(near & lower).any(axis=1)).astype(np.int32)
         return pd.DataFrame(
             {
                 id_col: ids,
@@ -1020,8 +1052,37 @@ def semantic_dedup(
             }
         )
 
-    return (
-        assigned.select(id_col, vec_col, "cluster_id")
-        .groupBy("cluster_id")
-        .applyInPandas(keep_block, out_schema)
-    )
+    def keep_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _keep_block(pdf, cap)
+
+    narrow = assigned.select(id_col, vec_col, "cluster_id")
+    if oversize == "shard":
+        # window count on cluster_id = the key the group shuffle hash
+        # partitions on anyway (see _cap_buckets for the same argument);
+        # oversized clusters split into ceil(size/cap) deterministic
+        # hash shards, normal clusters keep shard 0
+        w = Window.partitionBy("cluster_id")
+        sharded = (
+            narrow.withColumn("__csz", F.count(F.lit(1)).over(w))
+            .withColumn(
+                "__shard",
+                F.when(
+                    F.col("__csz") > cap,
+                    F.pmod(
+                        F.xxhash64(F.col(id_col)),
+                        F.ceil(F.col("__csz") / F.lit(cap)).cast("long"),
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            .drop("__csz")
+        )
+
+        def keep_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            # hash-shard sizes fluctuate around cap; allow 2x slack
+            # before declaring the sharding itself broken
+            return _keep_block(pdf.drop(columns=["__shard"]), 2 * cap)
+
+        return sharded.groupBy("cluster_id", "__shard").applyInPandas(
+            keep_shard, out_schema
+        )
+    return narrow.groupBy("cluster_id").applyInPandas(keep_block, out_schema)

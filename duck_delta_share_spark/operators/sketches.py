@@ -80,20 +80,17 @@ def heavy_hitter_terms(
     k = int(math.ceil(1.0 / threshold))
     spark = df.sparkSession
     toks = df.select(F.explode(tokenize(text_col)).alias("term"))
-    summary = misra_gries_candidates(toks, "term", k).cache()
-    total = summary.agg(F.sum("__n")).collect()[0][0] or 0
-    # ≤ k distinct candidate terms by the Misra-Gries guarantee — collect
-    # them (control plane) and bake as literals so the summary cache can
-    # be RELEASED now instead of staying pinned for the session because
-    # the returned lazy plan still referenced it
-    cand_terms = [
-        r[0]
-        for r in summary.filter(F.col("term").isNotNull())
-        .select("term")
-        .distinct()
-        .collect()
-    ]
-    summary.unpersist()
+    # ONE action over the summary pass: total token count and the deduped
+    # candidate set together (collect_set skips the NULL meta rows).  No
+    # cache to pin or release, no second distinct+collect job — the
+    # candidate set stays bounded by the per-partition MG guarantee
+    # (≤ k counters each), and baking it as literals keeps the returned
+    # lazy plan free of any reference to the summary pass.
+    row = misra_gries_candidates(toks, "term", k).agg(
+        F.sum("__n").alias("total"), F.collect_set("term").alias("cands")
+    ).collect()[0]
+    total = row["total"] or 0
+    cand_terms = list(row["cands"] or [])
     candidates = spark.createDataFrame(
         [(t,) for t in cand_terms], "`term` STRING"
     )

@@ -136,6 +136,85 @@ def test_semantic_dedup_mechanics(spark):
     assert all(r.kept == 1 for r in out2)
 
 
+def test_semantic_dedup_oversized_cluster_fails_loud(spark):
+    """An adversarial all-near-identical corpus collapses into ONE cluster;
+    the default posture must fail loudly inside the task instead of
+    silently attempting quadratic work (VERDICT r5 #4)."""
+    from duck_delta_share_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (i, [1.0, 1e-6 * i, 0.0, 0.0]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="max_cluster_size"):
+        semantic_dedup(df, k=4, threshold=0.9, max_cluster_size=16).collect()
+
+
+def test_semantic_dedup_oversize_shard_bounds_groups(spark):
+    """oversize='shard' splits the degenerate cluster into hash shards:
+    every group stays bounded, the lowest id in each shard survives, and
+    near-identical vectors still dedup within their shard."""
+    from duck_delta_share_spark.operators.dedup import semantic_dedup
+
+    n, cap = 64, 16
+    rows = [(i, [1.0, 1e-6 * i, 0.0, 0.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, k=1, threshold=0.9, max_cluster_size=cap, oversize="shard"
+    ).collect()
+    assert len(out) == n  # every vector classified exactly once
+    kept = sorted(r.vec_id for r in out if r.kept == 1)
+    # k=1 -> ONE cluster of 64 -> ceil(64/16) = 4 hash shards -> exactly
+    # one survivor per non-empty shard
+    assert 1 <= len(kept) <= 4
+    assert 0 < len([r for r in out if r.kept == 0])
+    # normal-sized corpora are untouched by shard mode (shard 0 for all)
+    small = spark.createDataFrame(rows[:8], "vec_id long, embedding array<double>")
+    a = sorted((r.vec_id, r.kept) for r in semantic_dedup(
+        small, k=1, threshold=0.9, max_cluster_size=cap, oversize="shard"
+    ).collect())
+    b = sorted((r.vec_id, r.kept) for r in semantic_dedup(
+        small, k=1, threshold=0.9, max_cluster_size=cap
+    ).collect())
+    assert a == b
+
+
+def test_semantic_dedup_row_blocked_matmul_matches_unblocked(spark):
+    """The row-blocked similarity pass must agree with the keep rule
+    computed directly (block boundary at row_block exercised via a corpus
+    larger than one block would be too slow here; instead pin the rule on
+    a corpus that spans multiple numpy blocks by monkey-lowering nothing —
+    the blocked loop with block >= n degenerates to the old single-shot
+    path, so equality with the brute-force rule is the invariant)."""
+    import numpy as np
+
+    from duck_delta_share_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 6)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tau = 0.55
+    out = {
+        r.vec_id: (r.cluster_id, r.kept)
+        for r in semantic_dedup(df, k=3, threshold=tau).collect()
+    }
+    # brute-force reference for the keep rule within each cluster
+    by_cluster = {}
+    for i, (cid, _) in out.items():
+        by_cluster.setdefault(cid, []).append(i)
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    for cid, ids in by_cluster.items():
+        for i in ids:
+            expect = 1
+            for j in ids:
+                if j < i:
+                    cos = vecs[i] @ vecs[j] / (norms[i] * norms[j])
+                    if cos > tau:
+                        expect = 0
+            assert out[i][1] == expect, (cid, i)
+
+
 def test_kmeans_lloyd_update_composes_iteratively(spark):
     """kmeans_lloyd_update: one round computes exact per-cluster means,
     and the O(k*d) driver feedback loop composes — two rounds on a
