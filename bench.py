@@ -85,6 +85,16 @@ HEADLINE = [
     "bm25_topk",
     "kmeans_lloyd_round",
     "twap_hourly",
+    # round-6: the headline set was LLM/Delta-heavy — add the classic
+    # shuffle-join stressors (VERDICT r5 #6): q21 (double-correlated
+    # exists/not-exists over lineitem self-joins) and the outer/semi/
+    # anti/theta join family. Baselines recorded as added_r6.
+    "q21_waiting_suppliers",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "join_theta_band",
 ]
 
 
