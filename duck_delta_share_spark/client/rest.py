@@ -142,7 +142,14 @@ class DeltaSharingClient:
         query: dict[str, str] | None = None,
         body: dict[str, Any] | None = None,
         with_headers: bool = False,
+        parse: str | None = None,
     ):
+        """One HTTP exchange with retries. ``parse`` ∈ {None, "json",
+        "ndjson"}: when set, the body is PARSED INSIDE the retry loop so a
+        response truncated mid-line (a proxy closing a chunked stream
+        early still reads as a clean EOF to urllib) is retried like any
+        other transient failure instead of surfacing as a bare
+        ``ValueError`` — or worse, being half-consumed by the caller."""
         import http.client
 
         url = self.profile.endpoint + path
@@ -157,7 +164,22 @@ class DeltaSharingClient:
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
                     text = resp.read().decode()
-                    return (text, dict(resp.headers)) if with_headers else text
+                    try:
+                        out: Any = text
+                        if parse == "json":
+                            out = json.loads(text)
+                        elif parse == "ndjson":
+                            out = parse_ndjson(text)
+                    except ValueError as e:
+                        last_err = DeltaSharingError(
+                            0, f"unparsable {parse} response body "
+                            f"(truncated mid-line?): {e}", url
+                        )
+                        if attempt < self.max_retries:
+                            time.sleep(min(2**attempt * 0.2, 2.0))
+                            continue
+                        raise last_err from None
+                    return (out, dict(resp.headers)) if with_headers else out
             except urllib.error.HTTPError as e:
                 raw = e.read().decode(errors="replace")
                 message = raw
@@ -194,7 +216,7 @@ class DeltaSharingClient:
                 query["maxResults"] = str(max_results)
             if token:
                 query["pageToken"] = token
-            obj = json.loads(self._request("GET", path, query or None))
+            obj = self._request("GET", path, query or None, parse="json")
             yield from obj.get("items", [])
             token = obj.get("nextPageToken")
             if not token:
@@ -209,7 +231,9 @@ class DeltaSharingClient:
         return [Share.from_json(o) for o in self._paged_items("/shares", max_results)]
 
     def get_share(self, name: str) -> Share:
-        obj = json.loads(self._request("GET", f"/shares/{urllib.parse.quote(name, safe='')}"))
+        obj = self._request(
+            "GET", f"/shares/{urllib.parse.quote(name, safe='')}", parse="json"
+        )
         return Share.from_json(obj.get("share", obj))
 
     def list_schemas(self, share: str, max_results: int | None = None) -> list[Schema]:
@@ -265,7 +289,7 @@ class DeltaSharingClient:
         import dataclasses
 
         self._raise_if_both(version, timestamp)
-        body, headers = self._request(
+        lines, headers = self._request(
             "GET",
             self._table_path(share, schema, table) + "/metadata",
             # public protocol: version/timestamp query params return the
@@ -278,14 +302,24 @@ class DeltaSharingClient:
                 else ({"timestamp": timestamp} if timestamp is not None else None)
             ),
             with_headers=True,
+            parse="ndjson",
         )
-        protocol = Protocol()
-        metadata = TableMetadata()
-        for line in parse_ndjson(body):
+        protocol: Protocol | None = None
+        metadata: TableMetadata | None = None
+        for line in lines:
             if "protocol" in line:
                 protocol = check_protocol(Protocol.from_json(line["protocol"]), table)
             elif "metaData" in line:
                 metadata = TableMetadata.from_json(line["metaData"])
+        # the protocol REQUIRES both lines; a body cut cleanly at a line
+        # boundary (truncating proxy) would otherwise bind an empty schema
+        if protocol is None or metadata is None:
+            raise DeltaSharingError(
+                0,
+                f"truncated metadata response for table {table!r}: missing "
+                + ("protocol" if protocol is None else "metaData")
+                + " line",
+            )
         raw_v = headers.get("Delta-Table-Version") or headers.get(
             "delta-table-version"
         )
@@ -386,8 +420,8 @@ class DeltaSharingClient:
         if include_refresh_token:
             base_body["includeRefreshToken"] = True
         path = self._table_path(share, schema, table) + "/query"
-        protocol = Protocol()
-        metadata = TableMetadata()
+        protocol: Protocol | None = None
+        metadata: TableMetadata | None = None
         files: list[FileAction] = []
         token: str | None = None
         new_refresh: str | None = None
@@ -397,9 +431,10 @@ class DeltaSharingClient:
                 # per the protocol, page requests repeat the original query
                 # content plus the server-issued token
                 body["pageToken"] = token
-            resp = self._request("POST", path, body=body)
+            lines = self._request("POST", path, body=body, parse="ndjson")
             token = None
-            for line in parse_ndjson(resp):
+            saw_esa = False
+            for line in lines:
                 if "protocol" in line:
                     protocol = check_protocol(Protocol.from_json(line["protocol"]), table)
                 elif "metaData" in line:
@@ -407,9 +442,34 @@ class DeltaSharingClient:
                 elif "file" in line:
                     files.append(FileAction.from_json(line["file"]))
                 elif "endStreamAction" in line:
+                    saw_esa = True
                     esa = line["endStreamAction"]
                     token = esa.get("nextPageToken") or None
                     new_refresh = esa.get("refreshToken") or new_refresh
+            # Anti-truncation guards: the protocol REQUIRES protocol +
+            # metaData lines in every successful /query response, and an
+            # endStreamAction line on every FOLLOW-UP page (the server
+            # issued the pageToken, so it provably speaks pagination —
+            # whereas a legacy server may legally IGNORE maxFiles /
+            # includeRefreshToken on the first request and answer with a
+            # complete, esa-less body). A body a proxy cut cleanly at a
+            # line boundary fails these checks instead of silently
+            # scanning a SHORT file list (the worst failure mode: correct-
+            # looking results with missing rows).
+            if protocol is None or metadata is None:
+                raise DeltaSharingError(
+                    0,
+                    f"truncated /query response for table {table!r}: missing "
+                    + ("protocol" if protocol is None else "metaData")
+                    + " line",
+                )
+            if not saw_esa and "pageToken" in body:
+                raise DeltaSharingError(
+                    0,
+                    f"truncated /query response for table {table!r}: a "
+                    "pagination follow-up page has no endStreamAction "
+                    "line — refusing a possibly-short file list",
+                )
             if not token:
                 return TableFiles(
                     protocol=protocol,
@@ -448,22 +508,24 @@ class DeltaSharingClient:
         if max_files is not None and max_files > 0:
             base_query["maxFiles"] = str(max_files)
         path = self._table_path(share, schema, table) + "/changes"
-        protocol = Protocol()
-        metadata = TableMetadata()
+        protocol: Protocol | None = None
+        metadata: TableMetadata | None = None
         actions: list[ChangeAction] = []
         token: str | None = None
         for _ in range(10_000):
             query = dict(base_query)
             if token:
                 query["pageToken"] = token
-            resp = self._request("GET", path, query or None)
+            lines = self._request("GET", path, query or None, parse="ndjson")
             token = None
-            for line in parse_ndjson(resp):
+            saw_esa = False
+            for line in lines:
                 if "protocol" in line:
                     protocol = check_protocol(Protocol.from_json(line["protocol"]), table)
                 elif "metaData" in line:
                     metadata = TableMetadata.from_json(line["metaData"])
                 elif "endStreamAction" in line:
+                    saw_esa = True
                     token = line["endStreamAction"].get("nextPageToken") or None
                 elif "file" in line and "deltaSingleAction" in line["file"]:
                     # delta response format: the wrapped single action's
@@ -477,6 +539,24 @@ class DeltaSharingClient:
                                 ChangeAction(kind, FileAction.from_json(line[kind]))
                             )
                             break
+            # same anti-truncation guards as query_table: a change feed cut
+            # short at a line boundary would silently DROP change actions —
+            # a correctness bug for every CDF consumer downstream
+            if protocol is None or metadata is None:
+                raise DeltaSharingError(
+                    0,
+                    f"truncated /changes response for table {table!r}: "
+                    "missing "
+                    + ("protocol" if protocol is None else "metaData")
+                    + " line",
+                )
+            if not saw_esa and "pageToken" in query:
+                raise DeltaSharingError(
+                    0,
+                    f"truncated /changes response for table {table!r}: a "
+                    "pagination follow-up page has no endStreamAction "
+                    "line — refusing a possibly-short change list",
+                )
             if not token:
                 return TableChanges(
                     protocol=protocol, metadata=metadata, actions=tuple(actions)

@@ -154,12 +154,33 @@ class HttpRangeFile(io.RawIOBase):
         return body[start : end + 1]
 
     def _do_request(self, headers: dict[str, str]):
+        import time
+
         req = urllib.request.Request(self.url, headers=headers)
         last: Exception | None = None
-        for attempt in range(2):
+        for attempt in range(3):
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                     body = resp.read()
+                # SHORT-READ GUARD: a 206 whose body is shorter than its
+                # own Content-Range (a proxy closing a chunked stream
+                # early reads as clean EOF) would slice truncated bytes
+                # into the parquet reader. urllib only catches mismatched
+                # Content-Length; the range header is the byte-exact
+                # contract, so enforce it here and retry as transient.
+                if resp.status == 206:
+                    content_range = resp.headers.get("Content-Range", "")
+                    try:
+                        span = content_range.split(" ", 1)[1].rsplit("/", 1)[0]
+                        lo, hi = (int(x) for x in span.split("-"))
+                        expected = hi - lo + 1
+                    except (IndexError, ValueError):
+                        expected = None  # malformed header: length unknowable
+                    if expected is not None and len(body) != expected:
+                        raise IOError(
+                            f"short range read: got {len(body)} bytes for "
+                            f"Content-Range {content_range!r} ({self.url[:120]})"
+                        )
                 self.requests += 1
                 self.bytes_fetched += len(body)
                 return resp, body
@@ -167,6 +188,7 @@ class HttpRangeFile(io.RawIOBase):
                 if e.code in (401, 403):
                     raise UrlExpiredError(self.url, e.code) from e
                 raise  # 404 etc.: not refreshable, fail the task
-            except Exception as e:  # connection reset / timeout: retry once
+            except Exception as e:  # reset / timeout / short read: retry
                 last = e
+                time.sleep(min(2**attempt * 0.1, 0.5))
         raise last  # type: ignore[misc]
