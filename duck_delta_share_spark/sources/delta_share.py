@@ -948,6 +948,13 @@ class DeltaShareStreamReader(DataSourceStreamReader):
         # table must not be silently misread against an old checkpoint
         self._tid: str | None = None
         self._tid_probed = False
+        # stream-start schema signature (schemaString + partitioning +
+        # the version it was read at): mid-stream metaData changes are
+        # checked against this and FAIL FAST instead of silently binding
+        # the old schema to new files
+        self._schema_sig: str | None = None
+        self._sig_part_cols: tuple[str, ...] | None = None
+        self._sig_version: int | None = None
         mf = options.get("maxfilespertrigger", options.get("maxFilesPerTrigger"))
         mb = options.get("maxbytespertrigger", options.get("maxBytesPerTrigger"))
         self.max_files = int(mf) if mf else None
@@ -973,15 +980,104 @@ class DeltaShareStreamReader(DataSourceStreamReader):
             if self.delta_path is not None:
                 from duck_delta_share_spark.sources.delta_log import snapshot
 
-                self._tid = snapshot(self.delta_path).metadata_id
+                snap = snapshot(self.delta_path)
+                self._tid = snap.metadata_id
+                self._schema_sig = snap.schema_string or None
+                self._sig_part_cols = tuple(snap.partition_columns)
+                self._sig_version = snap.version
             else:
                 _, md = _make_client(self.options).query_table_metadata(
                     self.share, self.schema_name, self.table
                 )
                 self._tid = md.id or None
+                self._schema_sig = md.schema_string or None
+                self._sig_part_cols = tuple(md.partition_columns)
+                self._sig_version = md.version if md.version >= 0 else None
         except Exception:
             self._tid = None  # id-less logs / legacy servers: no check
         return self._tid
+
+    def _assert_stream_schema(
+        self,
+        schema_string: str | None,
+        partition_columns,
+        version,
+    ) -> None:
+        """Fail fast when table metadata observed in a streamed version
+        range is incompatible with the schema this stream BOUND at start
+        (Spark's Python DataSource binds schema once; silently reading
+        newer files with the old schema would drop added columns, misread
+        renamed/widened ones, or split rows across a repartitioning).
+
+        Compatible = every field of the observed metaData exists in the
+        stream-start schema with the same name and type (a replayed
+        history crossing an OLD, purely-additive schema version stays
+        readable — missing columns are null, exactly like the batch
+        reader), and partitioning is unchanged. Anything else — a column
+        added/renamed/dropped/retyped mid-stream — raises with a restart
+        message; the restarted stream binds the new schema."""
+        self._table_identity()  # ensure the signature was probed
+        sig = getattr(self, "_schema_sig", None)
+        if not sig or not schema_string:
+            return
+        import json as _json
+
+        if schema_string == sig:
+            if (
+                self._sig_part_cols is not None
+                and partition_columns is not None
+                and tuple(partition_columns) != self._sig_part_cols
+            ):
+                raise ValueError(
+                    f"table partitioning changed at version {version} "
+                    f"(stream-start {list(self._sig_part_cols)} -> "
+                    f"{list(partition_columns)}); restart the stream with a "
+                    "fresh checkpoint"
+                )
+            return
+        sig_v = getattr(self, "_sig_version", None)
+        if sig_v is not None and version is not None and int(version) > sig_v:
+            # a metaData commit AFTER the version this stream bound its
+            # schema at: any difference (add/rename/drop/retype) requires
+            # a restart — even a drop, whose files would "read fine" as
+            # nulls, desyncs downstream consumers of that column
+            raise ValueError(
+                f"table schema changed at version {version} (stream bound "
+                f"its schema at version {sig_v}); restart the stream with "
+                "a fresh checkpoint to bind the new schema"
+            )
+        try:
+            base = {
+                f["name"]: f.get("type")
+                for f in _json.loads(sig).get("fields", [])
+            }
+            seen = _json.loads(schema_string).get("fields", [])
+        except ValueError:
+            return  # unparsable foreign schema: nothing sound to check
+        bad = [
+            f["name"]
+            for f in seen
+            if f["name"] not in base or base[f["name"]] != f.get("type")
+        ]
+        if bad:
+            raise ValueError(
+                f"table schema changed at version {version}: field(s) "
+                f"{bad} are not readable with the schema this stream "
+                "bound at start (added/renamed/retyped mid-stream). "
+                "Restart the stream with a fresh checkpoint to bind the "
+                "new schema."
+            )
+        if (
+            self._sig_part_cols is not None
+            and partition_columns is not None
+            and tuple(partition_columns) != self._sig_part_cols
+        ):
+            raise ValueError(
+                f"table partitioning changed at version {version} "
+                f"(stream-start {list(self._sig_part_cols)} -> "
+                f"{list(partition_columns)}); restart the stream with a "
+                "fresh checkpoint"
+            )
 
     def _current_version(self) -> int:
         if self.delta_path is not None:
@@ -1064,11 +1160,16 @@ class DeltaShareStreamReader(DataSourceStreamReader):
         dict shape (url/id/partitionValues/stats/action/version/timestamp)."""
         if self.delta_path is not None:
             from duck_delta_share_spark.sources.delta_log import (
+                metadata_actions,
                 snapshot,
                 version_changes,
             )
 
             files = version_changes(self.delta_path, start, end_incl)
+            for v, md in metadata_actions(self.delta_path, start, end_incl):
+                self._assert_stream_schema(
+                    md.get("schemaString"), md.get("partitionColumns"), v
+                )
             if self._part_cols is None:
                 self._part_cols = snapshot(self.delta_path).partition_columns
             return files, self._part_cols
@@ -1078,6 +1179,15 @@ class DeltaShareStreamReader(DataSourceStreamReader):
             self.table,
             starting_version=start,
             ending_version=end_incl,
+        )
+        # the /changes response carries ONE metaData for the range — the
+        # per-version granularity of the local path isn't available over
+        # REST, so a mid-stream change surfaces on the trigger whose range
+        # includes (or follows) it; still fail-fast, never bind-old-schema
+        self._assert_stream_schema(
+            changes.metadata.schema_string or None,
+            changes.metadata.partition_columns,
+            changes.metadata.version if changes.metadata.version >= 0 else None,
         )
         files = [
             {
