@@ -35,7 +35,12 @@ from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 # perplexity eager-capture). After this round no query's driver evidence
 # predates r3. Everything stays registered; only the order changes.
 _R6_WINDOW = [
-    # r6-changed operators re-evidence first
+    # round-6 NEW queries first (never driver-evidenced)
+    "bag_fingerprint_dedup",
+    "ngram_novelty_score",
+    "oov_rate_topk_vocab",
+    "retention_cohorts",
+    # r6-changed operators re-evidence next
     "heavy_hitter_terms",
     "semantic_dedup",
     # the 27 r1-only queries (VERDICT r5 Missing #1)
@@ -85,12 +90,14 @@ _R6_WINDOW = [
     "inverted_index_postings",
     "tfidf_top_terms",
     "pipeline_training_prep",
+    # --- end of slot 50 (the 4 new r6 queries took the last four r3-fill
+    # slots: per_group_deterministic_sample / text_quality_score /
+    # pii_redaction / repetition_signals keep their r3 evidence);
+    # freshest-first tail below keeps the registry order deterministic
     "per_group_deterministic_sample",
     "text_quality_score",
     "pii_redaction",
     "repetition_signals",
-    # --- end of slot 50; freshest-first tail below keeps the registry
-    # order deterministic for bench/docs
     "delta_column_defaults",
     "kmeans_lloyd_round",
     "bm25_topk",

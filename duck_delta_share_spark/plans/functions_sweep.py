@@ -957,3 +957,54 @@ def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+WITH f AS (
+  SELECT user_id, ts, MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+), c AS (
+  SELECT user_id,
+         date_trunc('week', first_ts) AS cw,
+         CAST(datediff('day', CAST(date_trunc('week', first_ts) AS DATE),
+                       CAST(date_trunc('week', ts) AS DATE)) / 7 AS INT)
+           AS week_offset
+  FROM f
+)
+SELECT CAST(CAST(cw AS DATE) AS VARCHAR) AS cohort_week, week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM c
+GROUP BY cw, week_offset
+""",
+    doc="weekly retention cohorts over the event stream: users grouped by "
+    "their first-seen week (Monday-truncated), counted distinct per "
+    "(cohort, week-offset) cell — the classic growth-analytics triangle. "
+    "Plan: first-seen via ONE window min keyed on user_id (the natural "
+    "partitioning of per-user history), then a distinct-count agg on the "
+    "tiny (cohort, offset) key space. Cohort week emitted as STRING "
+    "(CLAUDE.md: computed date dtypes differ across engines).",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    first_ts = F.min("ts").over(w)
+    cw = F.date_trunc("week", first_ts)
+    offset = (
+        F.datediff(
+            F.to_date(F.date_trunc("week", F.col("ts"))), F.to_date(cw)
+        )
+        / 7
+    ).cast("int")
+    return (
+        e.select(
+            "user_id",
+            F.to_date(cw).cast("string").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -3106,3 +3106,163 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: bag-of-words dedup, corpus novelty, vocab OOV rate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bag_fingerprint_dedup",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT({_NORM}, ' ')), ' '))
+           AS bag_fp
+  FROM documents
+)
+SELECT doc_id, bag_fp,
+       CAST(CASE WHEN ROW_NUMBER()
+                      OVER (PARTITION BY bag_fp ORDER BY doc_id) = 1
+                 THEN 1 ELSE 0 END AS INT) AS kept
+FROM fp
+""",
+    doc="bag-of-words (token-sorted) fingerprint dedup: md5 of the SORTED "
+    "normalized token multiset catches reordered near-duplicates that "
+    "exact fingerprints miss; lowest doc_id per bag survives. One window "
+    "shuffle keyed on the fingerprint — the same shape as exact dedup, so "
+    "it scales identically (no pair generation).",
+)
+def bag_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    bag_fp = F.md5(F.concat_ws(" ", F.array_sort(F.split(norm, " "))))
+    w = Window.partitionBy("bag_fp").orderBy("doc_id")
+    return (
+        d.select("doc_id", bag_fp.alias("bag_fp"))
+        .withColumn(
+            "kept", (F.row_number().over(w) == 1).cast("int")
+        )
+    )
+
+
+@query(
+    "ngram_novelty_score",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, LEN(STRING_SPLIT(text, ' '))),
+           i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+1], ' ')
+         )) AS grams
+  FROM documents
+), e AS (
+  SELECT doc_id, LEN(grams) AS n_grams, UNNEST(grams) AS gram FROM g
+), w AS (
+  SELECT doc_id, n_grams,
+         COUNT(*) OVER (PARTITION BY gram) AS df
+  FROM e
+)
+SELECT doc_id,
+       CAST(n_grams AS INT) AS n_distinct_grams,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+       ROUND(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(n_grams AS DOUBLE), 6) AS novelty
+FROM w
+GROUP BY doc_id, n_grams
+""",
+    doc="corpus-level n-gram novelty: per document, the fraction of its "
+    "DISTINCT bigrams that appear in no other document (document "
+    "frequency 1). Quality signal for pretraining mixes — boilerplate "
+    "scores ~0, original text ~1. Plan: per-doc distinct grams computed "
+    "IN-PROJECTION (array_distinct, carried-stats pattern: the distinct "
+    "count rides the exploded rows, no join-back), document frequency as "
+    "ONE window count over the gram key (the same hash partitioning the "
+    "doc re-agg needs is the only other shuffle).",
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from duck_delta_share_spark.functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(word_shingles(tokenize("text"), 2))
+    rows = d.select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        F.explode(grams).alias("gram"),
+    )
+    df_w = Window.partitionBy("gram")
+    scored = rows.withColumn("df", F.count(F.lit(1)).over(df_w))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.first("n_grams").cast("int").alias("n_distinct_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("novel_grams"),
+            F.round(
+                F.sum((F.col("df") == 1).cast("long")).cast("double")
+                / F.first("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+_OOV_K = 16
+
+
+@query(
+    "oov_rate_topk_vocab",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+    ORDER BY cnt DESC, term ASC LIMIT {_OOV_K}
+  ) v
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       ROUND(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY t.doc_id
+""",
+    doc=f"per-document out-of-vocabulary rate against the corpus top-{_OOV_K} "
+    "term vocabulary (ties broken by term for determinism) — the "
+    "tokenizer-design signal: how much of each document a K-entry "
+    "vocabulary fails to cover. Plan: one token-count agg builds the "
+    "vocabulary (K rows), which BROADCASTS into a left join on the token "
+    "stream; per-doc agg is the only other shuffle. The vocabulary is "
+    "O(K) regardless of corpus size — at 100 TB the top-K agg is the "
+    "classic map-side-combine friendly count.",
+)
+def oov_rate_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(_OOV_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("oov_tokens"),
+            F.round(
+                F.sum(F.col("in_vocab").isNull().cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
