@@ -937,6 +937,13 @@ def assign_nearest_centroid(
     )
 
 
+# similarity-matmul row block for semantic_dedup's within-cluster pass:
+# per-task peak memory is O(row_block x cluster_size) doubles instead of
+# the full n x n matrix. Module-level so tests can lower it to hit the
+# multi-block boundary arithmetic on small corpora.
+_SEMDEDUP_ROW_BLOCK = 4096
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1015,21 +1022,36 @@ def semantic_dedup(
     )
     tau = float(threshold)
     cap = int(max_cluster_size)
-    row_block = 4096  # similarity matmul block: O(block x n) memory
+    # similarity matmul block: O(block x n) memory (module-level so tests
+    # can lower it and exercise the multi-block boundary arithmetic)
+    row_block = _SEMDEDUP_ROW_BLOCK
 
     # NB: applyInPandas dispatches on ARITY — a two-parameter function
     # would be called as (key, pdf) — so the per-mode group cap is bound
     # via a factory, never a second parameter.
-    def _keep_block(pdf: pd.DataFrame, group_cap: int) -> pd.DataFrame:
+    def _keep_block(
+        pdf: pd.DataFrame, group_cap: int, sharded: bool
+    ) -> pd.DataFrame:
         n = len(pdf)
         if n > group_cap:
             # loud in-task failure: the task holds exactly one group, so
-            # this fires before any quadratic work is attempted
-            raise ValueError(
-                f"semantic_dedup cluster {pdf['cluster_id'].iloc[0]} has "
-                f"{n} vectors > max_cluster_size={cap}; raise k, raise "
-                "max_cluster_size, or pass oversize='shard'"
-            )
+            # this fires before any quadratic work is attempted — with
+            # advice matched to the mode that fired (telling a shard-mode
+            # caller to "pass oversize='shard'" would be circular)
+            if sharded:
+                msg = (
+                    f"semantic_dedup shard of cluster "
+                    f"{pdf['cluster_id'].iloc[0]} has {n} vectors > "
+                    f"{group_cap} (2x max_cluster_size={cap} hash-balance "
+                    "slack); raise max_cluster_size or k"
+                )
+            else:
+                msg = (
+                    f"semantic_dedup cluster {pdf['cluster_id'].iloc[0]} "
+                    f"has {n} vectors > max_cluster_size={cap}; raise k, "
+                    "raise max_cluster_size, or pass oversize='shard'"
+                )
+            raise ValueError(msg)
         ids = pdf[id_col].to_numpy()
         if n == 1:
             kept = np.ones(1, dtype=np.int32)
@@ -1053,7 +1075,7 @@ def semantic_dedup(
         )
 
     def keep_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _keep_block(pdf, cap)
+        return _keep_block(pdf, cap, sharded=False)
 
     narrow = assigned.select(id_col, vec_col, "cluster_id")
     if oversize == "shard":
@@ -1080,7 +1102,7 @@ def semantic_dedup(
         def keep_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             # hash-shard sizes fluctuate around cap; allow 2x slack
             # before declaring the sharding itself broken
-            return _keep_block(pdf.drop(columns=["__shard"]), 2 * cap)
+            return _keep_block(pdf.drop(columns=["__shard"]), 2 * cap, sharded=True)
 
         return sharded.groupBy("cluster_id", "__shard").applyInPandas(
             keep_shard, out_schema

@@ -1009,13 +1009,20 @@ class DeltaShareStreamReader(DataSourceStreamReader):
         newer files with the old schema would drop added columns, misread
         renamed/widened ones, or split rows across a repartitioning).
 
-        Compatible = every field of the observed metaData exists in the
-        stream-start schema with the same name and type (a replayed
-        history crossing an OLD, purely-additive schema version stays
-        readable — missing columns are null, exactly like the batch
-        reader), and partitioning is unchanged. Anything else — a column
-        added/renamed/dropped/retyped mid-stream — raises with a restart
-        message; the restarted stream binds the new schema."""
+        Rules:
+
+        - metaData NEWER than the stream-start version: ANY difference
+          raises with a restart message (the restarted stream binds the
+          new schema, so the advice actually resolves the error).
+        - REPLAYED metaData (at or before stream start): compatible when
+          every observed field matches a stream-start field by
+          columnMapping id (renames are metadata-only — the physical
+          parquet columns still resolve) or, without mapping ids, by
+          name — with the same type either way. Purely-additive history
+          stays readable (missing columns null, like the batch reader).
+          An incompatible REPLAY is a property of the history, so the
+          error says to advance startingVersion, NOT to restart (a
+          restart would rebind the same schema and loop forever)."""
         self._table_identity()  # ensure the signature was probed
         sig = getattr(self, "_schema_sig", None)
         if not sig or not schema_string:
@@ -1047,25 +1054,58 @@ class DeltaShareStreamReader(DataSourceStreamReader):
                 "a fresh checkpoint to bind the new schema"
             )
         try:
-            base = {
-                f["name"]: f.get("type")
-                for f in _json.loads(sig).get("fields", [])
-            }
+            base_fields = _json.loads(sig).get("fields", [])
             seen = _json.loads(schema_string).get("fields", [])
         except ValueError:
             return  # unparsable foreign schema: nothing sound to check
-        bad = [
-            f["name"]
-            for f in seen
-            if f["name"] not in base or base[f["name"]] != f.get("type")
-        ]
+
+        def _map_id(f):
+            return (f.get("metadata") or {}).get("delta.columnMapping.id")
+
+        def _phys(f):
+            return (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName"
+            )
+
+        base_by_name = {f["name"]: f.get("type") for f in base_fields}
+        base_by_id = {
+            _map_id(f): f.get("type")
+            for f in base_fields
+            if _map_id(f) is not None
+        }
+        # physicalName view of the bound schema: a field replayed from
+        # BEFORE a column-mapping upgrade carries no mapping id, but its
+        # files bind to the current schema through the physical column
+        # name (the upgrade assigns physicalName = the then-current
+        # logical name), so that is the sound match for it
+        base_by_phys = {
+            _phys(f): f.get("type") for f in base_fields if _phys(f)
+        }
+        bad = []
+        for f in seen:
+            fid = _map_id(f)
+            if fid is not None and fid in base_by_id:
+                # column-mapped field: renames are metadata-only (the
+                # physical parquet column still resolves), so match by
+                # mapping id and require only the type to agree
+                if base_by_id[fid] != f.get("type"):
+                    bad.append(f["name"])
+            elif f["name"] in base_by_name:
+                if base_by_name[f["name"]] != f.get("type"):
+                    bad.append(f["name"])
+            elif f["name"] in base_by_phys:
+                if base_by_phys[f["name"]] != f.get("type"):
+                    bad.append(f["name"])
+            else:
+                bad.append(f["name"])
         if bad:
             raise ValueError(
-                f"table schema changed at version {version}: field(s) "
-                f"{bad} are not readable with the schema this stream "
-                "bound at start (added/renamed/retyped mid-stream). "
-                "Restart the stream with a fresh checkpoint to bind the "
-                "new schema."
+                f"replayed history is incompatible with the current table "
+                f"schema: field(s) {bad} of the version-{version} metaData "
+                "do not match the schema this stream bound at start "
+                "(renamed/dropped/retyped without column mapping). "
+                "Advance startingVersion past this change — restarting "
+                "rebinds the same schema and hits this again."
             )
         if (
             self._sig_part_cols is not None
@@ -1160,13 +1200,15 @@ class DeltaShareStreamReader(DataSourceStreamReader):
         dict shape (url/id/partitionValues/stats/action/version/timestamp)."""
         if self.delta_path is not None:
             from duck_delta_share_spark.sources.delta_log import (
-                metadata_actions,
                 snapshot,
                 version_changes,
             )
 
-            files = version_changes(self.delta_path, start, end_incl)
-            for v, md in metadata_actions(self.delta_path, start, end_incl):
+            metas: list[tuple[int, dict]] = []
+            files = version_changes(
+                self.delta_path, start, end_incl, metadata_out=metas
+            )
+            for v, md in metas:
                 self._assert_stream_schema(
                     md.get("schemaString"), md.get("partitionColumns"), v
                 )

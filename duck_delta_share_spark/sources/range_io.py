@@ -148,7 +148,16 @@ class HttpRangeFile(io.RawIOBase):
         resp, body = self._do_request({"Range": f"bytes={start}-{end}"})
         if resp.status == 206:
             return body
-        # server ignored Range: body is the whole object
+        # server ignored Range: body is the whole object. The 206 path's
+        # Content-Range check has no 200 equivalent, but the object size
+        # IS known from the initial suffix request — a proxy-truncated
+        # full-object body (clean EOF, rewritten Content-Length) must not
+        # be sliced into the parquet reader as if complete.
+        if len(body) != self._size:
+            raise IOError(
+                f"short full-object read: got {len(body)} bytes for an "
+                f"object of {self._size} ({self.url[:120]})"
+            )
         self._segments = []
         self._insert_segment(0, body)
         return body[start : end + 1]

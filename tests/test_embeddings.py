@@ -179,17 +179,18 @@ def test_semantic_dedup_oversize_shard_bounds_groups(spark):
     assert a == b
 
 
-def test_semantic_dedup_row_blocked_matmul_matches_unblocked(spark):
+def test_semantic_dedup_row_blocked_matmul_matches_unblocked(spark, monkeypatch):
     """The row-blocked similarity pass must agree with the keep rule
-    computed directly (block boundary at row_block exercised via a corpus
-    larger than one block would be too slow here; instead pin the rule on
-    a corpus that spans multiple numpy blocks by monkey-lowering nothing —
-    the blocked loop with block >= n degenerates to the old single-shot
-    path, so equality with the brute-force rule is the invariant)."""
+    computed directly. Lowering _SEMDEDUP_ROW_BLOCK to 7 on a 40-vector
+    corpus forces MULTIPLE blocks per cluster (including a ragged final
+    block), exercising the ids[s:e] offset indexing and kept[s:e]
+    assignment — not just the degenerate block >= n path."""
     import numpy as np
 
+    import duck_delta_share_spark.operators.dedup as dd_mod
     from duck_delta_share_spark.operators.dedup import semantic_dedup
 
+    monkeypatch.setattr(dd_mod, "_SEMDEDUP_ROW_BLOCK", 7)
     rng = np.random.RandomState(7)
     vecs = rng.randn(40, 6)
     rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]

@@ -250,6 +250,24 @@ def test_short_range_read_persistent_fails_loud(srv):
         HttpRangeFile(srv.endpoint + "/data.parquet", tail_length=100)
 
 
+def test_short_full_object_read_fails_loud(srv):
+    # server without Range support: 200 full-object responses. A later
+    # truncated 200 (proxy rewrote Content-Length) must not be sliced
+    # into the reader as if complete — the object size from the initial
+    # response is the contract.
+    payload = bytes(range(251)) * 4  # 1004 bytes
+    srv.push(200, payload)  # suffix request: whole object, size learned
+    f = HttpRangeFile(srv.endpoint + "/d.parquet", tail_length=64)
+    assert f.size() == 1004
+    f._segments = []  # evict cache to force a re-fetch
+    srv.push(200, payload[:300])  # truncated full-object re-fetch
+    srv.push(200, payload[:300])
+    srv.push(200, payload[:300])
+    with pytest.raises(IOError, match="short full-object read"):
+        f.seek(0)
+        f.read(100)
+
+
 def test_short_mid_file_range_read_never_reaches_parquet(srv):
     payload = bytes(range(256)) * 4  # 1024 bytes
     srv.push(206, payload[-64:], _range_headers(960, 1023, 1024))

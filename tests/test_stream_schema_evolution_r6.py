@@ -50,8 +50,9 @@ def test_column_renamed_mid_stream_fails_fast(spark, tmp_path):
     write_delta(spark.createDataFrame([(1, "a")], "id int, tag string"), t)
     enable_column_mapping(t)  # v1: RENAME needs name-mode mapping
     r = _stream_reader(spark, t, startingVersion="0")
+    r.initialOffset()  # stream starts HERE: signature binds pre-rename
     v = rename_column(t, "tag", "label")  # v2: metadata-only rename
-    with pytest.raises(ValueError, match="schema changed"):
+    with pytest.raises(ValueError, match="schema changed at version"):
         r.partitions({"version": 0}, {"version": v + 1})
 
 
@@ -68,6 +69,27 @@ def test_replay_across_old_additive_schema_is_allowed(spark, tmp_path):
     r = _stream_reader(spark, t, startingVersion="0")
     tasks = r.partitions({"version": 0}, {"version": 2})
     assert len(tasks) >= 2  # both versions' files stream, guard silent
+
+
+def test_new_stream_replays_across_old_rename_without_looping(spark, tmp_path):
+    """The unrecoverable-loop case from the r6 self-review: history with a
+    metadata-only rename (v0 write, v1 mapping upgrade, v2 rename, v3
+    append) streamed FROM SCRATCH must bind the current schema and replay
+    the whole range — the v0/v1 metaData match the bound schema through
+    mapping ids / physicalName, so the guard stays silent. A guard that
+    raised here would brick startingVersion=0 forever (each restart
+    rebinds the same schema and replays the same history)."""
+    t = tmp_path / "t"
+    write_delta(spark.createDataFrame([(1, "a")], "id int, tag string"), t)
+    enable_column_mapping(t)                          # v1
+    v = rename_column(t, "tag", "label")              # v2
+    write_delta(
+        spark.createDataFrame([(2, "b")], "id int, label string"),
+        t, mode="append",
+    )                                                 # v3
+    r = _stream_reader(spark, t, startingVersion="0")
+    tasks = r.partitions({"version": 0}, {"version": v + 2})
+    assert len(tasks) >= 2  # v0 and v3 files both stream
 
 
 def test_unchanged_metadata_commits_do_not_trip_the_guard(spark, tmp_path):
