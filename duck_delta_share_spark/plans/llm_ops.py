@@ -3189,11 +3189,19 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duck_delta_share_spark.functions.text import word_shingles
 
     d = load_table(spark, sf_dir, "documents")
-    grams = F.array_distinct(word_shingles(tokenize("text"), 2))
-    rows = d.select(
+    # the gram array MUST be materialized in its own projection before
+    # size()/explode() touch it: higher-order functions are interpreted
+    # (no codegen/CSE — CLAUDE.md), and an inline `grams` in the
+    # post-Generate projection re-evaluated the whole shingle pipeline
+    # PER EXPLODED ROW (measured 74 s -> 4.7 s at sf0.1, 16x)
+    garr = d.select(
         "doc_id",
-        F.size(grams).alias("n_grams"),
-        F.explode(grams).alias("gram"),
+        F.array_distinct(word_shingles(tokenize("text"), 2)).alias("__grams"),
+    )
+    rows = garr.select(
+        "doc_id",
+        F.size("__grams").alias("n_grams"),
+        F.explode("__grams").alias("gram"),
     )
     df_w = Window.partitionBy("gram")
     scored = rows.withColumn("df", F.count(F.lit(1)).over(df_w))

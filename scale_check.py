@@ -561,6 +561,72 @@ def main() -> None:
             .agg(FF.sum("s").alias("bm25"))
         )
 
+    def bag_dedup_shape(d):
+        # one window shuffle keyed on the sorted-token fingerprint
+        from pyspark.sql import Window as W
+
+        norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+        fp = F.md5(F.concat_ws(" ", F.array_sort(F.split(norm, " "))))
+        w = W.partitionBy("bag_fp").orderBy("doc_id")
+        return (
+            d.select("doc_id", fp.alias("bag_fp"))
+            .withColumn("kept", (F.row_number().over(w) == 1).cast("int"))
+        )
+
+    def novelty_shape(d):
+        # carried-stats: df via one window over the gram key, re-agg by doc
+        # (gram array materialized in its own projection — an inline HOF
+        # re-evaluates per exploded row, 16x slower)
+        from pyspark.sql import Window as W
+
+        from duck_delta_share_spark.functions.text import tokenize, word_shingles
+
+        garr = d.select(
+            "doc_id",
+            F.array_distinct(word_shingles(tokenize("text"), 2)).alias("__g"),
+        )
+        rows = garr.select(
+            "doc_id", F.size("__g").alias("ng"), F.explode("__g").alias("gram")
+        )
+        scored = rows.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("gram")))
+        return scored.groupBy("doc_id").agg(
+            F.first("ng").alias("n"),
+            F.sum((F.col("df") == 1).cast("long")).alias("novel"),
+        )
+
+    def oov_shape(d):
+        # O(K) vocab agg -> broadcast left join -> per-doc agg
+        from duck_delta_share_spark.functions.text import tokenize
+
+        toks = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        vocab = (
+            toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(16)
+            .select("term", F.lit(1).alias("iv"))
+        )
+        return (
+            toks.join(F.broadcast(vocab), "term", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("iv").isNull().cast("long")).alias("oov"),
+            )
+        )
+
+    def retention_shape(e):
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id")
+        cw = F.date_trunc("week", F.min("ts").over(w))
+        off = (
+            F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))), F.to_date(cw)) / 7
+        ).cast("int")
+        return (
+            e.select("user_id", F.to_date(cw).alias("cw"), off.alias("off"))
+            .groupBy("cw", "off")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+        )
+
     ops = [
         ("q1_agg", q1_shape, l1, lN),
         ("minhash_lsh", minhash_shape, d1, dN),
@@ -594,6 +660,10 @@ def main() -> None:
         ("semantic_dedup", semantic_dedup_shape, emb1, embN),
         ("kmeans_round", kmeans_shape, emb1, embN),
         ("bm25_score", bm25_shape, d1, dN),
+        ("bag_dedup", bag_dedup_shape, d1, dN),
+        ("ngram_novelty", novelty_shape, d1, dN),
+        ("oov_rate", oov_shape, d1, dN),
+        ("retention_cohorts", retention_shape, e1, eN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))

@@ -70,6 +70,14 @@ def test_ngram_novelty_no_join_back(spark):
     plan = _plan(QUERIES["ngram_novelty_score"].spark_fn(spark, SF_DIR))
     assert plan.count("Exchange") == 2
     assert "Join" not in plan
+    # the generator input must be a MATERIALIZED attribute, not the
+    # inline HOF pipeline: interpreted higher-order expressions in the
+    # post-Generate projection re-evaluate per exploded row (measured
+    # 16x at sf0.1)
+    import re
+
+    m = re.search(r"Generate explode\((\w+)", plan)
+    assert m and m.group(1).startswith("__grams"), plan[:400]
 
 
 def test_oov_rate_semantics(spark, monkeypatch):
