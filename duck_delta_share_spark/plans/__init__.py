@@ -40,6 +40,7 @@ _R6_WINDOW = [
     "ngram_novelty_score",
     "oov_rate_topk_vocab",
     "retention_cohorts",
+    "phrase_match_positional",
     # r6-changed operators re-evidence next
     "heavy_hitter_terms",
     "semantic_dedup",
@@ -89,11 +90,12 @@ _R6_WINDOW = [
     "unigram_perplexity_score",
     "inverted_index_postings",
     "tfidf_top_terms",
+    # --- end of slot 50 (the 5 new r6 queries took the last five r3-fill
+    # slots: pipeline_training_prep / per_group_deterministic_sample /
+    # text_quality_score / pii_redaction / repetition_signals keep their
+    # r3 evidence); freshest-first tail below keeps the registry order
+    # deterministic
     "pipeline_training_prep",
-    # --- end of slot 50 (the 4 new r6 queries took the last four r3-fill
-    # slots: per_group_deterministic_sample / text_quality_score /
-    # pii_redaction / repetition_signals keep their r3 evidence);
-    # freshest-first tail below keeps the registry order deterministic
     "per_group_deterministic_sample",
     "text_quality_score",
     "pii_redaction",

@@ -3274,3 +3274,49 @@ def oov_rate_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+_PHRASE = ("hash", "join")
+
+
+@query(
+    "phrase_match_positional",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(LEN(LIST_FILTER(RANGE(1, LEN(toks)),
+              i -> toks[i] = '{_PHRASE[0]}' AND toks[i+1] = '{_PHRASE[1]}'))
+           AS BIGINT) AS n_matches
+  FROM t WHERE LEN(toks) >= 2
+)
+SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+""",
+    doc=f"positional phrase matching: per-document count of the exact "
+    f"token sequence {' '.join(_PHRASE)!r} (every starting position, "
+    "overlap-safe — string replace-counting misses overlapping hits). "
+    "Design note: over parquet scans the ZERO-SHUFFLE per-doc positional "
+    "filter is the right Spark shape — a positional-index self-join only "
+    "wins when a persisted index lets the engine skip non-matching "
+    "documents entirely, which a full scan cannot. Pure "
+    "projection+filter, no exchange; the token array is materialized "
+    "before the interpreted filter HOF touches it (CLAUDE.md). The "
+    "sequence(0, size-2) is guarded by size >= 2 — F.sequence counts "
+    "DOWN when start > stop and would fabricate positions.",
+)
+def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokenize("text").alias("__toks"))
+    w0, w1 = _PHRASE
+    n = F.when(
+        F.size("__toks") >= 2,
+        F.expr(
+            "size(filter(sequence(0, size(__toks)-2), "
+            f"i -> __toks[i] = '{w0}' AND __toks[i+1] = '{w1}'))"
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        t.select("doc_id", n.cast("long").alias("n_matches"))
+        .where(F.col("n_matches") > 0)
+    )

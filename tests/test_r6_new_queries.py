@@ -130,3 +130,28 @@ def test_retention_cohorts_semantics(spark, monkeypatch):
     assert out[("2024-01-08", 0)] == 1
     assert out[("2024-01-08", 2)] == 1
     assert ("2024-01-08", 1) not in out
+
+
+def test_phrase_match_semantics_overlap_safe(spark, monkeypatch):
+    import duck_delta_share_spark.plans.llm_ops as llm
+
+    monkeypatch.setattr(llm, "_PHRASE", ("a", "a"))
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a"),        # overlapping: positions 0 and 1 -> 2
+            (2, "a b a a"),      # one match
+            (3, "b c d"),        # none -> filtered out
+            (4, "a"),            # below phrase length -> filtered out
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(llm, "load_table", lambda s, d, t: docs)
+    out = {r.doc_id: r.n_matches
+           for r in llm.phrase_match_positional(spark, SF_DIR).collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_phrase_match_zero_shuffle(spark):
+    plan = _plan(QUERIES["phrase_match_positional"].spark_fn(spark, SF_DIR))
+    assert "Exchange" not in plan, "phrase match must be a pure projection"
+    assert "Join" not in plan
