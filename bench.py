@@ -95,6 +95,12 @@ HEADLINE = [
     "join_anti",
     "join_full_outer",
     "join_theta_band",
+    # round-6 new operators: bag-of-words fingerprint dedup (one window
+    # shuffle) and corpus n-gram novelty (the heavier carried-stats
+    # shape whose first cut hid a 16x interpreted-HOF regression — keep
+    # it perf-tracked so a relapse is visible).
+    "bag_fingerprint_dedup",
+    "ngram_novelty_score",
 ]
 
 
