@@ -2438,13 +2438,24 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_frame(d).orderBy("doc_id")
 
 
-def gopher_quality_frame(d: DataFrame) -> DataFrame:
+def gopher_quality_frame(d: DataFrame, carry: list[str] | None = None) -> DataFrame:
     """The Gopher rule featurization over any (doc_id, text) frame — a
-    pure narrow map (scale_check drives it at N# the corpus)."""
+    pure narrow map (scale_check drives it at N# the corpus).
+
+    ``carry`` threads extra input columns through to the output so a
+    pipeline can FILTER on ``keep`` without joining the features back to
+    the source frame — a self-derived join evaluates the upstream
+    lineage twice per action (CLAUDE.md; this halved
+    pretrain_pipeline_e2e's dedup work)."""
+    carry_out = [c for c in (carry or []) if c != "doc_id"]
+    # staged already carries doc_id+text; only genuinely-extra columns
+    # need explicit threading through the intermediate projections
+    carry_extra = [c for c in carry_out if c != "text"]
     ws = F.regexp_replace(F.col("text"), r"\s+", " ")
     staged = d.select(
         "doc_id",
         "text",
+        *carry_extra,
         F.concat(F.lit(" "), F.lower(ws), F.lit(" ")).alias("__padded"),
         F.filter(
             F.split(F.trim(ws), " "), lambda w: w != F.lit("")
@@ -2460,6 +2471,7 @@ def gopher_quality_frame(d: DataFrame) -> DataFrame:
         stop_hits = hit if stop_hits is None else stop_hits + hit
     feats = staged.select(
         "doc_id",
+        *carry_out,
         F.size("__words").cast("long").alias("n_words"),
         F.aggregate(
             F.transform("__words", lambda w: F.length(w).cast("long")),
@@ -2501,6 +2513,7 @@ def gopher_quality_frame(d: DataFrame) -> DataFrame:
     )
     return feats.select(
         "doc_id",
+        *carry_out,
         "n_words",
         "stop_hits",
         mean_len.cast("long").alias("mean_len_e6"),
@@ -2793,9 +2806,14 @@ def pretrain_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     kept = dd.exact_dedup(d, "text", "doc_id")
-    survivors = kept.join(
-        gopher_quality_frame(kept).where("keep = 1").select("doc_id"),
-        "doc_id",
+    # keep flag filtered IN-LINE via the carry-through featurization: the
+    # old join of `kept` against gopher(kept) was a self-derived join —
+    # it evaluated the dedup shuffle lineage twice per action and paid a
+    # join shuffle for a flag the narrow map already had (CLAUDE.md)
+    survivors = (
+        gopher_quality_frame(kept, carry=["text"])
+        .where("keep = 1")
+        .select("doc_id", "text")
     )
     return pack_sequences(survivors, capacity_tokens=256).orderBy("doc_id")
 

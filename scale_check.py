@@ -489,9 +489,10 @@ def main() -> None:
         from duck_delta_share_spark.plans.llm_ops import gopher_quality_frame
 
         kept = dd.exact_dedup(d.select("doc_id", "text"), "text", "doc_id")
-        survivors = kept.join(
-            gopher_quality_frame(kept).where("keep = 1").select("doc_id"),
-            "doc_id",
+        survivors = (
+            gopher_quality_frame(kept, carry=["text"])
+            .where("keep = 1")
+            .select("doc_id", "text")
         )
         out = pack_sequences(survivors, capacity_tokens=256)
         h = getattr(out, "_pack_sequences_cache", None)
