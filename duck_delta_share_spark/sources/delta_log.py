@@ -126,6 +126,21 @@ def _checkpoint_files(log: Path, version: int) -> list[Path]:
         return [single]
     multi = sorted(log.glob(f"{version:020d}.checkpoint.*.*.parquet"))
     if multi:
+        # completeness re-check at READ time: _list_versions validated the
+        # part set when it listed, but a concurrent retention cleanup can
+        # delete parts between that listing and this glob — replaying a
+        # partial multi-part checkpoint would silently DROP files from the
+        # reconstructed table state (the worst failure mode). Every part
+        # name carries the declared total; enforce it here.
+        declared = {int(p.name[:-8].split(".")[3]) for p in multi}
+        have = {int(p.name[:-8].split(".")[2]) for p in multi}
+        if len(declared) != 1 or have != set(range(1, next(iter(declared)) + 1)):
+            raise ValueError(
+                f"multi-part checkpoint {version} of {log.parent} is "
+                f"incomplete at read time (have parts {sorted(have)} of "
+                f"{sorted(declared)}): concurrent cleanup or torn write — "
+                "retry the snapshot"
+            )
         return multi
     # V2 manifest (exactly one uniqueStr per version is valid)
     return sorted(
@@ -3252,6 +3267,19 @@ def vacuum(table_path: str | Path, retain_hours: float = 168.0) -> dict:
             continue
         p.unlink()
         removed += 1
+    # orphaned atomic-write temps in _delta_log: a writer that crashed
+    # between tmp write and link/rename leaves `.<name>.<hex>.tmp` (and
+    # `*.parquet.tmp` checkpoint parts) behind forever — readers never
+    # glob them, but they accumulate. Any tmp older than the retention
+    # window is by construction abandoned (a live writer's tmp is
+    # seconds old, never days).
+    for p in _log_dir(table).glob("*.tmp"):
+        try:
+            if p.stat().st_mtime <= cutoff:
+                p.unlink()
+                removed += 1
+        except FileNotFoundError:
+            pass  # concurrent vacuum got it first
     return {"files_removed": removed}
 
 
