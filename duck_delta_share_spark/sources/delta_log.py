@@ -143,11 +143,22 @@ def _checkpoint_files(log: Path, version: int) -> list[Path]:
             )
         return multi
     # V2 manifest (exactly one uniqueStr per version is valid)
-    return sorted(
+    v2 = sorted(
         p
         for p in log.glob(f"{version:020d}.checkpoint.*.parquet")
         if len(p.name[:-8].split(".")) == 3
     )
+    if not v2:
+        # the checkpoint _list_versions saw was deleted between the
+        # listing and this glob (concurrent retention cleanup). Returning
+        # [] would make snapshot() skip replaying every commit ≤ version —
+        # a silently smaller table. Fail loud; snapshot() falls back to
+        # an older checkpoint or pure commit replay.
+        raise FileNotFoundError(
+            f"checkpoint {version} of {log.parent} vanished between "
+            "listing and read (concurrent log cleanup)"
+        )
+    return v2
 
 
 # Reader features the LOCAL path implements for minReaderVersion 3 tables.
@@ -167,6 +178,14 @@ _SUPPORTED_READER_FEATURES = frozenset(
 )
 
 
+class UnsupportedTableProtocol(ValueError):
+    """The table's protocol demands reader behavior this engine lacks.
+
+    A distinct type so snapshot()'s torn-checkpoint fallback can tell
+    "this checkpoint is unreadable, try an older source" (retryable)
+    from "no source of this table is legal to read" (never retryable)."""
+
+
 def _check_local_protocol(p: dict, table: Path) -> None:
     """Local-Delta protocol gate: v1 always; v2 (column mapping) is
     implemented; v3 when every listed readerFeature is implemented;
@@ -179,7 +198,7 @@ def _check_local_protocol(p: dict, table: Path) -> None:
         unsupported = set(p.get("readerFeatures") or ()) - _SUPPORTED_READER_FEATURES
         if not unsupported:
             return
-        raise ValueError(
+        raise UnsupportedTableProtocol(
             f"Delta table {table} requires reader features "
             f"{sorted(unsupported)} which this reader does not implement"
         )
@@ -297,27 +316,50 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
     if target > latest:
         raise ValueError(f"version {target} does not exist (latest is {latest})")
 
-    state: dict = {
-        "schema_string": "",
-        "partition_columns": (),
-        "files": {},
-        "protocol": None,
-        "configuration": {},
-        "transactions": {},
-        "domain_metadata": {},
-    }
-    usable_cp = [v for v in checkpoints if v <= target]
+    def _fresh_state() -> dict:
+        return {
+            "schema_string": "",
+            "partition_columns": (),
+            "files": {},
+            "protocol": None,
+            "configuration": {},
+            "transactions": {},
+            "domain_metadata": {},
+        }
+
+    # Try checkpoints newest-first; a checkpoint that vanished or was
+    # torn by a CONCURRENT cleanup between the listing and the read
+    # (FileNotFoundError / "incomplete at read time" ValueError) is
+    # skipped — falling back to an older checkpoint or pure commit
+    # replay, never to a silently partial state. Each attempt replays
+    # into a FRESH state dict: a mid-read failure (part deleted while
+    # we iterate the set) must not leak half-applied actions into the
+    # next attempt.
+    state = _fresh_state()
     start = 0
-    if usable_cp:
-        cp = max(usable_cp)
-        for part in _checkpoint_files(log, cp):
-            _read_checkpoint(part, state, table)
+    cp_error: Exception | None = None
+    for cp in sorted((v for v in checkpoints if v <= target), reverse=True):
+        try:
+            parts = _checkpoint_files(log, cp)
+            attempt = _fresh_state()
+            for part in parts:
+                _read_checkpoint(part, attempt, table)
+        except UnsupportedTableProtocol:
+            raise  # no older source makes this table legal to read
+        except (OSError, ValueError) as e:
+            cp_error = cp_error or e
+            continue
+        state = attempt
         start = cp + 1
+        break
     replay = [v for v in commits if start <= v <= target]
     expected = list(range(start, target + 1))
-    if replay != expected and not (usable_cp and max(usable_cp) == target):
+    if replay != expected:
         missing = sorted(set(expected) - set(replay))
-        raise ValueError(f"log is missing commit(s) {missing} for version {target}")
+        detail = f" (checkpoint read also failed: {cp_error})" if cp_error else ""
+        raise ValueError(
+            f"log is missing commit(s) {missing} for version {target}{detail}"
+        )
     for v in replay:
         with open(_commit_path(table, v)) as f:
             for line in f:
@@ -548,6 +590,20 @@ def _atomic_commit(
         if isinstance(r, dict) and "deletionTimestamp" not in r:
             r["deletionTimestamp"] = _now_ms
     path = _commit_path(table, version)
+    # Stale-writer guard: os.link only detects a collision on THIS
+    # version's json. After a checkpoint + log truncation the json for a
+    # folded version no longer exists, so a writer holding a
+    # pre-truncation snapshot could RECREATE version N below the
+    # checkpoint and fork history (snapshot(N) / CDF would replay the
+    # rogue commit as the real one). A commit at or below any existing
+    # checkpoint version is by definition stale.
+    _, _cps = _list_versions(path.parent)
+    if _cps and version <= max(_cps):
+        raise ConcurrentWriteError(
+            f"commit version {version} of {table} is at or below the "
+            f"latest checkpoint ({max(_cps)}); the writer's snapshot "
+            "predates a log truncation — re-read the table and retry"
+        )
     # write-then-LINK, not O_EXCL-then-write: creating the final name
     # before the content exists opens a torn window where a concurrent
     # conflict-checking replayer reads an empty/partial commit (missing
@@ -692,6 +748,48 @@ def _check_local_writer_protocol(snap: "DeltaSnapshot", operation: str) -> None:
             "would remove or rewrite rows"
         )
 
+
+
+# Delta PROTOCOL.md "Column Mapping": without a mapping mode the LOGICAL
+# field names are written verbatim as parquet field names, and the spec
+# forbids names containing " ,;{}()\n\t=" (delta-spark rejects them with
+# DELTA_INVALID_CHARACTERS_IN_COLUMN_NAMES). Writing them anyway produces
+# a table other engines refuse to read — fail at write time instead.
+_INVALID_NAME_CHARS = " ,;{}()\n\t="
+
+
+def _validate_field_names(
+    schema_string: str, configuration: dict | None
+) -> None:
+    """Reject physical-name-hostile column names on NON-mapped tables
+    (nested struct fields included — they become parquet group field
+    names). Mapped tables store uuid physical names, so any logical name
+    is legal there."""
+    mode = (configuration or {}).get("delta.columnMapping.mode", "none")
+    if mode in ("name", "id"):
+        return
+    bad: list[str] = []
+
+    def walk(t, prefix: str) -> None:
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for f in t.get("fields", ()):
+                    n = f.get("name", "")
+                    if any(ch in _INVALID_NAME_CHARS for ch in n):
+                        bad.append(prefix + n)
+                    walk(f.get("type"), prefix + n + ".")
+            for k in ("elementType", "keyType", "valueType"):
+                if k in t:
+                    walk(t[k], prefix)
+
+    walk(json.loads(schema_string), "")
+    if bad:
+        raise ValueError(
+            f"column name(s) {bad} contain characters invalid in parquet "
+            "field names (one of ' ,;{}()\\n\\t='); enable column mapping "
+            "(enable_column_mapping) to use them as logical names "
+            "(protocol 'Column Mapping')"
+        )
 
 
 def _generation_expressions(schema_string: str) -> dict:
@@ -1464,6 +1562,13 @@ def write_delta(
         schema_string = _apply_identity_watermarks(schema_string, id_high)
         evolved = True
 
+    # final schema (incl. evolution) against the physical-name rule; the
+    # validator itself skips mapped tables (mode name/id — physical names
+    # are uuids there, any logical name is legal)
+    _validate_field_names(
+        schema_string,
+        configuration if version == 0 else prev.configuration,
+    )
     staged, staged_part_cols = _to_physical(df, cm, part_cols)
     adds = _stage_files(staged, table, staged_part_cols)
     if id_handle is not None:
@@ -1982,7 +2087,10 @@ def checkpoint(
         final = log / (
             f"{snap.version:020d}.checkpoint.{p:010d}.{total:010d}.parquet"
         )
-        tmp = final.with_suffix(".parquet.tmp")
+        # uuid-suffixed tmp: two concurrent checkpoint() calls at the
+        # same version would otherwise share tmp names — one renames the
+        # other's half-written part (or crashes on the vanished tmp)
+        tmp = final.with_name(f".{final.name}.{uuid.uuid4().hex[:8]}.tmp")
         pq.write_table(pa.Table.from_pylist(chunk, schema=cp_schema), tmp)
         tmp_paths.append((tmp, final))
     for tmp, final in tmp_paths:
@@ -2296,7 +2404,11 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
     part_cols = list(snap.partition_columns)
     if candidates:
         existing = _direct_read(spark, snap.schema_string, part_cols, candidates)
-        kept = existing.join(F.broadcast(updates.select(*keys)), keys, "left_anti")
+        # no forced broadcast: the update batch is USER-sized (a backfill
+        # can carry 10^8 keys) and a hint bypasses Spark's broadcast-size
+        # safety — AQE still picks a broadcast join at runtime whenever
+        # the key frame is actually small (r5 wave-10 rule)
+        kept = existing.join(updates.select(*keys), keys, "left_anti")
         merged = kept.unionByName(updates.select(*existing.columns))
     else:
         merged = updates
@@ -2410,7 +2522,20 @@ def _commit_with_conflict_check(
                 if "add" in a and a["add"].get("defaultRowCommitVersion") is not None:
                     a["add"]["defaultRowCommitVersion"] = version
         for v in range(read_version + 1, version):
-            with open(_commit_path(table, v)) as f:
+            try:
+                f = open(_commit_path(table, v))
+            except FileNotFoundError:
+                # the intervening winner was folded into a checkpoint and
+                # truncated while we were conflict-checking — we can no
+                # longer prove the commits are compatible. Surface the
+                # standard retryable conflict, not a raw OSError: the
+                # caller re-reads a fresh snapshot and retries.
+                raise ConcurrentWriteError(
+                    f"log of {table} was truncated under the conflict "
+                    f"check (commit {v} vanished); re-read and retry "
+                    f"{operation}"
+                ) from None
+            with f:
                 for line in f:
                     if not line.strip():
                         continue
@@ -2870,9 +2995,10 @@ def delete_keys(
 ) -> dict:
     """DV-delete every row whose key tuple appears in the ``keys``
     DataFrame — the replication/CDC form of DELETE (arbitrarily many
-    keys, no IN-list string building). Broadcast LEFT SEMI join inside
-    the shared raw match scan; same merge-on-read commit as
-    delete_where. Returns {version, files_touched, rows_deleted}."""
+    keys, no IN-list string building). LEFT SEMI join inside the shared
+    raw match scan (AQE broadcasts small key frames); same merge-on-read
+    commit as delete_where. Returns {version, files_touched,
+    rows_deleted}."""
     from pyspark.sql import functions as F
 
     table = Path(table_path).resolve()
@@ -2886,7 +3012,9 @@ def delete_keys(
         spark,
         snap,
         None,
-        matcher=lambda d: d.join(F.broadcast(key_frame), key_cols, "left_semi"),
+        # un-hinted: the key frame is user-sized; AQE broadcasts it when
+        # small, shuffles when a hint would have OOMed the executors
+        matcher=lambda d: d.join(key_frame, key_cols, "left_semi"),
     )
     return _dv_delete_matched(
         spark, snap, table, cm, matched, f"keys IN <frame> ON {key_cols}"
@@ -3267,6 +3395,28 @@ def vacuum(table_path: str | Path, retain_hours: float = 168.0) -> dict:
             continue
         p.unlink()
         removed += 1
+    # abandoned staging dirs: _stage_files writes into _staging_<hex>
+    # and removes it after moving the files out; a writer that crashed
+    # mid-write leaves the dir (and its parquet) behind, and the
+    # unreferenced-file sweep above deliberately skips staging paths to
+    # protect IN-FLIGHT writers. A staging dir whose newest entry
+    # (including the dir itself) is older than the retention window is
+    # by construction abandoned — no writer stages for days.
+    import shutil as _shutil
+
+    for d in table.glob("_staging_*"):
+        if not d.is_dir():
+            continue
+        try:
+            newest = d.stat().st_mtime
+            for q in d.rglob("*"):
+                newest = max(newest, q.stat().st_mtime)
+        except OSError:
+            continue  # entries vanishing under us = an ACTIVE writer
+        if newest <= cutoff:
+            n_files = sum(1 for q in d.rglob("*") if q.is_file())
+            _shutil.rmtree(d, ignore_errors=True)
+            removed += n_files
     # orphaned atomic-write temps in _delta_log: a writer that crashed
     # between tmp write and link/rename leaves `.<name>.<hex>.tmp` (and
     # `*.parquet.tmp` checkpoint parts) behind forever — readers never
@@ -3389,6 +3539,10 @@ def convert_to_delta(
         if c not in data_schema.names
     ]
     schema_string = StructType(full_fields).json()
+    # a foreign parquet layout can carry field names Delta forbids on
+    # non-mapped tables — converting would mint a table other engines
+    # reject; fail before writing the log
+    _validate_field_names(schema_string, None)
     adds = []
     data_fields = [f for f in full_fields if f.name not in part_cols]
     expected_keys = set(inferred_parts)
