@@ -270,6 +270,7 @@ def upsert_partitioned(
     key_cols: Sequence[str],
     partition_by: Sequence[str],
     fmt: str = "parquet",
+    max_literal_partitions: int = 512,
 ) -> dict:
     """Keyed upsert into a hive-partitioned dataset WITHOUT a table format:
     the merge-on-write primitive incremental pipelines need when the lake
@@ -294,22 +295,42 @@ def upsert_partitioned(
 
     part_cols = list(partition_by)
     keys = list(key_cols)
-    touched = updates.select(*part_cols).distinct().collect()
+    parts = updates.select(*part_cols).distinct()
+    # bounded driver collect: an update batch touching millions of
+    # partition directories (badly-partitioned table, backfill batch)
+    # must not materialize them all on the driver — and a literal
+    # OR-chain over that many tuples blows up the ANALYZER long before
+    # the driver heap does. Below the threshold, literal predicates give
+    # scan-time directory pruning; above it, a broadcast semi-join on
+    # the partition tuples keeps the plan O(#part_cols).
+    touched = parts.limit(max_literal_partitions + 1).collect()
     existing = spark.read.format(fmt).load(path)
-    cond = None
-    for row in touched:
-        clause = None
+    if len(touched) <= max_literal_partitions:
+        n_touched = len(touched)
+        cond = None
+        for row in touched:
+            clause = None
+            for c in part_cols:
+                # eqNullSafe, not ==: a NULL partition value compared with
+                # == is never true, so the existing rows of the NULL
+                # partition directory would be EXCLUDED from `kept` while
+                # the dynamic overwrite still rewrites that directory —
+                # silently deleting every pre-existing non-matching row
+                eq = F.col(c).eqNullSafe(F.lit(row[c]))
+                clause = eq if clause is None else (clause & eq)
+            cond = clause if cond is None else (cond | clause)
+        affected = existing.filter(cond) if cond is not None else existing.limit(0)
+    else:
+        n_touched = parts.count()
+        e, p = existing.alias("__e"), parts.alias("__p")
+        on = None
         for c in part_cols:
-            # eqNullSafe, not ==: a NULL partition value compared with ==
-            # is never true, so the existing rows of the NULL partition
-            # directory would be EXCLUDED from `kept` while the dynamic
-            # overwrite still rewrites that directory — silently deleting
-            # every pre-existing non-matching row in it
-            eq = F.col(c).eqNullSafe(F.lit(row[c]))
-            clause = eq if clause is None else (clause & eq)
-        cond = clause if cond is None else (cond | clause)
-    affected = existing.filter(cond) if cond is not None else existing.limit(0)
-    kept = affected.join(F.broadcast(updates.select(*keys)), keys, "left_anti")
+            eq = F.col(f"__e.{c}").eqNullSafe(F.col(f"__p.{c}"))
+            on = eq if on is None else (on & eq)
+        affected = e.join(F.broadcast(p), on, "left_semi")
+    # un-hinted anti-join: the update batch is user-sized and a forced
+    # broadcast bypasses the size safety; AQE broadcasts small batches
+    kept = affected.join(updates.select(*keys), keys, "left_anti")
     # persist: the row count and the write would otherwise EACH evaluate
     # the affected-partition read + anti-join (count-then-write double
     # evaluation); the cache is bounded by the touched partitions
@@ -326,4 +347,4 @@ def upsert_partitioned(
         )
     finally:
         merged.unpersist()
-    return {"partitions_touched": len(touched), "rows_written": n_rows}
+    return {"partitions_touched": n_touched, "rows_written": n_rows}

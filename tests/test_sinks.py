@@ -174,6 +174,56 @@ def test_upsert_partitioned_touches_only_affected_dirs(spark, tmp_path):
     assert c_files_after == c_files_before, "untouched partition was rewritten"
 
 
+def test_upsert_partitioned_semijoin_path_above_literal_cap(spark, tmp_path):
+    """Above max_literal_partitions the OR-chain of literal predicates
+    would blow up the analyzer (and the driver collect is unbounded);
+    the broadcast-semi-join path must produce identical results —
+    including the NULL-partition and untouched-directory guarantees."""
+    import os
+
+    from duck_delta_share_spark import sinks
+
+    out = str(tmp_path / "lake_many")
+    base = spark.createDataFrame(
+        [(i, f"p{i % 10}" if i % 10 else None, float(i)) for i in range(40)],
+        "id long, part string, val double",
+    )
+    base.write.partitionBy("part").parquet(out)
+    null_dir = os.path.join(out, "part=__HIVE_DEFAULT_PARTITION__")
+    assert os.path.isdir(null_dir)
+
+    # touch 9 of 10 partitions (incl. the NULL one), leave part=p5 alone
+    updates = spark.createDataFrame(
+        [
+            (i, f"p{i % 10}" if i % 10 else None, 1000.0 + i)
+            for i in range(20)
+            if i % 10 != 5
+        ]
+        + [(100, "p1", 7.0)],
+        "id long, part string, val double",
+    )
+    p5_before = sorted(os.listdir(os.path.join(out, "part=p5")))
+    stats = sinks.upsert_partitioned(
+        spark,
+        out,
+        updates,
+        key_cols=["id"],
+        partition_by=["part"],
+        max_literal_partitions=3,  # force the semi-join path
+    )
+    assert stats["partitions_touched"] == 9
+    back = {r.id: (r.part, r.val) for r in spark.read.parquet(out).collect()}
+    # updated keys carry new values; non-matching rows of touched
+    # partitions (incl. NULL) survive; untouched partition intact
+    for i in range(20):
+        if i % 10 != 5:
+            assert back[i] == (f"p{i % 10}" if i % 10 else None, 1000.0 + i)
+    for i in list(range(20, 40)) + [5, 15]:
+        assert back[i] == (f"p{i % 10}" if i % 10 else None, float(i))
+    assert back[100] == ("p1", 7.0)
+    assert sorted(os.listdir(os.path.join(out, "part=p5"))) == p5_before
+
+
 def _file_ranges(path, cols):
     """Per-data-file (min, max) for each column, from parquet footers."""
     import pyarrow.parquet as pq
