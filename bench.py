@@ -101,6 +101,14 @@ HEADLINE = [
     # it perf-tracked so a relapse is visible).
     "bag_fingerprint_dedup",
     "ngram_novelty_score",
+    # round-6 session 2: Markov transition matrix (window + tiny-key
+    # agg), PMI phrase mining (two corpus passes through interpreted
+    # shingles — the shape most likely to regress if the HOF discipline
+    # slips), winsorized embedding stats (exact-percentile two-pass).
+    # Baselines recorded as added_r6s2.
+    "event_type_transitions",
+    "pmi_bigram_scores",
+    "embedding_winsorized_stats",
 ]
 
 

@@ -41,6 +41,14 @@ _R6_WINDOW = [
     "oov_rate_topk_vocab",
     "retention_cohorts",
     "phrase_match_positional",
+    # round-6 session-2 additions (never driver-evidenced); the three
+    # first-50 slots they take came from the r3-fill tail entries with
+    # no r5/r6 operator changes (tfidf_top_terms, inverted_index_
+    # postings, sequence_packing_partitioned — the last keeps its
+    # boundary-bake coverage through its sequence_packing twin)
+    "event_type_transitions",
+    "pmi_bigram_scores",
+    "embedding_winsorized_stats",
     # r6-changed operators re-evidence next
     "heavy_hitter_terms",
     "semantic_dedup",
@@ -85,16 +93,16 @@ _R6_WINDOW = [
     "minhash_lsh_neardup",
     "ngram_jaccard_neardup",
     "sequence_packing",
-    "sequence_packing_partitioned",
     "salted_agg_events",
     "unigram_perplexity_score",
-    "inverted_index_postings",
-    "tfidf_top_terms",
     # --- end of slot 50 (the 5 new r6 queries took the last five r3-fill
     # slots: pipeline_training_prep / per_group_deterministic_sample /
     # text_quality_score / pii_redaction / repetition_signals keep their
     # r3 evidence); freshest-first tail below keeps the registry order
     # deterministic
+    "sequence_packing_partitioned",
+    "inverted_index_postings",
+    "tfidf_top_terms",
     "pipeline_training_prep",
     "per_group_deterministic_sample",
     "text_quality_score",

@@ -1008,3 +1008,54 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "event_type_transitions",
+    oracle="""
+WITH s AS (
+  SELECT event_type AS prev_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE) AS prob
+FROM s
+WHERE next_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+    doc="first-order Markov transition matrix of per-user event sequences "
+    "(P(next event type | current), the user-behavior model features a "
+    "sequence-modeling pipeline extracts). Plan: ONE window shuffle keyed "
+    "on user_id (lead over ts with event_id tie-break — deterministic "
+    "under duplicate timestamps), then a hash agg on the tiny "
+    "(prev, next) key space and a window over prev_type groups. prob is "
+    "a single IEEE division of two exact integers — bit-identical on "
+    "both engines, no decimal discipline needed.",
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        (
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(wp).cast("double")
+        ).alias("prob"),
+    )

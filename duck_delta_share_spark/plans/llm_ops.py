@@ -26,7 +26,7 @@ from duck_delta_share_spark.functions.text import (
 )
 from duck_delta_share_spark.operators import dedup as dd
 from duck_delta_share_spark.operators import similarity as sim
-from duck_delta_share_spark.plans.registry import DEC, query
+from duck_delta_share_spark.plans.registry import DEC, query, sql_davg
 
 _NORM = "regexp_replace(trim(lower(text)), ' +', ' ', 'g')"
 
@@ -3337,4 +3337,150 @@ def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.select("doc_id", n.cast("long").alias("n_matches"))
         .where(F.col("n_matches") > 0)
+    )
+
+
+@query(
+    "pmi_bigram_scores",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), pos AS (
+  SELECT doc_id, UNNEST(toks) AS term,
+         generate_subscripts(toks, 1) AS i
+  FROM toks
+), bgp AS (
+  SELECT term AS prev_term,
+         LEAD(term) OVER (PARTITION BY doc_id ORDER BY i) AS next_term
+  FROM pos
+), cx AS (
+  SELECT term, COUNT(*) AS c FROM pos GROUP BY term
+), bgc AS (
+  SELECT prev_term, next_term, COUNT(*) AS cxy
+  FROM bgp WHERE next_term IS NOT NULL
+  GROUP BY prev_term, next_term
+)
+SELECT b.prev_term, b.next_term, CAST(b.cxy AS BIGINT) AS cxy,
+       ROUND(LN((b.cxy * nn.n_tok * nn.n_tok) / (bb.n_big * c1.c * c2.c)), 9)
+         AS pmi
+FROM bgc b
+JOIN cx c1 ON c1.term = b.prev_term
+JOIN cx c2 ON c2.term = b.next_term
+CROSS JOIN (SELECT CAST(SUM(c) AS DOUBLE) AS n_tok FROM cx) nn
+CROSS JOIN (SELECT CAST(SUM(cxy) AS DOUBLE) AS n_big FROM bgc) bb
+WHERE b.cxy >= 10
+""",
+    doc="pointwise mutual information of adjacent word pairs (phrase "
+    "mining / tokenizer-vocabulary induction signal): "
+    "PMI = ln(P(xy) / (P(x)P(y))) over corpus bigrams, emitted for "
+    "pairs with support >= 10. Plan: two passes over documents (one "
+    "per n-gram order — unavoidable, the orders have different "
+    "cardinalities), each ONE hash agg keyed on the term/bigram; "
+    "totals fold from the tiny count frames (never a third corpus "
+    "scan); unigram joins keyed on term are UN-hinted — AQE broadcasts "
+    "a small vocabulary, shuffles a web-scale one. Numerics: the PMI "
+    "ratio multiplies exact integer-valued doubles (< 2^53) in the "
+    "same left-assoc order on both engines, one division, one ln, "
+    "rounded to 9 decimals (libm ulp discipline, ols_per_group "
+    "precedent). Bigrams via the shifted-slice word_shingles fold "
+    "(CLAUDE.md: 4x over per-position HOF slices).",
+)
+def pmi_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.filter(tokenize("text"), lambda t: t != F.lit("")).alias("toks")
+    )
+    # materialize the arrays in their own projection before each explode
+    # (plan rule: Generate's child must be an attribute, r6 novelty fix)
+    uni = toks.select(F.explode("toks").alias("term"))
+    bg_arr = toks.select(word_shingles(F.col("toks"), 2).alias("bgs"))
+    big = bg_arr.select(F.explode("bgs").alias("bg"))
+    cx = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    bgc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cxy"))
+    n_tok = cx.agg(F.sum("c").cast("double").alias("n_tok"))
+    n_big = bgc.agg(F.sum("cxy").cast("double").alias("n_big"))
+    c1 = cx.withColumnsRenamed({"term": "prev_term", "c": "c1"})
+    c2 = cx.withColumnsRenamed({"term": "next_term", "c": "c2"})
+    return (
+        bgc.where(F.col("cxy") >= 10)
+        .withColumn("prev_term", F.split_part("bg", F.lit(" "), F.lit(1)))
+        .withColumn("next_term", F.split_part("bg", F.lit(" "), F.lit(2)))
+        .join(c1, "prev_term")
+        .join(c2, "next_term")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "prev_term",
+            "next_term",
+            "cxy",
+            F.round(
+                F.log(
+                    (F.col("cxy") * F.col("n_tok") * F.col("n_tok"))
+                    / (F.col("n_big") * F.col("c1") * F.col("c2"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "embedding_winsorized_stats",
+    oracle=f"""
+WITH x AS (
+  SELECT CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), p AS (
+  SELECT dim, ROUND(quantile_cont(x, 0.01), 6) AS p01,
+              ROUND(quantile_cont(x, 0.99), 6) AS p99
+  FROM x GROUP BY dim
+)
+SELECT x.dim, MIN(p.p01) AS p01, MIN(p.p99) AS p99,
+       {sql_davg('LEAST(GREATEST(x.x, p.p01), p.p99)')} AS winsor_mean
+FROM x JOIN p USING (dim)
+GROUP BY x.dim
+""",
+    doc="per-dimension winsorized statistics of the embedding corpus "
+    "(outlier-clipped feature normalization for downstream training): "
+    "exact 1st/99th percentile per dimension, then the mean of values "
+    "clipped to those bounds. Plan: inherently TWO passes (winsorizing "
+    "needs the percentiles first) — each shuffles (dim, x) pairs into d "
+    "groups, the kmeans_lloyd_update key-space shape (k*d groups "
+    "regardless of corpus size). Scale note: EXACT percentile holds the "
+    "group's values (no map-side combine); at petabyte scale swap in "
+    "percentile_approx — same plan, sketch-mergeable. Numerics: "
+    "percentiles rounded to 6 decimals BEFORE clipping on both engines "
+    "(identical clip boundaries despite interpolation-ulp risk); the "
+    "clipped mean uses the exact-decimal davg discipline.",
+)
+def embedding_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.plans.registry import davg
+
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("d", "xf")).select(
+        (F.col("d") + 1).cast("int").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    p = x.groupBy("dim").agg(
+        F.round(F.percentile("x", F.lit(0.01)), 6).alias("p01"),
+        F.round(F.percentile("x", F.lit(0.99)), 6).alias("p99"),
+    )
+    return (
+        x.join(p, "dim")
+        .select(
+            "dim",
+            "p01",
+            "p99",
+            F.least(F.greatest("x", F.col("p01")), F.col("p99")).alias("cl"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.min("p01").alias("p01"),
+            F.min("p99").alias("p99"),
+            davg("cl").alias("winsor_mean"),
+        )
     )

@@ -614,6 +614,74 @@ def main() -> None:
             )
         )
 
+    def transitions_shape(e):
+        # one user-keyed window shuffle + tiny (prev, next) hash agg
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            e.select(
+                F.col("event_type").alias("p"),
+                F.lead("event_type").over(w).alias("nx"),
+            )
+            .where(F.col("nx").isNotNull())
+            .groupBy("p", "nx")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    def pmi_shape(d):
+        # two corpus passes (unigram + bigram aggs), totals folded from
+        # the count frames, UN-hinted vocab joins (AQE decides)
+        from duck_delta_share_spark.functions.text import tokenize, word_shingles
+
+        toks = d.select(
+            F.filter(tokenize("text"), lambda t: t != F.lit("")).alias("toks")
+        )
+        uni = toks.select(F.explode("toks").alias("term"))
+        bg_arr = toks.select(word_shingles(F.col("toks"), 2).alias("bgs"))
+        big = bg_arr.select(F.explode("bgs").alias("bg"))
+        cx = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+        bgc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cxy"))
+        n_tok = cx.agg(F.sum("c").cast("double").alias("n_tok"))
+        n_big = bgc.agg(F.sum("cxy").cast("double").alias("n_big"))
+        return (
+            bgc.where(F.col("cxy") >= 10)
+            .withColumn("p", F.split_part("bg", F.lit(" "), F.lit(1)))
+            .withColumn("nx", F.split_part("bg", F.lit(" "), F.lit(2)))
+            .join(cx.withColumnsRenamed({"term": "p", "c": "c1"}), "p")
+            .join(cx.withColumnsRenamed({"term": "nx", "c": "c2"}), "nx")
+            .crossJoin(F.broadcast(n_tok))
+            .crossJoin(F.broadcast(n_big))
+            .select(
+                "p",
+                "nx",
+                F.log(
+                    (F.col("cxy") * F.col("n_tok") * F.col("n_tok"))
+                    / (F.col("n_big") * F.col("c1") * F.col("c2"))
+                ).alias("pmi"),
+            )
+        )
+
+    def winsorize_shape(emb):
+        # two (dim, x) shuffles into d groups — exact percentile holds
+        # group values, the documented approx-swap lever at PB scale
+        x = emb.select(F.posexplode("embedding").alias("d", "xf")).select(
+            "d", F.col("xf").cast("double").alias("x")
+        )
+        p = x.groupBy("d").agg(
+            F.round(F.percentile("x", F.lit(0.01)), 6).alias("p01"),
+            F.round(F.percentile("x", F.lit(0.99)), 6).alias("p99"),
+        )
+        return (
+            x.join(p, "d")
+            .select(
+                "d",
+                F.least(F.greatest("x", F.col("p01")), F.col("p99")).alias("cl"),
+            )
+            .groupBy("d")
+            .agg(F.avg("cl").alias("m"))
+        )
+
     def retention_shape(e):
         from pyspark.sql import Window as W
 
@@ -665,6 +733,9 @@ def main() -> None:
         ("ngram_novelty", novelty_shape, d1, dN),
         ("oov_rate", oov_shape, d1, dN),
         ("retention_cohorts", retention_shape, e1, eN),
+        ("event_transitions", transitions_shape, e1, eN),
+        ("pmi_bigrams", pmi_shape, d1, dN),
+        ("winsorized_stats", winsorize_shape, emb1, embN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))
