@@ -49,6 +49,12 @@ _R6_WINDOW = [
     "event_type_transitions",
     "pmi_bigram_scores",
     "embedding_winsorized_stats",
+    # r6s2 batch 2 (slots from the two rows-only r3-fill entries —
+    # simhash_neardup / minhash_lsh_neardup — whose HASH-checked md5
+    # twins remain below; the driver only rows-checks rows-only entries,
+    # so the twins carry the r5-fix evidence)
+    "interarrival_histogram",
+    "cross_source_leakage",
     # r6-changed operators re-evidence next
     "heavy_hitter_terms",
     "semantic_dedup",
@@ -83,14 +89,12 @@ _R6_WINDOW = [
     # last rows-evidence r2 (rows-only by necessity: binary HLL states)
     "hll_mergeable_distinct",
     # r3-evidenced entries whose operators received r5 fixes
-    "simhash_neardup",
     "simhash_md5_pairs",
     "multimodal_wav_strict",
     "sessionization",
     "join_asof_tolerance",
     "dedup_components",
     "neardup_canonical_keep",
-    "minhash_lsh_neardup",
     "ngram_jaccard_neardup",
     "sequence_packing",
     "salted_agg_events",
@@ -103,6 +107,8 @@ _R6_WINDOW = [
     "sequence_packing_partitioned",
     "inverted_index_postings",
     "tfidf_top_terms",
+    "simhash_neardup",
+    "minhash_lsh_neardup",
     "pipeline_training_prep",
     "per_group_deterministic_sample",
     "text_quality_score",

@@ -1059,3 +1059,61 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cnt").over(wp).cast("double")
         ).alias("prob"),
     )
+
+
+@query(
+    "interarrival_histogram",
+    oracle="""
+WITH s AS (
+  SELECT event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), d AS (
+  SELECT event_type, epoch_us(ts) - epoch_us(prev_ts) AS delta_us
+  FROM s WHERE prev_ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(LEAST(delta_us // 300000000, 24) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(delta_us) AS BIGINT) AS min_delta_us,
+       CAST(MAX(delta_us) AS BIGINT) AS max_delta_us
+FROM d
+GROUP BY event_type, bucket
+""",
+    doc="inter-arrival-time histogram per event type (the burstiness / "
+    "bot-detection profile a stream-quality pass computes): per-user "
+    "time since the previous event (any type), bucketed into 5-minute "
+    "bins capped at 2 h. Plan: ONE window shuffle keyed on user_id "
+    "(lag over ts, event_id tie-break), then a hash agg on the tiny "
+    "(type, bucket) key space. All arithmetic is exact integer "
+    "microseconds — Spark DIV mirrors DuckDB // with no float in "
+    "sight.",
+)
+def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = (
+        e.select(
+            "event_type",
+            (us - F.lag(us).over(w)).alias("delta_us"),
+        )
+        .where(F.col("delta_us").isNotNull())
+    )
+    return (
+        d.select(
+            "event_type",
+            F.least(F.expr("delta_us DIV 300000000"), F.lit(24))
+            .cast("int")
+            .alias("bucket"),
+            "delta_us",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("delta_us").alias("min_delta_us"),
+            F.max("delta_us").alias("max_delta_us"),
+        )
+    )

@@ -3428,6 +3428,62 @@ def pmi_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cross_source_leakage",
+    oracle=f"""
+WITH fs AS (
+  SELECT DISTINCT
+    md5(array_to_string((string_split({_NORM}, ' '))[1:8], ' ')) AS fp,
+    source
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+""",
+    doc="train/eval leakage audit: for every ordered source pair, how "
+    "many distinct leading-content fingerprints (md5 of the first 8 "
+    "normalized tokens — the prefix key practical leakage scans use; "
+    "whole-document md5 finds nothing at the test SFs) appear in BOTH "
+    "sources — the cross-split contamination matrix. Plan: NO "
+    "self-join — the (fp, source) "
+    "frame would re-evaluate its lineage twice (CLAUDE.md); instead "
+    "group by fp, collect the bounded source set (|sources| = 20, "
+    "collect_set is parameter-bounded), emit the sorted pair "
+    "combinations with an indexed-slice HOF over the tiny array, and "
+    "count per pair — one shuffle on fp plus a tiny-key agg. The "
+    "DuckDB oracle uses the textbook self-join, cross-checking the "
+    "combination generator against relational semantics.",
+)
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    prefix_fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 8))
+    )
+    fs = d.select(prefix_fp.alias("fp"), "source").distinct()
+    grp = (
+        fs.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") >= 2)
+    )
+    # materialize the pair array in its own projection before explode
+    arr = grp.select(
+        F.expr(
+            "flatten(transform(ss, (x, i) -> "
+            "transform(slice(ss, i + 2, size(ss)), "
+            "y -> struct(x AS source_a, y AS source_b))))"
+        ).alias("pp")
+    )
+    return (
+        arr.select(F.explode("pp").alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@query(
     "embedding_winsorized_stats",
     oracle=f"""
 WITH x AS (

@@ -77,6 +77,68 @@ def test_pmi_explodes_materialized_arrays(spark):
         assert "(" not in arg, f"explode over a computed expression: {arg}"
 
 
+def test_interarrival_histogram_matches_first_principles(spark):
+    df = QUERIES["interarrival_histogram"].spark_fn(spark, SF).toPandas()
+    assert len(df) > 0
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["ts", "user_id", "event_id", "event_type"]
+    ).to_pandas()
+    t = t.sort_values(["user_id", "ts", "event_id"])
+    t["prev"] = t.groupby("user_id")["ts"].shift(1)
+    t = t[t["prev"].notna()].copy()
+    delta_us = ((t["ts"] - t["prev"]).dt.total_seconds() * 1e6).round().astype(
+        "int64"
+    )
+    bucket = np.minimum(delta_us // 300_000_000, 24)
+    expect = (
+        t.assign(bucket=bucket, delta_us=delta_us)
+        .groupby(["event_type", "bucket"])
+        .agg(n=("delta_us", "size"), mn=("delta_us", "min"), mx=("delta_us", "max"))
+    )
+    got = df.set_index(["event_type", "bucket"]).sort_index()
+    assert len(got) == len(expect)
+    for key, row in expect.iterrows():
+        g = got.loc[key]
+        assert int(g["n"]) == int(row["n"])
+        assert int(g["min_delta_us"]) == int(row["mn"])
+        assert int(g["max_delta_us"]) == int(row["mx"])
+
+
+def test_cross_source_leakage_pairs_are_ordered_and_consistent(spark):
+    df = QUERIES["cross_source_leakage"].spark_fn(spark, SF).toPandas()
+    assert len(df) > 0, "prefix-8 fingerprints must collide across sources"
+    assert (df["source_a"] < df["source_b"]).all()
+    assert (df["n_shared"] > 0).all()
+    # symmetric recomputation from raw data
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text", "source"]).to_pandas()
+    t = t[t["text"].notna()]
+    import hashlib
+    import re
+
+    def fp(s):
+        norm = re.sub(" +", " ", s.strip().lower())
+        return hashlib.md5(" ".join(norm.split(" ")[:8]).encode()).hexdigest()
+
+    pairs: dict[tuple, set] = {}
+    by_fp: dict[str, set] = {}
+    for txt, src in zip(t["text"], t["source"]):
+        by_fp.setdefault(fp(txt), set()).add(src)
+    for f, srcs in by_fp.items():
+        ss = sorted(srcs)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                pairs.setdefault((a, b), set()).add(f)
+    expect = {k: len(v) for k, v in pairs.items()}
+    got = {
+        (r.source_a, r.source_b): int(r.n_shared) for r in df.itertuples()
+    }
+    assert got == expect
+
+
 def test_embedding_winsorized_stats_matches_numpy(spark):
     df = (
         QUERIES["embedding_winsorized_stats"].spark_fn(spark, SF)
