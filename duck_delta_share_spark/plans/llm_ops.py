@@ -3490,10 +3490,16 @@ WITH x AS (
   SELECT CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
          CAST(UNNEST(embedding) AS DOUBLE) AS x
   FROM embeddings
+), r AS (
+  SELECT dim, x,
+         ROW_NUMBER() OVER (PARTITION BY dim ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY dim) AS n
+  FROM x
 ), p AS (
-  SELECT dim, ROUND(quantile_cont(x, 0.01), 6) AS p01,
-              ROUND(quantile_cont(x, 0.99), 6) AS p99
-  FROM x GROUP BY dim
+  SELECT dim,
+         MIN(CASE WHEN rn = (n + 99) // 100 THEN x END) AS p01,
+         MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN x END) AS p99
+  FROM r GROUP BY dim
 )
 SELECT x.dim, MIN(p.p01) AS p01, MIN(p.p99) AS p99,
        {sql_davg('LEAST(GREATEST(x.x, p.p01), p.p99)')} AS winsor_mean
@@ -3502,18 +3508,22 @@ GROUP BY x.dim
 """,
     doc="per-dimension winsorized statistics of the embedding corpus "
     "(outlier-clipped feature normalization for downstream training): "
-    "exact 1st/99th percentile per dimension, then the mean of values "
-    "clipped to those bounds. Plan: inherently TWO passes (winsorizing "
-    "needs the percentiles first) — each shuffles (dim, x) pairs into d "
-    "groups, the kmeans_lloyd_update key-space shape (k*d groups "
-    "regardless of corpus size). Scale note: EXACT percentile holds the "
-    "group's values (no map-side combine); at petabyte scale swap in "
-    "percentile_approx — same plan, sketch-mergeable. Numerics: "
-    "percentiles rounded to 6 decimals BEFORE clipping on both engines "
-    "(identical clip boundaries despite interpolation-ulp risk); the "
+    "the 1st/99th percentile per dimension as TYPE-1 ORDER STATISTICS "
+    "(rank ceil(p*n) via integer arithmetic, identical on both engines "
+    "— the picked bounds are actual data values, so there is no "
+    "interpolation arithmetic to diverge in the last ulp, unlike "
+    "percentile()/quantile_cont whose interpolation formulas differ "
+    "across engines), then the mean of values clipped to those bounds. "
+    "Plan: inherently TWO passes (winsorizing needs the bounds first) "
+    "— each shuffles (dim, x) pairs into d groups, the "
+    "kmeans_lloyd_update key-space shape. Scale note: the exact rank "
+    "holds the group's values (no map-side combine); at petabyte scale "
+    "swap in percentile_approx — same plan, sketch-mergeable. The "
     "clipped mean uses the exact-decimal davg discipline.",
 )
 def embedding_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from duck_delta_share_spark.plans.registry import davg
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -3521,9 +3531,21 @@ def embedding_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d") + 1).cast("int").alias("dim"),
         F.col("xf").cast("double").alias("x"),
     )
-    p = x.groupBy("dim").agg(
-        F.round(F.percentile("x", F.lit(0.01)), 6).alias("p01"),
-        F.round(F.percentile("x", F.lit(0.99)), 6).alias("p99"),
+    wo = Window.partitionBy("dim").orderBy("x")
+    wn = Window.partitionBy("dim")
+    r = x.select(
+        "dim",
+        "x",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    p = r.groupBy("dim").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 99) DIV 100"), F.col("x"))
+        ).alias("p01"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(99 * n + 99) DIV 100"), F.col("x"))
+        ).alias("p99"),
     )
     return (
         x.join(p, "dim")

@@ -295,7 +295,10 @@ def upsert_partitioned(
 
     part_cols = list(partition_by)
     keys = list(key_cols)
-    parts = updates.select(*part_cols).distinct()
+    # persisted: the distinct-partition frame is read up to three times
+    # (cap probe, stats count, semi-join build) and its lineage is the
+    # whole update batch — without the cache each read re-evaluates it
+    parts = updates.select(*part_cols).distinct().persist()
     # bounded driver collect: an update batch touching millions of
     # partition directories (badly-partitioned table, backfill batch)
     # must not materialize them all on the driver — and a literal
@@ -327,7 +330,11 @@ def upsert_partitioned(
         for c in part_cols:
             eq = F.col(f"__e.{c}").eqNullSafe(F.col(f"__p.{c}"))
             on = eq if on is None else (on & eq)
-        affected = e.join(F.broadcast(p), on, "left_semi")
+        # un-hinted: in exactly this path the tuple frame is over the
+        # literal cap and unbounded by construction — a forced broadcast
+        # would bypass the size safety the cap exists for; AQE still
+        # broadcasts it at runtime when it is merely thousands of rows
+        affected = e.join(p, on, "left_semi")
     # un-hinted anti-join: the update batch is user-sized and a forced
     # broadcast bypasses the size safety; AQE broadcasts small batches
     kept = affected.join(updates.select(*keys), keys, "left_anti")
@@ -347,4 +354,5 @@ def upsert_partitioned(
         )
     finally:
         merged.unpersist()
+        parts.unpersist()
     return {"partitions_touched": n_touched, "rows_written": n_rows}

@@ -596,14 +596,19 @@ def _atomic_commit(
     # pre-truncation snapshot could RECREATE version N below the
     # checkpoint and fork history (snapshot(N) / CDF would replay the
     # rogue commit as the real one). A commit at or below any existing
-    # checkpoint version is by definition stale.
-    _, _cps = _list_versions(path.parent)
-    if _cps and version <= max(_cps):
-        raise ConcurrentWriteError(
-            f"commit version {version} of {table} is at or below the "
-            f"latest checkpoint ({max(_cps)}); the writer's snapshot "
-            "predates a log truncation — re-read the table and retry"
-        )
+    # checkpoint version is by definition stale. The full directory
+    # listing runs ONLY when the previous version's json is absent —
+    # in an untruncated log it always exists (O(1) stat on the hot
+    # path; the listing is reserved for the post-truncation cases it
+    # exists to arbitrate).
+    if version == 0 or not _commit_path(table, version - 1).exists():
+        _, _cps = _list_versions(path.parent)
+        if _cps and version <= max(_cps):
+            raise ConcurrentWriteError(
+                f"commit version {version} of {table} is at or below the "
+                f"latest checkpoint ({max(_cps)}); the writer's snapshot "
+                "predates a log truncation — re-read the table and retry"
+            )
     # write-then-LINK, not O_EXCL-then-write: creating the final name
     # before the content exists opens a torn window where a concurrent
     # conflict-checking replayer reads an empty/partial commit (missing

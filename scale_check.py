@@ -663,14 +663,26 @@ def main() -> None:
         )
 
     def winsorize_shape(emb):
-        # two (dim, x) shuffles into d groups — exact percentile holds
-        # group values, the documented approx-swap lever at PB scale
+        # two (dim, x) shuffles into d groups — the exact type-1 rank
+        # holds group values, the documented approx-swap lever at PB scale
+        from pyspark.sql import Window as W
+
         x = emb.select(F.posexplode("embedding").alias("d", "xf")).select(
             "d", F.col("xf").cast("double").alias("x")
         )
-        p = x.groupBy("d").agg(
-            F.round(F.percentile("x", F.lit(0.01)), 6).alias("p01"),
-            F.round(F.percentile("x", F.lit(0.99)), 6).alias("p99"),
+        r = x.select(
+            "d",
+            "x",
+            F.row_number().over(W.partitionBy("d").orderBy("x")).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("d")).alias("n"),
+        )
+        p = r.groupBy("d").agg(
+            F.min(
+                F.when(F.col("rn") == F.expr("(n + 99) DIV 100"), F.col("x"))
+            ).alias("p01"),
+            F.min(
+                F.when(F.col("rn") == F.expr("(99 * n + 99) DIV 100"), F.col("x"))
+            ).alias("p99"),
         )
         return (
             x.join(p, "d")
