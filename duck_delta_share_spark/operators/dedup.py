@@ -855,6 +855,15 @@ def assign_nearest_centroid(
 
     src = centroids if centroids is not None else df
     cent_rows = src.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if not cent_rows:
+        # an empty centroid set would otherwise build a zero-length
+        # array literal whose lambda types resolve to VOID — the
+        # resulting AnalysisException points nowhere near the cause
+        raise ValueError(
+            "assign_nearest_centroid: no centroid rows (empty input "
+            "frame or empty centroids) — k-means/SemDeDup need at "
+            "least one vector"
+        )
 
     if engine == "arrow":
         import numpy as np

@@ -479,6 +479,22 @@ def embedding_near_dup_pairs(
     ``scorer='arrow'`` keeps the pair join + vectorized numpy UDF;
     ``'expr'`` scores JVM-side (expression fold) for environments where
     the Python worker is undesirable."""
+    # NULL / empty / zero-norm vectors have no cosine: pre-filter them
+    # for every scorer (CLAUDE.md: NaN compares differ between Spark and
+    # numpy, so a zero-norm row silently DISAGREES across scorers; a
+    # NULL row crashes the block matmul with an unrelated shape error)
+    df = df.where(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) > 0)
+        & (
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            )
+            > 0
+        )
+    )
     if scorer == "block":
         from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -500,6 +516,13 @@ def embedding_near_dup_pairs(
                     {"cosine": "float64"}
                 )
             ids = pdf[id_col].to_numpy()
+            lens = pdf[vec_col].map(len)
+            if lens.min() != lens.max():
+                raise ValueError(
+                    f"ragged embedding dimensions {lens.min()}..{lens.max()} "
+                    f"in block {pdf['__blk'].iloc[0]!r}: embeddings must "
+                    "share one dimensionality"
+                )
             A = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.sqrt(np.einsum("ij,ij->i", A, A))
             sims = (A @ A.T) / np.outer(norms, norms)
