@@ -3365,10 +3365,60 @@ def enable_vacuum_protocol_check(table_path: str | Path) -> int:
     return version
 
 
+def _tombstone_timestamps(table: Path, snap: "DeltaSnapshot") -> dict[str, int]:
+    """Latest remove.deletionTimestamp (epoch ms) per table-relative path,
+    from retained commit jsons AND checkpoint-persisted remove rows —
+    the protocol's vacuum-eligibility clock. Last action per path wins
+    (a re-added path is not a tombstone)."""
+    commits, checkpoints = _list_versions(_log_dir(table))
+    tombs: dict[str, int] = {}
+    usable = [v for v in checkpoints if v <= snap.version]
+    if usable:
+        import pyarrow.parquet as pq
+
+        try:
+            for part in _checkpoint_files(_log_dir(table), max(usable)):
+                cols = pq.read_schema(part).names
+                if "remove" not in cols:
+                    continue
+                for row in pq.read_table(part, columns=["remove"]).to_pylist():
+                    r = row.get("remove")
+                    if isinstance(r, dict) and r.get("path") is not None:
+                        tombs[unquote(r["path"])] = int(
+                            r.get("deletionTimestamp") or 0
+                        )
+        except (OSError, ValueError):
+            pass  # torn/vanished checkpoint: commits still contribute
+    for v in sorted(c for c in commits if c <= snap.version):
+        try:
+            with open(_commit_path(table, v)) as f:
+                lines = [json.loads(x) for x in f if x.strip()]
+        except (OSError, ValueError):
+            continue
+        for a in lines:
+            if "remove" in a:
+                rel = unquote(a["remove"]["path"])
+                tombs[rel] = int(a["remove"].get("deletionTimestamp") or 0)
+            elif "add" in a:
+                tombs.pop(unquote(a["add"]["path"]), None)
+    return tombs
+
+
 def vacuum(table_path: str | Path, retain_hours: float = 168.0) -> dict:
     """Delete data files no longer referenced by the CURRENT snapshot and
     older than the retention window (defaults to Delta's 7 days — the
-    guard against breaking in-flight readers and recent time travel)."""
+    guard against breaking in-flight readers and recent time travel).
+
+    Eligibility uses the remove tombstone's ``deletionTimestamp`` when
+    the log has one (protocol "Add File and Remove File": that stamp IS
+    the vacuum clock), falling back to file mtime for orphans the log
+    never tracked. mtime ALONE is wrong in both directions: a CONVERTed
+    table's data files keep their original years-old mtimes, so a file
+    removed one minute ago would be destroyed immediately — breaking
+    in-flight readers and time travel inside the retention window — and
+    a writer with a skewed-ahead clock would pin garbage forever. The
+    file must clear BOTH clocks (tombstone if known, and mtime) before
+    deletion; either one being recent protects it."""
     import time
 
     table = Path(table_path)
@@ -3389,6 +3439,7 @@ def vacuum(table_path: str | Path, retain_hours: float = 168.0) -> dict:
         and f["deletionVector"]["storageType"] == "p"
     }
     cutoff = time.time() - retain_hours * 3600
+    tombs = _tombstone_timestamps(table, snap)
     removed = 0
     candidates = list(table.rglob("*.parquet")) + list(
         table.rglob("deletion_vector_*.bin")
@@ -3398,6 +3449,10 @@ def vacuum(table_path: str | Path, retain_hours: float = 168.0) -> dict:
             continue
         if p in referenced or p.stat().st_mtime > cutoff:
             continue
+        rel = _log_rel(table, str(p))
+        if tombs.get(rel, 0) / 1000.0 > cutoff:
+            continue  # tombstone says the remove is recent: readers of
+            # the pre-remove snapshot may still hold this file
         p.unlink()
         removed += 1
     # abandoned staging dirs: _stage_files writes into _staging_<hex>
