@@ -229,8 +229,15 @@ def test_lsh_bucket_topk_empty_base(spark):
 # ---------------------------------------------------------------------------
 
 
-def _n_cached_rdds(spark) -> int:
-    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+def _cached_rdd_ids(spark) -> set:
+    """Ids of currently-cached RDDs. Tests compare SET DIFFERENCES, never
+    absolute counts: the driver may GC other tests' leaked cache entries
+    at any py4j round-trip, so `count == before + 1` flakes with suite
+    composition (seen r6s2) while 'the ids WE introduced are present /
+    gone' cannot."""
+    return {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
 
 
 def test_heavy_hitters_releases_cache(spark):
@@ -239,10 +246,10 @@ def test_heavy_hitters_releases_cache(spark):
     df = spark.createDataFrame(
         [("the quick brown fox",), ("the lazy dog the",)], "text string"
     )
-    before = _n_cached_rdds(spark)
+    before = _cached_rdd_ids(spark)
     got = heavy_hitter_terms(df, threshold=1 / 4)
     got.collect()
-    assert _n_cached_rdds(spark) == before
+    assert _cached_rdd_ids(spark) - before == set()
 
 
 def test_pack_sequences_global_deterministic_and_releasable(spark):
@@ -252,16 +259,17 @@ def test_pack_sequences_global_deterministic_and_releasable(spark):
         [(f"d{i:03d}", "w " * (i % 7 + 1)) for i in range(50)],
         "doc_id string, text string",
     )
-    before = _n_cached_rdds(spark)
+    before = _cached_rdd_ids(spark)
     out = pack_sequences(docs, capacity_tokens=8, num_range_partitions=4)
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, out.collect()))  # recompute must agree (literal boundaries)
     assert a == b
     # only the narrow (id, n_tokens) projection is cached — evaluating the
     # upstream lineage once — and the handle releases it deterministically
-    assert _n_cached_rdds(spark) == before + 1
+    introduced = _cached_rdd_ids(spark) - before
+    assert len(introduced) == 1
     out._pack_sequences_cache.unpersist(blocking=True)
-    assert _n_cached_rdds(spark) == before
+    assert _cached_rdd_ids(spark) & introduced == set()
     # output unaffected by the release (boundaries are plan literals)
     assert sorted(map(tuple, out.collect())) == a
     # bit-identity with the single-range ground truth
@@ -277,10 +285,10 @@ def test_bpe_train_releases_checkpoints(spark):
     df = spark.createDataFrame(
         [("low lower lowest newest widest",)] * 4, "text string"
     )
-    before = _n_cached_rdds(spark)
+    before = _cached_rdd_ids(spark)
     merges = train_bpe_merges(df, n_merges=5)
     assert merges  # learned something
-    assert _n_cached_rdds(spark) == before
+    assert _cached_rdd_ids(spark) - before == set()
 
 
 def test_connected_components_release_checkpoints(spark):
@@ -289,11 +297,11 @@ def test_connected_components_release_checkpoints(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(20)], "id_a long, id_b long"
     )
-    before = _n_cached_rdds(spark)
+    before = _cached_rdd_ids(spark)
     for algo in ("star", "hashmin"):
         out = connected_components(edges, algorithm=algo)
         got = {r["component"] for r in out.collect()}
         assert got == {0}
     # the FINAL round's checkpoint backs the returned plan and is only
     # reclaimable by GC once the frame drops — allow at most one per algo
-    assert _n_cached_rdds(spark) <= before + 2
+    assert len(_cached_rdd_ids(spark) - before) <= 2
