@@ -1,0 +1,123 @@
+"""Streaming Markov-transition extraction — the stateful twin of
+``plans/functions_sweep.event_type_transitions`` (lead over
+(ts, event_id) per user).
+
+Event-time correctness rule: the pair (e_i, e_i+1) is FINAL once the
+LATER event's timestamp is at or below the watermark — any event that
+could still insert between them would carry ts < e_i+1.ts <= watermark,
+and the watermark drops such rows before they reach the state store. So
+the operator buffers, per user, the last MATURE event (the pairing
+anchor) plus the not-yet-watermarked tail, and emits a pair exactly when
+its later event matures. State is bounded by the watermark horizon ×
+the per-user event rate plus one anchor row — the same budget a
+stream-stream interval join holds.
+
+At 100 TB the state store shards by user across executors; a skewed user
+bounds its state by the watermark window, never by history length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PAIR_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("prev_type", StringType()),
+        StructField("next_type", StringType()),
+        StructField("prev_us", LongType()),
+        StructField("next_us", LongType()),
+    ]
+)
+
+# buffered events: parallel arrays sorted by (us, event_id) — the last
+# mature event (anchor) plus the young tail
+_STATE_SCHEMA = StructType(
+    [
+        StructField("us", ArrayType(LongType())),
+        StructField("ids", ArrayType(LongType())),
+        StructField("types", ArrayType(StringType())),
+    ]
+)
+
+
+def transitions_with_state(
+    events: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user consecutive (prev_type, next_type) pairs, emitted as each
+    pair becomes final under the watermark. Aggregating the emitted pairs
+    reproduces the batch transition matrix restricted to matured events."""
+    import pandas as pd  # noqa: F401 — executor-side dependency
+
+    def fn(
+        key: Any, pdfs: Iterator["pd.DataFrame"], state: Any
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        buf: list[tuple[int, int, str]] = []
+        if state.exists:
+            us, ids, types = state.get
+            buf = list(zip(us, ids, types))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts, eid, et in zip(
+                    pdf["ts"], pdf["event_id"], pdf["event_type"]
+                ):
+                    buf.append((ts.value // 1000, int(eid), et))
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        pairs: list[tuple] = []
+        j = 0  # index of the last event whose pair-behind is emitted
+        while j + 1 < len(buf) and buf[j + 1][0] <= wm_us:
+            a, b = buf[j], buf[j + 1]
+            pairs.append((user_id, a[2], b[2], a[0], b[0]))
+            j += 1
+        buf = buf[j:]
+        if buf:
+            state.update((
+                [e[0] for e in buf],
+                [e[1] for e in buf],
+                [e[2] for e in buf],
+            ))
+            if len(buf) > 1:
+                # young tail pending: fire once the watermark can pass
+                # its newest event (timeout must sit above the current
+                # watermark per the GroupState contract)
+                state.setTimeoutTimestamp(
+                    max(buf[-1][0] // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+                )
+            # a bare anchor sets NO timeout: it waits (O(1) state) to
+            # pair with the user's next event, like join state
+        elif state.exists:
+            state.remove()
+        if pairs:
+            yield pd.DataFrame(
+                pairs,
+                columns=["user_id", "prev_type", "next_type", "prev_us", "next_us"],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            PAIR_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
