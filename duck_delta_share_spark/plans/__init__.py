@@ -55,6 +55,10 @@ _R6_WINDOW = [
     # so the twins carry the r5-fix evidence)
     "interarrival_histogram",
     "cross_source_leakage",
+    # r6s2 batch 3 (slot from join_asof_tolerance: its operator is
+    # exercised in-window by join_asof AND by this very query's asof
+    # composition; the tolerance arg keeps its r3 evidence + unit tests)
+    "pit_segment_attribution",
     # r6-changed operators re-evidence next
     "heavy_hitter_terms",
     "semantic_dedup",
@@ -92,7 +96,6 @@ _R6_WINDOW = [
     "simhash_md5_pairs",
     "multimodal_wav_strict",
     "sessionization",
-    "join_asof_tolerance",
     "dedup_components",
     "neardup_canonical_keep",
     "ngram_jaccard_neardup",
@@ -109,6 +112,7 @@ _R6_WINDOW = [
     "tfidf_top_terms",
     "simhash_neardup",
     "minhash_lsh_neardup",
+    "join_asof_tolerance",
     "pipeline_training_prep",
     "per_group_deterministic_sample",
     "text_quality_score",

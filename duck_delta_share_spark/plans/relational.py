@@ -265,6 +265,66 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "click_ts")
 
 
+@query(
+    "pit_segment_attribution",
+    oracle=f"""
+WITH dim AS (
+  SELECT user_id, ts AS st,
+         CAST(FLOOR(MAX(value)) AS BIGINT) % 4 AS segment
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id, ts
+), p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), pit AS (
+  SELECT d.segment, p.value
+  FROM p ASOF LEFT JOIN dim d
+    ON p.user_id = d.user_id AND p.ts >= d.st
+)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {sql_dsum('value')} AS revenue
+FROM pit GROUP BY segment
+""",
+    doc="point-in-time segment attribution — the feature-store temporal-"
+    "correctness primitive: each purchase is attributed to the user's "
+    "segment AS OF the purchase time (latest signup at-or-before it), "
+    "never to a later one (temporal leakage, the classic training-data "
+    "bug). Dimension rows deduped per (user, ts) so the as-of pick is "
+    "unique under timestamp ties. Spark: the asof_join operator (union "
+    "+ last(ignorenulls) over one user-keyed window — no range cross "
+    "product) composed with a tiny-key segment agg; purchases before "
+    "any signup fall in the NULL segment on both engines. Oracle: "
+    "DuckDB's native ASOF LEFT JOIN cross-checks the window-fold "
+    "implementation.",
+)
+def pit_segment_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(
+            (F.floor(F.max("value")).cast("bigint") % 4).alias("segment")
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    pit = asof_join(
+        purchases,
+        dim.select("user_id", F.col("ts").alias("st"), "segment"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="st",
+        right_value="segment",
+        value_alias="segment",
+    )
+    return pit.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum("value").alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation family: distinct, rollup, cube, grouping sets
 # ---------------------------------------------------------------------------

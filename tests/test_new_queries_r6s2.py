@@ -145,6 +145,35 @@ def test_cross_source_leakage_pairs_are_ordered_and_consistent(spark):
     assert got == expect
 
 
+def test_pit_attribution_never_uses_future_segments(spark):
+    """Temporal-leakage freedom: hand-built stream where the user's
+    segment changes AFTER a purchase — the purchase must keep the
+    OLD segment; a purchase before any signup lands in NULL."""
+    import datetime as dt
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, dt.datetime(2024, 1, 1, 9), 1, "purchase", 10.0),   # pre-signup
+        (2, dt.datetime(2024, 1, 1, 10), 1, "signup", 1.0),     # seg 1
+        (3, dt.datetime(2024, 1, 1, 11), 1, "purchase", 20.0),  # seg 1
+        (4, dt.datetime(2024, 1, 1, 12), 1, "signup", 2.0),     # seg 2
+        (5, dt.datetime(2024, 1, 1, 13), 1, "purchase", 30.0),  # seg 2
+    ]
+    import tempfile
+
+    sf = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.segment: (r.n_purchases, r.revenue)
+        for r in QUERIES["pit_segment_attribution"].spark_fn(spark, sf).collect()
+    }
+    assert got == {None: (1, 10.0), 1: (1, 20.0), 2: (1, 30.0)}
+
+
 def test_embedding_winsorized_stats_matches_numpy(spark):
     df = (
         QUERIES["embedding_winsorized_stats"].spark_fn(spark, SF)
