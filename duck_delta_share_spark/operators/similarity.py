@@ -479,22 +479,14 @@ def embedding_near_dup_pairs(
     ``scorer='arrow'`` keeps the pair join + vectorized numpy UDF;
     ``'expr'`` scores JVM-side (expression fold) for environments where
     the Python worker is undesirable."""
-    # NULL / empty / zero-norm vectors have no cosine: pre-filter them
-    # for every scorer (CLAUDE.md: NaN compares differ between Spark and
-    # numpy, so a zero-norm row silently DISAGREES across scorers; a
-    # NULL row crashes the block matmul with an unrelated shape error)
-    df = df.where(
-        F.col(vec_col).isNotNull()
-        & (F.size(F.col(vec_col)) > 0)
-        & (
-            F.aggregate(
-                F.col(vec_col),
-                F.lit(0.0),
-                lambda a, x: a + x.cast("double") * x.cast("double"),
-            )
-            > 0
-        )
-    )
+    # NULL / empty vectors have no cosine and CRASH the block matmul
+    # with an unrelated numpy shape error — pre-filter them for every
+    # scorer. Zero-norm / NaN handling stays per-path where it is
+    # already paid for: the arrow/expr paths filter norm_fast(__v) > 0
+    # and NaN-guard the output (a second interpreted aggregate here
+    # would double that cost per row — CLAUDE.md: HOFs have no CSE);
+    # the block scorer masks zero-norm rows numpy-side below.
+    df = df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
     if scorer == "block":
         from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -525,6 +517,18 @@ def embedding_near_dup_pairs(
                 )
             A = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.sqrt(np.einsum("ij,ij->i", A, A))
+            # mask zero-norm / non-finite rows BEFORE the matmul: 0/0
+            # divisions emit runtime warnings and NaN rows waste the
+            # quadratic work (their pairs are dropped by the threshold
+            # mask anyway — NaN > t is False in numpy)
+            ok = np.isfinite(norms) & (norms > 0)
+            if not ok.all():
+                ids, A, norms = ids[ok], A[ok], norms[ok]
+                n = len(ids)
+                if n < 2:
+                    return pd.DataFrame(
+                        {"id_a": [], "id_b": [], "cosine": []}
+                    ).astype({"cosine": "float64"})
             sims = (A @ A.T) / np.outer(norms, norms)
             iu, ju = np.triu_indices(n, k=1)
             vals = sims[iu, ju]

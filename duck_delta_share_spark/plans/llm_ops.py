@@ -3486,10 +3486,16 @@ def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_winsorized_stats",
     oracle=f"""
-WITH x AS (
+WITH x0 AS (
   SELECT CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
          CAST(UNNEST(embedding) AS DOUBLE) AS x
   FROM embeddings
+), x AS (
+  -- NULL elements are excluded EXPLICITLY on both sides: the rank
+  -- formulation orders rows, and Spark's row_number puts NULLs first
+  -- while DuckDB's puts them last — a silent divergence the old
+  -- NULL-ignoring percentile aggregates never had
+  SELECT dim, x FROM x0 WHERE x IS NOT NULL
 ), r AS (
   SELECT dim, x,
          ROW_NUMBER() OVER (PARTITION BY dim ORDER BY x) AS rn,
@@ -3527,9 +3533,15 @@ def embedding_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duck_delta_share_spark.plans.registry import davg
 
     e = load_table(spark, sf_dir, "embeddings")
-    x = e.select(F.posexplode("embedding").alias("d", "xf")).select(
-        (F.col("d") + 1).cast("int").alias("dim"),
-        F.col("xf").cast("double").alias("x"),
+    x = (
+        e.select(F.posexplode("embedding").alias("d", "xf"))
+        .select(
+            (F.col("d") + 1).cast("int").alias("dim"),
+            F.col("xf").cast("double").alias("x"),
+        )
+        # NULL elements out before ranking (oracle comment: engines
+        # disagree on NULL ordering; percentile aggs ignored them)
+        .where(F.col("x").isNotNull())
     )
     wo = Window.partitionBy("dim").orderBy("x")
     wn = Window.partitionBy("dim")

@@ -298,51 +298,59 @@ def upsert_partitioned(
     # persisted: the distinct-partition frame is read up to three times
     # (cap probe, stats count, semi-join build) and its lineage is the
     # whole update batch — without the cache each read re-evaluates it
+    # persisted: the distinct-partition frame is read up to three times
+    # (cap probe, stats count, semi-join build) and its lineage is the
+    # whole update batch; the try/finally starts HERE so a failure at
+    # any later step (missing path, probe error) still unpersists it
     parts = updates.select(*part_cols).distinct().persist()
-    # bounded driver collect: an update batch touching millions of
-    # partition directories (badly-partitioned table, backfill batch)
-    # must not materialize them all on the driver — and a literal
-    # OR-chain over that many tuples blows up the ANALYZER long before
-    # the driver heap does. Below the threshold, literal predicates give
-    # scan-time directory pruning; above it, a broadcast semi-join on
-    # the partition tuples keeps the plan O(#part_cols).
-    touched = parts.limit(max_literal_partitions + 1).collect()
-    existing = spark.read.format(fmt).load(path)
-    if len(touched) <= max_literal_partitions:
-        n_touched = len(touched)
-        cond = None
-        for row in touched:
-            clause = None
-            for c in part_cols:
-                # eqNullSafe, not ==: a NULL partition value compared with
-                # == is never true, so the existing rows of the NULL
-                # partition directory would be EXCLUDED from `kept` while
-                # the dynamic overwrite still rewrites that directory —
-                # silently deleting every pre-existing non-matching row
-                eq = F.col(c).eqNullSafe(F.lit(row[c]))
-                clause = eq if clause is None else (clause & eq)
-            cond = clause if cond is None else (cond | clause)
-        affected = existing.filter(cond) if cond is not None else existing.limit(0)
-    else:
-        n_touched = parts.count()
-        e, p = existing.alias("__e"), parts.alias("__p")
-        on = None
-        for c in part_cols:
-            eq = F.col(f"__e.{c}").eqNullSafe(F.col(f"__p.{c}"))
-            on = eq if on is None else (on & eq)
-        # un-hinted: in exactly this path the tuple frame is over the
-        # literal cap and unbounded by construction — a forced broadcast
-        # would bypass the size safety the cap exists for; AQE still
-        # broadcasts it at runtime when it is merely thousands of rows
-        affected = e.join(p, on, "left_semi")
-    # un-hinted anti-join: the update batch is user-sized and a forced
-    # broadcast bypasses the size safety; AQE broadcasts small batches
-    kept = affected.join(updates.select(*keys), keys, "left_anti")
-    # persist: the row count and the write would otherwise EACH evaluate
-    # the affected-partition read + anti-join (count-then-write double
-    # evaluation); the cache is bounded by the touched partitions
-    merged = kept.unionByName(updates.select(*existing.columns)).persist()
+    merged = None
     try:
+        # bounded driver collect: an update batch touching millions of
+        # partition directories (badly-partitioned table, backfill
+        # batch) must not materialize them all on the driver — and a
+        # literal OR-chain over that many tuples blows up the ANALYZER
+        # long before the driver heap does. Below the threshold, literal
+        # predicates give scan-time directory pruning; above it, a
+        # semi-join on the partition tuples keeps the plan O(#part_cols).
+        touched = parts.limit(max_literal_partitions + 1).collect()
+        existing = spark.read.format(fmt).load(path)
+        if len(touched) <= max_literal_partitions:
+            n_touched = len(touched)
+            cond = None
+            for row in touched:
+                clause = None
+                for c in part_cols:
+                    # eqNullSafe, not ==: a NULL partition value compared
+                    # with == is never true, so the existing rows of the
+                    # NULL partition directory would be EXCLUDED from
+                    # `kept` while the dynamic overwrite still rewrites
+                    # that directory — silently deleting every
+                    # pre-existing non-matching row
+                    eq = F.col(c).eqNullSafe(F.lit(row[c]))
+                    clause = eq if clause is None else (clause & eq)
+                cond = clause if cond is None else (cond | clause)
+            affected = (
+                existing.filter(cond) if cond is not None else existing.limit(0)
+            )
+        else:
+            n_touched = parts.count()
+            e, p = existing.alias("__e"), parts.alias("__p")
+            on = None
+            for c in part_cols:
+                eq = F.col(f"__e.{c}").eqNullSafe(F.col(f"__p.{c}"))
+                on = eq if on is None else (on & eq)
+            # un-hinted: in exactly this path the tuple frame is over the
+            # literal cap and unbounded by construction — a forced
+            # broadcast would bypass the size safety the cap exists for;
+            # AQE still broadcasts it when it is merely thousands of rows
+            affected = e.join(p, on, "left_semi")
+        # un-hinted anti-join: the update batch is user-sized and a forced
+        # broadcast bypasses the size safety; AQE broadcasts small batches
+        kept = affected.join(updates.select(*keys), keys, "left_anti")
+        # persist: the row count and the write would otherwise EACH
+        # evaluate the affected-partition read + anti-join; the cache is
+        # bounded by the touched partitions
+        merged = kept.unionByName(updates.select(*existing.columns)).persist()
         n_rows = merged.count()
         (
             merged.repartition(*[F.col(c) for c in part_cols])
@@ -353,6 +361,7 @@ def upsert_partitioned(
             .save(path)
         )
     finally:
-        merged.unpersist()
+        if merged is not None:
+            merged.unpersist()
         parts.unpersist()
     return {"partitions_touched": n_touched, "rows_written": n_rows}

@@ -596,19 +596,20 @@ def _atomic_commit(
     # pre-truncation snapshot could RECREATE version N below the
     # checkpoint and fork history (snapshot(N) / CDF would replay the
     # rogue commit as the real one). A commit at or below any existing
-    # checkpoint version is by definition stale. The full directory
-    # listing runs ONLY when the previous version's json is absent —
-    # in an untruncated log it always exists (O(1) stat on the hot
-    # path; the listing is reserved for the post-truncation cases it
-    # exists to arbitrate).
-    if version == 0 or not _commit_path(table, version - 1).exists():
-        _, _cps = _list_versions(path.parent)
-        if _cps and version <= max(_cps):
-            raise ConcurrentWriteError(
-                f"commit version {version} of {table} is at or below the "
-                f"latest checkpoint ({max(_cps)}); the writer's snapshot "
-                "predates a log truncation — re-read the table and retry"
-            )
+    # checkpoint version is by definition stale. The listing runs
+    # UNCONDITIONALLY: a crashed truncation can delete any SUBSET of the
+    # jsons (glob order is arbitrary), so "json N-1 exists" proves
+    # nothing about json N having been folded — no O(1) shortcut is
+    # sound. Cost context: every commit path already runs snapshot()'s
+    # O(dir) listing moments earlier, so this doubles an already-paid
+    # metadata cost rather than adding a new asymptotic one.
+    _, _cps = _list_versions(path.parent)
+    if _cps and version <= max(_cps):
+        raise ConcurrentWriteError(
+            f"commit version {version} of {table} is at or below the "
+            f"latest checkpoint ({max(_cps)}); the writer's snapshot "
+            "predates a log truncation — re-read the table and retry"
+        )
     # write-then-LINK, not O_EXCL-then-write: creating the final name
     # before the content exists opens a torn window where a concurrent
     # conflict-checking replayer reads an empty/partial commit (missing
@@ -1807,19 +1808,17 @@ def _write_last_checkpoint(log: Path, payload: dict) -> None:
     os.replace(tmp, log / "_last_checkpoint")
 
 
-def _recent_tombstones(table: Path, snap: "DeltaSnapshot") -> list[dict]:
-    """Remove tombstones to persist in a checkpoint (PROTOCOL.md
-    Checkpoints: removes must be kept until tombstone-retention expiry —
-    dropping them right after a rewrite makes the replaced files
-    invisible to foreign VACUUMs and to readers reasoning about recent
-    deletes). Last action per path wins: a path re-added later, or live
-    in the current snapshot, is NOT a tombstone. Sources are the RETAINED
-    commit jsons; tombstones older than the truncated log have aged past
-    any sane retention window."""
-    live = {_log_rel(table, f["url"]) for f in snap.files}
+def _fold_commit_tombstones(table: Path, upto_version: int) -> dict[str, dict]:
+    """Last-action-per-path fold of remove tombstones from the RETAINED
+    commit jsons (the single implementation behind checkpoint tombstone
+    persistence AND vacuum's eligibility clock — the two previously
+    diverged on the commitInfo-timestamp fallback). A remove without
+    deletionTimestamp inherits the commit's provenance timestamp (the
+    protocol reads a missing stamp as epoch 0 = immediate deletion);
+    a path re-added later is NOT a tombstone."""
     commits, _ = _list_versions(_log_dir(table))
     tombs: dict[str, dict] = {}
-    for v in sorted(c for c in commits if c <= snap.version):
+    for v in sorted(c for c in commits if c <= upto_version):
         try:
             with open(_commit_path(table, v)) as f:
                 lines = [json.loads(x) for x in f if x.strip()]
@@ -1844,6 +1843,18 @@ def _recent_tombstones(table: Path, snap: "DeltaSnapshot") -> list[dict]:
                 }
             elif "add" in a:
                 tombs.pop(unquote(a["add"]["path"]), None)
+    return tombs
+
+
+def _recent_tombstones(table: Path, snap: "DeltaSnapshot") -> list[dict]:
+    """Remove tombstones to persist in a checkpoint (PROTOCOL.md
+    Checkpoints: removes must be kept until tombstone-retention expiry —
+    dropping them right after a rewrite makes the replaced files
+    invisible to foreign VACUUMs and to readers reasoning about recent
+    deletes). Tombstones older than the truncated log have aged past
+    any sane retention window."""
+    live = {_log_rel(table, f["url"]) for f in snap.files}
+    tombs = _fold_commit_tombstones(table, snap.version)
     return [t for rel, t in sorted(tombs.items()) if rel not in live]
 
 
@@ -3365,42 +3376,51 @@ def enable_vacuum_protocol_check(table_path: str | Path) -> int:
     return version
 
 
+def _checkpoint_remove_stamps(log: Path, version: int) -> dict[str, int]:
+    """remove.deletionTimestamp per path from a checkpoint's rows,
+    FOLLOWING v2 sidecar actions (file actions of a sidecar-based v2
+    checkpoint — removes included — live only in _delta_log/_sidecars/;
+    reading the manifest alone would contribute zero tombstones and
+    silently degrade vacuum back to mtime-only on foreign tables)."""
+    import pyarrow.parquet as pq
+
+    stamps: dict[str, int] = {}
+
+    def read_file(fp: Path) -> None:
+        names = pq.read_schema(fp).names
+        cols = [c for c in ("remove", "sidecar") if c in names]
+        if not cols:
+            return
+        for row in pq.read_table(fp, columns=cols).to_pylist():
+            r = row.get("remove")
+            if isinstance(r, dict) and r.get("path") is not None:
+                stamps[unquote(r["path"])] = int(r.get("deletionTimestamp") or 0)
+            s = row.get("sidecar")
+            if isinstance(s, dict) and s.get("path"):
+                read_file(fp.parent / "_sidecars" / s["path"])
+
+    for part in _checkpoint_files(log, version):
+        read_file(part)
+    return stamps
+
+
 def _tombstone_timestamps(table: Path, snap: "DeltaSnapshot") -> dict[str, int]:
     """Latest remove.deletionTimestamp (epoch ms) per table-relative path,
-    from retained commit jsons AND checkpoint-persisted remove rows —
-    the protocol's vacuum-eligibility clock. Last action per path wins
-    (a re-added path is not a tombstone)."""
-    commits, checkpoints = _list_versions(_log_dir(table))
+    from retained commit jsons AND checkpoint-persisted remove rows
+    (incl. v2 sidecars) — the protocol's vacuum-eligibility clock.
+    Commit-derived stamps use the shared _fold_commit_tombstones (with
+    its commitInfo-timestamp fallback) and win over checkpoint rows for
+    the same path (they are never older)."""
+    _, checkpoints = _list_versions(_log_dir(table))
     tombs: dict[str, int] = {}
     usable = [v for v in checkpoints if v <= snap.version]
     if usable:
-        import pyarrow.parquet as pq
-
         try:
-            for part in _checkpoint_files(_log_dir(table), max(usable)):
-                cols = pq.read_schema(part).names
-                if "remove" not in cols:
-                    continue
-                for row in pq.read_table(part, columns=["remove"]).to_pylist():
-                    r = row.get("remove")
-                    if isinstance(r, dict) and r.get("path") is not None:
-                        tombs[unquote(r["path"])] = int(
-                            r.get("deletionTimestamp") or 0
-                        )
+            tombs.update(_checkpoint_remove_stamps(_log_dir(table), max(usable)))
         except (OSError, ValueError):
             pass  # torn/vanished checkpoint: commits still contribute
-    for v in sorted(c for c in commits if c <= snap.version):
-        try:
-            with open(_commit_path(table, v)) as f:
-                lines = [json.loads(x) for x in f if x.strip()]
-        except (OSError, ValueError):
-            continue
-        for a in lines:
-            if "remove" in a:
-                rel = unquote(a["remove"]["path"])
-                tombs[rel] = int(a["remove"].get("deletionTimestamp") or 0)
-            elif "add" in a:
-                tombs.pop(unquote(a["add"]["path"]), None)
+    for rel, t in _fold_commit_tombstones(table, snap.version).items():
+        tombs[rel] = int(t["deletionTimestamp"] or 0)
     return tombs
 
 

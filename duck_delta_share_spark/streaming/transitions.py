@@ -3,9 +3,10 @@
 (ts, event_id) per user).
 
 Event-time correctness rule: the pair (e_i, e_i+1) is FINAL once the
-LATER event's timestamp is at or below the watermark — any event that
-could still insert between them would carry ts < e_i+1.ts <= watermark,
-and the watermark drops such rows before they reach the state store. So
+LATER event's timestamp is STRICTLY below the watermark — any event that
+could still insert between them would carry ts <= e_i+1.ts < watermark,
+and Spark drops rows with eventTime < watermark before they reach the
+state store (equal-to-watermark rows are still admitted, hence strict). So
 the operator buffers, per user, the last MATURE event (the pairing
 anchor) plus the not-yet-watermarked tail, and emits a pair exactly when
 its later event matures. State is bounded by the watermark horizon ×
@@ -80,7 +81,11 @@ def transitions_with_state(
         wm_us = state.getCurrentWatermarkMs() * 1000
         pairs: list[tuple] = []
         j = 0  # index of the last event whose pair-behind is emitted
-        while j + 1 < len(buf) and buf[j + 1][0] <= wm_us:
+        # STRICT <, mirroring Spark's late-row rule (rows with
+        # eventTime == watermark are still ADMITTED): a pair whose later
+        # event equals the watermark is not final — an equal-timestamp,
+        # smaller-event-id row can still arrive and sort between them
+        while j + 1 < len(buf) and buf[j + 1][0] < wm_us:
             a, b = buf[j], buf[j + 1]
             pairs.append((user_id, a[2], b[2], a[0], b[0]))
             j += 1
