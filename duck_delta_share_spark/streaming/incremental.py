@@ -137,6 +137,15 @@ def maintain_rollup_stream(
                 and d.name not in (target, prev_current)
             ):
                 shutil.rmtree(d, ignore_errors=True)
+        # orphan pointer tmps from a writer that crashed between the tmp
+        # write and the atomic replace (the stream owns this directory —
+        # single-writer contract — so any tmp other than one we just
+        # replaced is abandoned)
+        for f in out.glob("._meta.json.*.tmp"):
+            try:
+                f.unlink()
+            except OSError:
+                pass
 
     changes = (
         spark.readStream.format("deltashare")

@@ -134,6 +134,10 @@ def test_streaming_rollup_gcs_generations(spark, tmp_path):
     )
     write_delta(base, t)
     roll, ck = tmp_path / "roll", tmp_path / "ck"
+    roll.mkdir()
+    # orphan pointer tmp from a crashed flip: the stream must reclaim it
+    orphan = roll / "._meta.json.deadbeef.tmp"
+    orphan.write_text("{")
     q = maintain_rollup_stream(spark, t, ["k"], {"total": "v"}, roll, ck)
     try:
         q.processAllAvailable()
@@ -146,6 +150,7 @@ def test_streaming_rollup_gcs_generations(spark, tmp_path):
         q.stop()
     gens = sorted(d.name for d in roll.iterdir() if d.name.startswith("data_"))
     assert len(gens) <= 2, gens  # current + one crash-safety predecessor
+    assert not orphan.exists(), "abandoned pointer tmp must be reclaimed"
     meta = _json.loads((roll / "_meta.json").read_text())
     assert meta["current"] in gens
     got = {(r.k, round(r.total, 6)) for r in read_rollup(spark, roll).collect()}
