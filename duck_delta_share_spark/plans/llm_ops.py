@@ -3428,6 +3428,70 @@ def pmi_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_coverage_curve",
+    oracle="""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), uni AS (
+  SELECT UNNEST(toks) AS term FROM toks
+), c AS (
+  SELECT term, COUNT(*) AS cnt FROM uni GROUP BY term
+), r AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rk FROM c
+), t AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c
+), ks(k) AS (VALUES (1),(2),(4),(8),(16),(32),(64))
+SELECT ks.k AS k, CAST(SUM(r.cnt) AS BIGINT) AS covered_tokens,
+       CAST(SUM(r.cnt) AS DOUBLE) / MIN(t.total) AS coverage
+FROM ks JOIN r ON r.rk <= ks.k CROSS JOIN t
+GROUP BY ks.k
+""",
+    doc="vocabulary coverage curve (tokenizer-sizing analysis): the "
+    "fraction of corpus tokens covered by the top-k most frequent "
+    "terms, for k in powers of two up to 64 — the curve that decides a "
+    "vocab budget. Plan: term counts via ONE hash agg; the top-64 head "
+    "comes from orderBy+limit (TakeOrdered, distributed — the zipf r5 "
+    "lesson: NEVER a whole-vocab single-partition window), ranked "
+    "locally on 64 rows; the k-grid joins against that bounded head "
+    "(64x7 rows) and the total folds from the count frame. coverage is "
+    "one division of exact integers — bit-identical.",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.filter(tokenize("text"), lambda t: t != F.lit("")).alias("toks")
+    )
+    cnts = (
+        toks.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = cnts.agg(F.sum("cnt").cast("double").alias("total"))
+    head = cnts.orderBy(F.col("cnt").desc(), "term").limit(64)
+    ranked = head.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), "term")
+        ),
+    )
+    ks = spark.range(7).select(
+        F.expr("CAST(shiftleft(1, CAST(id AS INT)) AS INT)").alias("k")
+    )
+    return (
+        ks.join(F.broadcast(ranked), F.col("rk") <= F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.sum("cnt").alias("covered_tokens"),
+            (F.sum("cnt").cast("double") / F.min("total")).alias("coverage"),
+        )
+    )
+
+
+@query(
     "cross_source_leakage",
     oracle=f"""
 WITH fs AS (

@@ -145,6 +145,19 @@ def test_cross_source_leakage_pairs_are_ordered_and_consistent(spark):
     assert got == expect
 
 
+def test_vocab_coverage_curve_is_monotone_and_bounded(spark):
+    df = (
+        QUERIES["vocab_coverage_curve"].spark_fn(spark, SF)
+        .orderBy("k")
+        .toPandas()
+    )
+    assert list(df["k"]) == [1, 2, 4, 8, 16, 32, 64]
+    cov = list(df["coverage"])
+    assert all(b >= a for a, b in zip(cov, cov[1:])), "coverage must be monotone"
+    assert 0 < cov[0] <= cov[-1] <= 1.0
+    assert (df["covered_tokens"].diff().dropna() >= 0).all()
+
+
 def test_pit_attribution_never_uses_future_segments(spark):
     """Temporal-leakage freedom: hand-built stream where the user's
     segment changes AFTER a purchase — the purchase must keep the
