@@ -297,9 +297,6 @@ def upsert_partitioned(
     keys = list(key_cols)
     # persisted: the distinct-partition frame is read up to three times
     # (cap probe, stats count, semi-join build) and its lineage is the
-    # whole update batch — without the cache each read re-evaluates it
-    # persisted: the distinct-partition frame is read up to three times
-    # (cap probe, stats count, semi-join build) and its lineage is the
     # whole update batch; the try/finally starts HERE so a failure at
     # any later step (missing path, probe error) still unpersists it
     parts = updates.select(*part_cols).distinct().persist()

@@ -605,6 +605,18 @@ def _atomic_commit(
     # metadata cost rather than adding a new asymptotic one.
     _, _cps = _list_versions(path.parent)
     if _cps and version <= max(_cps):
+        # Only a version whose json is GONE proves truncation. A
+        # checkpoint WITHOUT truncation leaves the jsons in place: an
+        # append racing a just-written checkpoint at the latest version
+        # is an ordinary collision and must stay retryable (the blind
+        # bump-and-retry loop catches FileExistsError) — raising the
+        # hard error here was a liveness regression. Surface the
+        # collision WITHOUT touching the filesystem: linking at/below a
+        # checkpoint races a concurrent truncation that could delete the
+        # json between our check and os.link, silently recreating a
+        # folded version.
+        if path.exists():
+            raise FileExistsError(str(path))
         raise ConcurrentWriteError(
             f"commit version {version} of {table} is at or below the "
             f"latest checkpoint ({max(_cps)}); the writer's snapshot "
@@ -3480,10 +3492,14 @@ def vacuum(table_path: str | Path, retain_hours: float = 168.0) -> dict:
     # mid-write leaves the dir (and its parquet) behind, and the
     # unreferenced-file sweep above deliberately skips staging paths to
     # protect IN-FLIGHT writers. A staging dir whose newest entry
-    # (including the dir itself) is older than the retention window is
-    # by construction abandoned — no writer stages for days.
+    # (including the dir itself) is older than the threshold is by
+    # construction abandoned — but "no writer stages for days" only
+    # holds against a CONSERVATIVE clock: the threshold is floored at
+    # 24h independent of the caller's data-file retention, so
+    # vacuum(table, 0) cannot reap an ACTIVE writer's staging dir.
     import shutil as _shutil
 
+    staging_cutoff = min(cutoff, time.time() - max(retain_hours, 24.0) * 3600)
     for d in table.glob("_staging_*"):
         if not d.is_dir():
             continue
@@ -3493,19 +3509,20 @@ def vacuum(table_path: str | Path, retain_hours: float = 168.0) -> dict:
                 newest = max(newest, q.stat().st_mtime)
         except OSError:
             continue  # entries vanishing under us = an ACTIVE writer
-        if newest <= cutoff:
+        if newest <= staging_cutoff:
             n_files = sum(1 for q in d.rglob("*") if q.is_file())
             _shutil.rmtree(d, ignore_errors=True)
             removed += n_files
     # orphaned atomic-write temps in _delta_log: a writer that crashed
     # between tmp write and link/rename leaves `.<name>.<hex>.tmp` (and
     # `*.parquet.tmp` checkpoint parts) behind forever — readers never
-    # glob them, but they accumulate. Any tmp older than the retention
-    # window is by construction abandoned (a live writer's tmp is
-    # seconds old, never days).
+    # glob them, but they accumulate. Any tmp older than the (24h-
+    # floored, same rationale as the staging sweep: a live writer's tmp
+    # is seconds old, but vacuum(table, 0) must not catch one mid-fsync)
+    # threshold is by construction abandoned.
     for p in _log_dir(table).glob("*.tmp"):
         try:
-            if p.stat().st_mtime <= cutoff:
+            if p.stat().st_mtime <= staging_cutoff:
                 p.unlink()
                 removed += 1
         except FileNotFoundError:

@@ -9,9 +9,14 @@ and Spark drops rows with eventTime < watermark before they reach the
 state store (equal-to-watermark rows are still admitted, hence strict). So
 the operator buffers, per user, the last MATURE event (the pairing
 anchor) plus the not-yet-watermarked tail, and emits a pair exactly when
-its later event matures. State is bounded by the watermark horizon ×
-the per-user event rate plus one anchor row — the same budget a
-stream-stream interval join holds.
+its later event matures. PER-USER state is bounded by the watermark
+horizon × the user's event rate plus one anchor row — the same budget a
+stream-stream interval join holds. TOTAL state is not: a bare anchor
+waits indefinitely for the user's next event, so without a TTL the store
+grows with ever-seen-user cardinality (every user retains one anchor row
+forever). Pass ``anchor_ttl`` to bound the total: idle anchors are
+dropped once the watermark passes anchor_ts + TTL, trading away the
+transition pair of any user who returns after a gap longer than the TTL.
 
 At 100 TB the state store shards by user across executors; a skewed user
 bounds its state by the watermark window, never by history length.
@@ -55,11 +60,22 @@ _STATE_SCHEMA = StructType(
 def transitions_with_state(
     events: DataFrame,
     watermark: str = "1 hour",
+    anchor_ttl_s: int | None = None,
 ) -> DataFrame:
     """Per-user consecutive (prev_type, next_type) pairs, emitted as each
     pair becomes final under the watermark. Aggregating the emitted pairs
-    reproduces the batch transition matrix restricted to matured events."""
+    reproduces the batch transition matrix restricted to matured events.
+
+    ``anchor_ttl_s``: optional idle TTL (seconds). When set, a bare
+    anchor — the one-row state retained to pair with the user's NEXT
+    event — is dropped once the watermark passes anchor_ts + TTL,
+    bounding TOTAL state by active users instead of ever-seen users. The
+    trade: a user who returns after a silence longer than the TTL loses
+    the transition pair spanning the gap. ``None`` (default) keeps the
+    lossless behavior: anchors persist until the user's next event."""
     import pandas as pd  # noqa: F401 — executor-side dependency
+
+    ttl_us = anchor_ttl_s * 1_000_000 if anchor_ttl_s is not None else None
 
     def fn(
         key: Any, pdfs: Iterator["pd.DataFrame"], state: Any
@@ -90,6 +106,11 @@ def transitions_with_state(
             pairs.append((user_id, a[2], b[2], a[0], b[0]))
             j += 1
         buf = buf[j:]
+        if ttl_us is not None and len(buf) == 1 and wm_us >= buf[0][0] + ttl_us:
+            # idle anchor past its TTL: the user has been silent longer
+            # than the configured horizon — drop the anchor (and with it
+            # the would-be pair spanning the gap, the documented trade)
+            buf = []
         if buf:
             state.update((
                 [e[0] for e in buf],
@@ -103,8 +124,18 @@ def transitions_with_state(
                 state.setTimeoutTimestamp(
                     max(buf[-1][0] // 1000 + 1, state.getCurrentWatermarkMs() + 1)
                 )
-            # a bare anchor sets NO timeout: it waits (O(1) state) to
-            # pair with the user's next event, like join state
+            elif ttl_us is not None:
+                # bare anchor under a TTL: fire once the watermark can
+                # expire it, so the drop happens without a new event
+                state.setTimeoutTimestamp(
+                    max(
+                        (buf[0][0] + ttl_us) // 1000 + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+            # a bare anchor with no TTL sets NO timeout: it waits (O(1)
+            # per-user state) to pair with the user's next event, like
+            # join state — total state then grows with ever-seen users
         elif state.exists:
             state.remove()
         if pairs:
