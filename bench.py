@@ -109,6 +109,19 @@ HEADLINE = [
     "event_type_transitions",
     "pmi_bigram_scores",
     "embedding_winsorized_stats",
+    # round-7 new operators: blocked-Levenshtein near-dup (the within-
+    # block quadratic kernel to watch), skip-gram co-occurrence (three
+    # shifted zip_with folds + vocab^2-bounded agg), per-source term
+    # lift (marginals folded from one count frame), token-budget
+    # selection (per-source running-sum window), event debounce +
+    # daily-volume anomaly (window + tiny-key aggs). Baselines recorded
+    # as added_r7.
+    "edit_distance_neardup",
+    "skipgram_cooccurrence",
+    "source_term_lift",
+    "token_budget_selection",
+    "event_debounce_dedup",
+    "event_volume_anomaly",
 ]
 
 

@@ -20,201 +20,73 @@ from duck_delta_share_spark.plans import tpch  # noqa: E402,F401
 from duck_delta_share_spark.plans import tpch_extended  # noqa: E402,F401
 from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 
-# Round-6 window rotation (VERDICT r5 #1 — the FINAL evidence-debt
-# retirement): the driver's per-round correctness check covers the FIRST
-# 50 entries. Lead with the two queries whose operators changed in r6
-# (heavy_hitter_terms single-job candidate pass, semantic_dedup cluster
-# cap), then ALL 27 queries whose only driver evidence is r1 (join_asof
-# first — the sole events-toucher, and its operator got NULL-ts/tie
-# fixes in r5 the driver never hashed — then windows, the join family,
-# aggregates, set ops, subqueries, sort/topk, array/math, q21/q22), then
-# hll_mergeable_distinct (rows-only, last driver rows-evidence r2), then
-# 20 r3-evidenced entries prioritizing operators that received r5 fixes
-# (simhash pigeonhole blocking, WAV decode, sessionize min/max, asof
-# tolerance, components self-loop, packing boundary bake, salted spread,
-# perplexity eager-capture). After this round no query's driver evidence
-# predates r3. Everything stays registered; only the order changes.
-_R6_WINDOW = [
-    # round-6 NEW queries first (never driver-evidenced)
-    "bag_fingerprint_dedup",
-    "ngram_novelty_score",
-    "oov_rate_topk_vocab",
-    "retention_cohorts",
-    "phrase_match_positional",
-    # round-6 session-2 additions (never driver-evidenced); the three
-    # first-50 slots they take came from the r3-fill tail entries with
-    # no r5/r6 operator changes (tfidf_top_terms, inverted_index_
-    # postings, sequence_packing_partitioned — the last keeps its
-    # boundary-bake coverage through its sequence_packing twin)
-    "event_type_transitions",
-    "pmi_bigram_scores",
-    "embedding_winsorized_stats",
-    # r6s2 batch 2 (slots from the two rows-only r3-fill entries —
-    # simhash_neardup / minhash_lsh_neardup — whose HASH-checked md5
-    # twins remain below; the driver only rows-checks rows-only entries,
-    # so the twins carry the r5-fix evidence)
-    "interarrival_histogram",
-    "cross_source_leakage",
-    # r6s2 batch 3 (slot from join_asof_tolerance: its operator is
-    # exercised in-window by join_asof AND by this very query's asof
-    # composition; the tolerance arg keeps its r3 evidence + unit tests)
-    "pit_segment_attribution",
-    # r6-changed operators re-evidence next
-    "heavy_hitter_terms",
-    "semantic_dedup",
-    # the 27 r1-only queries (VERDICT r5 Missing #1)
-    "join_asof",
-    "window_frames",
-    "window_ranking",
-    "window_analytic",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "join_theta_band",
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_distinct",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "scalar_subquery",
-    "correlated_in_subquery",
-    "sort_limit",
-    "topk_per_group",
-    "filter_projection",
-    "filter_in_between_null",
-    "explode_unnest",
-    "array_functions",
-    "math_functions",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # last rows-evidence r2 (rows-only by necessity: binary HLL states)
-    "hll_mergeable_distinct",
-    # r3-evidenced entries whose operators received r5 fixes
-    "simhash_md5_pairs",
-    "multimodal_wav_strict",
-    "sessionization",
-    "dedup_components",
-    "neardup_canonical_keep",
-    "ngram_jaccard_neardup",
-    "sequence_packing",
-    "salted_agg_events",
-    "unigram_perplexity_score",
-    # --- end of slot 50 (the 5 new r6 queries took the last five r3-fill
-    # slots: pipeline_training_prep / per_group_deterministic_sample /
-    # text_quality_score / pii_redaction / repetition_signals keep their
-    # r3 evidence); freshest-first tail below keeps the registry order
-    # deterministic
-    "sequence_packing_partitioned",
-    "inverted_index_postings",
-    "tfidf_top_terms",
-    "simhash_neardup",
-    "minhash_lsh_neardup",
-    "join_asof_tolerance",
-    "pipeline_training_prep",
-    "per_group_deterministic_sample",
-    "text_quality_score",
-    "pii_redaction",
-    "repetition_signals",
-    "delta_column_defaults",
-    "kmeans_lloyd_round",
-    "bm25_topk",
-    "delta_rename_drop_scan",
-    "twap_hourly",
-    "dataset_split_assign",
-    "similarity_ann_pq",
-    "delta_restore",
-    "exists_subquery",
-    "join_null_safe",
-    "events_hopping_agg",
-    "text_normalize",
-    "weighted_quality_sample",
-    "zorder_write_scan",
-    "interval_join_events",
-    "resample_gapfill_hourly",
-    "udtf_token_chunks",
-    "udf_pandas_scalar",
-    "udf_python_scalar",
-    "udaf_grouped_pandas",
-    "minhash_md5_lsh_pairs",
-    "delta_share_scan",
-    "delta_log_scan",
-    "delta_merge_upsert",
-    "incremental_rollup_cdf",
-    "sql_text_interface",
-    "string_functions",
-    "date_functions",
-    "json_functions",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_classes",
-    "q13_count_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q20_promotion_suppliers",
-    "substring_dedup_spans",
-    "delta_schema_evolution",
+# Round-7 window rotation: the driver's per-round correctness check
+# covers the FIRST 50 entries. The r6 rotation retired the r1/r2
+# evidence debt; r7 retires the R3 debt. Lead with the six r7 NEW
+# queries (never driver-evidenced), then vocab_coverage_curve (added
+# r6s2 OUTSIDE the first-50 — the only never-evidenced oracle), then
+# the two r4-evidenced write-path queries whose commit path changed
+# THIS round (the _atomic_commit checkpoint-race guard fix), then ALL
+# 38 queries whose latest driver evidence is r3, then three r4
+# REST-path entries whose transport got the r6 failure-injection fixes.
+# After this round no oracled query's driver evidence predates r4.
+# Everything stays registered; only the order changes.
+_R7_WINDOW = [
+    # round-7 NEW queries (never driver-evidenced)
+    "edit_distance_neardup",
+    "skipgram_cooccurrence",
+    "source_term_lift",
+    "token_budget_selection",
+    "event_debounce_dedup",
+    "event_volume_anomaly",
+    # r6s2 addition that missed the r6 first-50 (never driver-evidenced)
+    "vocab_coverage_curve",
+    # r4-evidenced write-path queries; _atomic_commit changed this round
     "delta_txn_idempotent_append",
-    "similarity_ann_opq",
-    "bitwise_functions",
-    "try_arithmetic",
-    "lateral_topk",
-    "higher_order_array",
-    "delta_check_constraint",
-    "delta_generated_columns",
-    "quality_features",
-    "ewma_hourly",
-    "window_rolling_median",
-    "delta_nested_mapping_scan",
-    "delta_nested_mapping_delete",
-    "delta_identity_append",
-    "delta_row_tracking_scan",
-    "recursive_cte_hierarchy",
-    "recursive_cte_calendar",
-    "similarity_range_search",
-    "gopher_quality_rules",
-    "scd2_dimension_cdf",
-    "dsir_importance_weights",
-    "countmin_sketch_estimates",
-    "set_ops_all",
-    "ols_per_group",
-    "funnel_stages",
-    "pretrain_pipeline_e2e",
-    "delta_convert_clone_scan",
-    "delta_update_where",
-    "cdc_replication_e2e",
-    "delta_partition_delete",
-    "listagg_ordered",
-    "histogram_width_bucket",
-    "zipf_term_slope",
-    "salted_join_lineitem",
-    "domain_mix_resample",
-    "simhash_signatures",
+    "delta_schema_evolution",
+    # the complete r3-evidence block (38 entries) — retired this round
+    "agg_approx_distinct",
+    "agg_percentiles",
+    "bloom_semi_join_orders",
+    "conditional_functions",
+    "dedup_exact_groups",
+    "dedup_exact_rows",
+    "delta_column_mapping_scan",
+    "delta_delete_dv",
+    "doc_fingerprint_rolling",
+    "embedding_neardup_blocked",
+    "embedding_quantize_int8",
+    "embedding_variance_by_dim",
+    "events_windowed_agg",
+    "interval_join_attribution",
+    "inverted_index_postings",
+    "join_asof_tolerance",
+    "minhash_lsh_neardup",
+    "multimodal_binary_meta",
+    "multimodal_features",
+    "pca_project_embeddings",
+    "per_group_deterministic_sample",
+    "pii_redaction",
+    "pipeline_training_prep",
+    "pivot_event_types",
+    "repetition_signals",
+    "sequence_packing_partitioned",
+    "simhash_neardup",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_topk_exact",
+    "stats_moments",
+    "stratified_sample",
+    "text_lang_distribution",
+    "text_langid_heuristic",
+    "text_quality_score",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "unpivot_part_measures",
+    # r4-evidenced REST-path entries (transport hardened in r6)
     "delta_share_dv_rest_scan",
-    "delta_column_mapping_merge",
-    "multimodal_png_strict",
-    "similarity_topk_int8",
-    "benchmark_contamination",
-    "char_entropy_quality",
-    "bigram_backoff_score",
     "delta_share_cdf_scan",
-    "window_distribution",
-    "map_functions",
+    "delta_column_mapping_merge",
 ]
 
 
@@ -236,6 +108,6 @@ def _rotate_window(first: list[str]) -> None:
     QUERIES.update({n: snapshot[n] for n in lead + rest})
 
 
-_rotate_window(_R6_WINDOW)
+_rotate_window(_R7_WINDOW)
 
 __all__ = ["QUERIES", "QueryDef", "query"]

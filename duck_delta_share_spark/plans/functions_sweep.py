@@ -1117,3 +1117,121 @@ def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("delta_us").alias("max_delta_us"),
         )
     )
+
+
+@query(
+    "event_debounce_dedup",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id))
+           AS delta_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) FILTER (delta_us IS NULL OR delta_us >= 600000000)
+            AS BIGINT) AS kept,
+       CAST(COUNT(*) FILTER (delta_us < 600000000) AS BIGINT) AS dropped
+FROM s
+GROUP BY event_type
+""",
+    doc="time-window debounce dedup (the at-least-once-delivery / "
+    "double-fire cleanup an event-ingest pipeline runs): an event is a "
+    "duplicate when the SAME (user, type) fired within the previous 10 "
+    "minutes — lag against the previous event, not the previous kept "
+    "one, so the rule is a stateless window (the kept-anchor variant "
+    "is the streaming sessionize shape). Plan: ONE window shuffle "
+    "keyed on (user_id, event_type) with the (ts, event_id) "
+    "deterministic tie-break, then a hash agg on the tiny type key. "
+    "Exact integer microseconds throughout — Spark unix_micros mirrors "
+    "DuckDB epoch_us with no float.",
+)
+def event_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("delta_us")
+    )
+    dup = F.col("delta_us") < 600000000
+    return d.groupBy("event_type").agg(
+        F.count(F.when(~F.coalesce(dup, F.lit(False)), 1)).alias("kept"),
+        F.count(F.when(dup, 1)).alias("dropped"),
+    )
+
+
+@query(
+    "event_volume_anomaly",
+    oracle="""
+WITH dc AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type, COUNT(*) AS n, SUM(cnt) AS s, SUM(cnt * cnt) AS q
+  FROM dc GROUP BY 1
+)
+SELECT dc.event_type, dc.day, CAST(dc.cnt AS BIGINT) AS cnt,
+       round(CAST(st.n * dc.cnt - st.s AS DOUBLE)
+         / (CAST(st.n AS DOUBLE) * sqrt(
+              CAST(st.n * st.q - st.s * st.s AS DOUBLE)
+              / CAST(st.n * (st.n - 1) AS DOUBLE))), 9) AS z
+FROM dc JOIN st USING (event_type)
+WHERE st.n > 1
+""",
+    doc="daily event-volume anomaly score (the traffic-spike / outage "
+    "detector a pipeline-health pass computes): per (type, day) count "
+    "z-scored against the type's daily distribution. Plan: ONE hash "
+    "agg to the tiny (type, day) grid, per-type moments fold FROM that "
+    "grid (never a second event scan), and the stats join back is a "
+    "broadcast of |types| rows. Numerics: the z-score is built from "
+    "EXACT integer moments — n*cnt-s and n*q-s^2 are integers well "
+    "under 2^53 — so both engines evaluate the identical "
+    "division/sqrt/division tree on identical doubles (no Welford-vs-"
+    "textbook variance divergence, the stddev_samp trap); rounded to 9 "
+    "decimals under the libm ulp discipline. day is CAST to STRING on "
+    "both sides (computed dates hit the DATE-dtype-family mismatch, "
+    "CLAUDE.md).",
+)
+def event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dc = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").cast("string")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    st = dc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("q"),
+    )
+    return (
+        dc.join(F.broadcast(st), "event_type")
+        .where(F.col("n") > 1)
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            F.round(
+                (F.col("n") * F.col("cnt") - F.col("s")).cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.sqrt(
+                        (
+                            F.col("n") * F.col("q")
+                            - F.col("s") * F.col("s")
+                        ).cast("double")
+                        / (F.col("n") * (F.col("n") - 1)).cast("double")
+                    )
+                ),
+                9,
+            ).alias("z"),
+        )
+    )

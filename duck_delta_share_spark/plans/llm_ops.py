@@ -3638,3 +3638,290 @@ def embedding_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("cl").alias("winsor_mean"),
         )
     )
+
+
+@query(
+    "edit_distance_neardup",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, lang,
+         substr({_NORM}, 1, 48) AS pre,
+         split_part(substr({_NORM}, 1, 48), ' ', 1) AS t1,
+         split_part(substr({_NORM}, 1, 48), ' ', 2) AS t2
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
+FROM p a JOIN p b
+  ON a.lang = b.lang AND a.t1 = b.t1 AND a.t2 = b.t2
+     AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pre, b.pre) <= 12
+""",
+    doc="edit-distance near-dup pairs (the title/short-text fuzzy-dedup "
+    "pass MinHash misses: transposed words, small typos): Levenshtein "
+    "over the normalized 48-char prefix, blocked on (lang, first TWO "
+    "tokens), pairs at distance <= 12. Plan: ONE equi-join shuffle on "
+    "the block key — the Levenshtein kernel runs only inside blocks, "
+    "never all-pairs, and uses Spark's THRESHOLDED 3-arg form (banded "
+    "DP, O(len*threshold) cells with early exit, measured 2.7x over "
+    "the full O(len^2) table at sf0.1; -1 above the bound so `>= 0` IS "
+    "the distance filter; unit-cost DP agrees exactly with DuckDB's, "
+    "and the SELECT's re-evaluation touches only surviving pairs). "
+    "Scale: blocking strength is THE lever for within-block quadratic "
+    "cost — the single-token key measured a 149x blowup at 8x growth "
+    "in the adversarial hot-first-token mode (scale_check edit_"
+    "distance), while the two-token key keeps block sizes bounded "
+    "(count grows, size doesn't) at an EMPIRICALLY IDENTICAL pair set "
+    "on this corpus (79/79 at sf0.1: a <=12 edit over 48 chars rarely "
+    "survives a changed second token); a production corpus adds a "
+    "length band the same way. doc_id < doc_id halves the pair space; "
+    "the join input is a narrow projection, so the self-derived "
+    "lineage double-eval (CLAUDE.md) re-reads two pruned parquet "
+    "columns, not the corpus.",
+)
+def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    pre = F.substring(norm, 1, 48)
+    p = d.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        "lang",
+        pre.alias("pre"),
+        F.split_part(pre, F.lit(" "), F.lit(1)).alias("t1"),
+        F.split_part(pre, F.lit(" "), F.lit(2)).alias("t2"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.t1") == F.col("b.t1"))
+            & (F.col("a.t2") == F.col("b.t2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.levenshtein(F.col("a.pre"), F.col("b.pre"), 12) >= 0)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.pre"), F.col("b.pre"), 12)
+            .cast("int")
+            .alias("dist"),
+        )
+    )
+
+
+@query(
+    "skipgram_cooccurrence",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+  FROM toks
+)
+SELECT a.term AS term_a, b.term AS term_b,
+       CAST(b.p - a.p AS INT) AS dist, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 3
+GROUP BY 1, 2, 3
+ORDER BY cnt DESC, dist, term_a, term_b LIMIT 100
+""",
+    doc="skip-gram co-occurrence counts (the word2vec-style context "
+    "statistics an embedding-training pipeline extracts): ordered term "
+    "pairs at token distance 1-3, top-100 by count with a total "
+    "deterministic tie-break. Plan: NO positional self-join — for each "
+    "distance d the pair list is two shifted O(len) slices folded with "
+    "ONE zip_with (the word_shingles shifted-arrays formulation, 4x "
+    "over per-position HOFs), concatenated across d in a dedicated "
+    "projection so the explode generates from an attribute (the r6 "
+    "per-exploded-row re-evaluation trap); then one hash agg on the "
+    "(term_a, term_b, dist) key — bounded by vocab^2 x 3 regardless of "
+    "corpus size — and a distributed TakeOrdered top-100. The DuckDB "
+    "oracle cross-checks the shifted-slice generator against the "
+    "textbook positional self-join.",
+)
+def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.where(F.col("text").isNotNull()).select(
+        F.filter(tokenize("text"), lambda t: t != F.lit("")).alias("toks")
+    )
+
+    def pairs_at(dist: int):
+        # factory pins `dist` (loop-closure late binding); zip_with
+        # lambdas receive (left, right) — no transform index trap
+        m = F.size("toks") - dist
+        return F.when(
+            F.size("toks") > dist,
+            F.zip_with(
+                F.slice("toks", 1, m),
+                F.slice("toks", 1 + dist, m),
+                lambda x, y: F.struct(
+                    x.alias("term_a"),
+                    y.alias("term_b"),
+                    F.lit(dist).alias("dist"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<term_a:string,term_b:string,dist:int>>"
+            )
+        )
+
+    arr = toks.select(
+        F.concat(pairs_at(1), pairs_at(2), pairs_at(3)).alias("pairs")
+    )
+    return (
+        arr.select(F.explode("pairs").alias("pr"))
+        .groupBy(
+            F.col("pr.term_a").alias("term_a"),
+            F.col("pr.term_b").alias("term_b"),
+            F.col("pr.dist").alias("dist"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "dist", "term_a", "term_b")
+        .limit(100)
+    )
+
+
+@query(
+    "source_term_lift",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS term
+  FROM documents WHERE text IS NOT NULL
+), st AS (
+  SELECT source, term, COUNT(*) AS c_st FROM toks GROUP BY 1, 2
+), s AS (
+  SELECT source, SUM(c_st) AS n_s FROM st GROUP BY 1
+), t AS (
+  SELECT term, SUM(c_st) AS c_t FROM st GROUP BY 1
+), n AS (
+  SELECT SUM(c_st) AS n_tot FROM st
+), scored AS (
+  SELECT st.source, st.term, st.c_st,
+         CAST(st.c_st * n.n_tot AS DOUBLE)
+           / CAST(s.n_s * t.c_t AS DOUBLE) AS lift
+  FROM st JOIN s USING (source) JOIN t USING (term) CROSS JOIN n
+  WHERE st.c_st >= 5
+)
+SELECT source, term, CAST(c_st AS BIGINT) AS c_st, lift
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY lift DESC, term) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+    doc="distinctive-terms-per-source analysis (the domain-"
+    "characterization report a corpus-mixing pass produces): term lift "
+    "= P(term|source) / P(term), top-5 per source at support >= 5. "
+    "Plan: ONE hash agg on (source, term); the per-source and per-term "
+    "marginals fold FROM the count frame (never a second corpus scan); "
+    "marginal joins are un-hinted — AQE broadcasts the bounded source "
+    "table and a small vocabulary, shuffles a web-scale one; top-5 via "
+    "a window over the already-aggregated (source, term) frame, "
+    "partition-bounded by vocabulary not corpus. Numerics: lift is ONE "
+    "division of two exact integer products (< 2^53 through sf1; a "
+    "production corpus switches the products to decimal the way dsum "
+    "does) — bit-identical, no rounding.",
+)
+def source_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(
+                F.filter(tokenize("text"), lambda t: t != F.lit(""))
+            ).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    t = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    n = st.agg(F.sum("c_st").alias("n_tot"))
+    scored = (
+        st.where(F.col("c_st") >= 5)
+        .join(s, "source")
+        .join(t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "c_st",
+            (
+                (F.col("c_st") * F.col("n_tot")).cast("double")
+                / (F.col("n_s") * F.col("c_t")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("lift").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("source", "term", "c_st", "lift")
+    )
+
+
+@query(
+    "token_budget_selection",
+    oracle="""
+WITH d AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS tok_cnt
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT source, tok_cnt,
+         SUM(tok_cnt) OVER (
+           PARTITION BY source ORDER BY tok_cnt DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(SUM(tok_cnt) AS BIGINT) AS tokens_used
+FROM c WHERE cum <= 5000
+GROUP BY source
+""",
+    doc="token-budget selection (the per-domain quota cut a data-mixing "
+    "recipe applies: greedily keep the longest documents per source "
+    "until a 5k-token budget is spent): running token sum over docs "
+    "ordered (tok_cnt DESC, doc_id), keep rows whose cumulative sum "
+    "fits. Plan: ONE window shuffle keyed on source (running sum, "
+    "deterministic total order), then a hash agg on the bounded source "
+    "key. The window partition is per-source sequential by necessity — "
+    "a greedy prefix is order-defined; at 100 TB the partition count "
+    "is the source cardinality, and a skewed source bounds the pass at "
+    "its own document count (same budget as any cumulative-quota op). "
+    "All arithmetic is exact integers.",
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.where(F.col("text").isNotNull()).select(
+        "source",
+        "doc_id",
+        F.size(
+            F.filter(tokenize("text"), lambda t: t != F.lit(""))
+        ).alias("tok_cnt"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("tok_cnt").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum", F.sum("tok_cnt").over(w))
+        .where(F.col("cum") <= 5000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("tok_cnt").alias("tokens_used"),
+        )
+    )
