@@ -92,35 +92,44 @@ def train_bpe_merges(
         return apply_merge
 
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs = (
-            words.select(
-                F.explode(
-                    F.expr(
-                        "transform(slice(syms, 1, size(syms) - 1), "
-                        "(s, i) -> struct(s AS l, syms[i + 1] AS r))"
-                    )
-                ).alias("p"),
-                "freq",
+    try:
+        for _ in range(n_merges):
+            pairs = (
+                words.select(
+                    F.explode(
+                        F.expr(
+                            "transform(slice(syms, 1, size(syms) - 1), "
+                            "(s, i) -> struct(s AS l, syms[i + 1] AS r))"
+                        )
+                    ).alias("p"),
+                    "freq",
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), "l", "r")
+                .limit(1)
+                .collect()
             )
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.col("n").desc(), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not pairs or pairs[0]["n"] < min_pair_count:
-            break
-        left, right = pairs[0]["l"], pairs[0]["r"]
-        merges.append((left, right))
-        prev = words
-        words = words.select(
-            merger(left, right)(F.col("syms")).alias("syms"), "freq"
-        ).localCheckpoint(eager=True)
-        # the new round is materialized — release the superseded round's
-        # cached blocks now, not at some future driver GC (n_merges rounds
-        # would otherwise pin n_merges copies of the word table)
-        release_local_checkpoint(prev)
+            if not pairs or pairs[0]["n"] < min_pair_count:
+                break
+            left, right = pairs[0]["l"], pairs[0]["r"]
+            merges.append((left, right))
+            prev = words
+            words = words.select(
+                merger(left, right)(F.col("syms")).alias("syms"), "freq"
+            ).localCheckpoint(eager=True)
+            # the new round is materialized — release the superseded
+            # round's cached blocks now, not at some future driver GC
+            # (n_merges rounds would otherwise pin n_merges copies of the
+            # word table)
+            release_local_checkpoint(prev)
+    except BaseException:
+        # mid-loop failure (executor OOM in a round, py4j error in the
+        # argmax collect, KeyboardInterrupt): the live round's blocks
+        # would otherwise stay pinned until driver GC — release them on
+        # the way out (best-effort, same as the success path)
+        release_local_checkpoint(words)
+        raise
     release_local_checkpoint(words)
     return merges
 

@@ -63,35 +63,43 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     changed = 0
-    for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                sym.join(labels, sym["b"] == labels["node"])
+                .groupBy("a")
+                .agg(F.min("label").alias("nlabel"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # the superseded round's checkpoint is no longer referenced (the
-        # new round is materialized and the changed-count consumed it) —
-        # release its blocks instead of pinning one copy per round
+            new_labels = (
+                labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                        "label"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            # the superseded round's checkpoint is no longer referenced
+            # (the new round is materialized and the changed-count
+            # consumed it) — release its blocks instead of pinning one
+            # copy per round
+            release_local_checkpoint(labels)
+            labels = new_labels
+            if changed == 0:
+                break
+    except BaseException:
+        # mid-loop failure: the loop-internal checkpoints (edge table +
+        # live round) would otherwise stay pinned until driver GC
         release_local_checkpoint(labels)
-        labels = new_labels
-        if changed == 0:
-            break
+        release_local_checkpoint(sym)
+        raise
     if changed > 0:
         # hash-min label propagation converges in O(diameter) rounds; an
         # adversarial long chain can exceed max_iterations, and silently
@@ -179,15 +187,22 @@ def _connected_components_star(
 
     prev = None
     converged = False
-    for _ in range(max_iterations):
-        prev_e = e
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        release_local_checkpoint(prev_e)  # new round materialized — drop old blocks
-        cur = sig(e)
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+    try:
+        for _ in range(max_iterations):
+            prev_e = e
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            release_local_checkpoint(prev_e)  # new round materialized — drop old blocks
+            cur = sig(e)
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+    except BaseException:
+        # mid-loop failure: drop the live round's blocks and the eagerly-
+        # captured self-loop nodes instead of pinning them to driver GC
+        release_local_checkpoint(e)
+        release_local_checkpoint(loop_nodes)
+        raise
     if not converged:
         import warnings
 

@@ -72,6 +72,22 @@ def maintain_rollup_stream(
 
         meta_file = out / "_meta.json"
         meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+        if not meta and batch_id > 0:
+            # batch 0 ALWAYS records _meta.json before its checkpoint can
+            # commit, so a later batch arriving with NO meta means the
+            # rollup directory was lost or points somewhere new while the
+            # CHECKPOINT kept its history — silently rebuilding from an
+            # empty rollup would fold only the new deltas and report
+            # wrong totals forever. Fail loud: pair a fresh rollup dir
+            # with a fresh checkpoint (or restore the old directory).
+            raise RuntimeError(
+                f"rollup directory {out} has no _meta.json but the stream "
+                f"checkpoint is at batch {batch_id}: the rollup state was "
+                "lost or the paths are mismatched — refusing to rebuild "
+                "from empty (totals would silently drop every version "
+                "before this batch). Reset the checkpoint together with "
+                "the rollup directory."
+            )
         # replay watermark = max applied SOURCE version (durable across
         # checkpoint recreation), not the checkpoint-scoped batch id —
         # after a checkpoint reset, batch 0 covers ALL pending versions
