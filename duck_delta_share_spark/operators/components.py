@@ -58,12 +58,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = sym.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    ).localCheckpoint(eager=True)
-
     changed = 0
+    labels = None
+    new_labels = None
     try:
+        labels = sym.select(F.col("a").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        ).localCheckpoint(eager=True)
         for _ in range(max_iterations):
             neighbor_min = (
                 sym.join(labels, sym["b"] == labels["node"])
@@ -96,7 +97,10 @@ def connected_components(
                 break
     except BaseException:
         # mid-loop failure: the loop-internal checkpoints (edge table +
-        # live round) would otherwise stay pinned until driver GC
+        # live round + a just-materialized next round whose changed-count
+        # action failed) would otherwise stay pinned until driver GC
+        # (unpersist is idempotent when labels is new_labels already)
+        release_local_checkpoint(new_labels)
         release_local_checkpoint(labels)
         release_local_checkpoint(sym)
         raise
@@ -167,39 +171,48 @@ def _connected_components_star(
     # singleton re-admission below must not embed fresh scans of the
     # (possibly very expensive — LSH pair join) edges lineage into the
     # returned lazy plan, which would re-run it on every action
-    loop_nodes = (
-        raw.filter(F.col("a") == F.col("b"))
-        .select(F.col("a").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    if not e.take(1):  # no non-self edges: every edge node is its own root
-        return loop_nodes.select("node", F.col("node").alias("component"))
-
-    def sig(d: DataFrame):
-        # count + order-independent xor of row hashes: a cheap set identity
-        # (bit_xor, not sum — summing int64 hashes overflows under ANSI)
-        r = d.agg(
-            F.count(F.lit(1)).alias("c"),
-            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
-        ).collect()[0]
-        return (r["c"], r["h"])
-
-    prev = None
-    converged = False
+    loop_nodes = None
     try:
+        loop_nodes = (
+            raw.filter(F.col("a") == F.col("b"))
+            .select(F.col("a").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if not e.take(1):  # no non-self edges: each edge node is a root
+            # the returned plan reads ONLY loop_nodes — the (empty) edge
+            # checkpoint can be dropped deterministically
+            release_local_checkpoint(e)
+            return loop_nodes.select(
+                "node", F.col("node").alias("component")
+            )
+
+        def sig(d: DataFrame):
+            # count + order-independent xor of row hashes: a cheap set
+            # identity (bit_xor, not sum — summing int64 hashes
+            # overflows under ANSI)
+            r = d.agg(
+                F.count(F.lit(1)).alias("c"),
+                F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+            ).collect()[0]
+            return (r["c"], r["h"])
+
+        prev = None
+        converged = False
         for _ in range(max_iterations):
             prev_e = e
             e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-            release_local_checkpoint(prev_e)  # new round materialized — drop old blocks
+            release_local_checkpoint(prev_e)  # new round materialized
             cur = sig(e)
             if cur == prev:
                 converged = True
                 break
             prev = cur
     except BaseException:
-        # mid-loop failure: drop the live round's blocks and the eagerly-
-        # captured self-loop nodes instead of pinning them to driver GC
+        # failure anywhere from the loop_nodes checkpoint through the
+        # iteration (take(1), a round's build, the sig collect): drop
+        # the live round's blocks and the eagerly-captured self-loop
+        # nodes instead of pinning them until driver GC
         release_local_checkpoint(e)
         release_local_checkpoint(loop_nodes)
         raise

@@ -1119,6 +1119,24 @@ def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_debounce_core(e: DataFrame) -> DataFrame:
+    """Frame-parameterized debounce core — shared by the registry query
+    and scale_check so the measured scale factors can never drift from
+    the shipped plan."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("delta_us")
+    )
+    dup = F.col("delta_us") < 600000000
+    return d.groupBy("event_type").agg(
+        F.count(F.when(~F.coalesce(dup, F.lit(False)), 1)).alias("kept"),
+        F.count(F.when(dup, 1)).alias("dropped"),
+    )
+
+
 @query(
     "event_debounce_dedup",
     oracle="""
@@ -1148,19 +1166,7 @@ GROUP BY event_type
     "DuckDB epoch_us with no float.",
 )
 def event_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    d = e.select(
-        "event_type", (us - F.lag(us).over(w)).alias("delta_us")
-    )
-    dup = F.col("delta_us") < 600000000
-    return d.groupBy("event_type").agg(
-        F.count(F.when(~F.coalesce(dup, F.lit(False)), 1)).alias("kept"),
-        F.count(F.when(dup, 1)).alias("dropped"),
-    )
+    return event_debounce_core(load_table(spark, sf_dir, "events"))
 
 
 @query(
@@ -1175,10 +1181,12 @@ WITH dc AS (
   FROM dc GROUP BY 1
 )
 SELECT dc.event_type, dc.day, CAST(dc.cnt AS BIGINT) AS cnt,
-       round(CAST(st.n * dc.cnt - st.s AS DOUBLE)
-         / (CAST(st.n AS DOUBLE) * sqrt(
-              CAST(st.n * st.q - st.s * st.s AS DOUBLE)
-              / CAST(st.n * (st.n - 1) AS DOUBLE))), 9) AS z
+       CASE WHEN st.n * st.q - st.s * st.s > 0 THEN
+         round(CAST(st.n * dc.cnt - st.s AS DOUBLE)
+           / (CAST(st.n AS DOUBLE) * sqrt(
+                CAST(st.n * st.q - st.s * st.s AS DOUBLE)
+                / CAST(st.n * (st.n - 1) AS DOUBLE))), 9)
+       END AS z
 FROM dc JOIN st USING (event_type)
 WHERE st.n > 1
 """,
@@ -1192,12 +1200,19 @@ WHERE st.n > 1
     "under 2^53 — so both engines evaluate the identical "
     "division/sqrt/division tree on identical doubles (no Welford-vs-"
     "textbook variance divergence, the stddev_samp trap); rounded to 9 "
-    "decimals under the libm ulp discipline. day is CAST to STRING on "
-    "both sides (computed dates hit the DATE-dtype-family mismatch, "
-    "CLAUDE.md).",
+    "decimals under the libm ulp discipline. A ZERO-variance type "
+    "(equal count every day) yields NULL, guarded on the exact integer "
+    "n*q-s^2 — the unguarded division THROWS under Spark 4 ANSI while "
+    "DuckDB returns NaN (both wrong; r7 self-review). day is CAST to "
+    "STRING on both sides (computed dates hit the DATE-dtype-family "
+    "mismatch, CLAUDE.md).",
 )
 def event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    return event_volume_anomaly_core(load_table(spark, sf_dir, "events"))
+
+
+def event_volume_anomaly_core(e: DataFrame) -> DataFrame:
+    """Frame-parameterized anomaly core — shared with scale_check."""
     dc = (
         e.select(
             "event_type",
@@ -1212,6 +1227,7 @@ def event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("s"),
         F.sum(F.col("cnt") * F.col("cnt")).alias("q"),
     )
+    var_num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
     return (
         dc.join(F.broadcast(st), "event_type")
         .where(F.col("n") > 1)
@@ -1219,19 +1235,19 @@ def event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "day",
             "cnt",
-            F.round(
-                (F.col("n") * F.col("cnt") - F.col("s")).cast("double")
-                / (
-                    F.col("n").cast("double")
-                    * F.sqrt(
-                        (
-                            F.col("n") * F.col("q")
-                            - F.col("s") * F.col("s")
-                        ).cast("double")
-                        / (F.col("n") * (F.col("n") - 1)).cast("double")
-                    )
+            F.when(
+                var_num > 0,
+                F.round(
+                    (F.col("n") * F.col("cnt") - F.col("s")).cast("double")
+                    / (
+                        F.col("n").cast("double")
+                        * F.sqrt(
+                            var_num.cast("double")
+                            / (F.col("n") * (F.col("n") - 1)).cast("double")
+                        )
+                    ),
+                    9,
                 ),
-                9,
             ).alias("z"),
         )
     )

@@ -3680,7 +3680,13 @@ WHERE levenshtein(a.pre, b.pre) <= 12
     "columns, not the corpus.",
 )
 def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return edit_distance_core(load_table(spark, sf_dir, "documents"))
+
+
+def edit_distance_core(d: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared by the registry query and
+    scale_check so the measured scale factors can never drift from the
+    shipped plan."""
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
     pre = F.substring(norm, 1, 48)
     p = d.where(F.col("text").isNotNull()).select(
@@ -3743,7 +3749,11 @@ ORDER BY cnt DESC, dist, term_a, term_b LIMIT 100
     "textbook positional self-join.",
 )
 def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return skipgram_core(load_table(spark, sf_dir, "documents"))
+
+
+def skipgram_core(d: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
     toks = d.where(F.col("text").isNotNull()).select(
         F.filter(tokenize("text"), lambda t: t != F.lit("")).alias("toks")
     )
@@ -3828,9 +3838,13 @@ FROM (
     "does) — bit-identical, no rounding.",
 )
 def source_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_term_lift_core(load_table(spark, sf_dir, "documents"))
+
+
+def source_term_lift_core(d: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
     st = (
         d.where(F.col("text").isNotNull())
         .select(
@@ -3901,9 +3915,13 @@ GROUP BY source
     "All arithmetic is exact integers.",
 )
 def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_core(load_table(spark, sf_dir, "documents"))
+
+
+def token_budget_core(d: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
     toks = d.where(F.col("text").isNotNull()).select(
         "source",
         "doc_id",

@@ -66,13 +66,18 @@ def transitions_with_state(
     pair becomes final under the watermark. Aggregating the emitted pairs
     reproduces the batch transition matrix restricted to matured events.
 
-    ``anchor_ttl_s``: optional idle TTL (seconds). When set, a bare
-    anchor — the one-row state retained to pair with the user's NEXT
-    event — is dropped once the watermark passes anchor_ts + TTL,
-    bounding TOTAL state by active users instead of ever-seen users. The
-    trade: a user who returns after a silence longer than the TTL loses
-    the transition pair spanning the gap. ``None`` (default) keeps the
-    lossless behavior: anchors persist until the user's next event."""
+    ``anchor_ttl_s``: optional idle TTL (seconds). When set, the rule is
+    PAIR-LEVEL and deterministic: a pair spanning a gap longer than the
+    TTL is never emitted, REGARDLESS of how arrivals pack into
+    micro-batches (an event-level drop would depend on whether the
+    user's return landed in the same batch as the watermark advance —
+    replay with different batch boundaries would emit different pairs).
+    Idle anchors are additionally freed once the watermark passes
+    anchor_ts + TTL (they can no longer produce an admissible pair: any
+    future event carries ts >= watermark > anchor + TTL), bounding TOTAL
+    state by active users instead of ever-seen users. ``None`` (default)
+    keeps the lossless behavior: anchors persist until the user's next
+    event."""
     import pandas as pd  # noqa: F401 — executor-side dependency
 
     ttl_us = anchor_ttl_s * 1_000_000 if anchor_ttl_s is not None else None
@@ -103,13 +108,18 @@ def transitions_with_state(
         # smaller-event-id row can still arrive and sort between them
         while j + 1 < len(buf) and buf[j + 1][0] < wm_us:
             a, b = buf[j], buf[j + 1]
-            pairs.append((user_id, a[2], b[2], a[0], b[0]))
+            if ttl_us is None or b[0] - a[0] <= ttl_us:
+                pairs.append((user_id, a[2], b[2], a[0], b[0]))
             j += 1
         buf = buf[j:]
-        if ttl_us is not None and len(buf) == 1 and wm_us >= buf[0][0] + ttl_us:
-            # idle anchor past its TTL: the user has been silent longer
-            # than the configured horizon — drop the anchor (and with it
-            # the would-be pair spanning the gap, the documented trade)
+        if ttl_us is not None and len(buf) == 1 and wm_us > buf[0][0] + ttl_us:
+            # idle anchor STRICTLY past its TTL: pure state GC — any
+            # future event carries ts >= watermark > anchor + TTL, so
+            # its gap exceeds the TTL and the pair-level rule above
+            # would drop the pair anyway; freeing the anchor changes no
+            # output, only bounds total state (strict >, because an
+            # event at exactly anchor + TTL is admissible at
+            # wm == anchor + TTL and its pair DOES emit)
             buf = []
         if buf:
             state.update((

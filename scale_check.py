@@ -716,162 +716,42 @@ def main() -> None:
     # prefix eats one of its tokens). The realistic corpus-growth mode —
     # new topics/domains — REMAPS the block key per copy instead: tag the
     # first two tokens with the copy id, so block COUNT grows 8x while
-    # block SIZE stays put.
-    dBlkN_parts = []
-    for i in range(n):
-        dd = d1.withColumn("doc_id", F.col("doc_id") + F.lit(i * 100_000_000))
-        if i > 0:
-            dd = dd.withColumn(
-                "text",
-                F.regexp_replace("text", r"^(\S+) (\S+)", f"c{i}$1 c{i}$2"),
+    # block SIZE stays put. Built lazily (cache+count only when the op
+    # filter actually selects edit_distance — r7 self-review).
+    def _build_dblkn():
+        parts = []
+        for i in range(n):
+            dd = d1.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 100_000_000)
             )
-        dBlkN_parts.append(dd)
-    dBlkN = dBlkN_parts[0]
-    for _p in dBlkN_parts[1:]:
-        dBlkN = dBlkN.unionByName(_p)
-    dBlkN = dBlkN.cache()
-    dBlkN.count()
-
-    def edit_distance_shape(d):
-        norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
-        pre = F.substring(norm, 1, 48)
-        p = d.where(F.col("text").isNotNull()).select(
-            "doc_id",
-            "lang",
-            pre.alias("pre"),
-            F.split_part(pre, F.lit(" "), F.lit(1)).alias("t1"),
-            F.split_part(pre, F.lit(" "), F.lit(2)).alias("t2"),
-        )
-        a, b = p.alias("a"), p.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.lang") == F.col("b.lang"))
-                & (F.col("a.t1") == F.col("b.t1"))
-                & (F.col("a.t2") == F.col("b.t2"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .where(F.levenshtein(F.col("a.pre"), F.col("b.pre"), 12) >= 0)
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.levenshtein(F.col("a.pre"), F.col("b.pre"), 12).alias("dist"),
-            )
-        )
-
-    def skipgram_shape(d):
-        toks = d.where(F.col("text").isNotNull()).select(
-            F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("toks")
-        )
-
-        def pairs_at(dist):
-            m = F.size("toks") - dist
-            return F.when(
-                F.size("toks") > dist,
-                F.zip_with(
-                    F.slice("toks", 1, m),
-                    F.slice("toks", 1 + dist, m),
-                    lambda x, y: F.struct(
-                        x.alias("a"), y.alias("b"), F.lit(dist).alias("dist")
+            if i > 0:
+                dd = dd.withColumn(
+                    "text",
+                    F.regexp_replace(
+                        "text", r"^(\S+) (\S+)", f"c{i}$1 c{i}$2"
                     ),
-                ),
-            ).otherwise(F.array().cast("array<struct<a:string,b:string,dist:int>>"))
+                )
+            parts.append(dd)
+        out = parts[0]
+        for _p in parts[1:]:
+            out = out.unionByName(_p)
+        out = out.cache()
+        out.count()
+        return out
 
-        arr = toks.select(F.concat(pairs_at(1), pairs_at(2), pairs_at(3)).alias("pairs"))
-        return (
-            arr.select(F.explode("pairs").alias("pr"))
-            .groupBy("pr.a", "pr.b", "pr.dist")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "dist", "a", "b")
-            .limit(100)
-        )
-
-    def term_lift_shape(d):
-        st = (
-            d.where(F.col("text").isNotNull())
-            .select(
-                "source",
-                F.explode(F.filter(F.split("text", " "), lambda t: t != F.lit(""))).alias("term"),
-            )
-            .groupBy("source", "term")
-            .agg(F.count(F.lit(1)).alias("c_st"))
-        )
-        from pyspark.sql import Window as W
-
-        s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
-        t = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
-        nn = st.agg(F.sum("c_st").alias("n_tot"))
-        scored = (
-            st.where(F.col("c_st") >= 5)
-            .join(s, "source")
-            .join(t, "term")
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "source",
-                "term",
-                ((F.col("c_st") * F.col("n_tot")).cast("double")
-                 / (F.col("n_s") * F.col("c_t")).cast("double")).alias("lift"),
-            )
-        )
-        w = W.partitionBy("source").orderBy(F.col("lift").desc(), "term")
-        return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
-
-    def token_budget_shape(d):
-        from pyspark.sql import Window as W
-
-        toks = d.where(F.col("text").isNotNull()).select(
-            "source",
-            "doc_id",
-            F.size(F.filter(F.split("text", " "), lambda t: t != F.lit(""))).alias("tc"),
-        )
-        w = (
-            W.partitionBy("source")
-            .orderBy(F.col("tc").desc(), "doc_id")
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        return (
-            toks.withColumn("cum", F.sum("tc").over(w))
-            .where(F.col("cum") <= 5000)
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_sel"), F.sum("tc").alias("used"))
-        )
-
-    def debounce_shape(e):
-        from pyspark.sql import Window as W
-
-        w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-        us = F.unix_micros(F.col("ts").cast("timestamp"))
-        dd = e.select("event_type", (us - F.lag(us).over(w)).alias("delta_us"))
-        dup = F.col("delta_us") < 600000000
-        return dd.groupBy("event_type").agg(
-            F.count(F.when(~F.coalesce(dup, F.lit(False)), 1)).alias("kept"),
-            F.count(F.when(dup, 1)).alias("dropped"),
-        )
-
-    def anomaly_shape(e):
-        dc = (
-            e.select(
-                "event_type",
-                F.col("ts").cast("timestamp").cast("date").cast("string").alias("day"),
-            )
-            .groupBy("event_type", "day")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        st = dc.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("s"),
-            F.sum(F.col("cnt") * F.col("cnt")).alias("q"),
-        )
-        return (
-            dc.join(F.broadcast(st), "event_type")
-            .where(F.col("n") > 1)
-            .select(
-                "event_type", "day", "cnt",
-                ((F.col("n") * F.col("cnt") - F.col("s")).cast("double")
-                 / (F.col("n").cast("double")
-                    * F.sqrt((F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double")
-                             / (F.col("n") * (F.col("n") - 1)).cast("double")))).alias("z"),
-            )
-        )
+    # the six r7 query shapes run the SHARED frame-parameterized cores
+    # (plans/llm_ops.py, plans/functions_sweep.py) — the registry plan
+    # and the measured scale factor can never drift apart
+    from duck_delta_share_spark.plans.functions_sweep import (
+        event_debounce_core,
+        event_volume_anomaly_core,
+    )
+    from duck_delta_share_spark.plans.llm_ops import (
+        edit_distance_core,
+        skipgram_core,
+        source_term_lift_core,
+        token_budget_core,
+    )
 
     ops = [
         ("q1_agg", q1_shape, l1, lN),
@@ -913,12 +793,12 @@ def main() -> None:
         ("event_transitions", transitions_shape, e1, eN),
         ("pmi_bigrams", pmi_shape, d1, dN),
         ("winsorized_stats", winsorize_shape, emb1, embN),
-        ("edit_distance", edit_distance_shape, d1, dBlkN),
-        ("skipgram_cooccur", skipgram_shape, d1, dN),
-        ("source_term_lift", term_lift_shape, d1, dN),
-        ("token_budget", token_budget_shape, d1, dN),
-        ("event_debounce", debounce_shape, e1, eN),
-        ("volume_anomaly", anomaly_shape, e1, eN),
+        ("edit_distance", edit_distance_core, d1, None),
+        ("skipgram_cooccur", skipgram_core, d1, dN),
+        ("source_term_lift", source_term_lift_core, d1, dN),
+        ("token_budget", token_budget_core, d1, dN),
+        ("event_debounce", event_debounce_core, e1, eN),
+        ("volume_anomaly", event_volume_anomaly_core, e1, eN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))
@@ -928,6 +808,8 @@ def main() -> None:
         ops = [o for o in ops if o[0] in wanted]
     results = []
     for name, fn, small, big in ops:
+        if big is None:  # deferred build (edit_distance's remap corpus)
+            big = _build_dblkn()
         fn(small).write.format("noop").mode("overwrite").save()  # warm
         t1 = timed(fn(small))
         tN = timed(fn(big))

@@ -231,3 +231,45 @@ def test_no_ttl_keeps_lossless_anchor_behavior(spark, tmp_path):
     write_batch("b4", [(99, T("2024-01-02 09:00:00"), 7, "view")])
     got = _drain_transitions(spark, src, out_dir, ck)
     assert (1, "view", "click") in got
+
+
+def test_ttl_gap_rule_is_batch_boundary_independent(spark, tmp_path):
+    # the return event arrives in the SAME batch that advances the
+    # watermark past the anchor's TTL: the pair-level gap rule must drop
+    # the over-TTL pair anyway (an event-level drop would emit here and
+    # drop when the return lands one trigger later — replay with
+    # different batch packing would change the output; r7 self-review)
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir, ck = tmp_path / "out", tmp_path / "ck"
+    T = pd.Timestamp
+
+    def write_batch(name, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type"]
+        ).astype({"event_id": "int64", "user_id": "int64"}).to_parquet(
+            src / f"{name}.parquet", coerce_timestamps="us"
+        )
+
+    write_batch("b1", [(1, T("2024-01-01 12:00:00"), 1, "view")])
+    # ONE batch carries the watermark-advancing traffic AND user 1's
+    # return 5.5h after the anchor (TTL is 1h), plus an in-TTL pair for
+    # user 2 as the control
+    write_batch(
+        "b2",
+        [
+            (2, T("2024-01-01 17:30:00"), 1, "click"),
+            (3, T("2024-01-01 17:00:00"), 2, "view"),
+            (4, T("2024-01-01 17:20:00"), 2, "click"),
+            (50, T("2024-01-01 19:00:00"), 9, "view"),
+        ],
+    )
+    write_batch("b3", [(99, T("2024-01-02 09:00:00"), 7, "view")])
+    got = _drain_transitions(
+        spark, src, out_dir, ck, anchor_ttl_s=3600
+    )
+    assert (1, "view", "click") not in got, (
+        "an over-TTL pair must be dropped even when the return event "
+        "arrives in the same batch as the watermark advance"
+    )
+    assert (2, "view", "click") in got, "in-TTL pairs must still emit"

@@ -73,8 +73,10 @@ def test_skipgram_explodes_an_attribute(spark):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     import re
 
-    m = re.search(r"Generate explode\((\w+)", opt)
+    m = re.search(r"Generate explode\(([^)]*)", opt)
     assert m, opt
+    # an attribute renders as `name#id`; any '(' means an inline
+    # expression that would re-evaluate per exploded row (r6, 16x)
     assert "(" not in m.group(1), f"explode child must be an attribute: {m.group(0)}"
 
 
@@ -190,3 +192,42 @@ def test_budget_and_debounce_single_shuffle_before_agg(spark):
         plan = _plan(QUERIES[name].spark_fn(spark, SF_DIR))
         assert "Exchange SinglePartition" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_anomaly_zero_variance_yields_null_not_throw(spark, monkeypatch):
+    # a type with EQUAL counts every day has zero variance: the unguarded
+    # division THROWS under Spark 4 ANSI and DuckDB returns NaN — the
+    # guard must yield NULL on both engines (r7 self-review)
+    import duckdb
+
+    import duck_delta_share_spark.plans.functions_sweep as fs
+    from duck_delta_share_spark.plans import QUERIES
+
+    T = pd.Timestamp
+    rows = [
+        (1, T("2024-01-01 10:00:00"), 1, "flat"),
+        (2, T("2024-01-02 10:00:00"), 1, "flat"),
+        (3, T("2024-01-01 10:00:00"), 1, "vary"),
+        (4, T("2024-01-02 10:00:00"), 1, "vary"),
+        (5, T("2024-01-02 11:00:00"), 1, "vary"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    events = spark.createDataFrame(pdf)
+    monkeypatch.setattr(fs, "load_table", lambda s, d, t: events)
+    out = {
+        (r.event_type, r.day): r.z
+        for r in fs.event_volume_anomaly(spark, SF_DIR).collect()
+    }
+    assert out[("flat", "2024-01-01")] is None
+    assert out[("flat", "2024-01-02")] is None
+    # counts 1, 2: mean 1.5, sample std sqrt(0.5) -> z = -/+0.707106781
+    assert out[("vary", "2024-01-01")] == -0.707106781
+    assert out[("vary", "2024-01-02")] == 0.707106781
+    # and the ORACLE agrees on the same degenerate input
+    con = duckdb.connect()
+    con.register("events", pdf)
+    odf = con.execute(QUERIES["event_volume_anomaly"].oracle).df()
+    orc = {(r.event_type, r.day): r.z for r in odf.itertuples()}
+    import math
+
+    assert math.isnan(orc[("flat", "2024-01-01")]) or orc[("flat", "2024-01-01")] is None

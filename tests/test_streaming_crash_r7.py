@@ -221,6 +221,35 @@ def test_components_hashmin_mid_loop_failure_releases_all(spark, monkeypatch):
     assert set(released) == set(checkpointed)
 
 
+def test_components_count_action_failure_releases_new_round(spark, monkeypatch):
+    # the likeliest executor-failure point is the changed-count ACTION
+    # after the new round is already materialized: the handler must
+    # release the just-checkpointed new_labels too (r7 self-review)
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    import duck_delta_share_spark.operators.components as comp
+
+    checkpointed, released = _checkpoint_release_recorder(monkeypatch, comp)
+    real_count = ClassicDF.count
+    state = {"n": 0}
+
+    def failing_count(self):
+        state["n"] += 1
+        if state["n"] >= 1:
+            raise RuntimeError("injected count failure")
+        return real_count(self)
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    # patch AFTER frame construction so setup counts are unaffected
+    monkeypatch.setattr(ClassicDF, "count", failing_count)
+    with pytest.raises(RuntimeError, match="injected count failure"):
+        comp.connected_components(edges, algorithm="hashmin").collect()
+    assert checkpointed
+    assert set(released) == set(checkpointed)
+
+
 def test_iterative_success_paths_unchanged(spark):
     # the cleanup handlers must not change results on the happy path
     from duck_delta_share_spark.operators.bpe import train_bpe_merges
