@@ -40,11 +40,17 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = True,
+    contrast_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of ``base`` rows per ``queries`` row.
 
     ``queries`` must be small (it is broadcast). Output:
     (query_id, vec_id, cosine, rk) with rk ≤ k, self-matches excluded.
+
+    ``contrast_col``: when set, only base rows whose value in this column
+    DIFFERS from the query row's count as candidates (SQL <> semantics:
+    NULLs never match) — hard-negative mining for contrastive training:
+    the most-similar vectors with a different label.
     """
     dot = dot_exact if exact else dot_fast
     norm = norm_exact if exact else norm_fast
@@ -52,18 +58,25 @@ def brute_force_topk(
     # Zero-norm vectors have no cosine (0/0 = NaN, which Spark orders
     # ABOVE every real double — one zero vector in base would become rk=1
     # for every query); skip them like the int8 twin's __n2 > 0 guard.
+    extra_b = [F.col(contrast_col).alias("__bc")] if contrast_col else []
+    extra_q = [F.col(contrast_col).alias("__qc")] if contrast_col else []
     b = base.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("__bv"),
         norm(vec_col).alias("__bn"),
+        *extra_b,
     ).filter(F.col("__bn") > 0)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         norm(vec_col).alias("__qn"),
+        *extra_q,
     ).filter(F.col("__qn") > 0)
+    cond = F.col("vec_id") != F.col("query_id")
+    if contrast_col:
+        cond = cond & (F.col("__bc") != F.col("__qc"))
     scored = (
-        b.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        b.join(F.broadcast(q), cond)
         .withColumn("cosine", dot(F.col("__qv"), F.col("__bv")) / (F.col("__qn") * F.col("__bn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")

@@ -3943,3 +3943,143 @@ def token_budget_core(d: DataFrame) -> DataFrame:
             F.sum("tok_cnt").alias("tokens_used"),
         )
     )
+
+
+_HARDNEG_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         {_DOT.format(a='q.embedding', b='b.embedding')}
+         / (SQRT({_DOT.format(a='q.embedding', b='q.embedding')})
+            * SQRT({_DOT.format(a='b.embedding', b='b.embedding')})) AS cosine
+  FROM embeddings q
+  JOIN embeddings b ON b.vec_id <> q.vec_id AND b.label <> q.label
+  WHERE q.vec_id < 10
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+@query(
+    "hard_negative_mining",
+    oracle=_HARDNEG_ORACLE,
+    doc="contrastive-training hard negatives: per query vector, the "
+    "top-5 most-similar vectors with a DIFFERENT label — the "
+    "retrieval-training data a dense-embedding pipeline mines "
+    "(similar-but-wrong examples carry the gradient signal). Plan: "
+    "identical shape to similarity_topk_exact (broadcast query set, "
+    "map-side scoring, one window shuffle on query_id), with the label "
+    "contrast folded into the broadcast-join condition (never a "
+    "post-score filter that would widen the window input); cosine is "
+    "the same order-pinned double fold the oracle replays bit-exactly "
+    "via list_reduce.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        k=5,
+        exact=False,
+        contrast_col="label",
+    )
+
+
+@query(
+    "dedup_cluster_histogram",
+    oracle=f"""
+WITH c AS (
+  SELECT md5({_NORM}) AS fp, COUNT(*) AS sz
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM c GROUP BY sz
+""",
+    doc="dedup audit report: the duplicate-cluster size histogram (how "
+    "many fingerprint clusters of each size, how many documents they "
+    "hold) — the before/after evidence a dedup pass ships with (dedup "
+    "ratio = 1 - n_clusters/n_docs falls out of the two sums). Plan: "
+    "two hash aggs, the second over the already-reduced cluster frame "
+    "(bounded by distinct-fingerprint count, then by the tiny size key) "
+    "— no window, no join; the md5 fingerprint is the exact-dedup key "
+    "functions/text.py:fingerprint uses, recomputed verbatim by the "
+    "oracle.",
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.where(F.col("text").isNotNull())
+        .groupBy(fingerprint("text").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return c.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+    )
+
+
+@query(
+    "conversion_lag_stats",
+    oracle="""
+WITH f AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) FILTER (event_type = 'view') AS v,
+         MIN(epoch_us(ts)) FILTER (event_type = 'purchase') AS p
+  FROM events GROUP BY user_id
+), lag AS (
+  SELECT p - v AS lag_us, CAST(p - v AS DOUBLE) / 1000000.0 AS lag_s
+  FROM f
+  WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
+       CAST(MAX(lag_us) AS BIGINT) AS max_lag_us,
+       round(quantile_cont(lag_s, 0.5), 6) AS p50_lag_s,
+       round(quantile_cont(lag_s, 0.9), 6) AS p90_lag_s
+FROM lag
+""",
+    doc="conversion-lag distribution (first view -> first purchase per "
+    "user): the activation-latency report a growth pipeline computes. "
+    "Plan: ONE hash agg keyed on user_id folds both firsts in the same "
+    "pass (conditional MIN — never two scans or a self-join), then a "
+    "single-row summary agg. min/max stay exact integer microseconds; "
+    "the percentiles interpolate over SECONDS (magnitude ~1e5, ulp "
+    "~1e-11) and round to 6 decimals — at raw-microsecond magnitudes "
+    "(~1e11) the engines' interpolation association differs by one ulp "
+    "= 6e-5, which NO fixed decimal rounding can absorb (measured at "
+    "sf0.01). Spark's percentile() and DuckDB's quantile_cont share "
+    "the (n-1)*p linear-interpolation definition.",
+)
+def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p"),
+    )
+    lag = (
+        f.where(
+            F.col("v").isNotNull()
+            & F.col("p").isNotNull()
+            & (F.col("p") >= F.col("v"))
+        )
+        .select(
+            (F.col("p") - F.col("v")).alias("lag_us"),
+            (
+                (F.col("p") - F.col("v")).cast("double") / F.lit(1000000.0)
+            ).alias("lag_s"),
+        )
+    )
+    return lag.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("lag_us").alias("min_lag_us"),
+        F.max("lag_us").alias("max_lag_us"),
+        F.round(F.expr("percentile(lag_s, 0.5)"), 6).alias("p50_lag_s"),
+        F.round(F.expr("percentile(lag_s, 0.9)"), 6).alias("p90_lag_s"),
+    )

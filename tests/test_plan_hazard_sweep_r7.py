@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "similarity_topk_int8",      # |queries|-row broadcast probe set
     "similarity_range_search",   # |queries|-row broadcast probe set
     "similarity_ann_pq",         # |queries|-row broadcast probe set
+    "hard_negative_mining",      # |queries|-row broadcast probe set
     "unigram_perplexity_score",  # 1-row corpus-token total
     "hll_mergeable_distinct",    # 1-row merged-sketch frame
     "similarity_ann_opq",        # |queries|-row broadcast probe set

@@ -231,3 +231,83 @@ def test_anomaly_zero_variance_yields_null_not_throw(spark, monkeypatch):
     import math
 
     assert math.isnan(orc[("flat", "2024-01-01")]) or orc[("flat", "2024-01-01")] is None
+
+
+def test_hard_negative_mining_excludes_same_label(spark, monkeypatch):
+    import duck_delta_share_spark.plans.llm_ops as llm
+
+    # query 0 (label 0): nearest is the near-identical SAME-label vec 1,
+    # which must be excluded; the top hard negative is the similar
+    # DIFFERENT-label vec 2, then the orthogonal-ish vec 3
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.99, 0.1, 0.0], 0),    # same label: never a candidate
+            (2, [0.9, 0.4, 0.0], 1),     # best hard negative
+            (3, [0.0, 1.0, 0.0], 1),
+            (4, [0.0, 0.0, 0.0], 1),     # zero norm: skipped
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(llm, "load_table", lambda s, d, t: emb)
+    rows = llm.hard_negative_mining(spark, SF_DIR).collect()
+    got = [(r.query_id, r.vec_id, r.rk) for r in rows if r.query_id == 0]
+    assert (0, 1, 1) not in got and all(v != 1 for _, v, _ in got)
+    assert (0, 2, 1) in got and (0, 3, 2) in got
+    assert all(v != 4 for _, v, _ in got), "zero-norm vector must be skipped"
+
+
+def test_dedup_cluster_histogram_counts(spark, monkeypatch):
+    import duck_delta_share_spark.plans.llm_ops as llm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "A  b C"),   # normalization twin of 1
+            (3, "a b c "),   # trim twin of 1
+            (4, "d e"),
+            (5, "d e"),
+            (6, "unique"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(llm, "load_table", lambda s, d, t: docs)
+    out = {
+        r.cluster_size: (r.n_clusters, r.n_docs)
+        for r in llm.dedup_cluster_histogram(spark, SF_DIR).collect()
+    }
+    assert out == {3: (1, 3), 2: (1, 2), 1: (1, 1)}
+
+
+def test_conversion_lag_semantics(spark, monkeypatch):
+    import duck_delta_share_spark.plans.functions_sweep  # noqa: F401
+    import duck_delta_share_spark.plans.llm_ops as llm
+
+    T = pd.Timestamp
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6, 7],
+                "ts": [
+                    T("2024-01-01 10:00:00"),  # u1 view
+                    T("2024-01-01 10:00:10"),  # u1 purchase: lag 10s
+                    T("2024-01-01 09:00:00"),  # u2 purchase BEFORE view
+                    T("2024-01-01 10:00:00"),  # u2 view (p < v: excluded)
+                    T("2024-01-01 10:00:00"),  # u3 view only (excluded)
+                    T("2024-01-01 10:00:00"),  # u4 view
+                    T("2024-01-01 10:00:30"),  # u4 purchase: lag 30s
+                ],
+                "user_id": [1, 1, 2, 2, 3, 4, 4],
+                "event_type": [
+                    "view", "purchase", "purchase", "view", "view",
+                    "view", "purchase",
+                ],
+            }
+        )
+    )
+    monkeypatch.setattr(llm, "load_table", lambda s, d, t: events)
+    r = llm.conversion_lag_stats(spark, SF_DIR).collect()[0]
+    assert r.n_users == 2
+    assert r.min_lag_us == 10_000_000 and r.max_lag_us == 30_000_000
+    assert r.p50_lag_s == 20.0  # interpolated midpoint of {10, 30}
+    assert abs(r.p90_lag_s - 28.0) < 1e-9  # 10 + 0.9 * 20
