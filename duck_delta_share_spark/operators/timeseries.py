@@ -202,10 +202,10 @@ def twap(
     Shape: ONE window pass (lead over (group, bucket) keyed partitions,
     micros-exact integer deltas) + ONE hash agg on the same key — the
     window's shuffle is reused by the agg, so a single exchange total.
-    Weighted sums follow the exact-decimal discipline (value*dt addends
-    in decimal(27,6)); the time axis never touches doubles."""
-    from duck_delta_share_spark.plans.registry import dsum
-
+    Weighted sums follow the exact-decimal discipline with the FACTOR
+    cast to decimal(18,6) before the integer multiply (the product is
+    then exact — casting the double product rounds engine-dependently
+    past 17 significant digits); the time axis never touches doubles."""
     # NTZ space like every helper above — no LTZ detour, no session-tz
     # dependence (the driver runs a vanilla, possibly non-UTC session)
     anchor = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
@@ -213,7 +213,13 @@ def twap(
         "MICROSECOND", anchor, F.col(ts_col).cast("timestamp_ntz")
     )
     bucket = F.floor(tus / F.lit(bucket_seconds * 1_000_000)).cast("long")
-    w = Window.partitionBy(*group_cols, "__bucket").orderBy("__tus", value_col)
+    # NULLS FIRST pinned explicitly: Spark's ASC default is NULLS FIRST,
+    # DuckDB's is NULLS LAST — a NULL value in the tie-break reorders
+    # the lead() chain and silently shifts every dt in the bucket (r7
+    # NULL fuzz); the oracle mirrors with `value NULLS FIRST`
+    w = Window.partitionBy(*group_cols, "__bucket").orderBy(
+        "__tus", F.asc_nulls_first(value_col)
+    )
     base = df.select(
         *group_cols,
         F.col(value_col),
@@ -231,10 +237,28 @@ def twap(
         base.groupBy(*group_cols, "__bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(
-                dsum(F.col(value_col) * F.col("__dt"), "decimal(27,6)")
-                / F.nullif(F.sum("__dt"), F.lit(0)),
-                6,
+            # Two r7-fuzz lessons baked in: (1) cast the FACTOR to
+            # decimal, never the double PRODUCT — value*dt at magnitude
+            # 1e11 exceeds double's decimal precision, and Spark
+            # (shortest-repr) vs DuckDB (exact binary) round the cast
+            # differently (145/1375 fuzz buckets differed in the SUM
+            # itself); decimal * integer is exact, so the sums are
+            # bit-identical. (2) floor(x*1e6 + 0.5)/1e6, not round(x, 6):
+            # Spark's round HALF_UPs the shortest decimal repr while
+            # DuckDB rounds the exact binary value — boundary quotients
+            # flip differently; the floor form is the same IEEE op
+            # sequence on both engines (the cos_e6 pinning precedent).
+            (
+                F.floor(
+                    F.sum(
+                        F.col(value_col).cast("decimal(18,6)")
+                        * F.col("__dt")
+                    ).cast("double")
+                    / F.nullif(F.sum("__dt"), F.lit(0))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("twap"),
         )
         .select(

@@ -105,12 +105,10 @@ def delta_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "delta_merge_upsert",
     oracle="""
-SELECT n_nationkey,
-       CASE WHEN n_nationkey = 0 THEN 'NATION_0_V2' ELSE n_name END AS n_name,
-       n_regionkey
-FROM nation
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation WHERE n_nationkey NOT IN (0, 99)
 UNION ALL
-SELECT 99, 'NEW_NATION', 1
+SELECT * FROM (VALUES (0, 'NATION_0_V2', 0), (99, 'NEW_NATION', 1))
 ORDER BY n_nationkey
 """,
     doc="transactional file-granular merge-on-write on a local Delta table "
@@ -378,12 +376,10 @@ def delta_share_cdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "delta_column_mapping_merge",
     oracle="""
-SELECT n_nationkey,
-       CASE WHEN n_nationkey = 0 THEN 'NATION_0_CM' ELSE n_name END AS n_name,
-       n_regionkey
-FROM nation
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation WHERE n_nationkey NOT IN (0, 77)
 UNION ALL
-SELECT 77, 'CM_NATION', 2
+SELECT * FROM (VALUES (0, 'NATION_0_CM', 0), (77, 'CM_NATION', 2))
 ORDER BY n_nationkey
 """,
     doc="column-mapping WRITE path (r4; reads landed r3): MERGE on a "

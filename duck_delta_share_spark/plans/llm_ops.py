@@ -125,7 +125,7 @@ WITH grams AS (
   SELECT doc_id,
          LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LENGTH(text) - 7, 1)),
                         i -> MD5(SUBSTR(text, i, 8))) AS fps
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
        LIST_MIN(fps) AS fp_min,
@@ -137,7 +137,10 @@ FROM grams
     "count = content richness; pure codegen transform/sequence, no UDF",
 )
 def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # NULL text excluded on both sides (r7 NULL fuzz)
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     fps = rolling_fingerprints("text", k=8)
     return d.select(
         "doc_id",
@@ -1069,7 +1072,7 @@ WITH h AS (
          octet_length(encode(text)) AS n_bytes,
          sha256(text) AS sha_hex,
          regexp_replace(to_hex(encode(text)), '.(.)', '\\1', 'g') AS lows
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, sha_hex,
        concat_ws(',', {terms}) AS hist
@@ -1097,7 +1100,11 @@ FROM h
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duck_delta_share_spark.functions import multimodal as mm
 
-    d = load_table(spark, sf_dir, "documents")
+    # NULL text excluded on both sides (payload of NULL is undefined;
+    # the NULLs also flip the oracle's pandas dtype to float — r7 fuzz)
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     feats = mm.extract_features(mm.with_payload(d))
     # features are float32 c/n; c = round(f * n) recovers the exact integer
     # count (abs error ≤ n·2⁻²⁴ < 0.5), serialized driver-safe as a string
@@ -2213,15 +2220,18 @@ WITH t AS (
   SELECT doc_id, text,
          list_filter(string_split(text, ' '), x -> x != '') AS toks,
          greatest(length(text), 1) AS n_chr
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), s AS (
   SELECT doc_id, text, toks, CAST(n_chr AS DOUBLE) AS n_chr,
          CAST(greatest(len(toks), 1) AS DOUBLE) AS n_tok
   FROM t
 )
 SELECT doc_id,
-       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / n_tok
-         AS f_mean_word_len,
+       -- coalesce: list_sum([]) is NULL in DuckDB while Spark's
+       -- zero-seeded fold yields 0.0 — a zero-word doc must score 0 on
+       -- both engines (r7 oracle fuzz)
+       CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+            AS DOUBLE) / n_tok AS f_mean_word_len,
        CAST(len(list_filter(toks, x -> list_contains(
            ['the','a','an','and','or','of','to','in','is','was','for','on',
             'with','as','by','at','it','this','that','be','are','from'], x)))
@@ -2254,7 +2264,13 @@ def quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_features,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL text excluded on both sides: the features are NULL-in-NULL-out
+    # in Spark but the oracle's coalesced sums would read 0.0 (r7 fuzz)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
     out = text_features(d)
     return out.select(
         "doc_id",
@@ -2499,9 +2515,16 @@ def gopher_quality_frame(d: DataFrame, carry: list[str] | None = None) -> DataFr
         .alias("ell_lines"),
         F.size("__lines").cast("long").alias("n_lines"),
     ).where("n_words > 0")
-    mean_len = F.floor(F.col("total_chars") * F.lit(1000000.0) / F.col("n_words"))
-    alpha_frac = F.floor(F.col("n_alpha") * F.lit(1000000.0) / F.col("n_words"))
-    sym_frac = F.floor(F.col("n_sym") * F.lit(1000000.0) / F.col("n_words"))
+    # greatest(n_words, 1): the n_words > 0 WHERE is NOT a sufficient
+    # guard under ANSI — Catalyst collapses it with the `keep` filter
+    # below and codegen's subexpression elimination hoists the division
+    # ABOVE the short-circuit, throwing DIVIDE_BY_ZERO on zero-word docs
+    # (measured on the r7 fuzz corpus). The floor value is identical on
+    # every surviving row, so the hashed output is unchanged.
+    denom = F.greatest(F.col("n_words"), F.lit(1))
+    mean_len = F.floor(F.col("total_chars") * F.lit(1000000.0) / denom)
+    alpha_frac = F.floor(F.col("n_alpha") * F.lit(1000000.0) / denom)
+    sym_frac = F.floor(F.col("n_sym") * F.lit(1000000.0) / denom)
     keep = (
         F.col("n_words").between(50, 100000)
         & mean_len.between(3000000, 10000000)
@@ -2982,9 +3005,13 @@ a AS (
 ),
 asg AS (SELECT vec_id, cid FROM a WHERE rn = 1),
 x AS (
-  SELECT asg.cid, d.dim, CAST(e.embedding[d.dim] AS DOUBLE) AS val
+  -- dims derived from the vectors themselves (generate_subscripts),
+  -- not a hard-coded 64-wide grid: on a different-dimension corpus the
+  -- fixed grid fabricated NULL rows beyond the true width (r7 fuzz)
+  SELECT asg.cid,
+         generate_subscripts(e.embedding, 1) AS dim,
+         CAST(unnest(e.embedding) AS DOUBLE) AS val
   FROM asg JOIN embeddings e USING (vec_id)
-  CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d
 )
 SELECT cid AS cluster_id, CAST(dim AS BIGINT) AS dim,
        CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(val) AS mean_val,
@@ -3138,7 +3165,7 @@ WITH fp AS (
   SELECT doc_id,
          md5(ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT({_NORM}, ' ')), ' '))
            AS bag_fp
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, bag_fp,
        CAST(CASE WHEN ROW_NUMBER()
@@ -3155,7 +3182,12 @@ FROM fp
 def bag_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    # NULL text excluded on BOTH sides: Spark's concat_ws skips NULL
+    # (md5 of empty) while DuckDB's array_to_string(NULL) is NULL —
+    # engine-divergent garbage either way (r7 NULL fuzz)
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
     bag_fp = F.md5(F.concat_ws(" ", F.array_sort(F.split(norm, " "))))
     w = Window.partitionBy("bag_fp").orderBy("doc_id")

@@ -193,7 +193,7 @@ WITH e AS (
 o AS (
   SELECT event_type, bucket, tus, value,
          LEAD(tus) OVER (PARTITION BY event_type, bucket
-                         ORDER BY tus, value) AS nxt
+                         ORDER BY tus, value NULLS FIRST) AS nxt
   FROM e
 ),
 w AS (
@@ -204,8 +204,8 @@ w AS (
 SELECT event_type,
        CAST(to_timestamp(bucket * 3600) AS TIMESTAMP) AS bucket_ts,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(CAST(SUM(CAST(value * dt AS DECIMAL(27,6))) AS DOUBLE)
-             / NULLIF(SUM(dt), 0), 6) AS twap
+       floor(CAST(SUM(CAST(value AS DECIMAL(18,6)) * dt) AS DOUBLE)
+             / NULLIF(SUM(dt), 0) * 1000000.0 + 0.5) / 1000000.0 AS twap
 FROM w
 GROUP BY event_type, bucket
 ORDER BY event_type, bucket

@@ -62,13 +62,17 @@ def _vowel_count(s):
 SELECT doc_id,
        CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[aeiou]', '', 'g')) AS INT)
          AS n_vowels
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """,
     doc="row-at-a-time Python UDF (vowel count); slow path kept minimal — "
     "the pandas variant below is the recommended shape",
 )
 def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # NULL text excluded on both sides: the UDF's NULL handling vs the
+    # oracle's NULL propagation flip the pandas dtype family (r7 fuzz)
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     vowels = F.udf(_vowel_count, IntegerType())
     return d.select("doc_id", vowels("text").alias("n_vowels"))
 
@@ -188,7 +192,8 @@ class _TokenChunks:
     "udtf_token_chunks",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
        CAST(u.pos - 1 AS INT) AS chunk_idx,
@@ -208,7 +213,11 @@ def udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chunker = udtf(_TokenChunks, returnType=_CHUNK_SCHEMA)
     spark.udtf.register("token_chunks", chunker)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_for_chunks")
+    # NULL text excluded on both sides (r7 NULL fuzz: the UDTF's
+    # NULL-row emission differed from the lateral oracle's)
+    load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).createOrReplaceTempView("__docs_for_chunks")
     return spark.sql(
         "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
         "FROM __docs_for_chunks d, LATERAL token_chunks(d.text) c"
