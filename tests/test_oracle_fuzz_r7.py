@@ -39,13 +39,17 @@ KNOWN_ENGINE_DIVERGENCE = EMPTY_INPUT_GROUPING_DIVERGENCE | {
 MIN_RAN = 165
 
 
-@pytest.fixture(scope="module", params=["plain", "nulls"])
+@pytest.fixture(scope="module", params=["plain", "nulls", "tpch"])
 def fuzz_dir(request, tmp_path_factory):
-    """Two seeded corpora: 'plain' stresses content (dups, ties, empty
+    """Three seeded corpora: 'plain' stresses content (dups, ties, empty
     strings); 'nulls' additionally injects NULL text/lang/source/value —
     the r7 NULL sweep found six queries whose Spark NULL handling
     silently diverged from their oracles (all now filter NULL text on
-    BOTH sides)."""
+    BOTH sides) plus twap's NULL-ordering tie-break; 'tpch' swaps the
+    empty TPC-H stubs for FK-consistent RANDOM tables whose every value
+    column is quantized into heavy ties — a non-total ORDER BY under a
+    LIMIT/top-k would pick different rows per engine (181/184 agreed on
+    first run: the relational surface is tie-robust)."""
     import random
 
     import numpy as np
@@ -53,7 +57,7 @@ def fuzz_dir(request, tmp_path_factory):
 
     with_nulls = request.param == "nulls"
     out = tmp_path_factory.mktemp(f"fuzzfix_{request.param}")
-    rng = random.Random(7 if not with_nulls else 11)
+    rng = random.Random({"plain": 7, "nulls": 11, "tpch": 13}[request.param])
     np_rng = np.random.default_rng(7)
     vocab = [
         "data", "table", "row", "agg", "the", "a", "fast", "slow", "query",
@@ -119,16 +123,127 @@ def fuzz_dir(request, tmp_path_factory):
         emb, columns=["vec_id", "embedding", "label"]
     ).to_parquet(out / "embeddings.parquet", index=False)
 
-    import duckdb
+    if request.param == "tpch":
+        _write_random_tpch(out, rng, pd)
+    else:
+        import duckdb
 
-    con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem"):
-        con.execute(
-            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' "
-            f"LIMIT 0) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
-        )
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem"):
+            con.execute(
+                f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' "
+                f"LIMIT 0) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
     return str(out)
+
+
+def _write_random_tpch(out, rng, pd):
+    """FK-consistent random TPC-H with canonical categorical values (the
+    queries' literals select non-empty subsets) and HEAVY ties in every
+    value/date column. MICROS timestamps, like the real fixtures."""
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    nations = [
+        ("ALGERIA", 0), ("ARGENTINA", 1), ("BRAZIL", 1), ("CANADA", 1),
+        ("EGYPT", 4), ("ETHIOPIA", 0), ("FRANCE", 3), ("GERMANY", 3),
+        ("INDIA", 2), ("INDONESIA", 2), ("IRAN", 4), ("IRAQ", 4),
+        ("JAPAN", 2), ("JORDAN", 4), ("KENYA", 0), ("MOROCCO", 0),
+        ("MOZAMBIQUE", 0), ("PERU", 1), ("CHINA", 2), ("ROMANIA", 3),
+        ("SAUDI ARABIA", 4), ("VIETNAM", 2), ("RUSSIA", 3),
+        ("UNITED KINGDOM", 3), ("UNITED STATES", 1),
+    ]
+    pd.DataFrame(
+        {"r_regionkey": pd.array(range(5), dtype="int32"), "r_name": regions}
+    ).to_parquet(out / "region.parquet", index=False)
+    pd.DataFrame(
+        {
+            "n_nationkey": pd.array(range(25), dtype="int32"),
+            "n_name": [n for n, _ in nations],
+            "n_regionkey": pd.array([r for _, r in nations], dtype="int32"),
+        }
+    ).to_parquet(out / "nation.parquet", index=False)
+    seg = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]
+    pd.DataFrame(
+        [
+            (i, f"Customer#{i:09d}", rng.randrange(25),
+             rng.choice([-250.0, 0.0, 100.0, 100.0, 2500.5, 7000.0]),
+             rng.choice(seg))
+            for i in range(1, 81)
+        ],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    ).astype({"c_nationkey": "int32"}).to_parquet(
+        out / "customer.parquet", index=False
+    )
+    pd.DataFrame(
+        [
+            (i, f"Supplier#{i:09d}", rng.randrange(25),
+             rng.choice([-100.0, 0.0, 500.0, 500.0, 9000.0]))
+            for i in range(1, 21)
+        ],
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).astype({"s_nationkey": "int32"}).to_parquet(
+        out / "supplier.parquet", index=False
+    )
+    types = [
+        f"{a} {b} {c}"
+        for a in ("STANDARD", "SMALL", "MEDIUM", "ECONOMY", "PROMO")
+        for b in ("ANODIZED", "BURNISHED", "PLATED")
+        for c in ("TIN", "NICKEL", "BRASS", "STEEL", "COPPER")
+    ]
+    names = ["ghost linen", "navy peru", "snow olive", "misty rose",
+             "dark sky", "azure puff", "lace almond", "plum coral"]
+    pd.DataFrame(
+        [
+            (i, rng.choice(names),
+             f"Brand#{rng.randrange(1, 6)}{rng.randrange(1, 6)}",
+             rng.choice(types), rng.choice([1, 5, 5, 15, 23, 45, 50]),
+             rng.choice([899.0, 899.0, 1200.5, 1500.0]))
+            for i in range(1, 41)
+        ],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"],
+    ).astype({"p_size": "int32"}).to_parquet(
+        out / "part.parquet", index=False
+    )
+    days = [
+        pd.Timestamp(f"199{y}-{m:02d}-01")
+        for y in range(2, 9)
+        for m in (1, 4, 7, 10)
+    ]
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orders = [
+        (i, rng.randrange(1, 81), rng.choice(["F", "O", "O", "P"]),
+         rng.choice([1000.0, 1000.0, 25000.25, 90000.0]),
+         rng.choice(days), rng.choice(pri))
+        for i in range(1, 301)
+    ]
+    pd.DataFrame(
+        orders,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    ).to_parquet(out / "orders.parquet", index=False, coerce_timestamps="us")
+    li = []
+    for o in orders:
+        for ln in range(1, rng.randrange(1, 6)):
+            li.append(
+                (o[0], rng.randrange(1, 41), rng.randrange(1, 21), ln,
+                 float(rng.choice([1, 5, 25, 25, 50])),
+                 rng.choice([1000.0, 1000.0, 20000.5, 55000.0]),
+                 rng.choice([0.0, 0.05, 0.05, 0.1]),
+                 rng.choice([0.0, 0.08]),
+                 rng.choice(["R", "A", "N", "N"]),
+                 rng.choice(["O", "F"]),
+                 o[4] + pd.Timedelta(days=rng.choice([0, 30, 30, 90, 400])))
+            )
+    pd.DataFrame(
+        li,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    ).astype({"l_linenumber": "int32"}).to_parquet(
+        out / "lineitem.parquet", index=False, coerce_timestamps="us"
+    )
 
 
 def test_every_oracle_agrees_on_adversarial_input(spark, fuzz_dir):
