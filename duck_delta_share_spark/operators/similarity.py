@@ -881,6 +881,15 @@ def rotate_vectors(
         if len(v) == 0:
             return pd.Series([], dtype=object)
         X = np.vstack(v.to_numpy()).astype(np.float64)
+        if X.shape[1] != R.shape[0]:
+            # loud geometry validation (project rule): a corpus whose
+            # vectors don't match the trained rotation must say so, not
+            # die in a cryptic gufunc core-dimension error (r7 fuzz)
+            raise ValueError(
+                f"rotation is {R.shape[0]}x{R.shape[1]} but the "
+                f"'{vec_col}' vectors are {X.shape[1]}-dimensional — "
+                "the rotation was trained on a different embedding dim"
+            )
         return pd.Series(list(X @ R))
 
     return df.withColumn(out_col or vec_col, rot(F.col(vec_col)))

@@ -529,6 +529,13 @@ def _build_tasks(
 
 def _read_task(partition: _FileTask) -> Iterator[Any]:
     """Executor-side scan of one file task (batch and streaming share it)."""
+    if partition is None:
+        # partitions() legitimately returns [] when EVERY file is pruned
+        # (stats/partition pruning, or an empty table) — Spark then still
+        # schedules one task with a None partition; the scan is simply
+        # empty (r7 fuzz: convert-scan of a fully-pruned table crashed
+        # with AttributeError here instead of returning zero rows)
+        return iter(())
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
