@@ -599,11 +599,17 @@ def incremental_rollup_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_delta(spark, table, version=0), ["s_nationkey"], {"total_bal": "s_acctbal"}
     )
     upd = s.filter(F.col("s_suppkey") == 1).withColumn("s_acctbal", F.lit(999.99))
-    ins = (
-        s.filter(F.col("s_suppkey") == 1)
-        .withColumn("s_suppkey", F.lit(99999).cast(s.schema["s_suppkey"].dataType))
-        .withColumn("s_nationkey", F.lit(0).cast(s.schema["s_nationkey"].dataType))
-        .withColumn("s_acctbal", F.lit(123.45))
+    # the INSERT row is a LITERAL frame, not a projection of the
+    # (possibly absent) suppkey-1 row: the oracle UNION ALLs it
+    # unconditionally, so deriving it from existing content silently
+    # skipped the insert on corpora without suppkey 1 (r7 fuzz)
+    ins = spark.createDataFrame(
+        [tuple(
+            {"s_suppkey": 99999, "s_name": "Supplier#000099999",
+             "s_nationkey": 0, "s_acctbal": 123.45}.get(f.name)
+            for f in s.schema.fields
+        )],
+        s.schema,
     )
     merge_delta(spark, table, upd.unionByName(ins), ["s_suppkey"])
 
