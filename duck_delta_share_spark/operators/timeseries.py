@@ -205,7 +205,13 @@ def twap(
     Weighted sums follow the exact-decimal discipline with the FACTOR
     cast to decimal(18,6) before the integer multiply (the product is
     then exact — casting the double product rounds engine-dependently
-    past 17 significant digits); the time axis never touches doubles."""
+    past 17 significant digits); the time axis never touches doubles.
+
+    Domain: |value| < 1e12 — the decimal(18,6) factor cast overflows
+    past that (ANSI Spark throws, DuckDB errors: loud and symmetric on
+    both engines, never a silent wrap). The older decimal(27,6) PRODUCT
+    form tolerated larger magnitudes but rounded engine-dependently;
+    exactness won (r7 fuzz, 145/1375 buckets differed in the sum)."""
     # NTZ space like every helper above — no LTZ detour, no session-tz
     # dependence (the driver runs a vanilla, possibly non-UTC session)
     anchor = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")

@@ -829,6 +829,8 @@ WITH scored AS (
   FROM embeddings q
   JOIN embeddings b ON b.vec_id <> q.vec_id
   WHERE q.vec_id < 10
+    AND {_DOT.format(a='q.embedding', b='q.embedding')} > 0
+    AND {_DOT.format(a='b.embedding', b='b.embedding')} > 0
 )
 SELECT query_id, vec_id, cosine, rk FROM (
   SELECT query_id, vec_id, cosine,
@@ -997,6 +999,8 @@ WITH scored AS (
   FROM embeddings q
   JOIN embeddings b ON b.vec_id <> q.vec_id
   WHERE q.vec_id < 10
+    AND {_DOT.format(a='q.embedding', b='q.embedding')} > 0
+    AND {_DOT.format(a='b.embedding', b='b.embedding')} > 0
 )
 SELECT query_id, vec_id, rk FROM (
   SELECT query_id, vec_id,
@@ -1035,6 +1039,8 @@ WITH p AS (
             * SQRT({_DOT.format(a='b.embedding', b='b.embedding')})) AS cosine
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_DOT.format(a='a.embedding', b='a.embedding')} > 0
+    AND {_DOT.format(a='b.embedding', b='b.embedding')} > 0
 )
 SELECT id_a, id_b,
        CAST(floor(cosine * 1e6 + 0.5) AS BIGINT) AS cos_e6
@@ -3986,6 +3992,8 @@ WITH scored AS (
   FROM embeddings q
   JOIN embeddings b ON b.vec_id <> q.vec_id AND b.label <> q.label
   WHERE q.vec_id < 10
+    AND {_DOT.format(a='q.embedding', b='q.embedding')} > 0
+    AND {_DOT.format(a='b.embedding', b='b.embedding')} > 0
 )
 SELECT query_id, vec_id, cosine, rk FROM (
   SELECT query_id, vec_id, cosine,
@@ -4072,8 +4080,10 @@ WITH f AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
        CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
        CAST(MAX(lag_us) AS BIGINT) AS max_lag_us,
-       round(quantile_cont(lag_s, 0.5), 6) AS p50_lag_s,
-       round(quantile_cont(lag_s, 0.9), 6) AS p90_lag_s
+       floor(quantile_cont(lag_s, 0.5) * 1000000.0 + 0.5) / 1000000.0
+         AS p50_lag_s,
+       floor(quantile_cont(lag_s, 0.9) * 1000000.0 + 0.5) / 1000000.0
+         AS p90_lag_s
 FROM lag
 """,
     doc="conversion-lag distribution (first view -> first purchase per "
@@ -4082,11 +4092,14 @@ FROM lag
     "pass (conditional MIN — never two scans or a self-join), then a "
     "single-row summary agg. min/max stay exact integer microseconds; "
     "the percentiles interpolate over SECONDS (magnitude ~1e5, ulp "
-    "~1e-11) and round to 6 decimals — at raw-microsecond magnitudes "
-    "(~1e11) the engines' interpolation association differs by one ulp "
-    "= 6e-5, which NO fixed decimal rounding can absorb (measured at "
+    "~1e-11) — at raw-microsecond magnitudes (~1e11) the engines' "
+    "interpolation association differs by one ulp = 6e-5 (measured at "
     "sf0.01). Spark's percentile() and DuckDB's quantile_cont share "
-    "the (n-1)*p linear-interpolation definition.",
+    "the (n-1)*p linear-interpolation definition. The 6-decimal pin "
+    "uses floor(x*1e6+0.5)/1e6 on BOTH engines (same IEEE op sequence; "
+    "cos_e6/twap precedent) — round(x, 6) would diverge when a p50 "
+    "midpoint of two lags an odd number of microseconds apart lands "
+    "exactly on a 7th-decimal half boundary (r7 ADVICE).",
 )
 def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -4112,6 +4125,10 @@ def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.min("lag_us").alias("min_lag_us"),
         F.max("lag_us").alias("max_lag_us"),
-        F.round(F.expr("percentile(lag_s, 0.5)"), 6).alias("p50_lag_s"),
-        F.round(F.expr("percentile(lag_s, 0.9)"), 6).alias("p90_lag_s"),
+        (
+            F.floor(F.expr("percentile(lag_s, 0.5)") * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("p50_lag_s"),
+        (
+            F.floor(F.expr("percentile(lag_s, 0.9)") * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("p90_lag_s"),
     )

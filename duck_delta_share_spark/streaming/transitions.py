@@ -14,7 +14,7 @@ horizon × the user's event rate plus one anchor row — the same budget a
 stream-stream interval join holds. TOTAL state is not: a bare anchor
 waits indefinitely for the user's next event, so without a TTL the store
 grows with ever-seen-user cardinality (every user retains one anchor row
-forever). Pass ``anchor_ttl`` to bound the total: idle anchors are
+forever). Pass ``anchor_ttl_s`` to bound the total: idle anchors are
 dropped once the watermark passes anchor_ts + TTL, trading away the
 transition pair of any user who returns after a gap longer than the TTL.
 

@@ -53,8 +53,13 @@ def test_skipgram_matches_positional_reference(spark, docs):
                 if i + dist < len(ts):
                     k = (a, ts[i + dist], dist)
                     want[k] = want.get(k, 0) + 1
-    # the query takes top-100; the random corpora stay far below that
-    assert len(want) <= 100
+    # the query takes top-100 under the total order
+    # (cnt DESC, dist, term_a, term_b); apply the SAME cutoff to the
+    # reference (r7 judge run found a 10-doc corpus with 101 distinct
+    # keys, tripping the old `len(want) <= 100` precondition). BMP-only
+    # words keep Python codepoint order == Java UTF-16 order.
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0][2], kv[0][0], kv[0][1]))
+    want = dict(ranked[:100])
     assert got == want
 
 
