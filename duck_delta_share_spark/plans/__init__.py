@@ -20,73 +20,73 @@ from duck_delta_share_spark.plans import tpch  # noqa: E402,F401
 from duck_delta_share_spark.plans import tpch_extended  # noqa: E402,F401
 from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 
-# Round-7 window rotation: the driver's per-round correctness check
-# covers the FIRST 50 entries. The r6 rotation retired the r1/r2
-# evidence debt; r7 retires the R3 debt. Lead with the six r7 NEW
-# queries (never driver-evidenced), then vocab_coverage_curve (added
-# r6s2 OUTSIDE the first-50 — the only never-evidenced oracle), then
-# the two r4-evidenced write-path queries whose commit path changed
-# THIS round (the _atomic_commit checkpoint-race guard fix), then ALL
-# 38 queries whose latest driver evidence is r3, then three r4
-# REST-path entries whose transport got the r6 failure-injection fixes.
-# After this round no oracled query's driver evidence predates r4.
+# Round-8 window rotation: the driver's per-round correctness check
+# covers the FIRST 50 entries. r7 retired the r3 evidence debt; r8
+# leads with (a) the three late-r7 registrations the driver has NEVER
+# hashed, (b) the seven queries whose plans/oracles changed in the r7
+# fuzz fixes AFTER their last driver evidence, (c) the three
+# similarity queries whose oracles gained the explicit zero-norm
+# predicate THIS round (r7 ADVICE), then fills with the oldest
+# (r4-evidenced) oracled entries. New r8 queries insert at the TOP of
+# the r8-new block as they land, trimming the r4 tail one-for-one.
 # Everything stays registered; only the order changes.
-_R7_WINDOW = [
-    # round-7 NEW queries (never driver-evidenced)
-    "edit_distance_neardup",
-    "skipgram_cooccurrence",
-    "source_term_lift",
-    "token_budget_selection",
-    "event_debounce_dedup",
-    "event_volume_anomaly",
-    # r6s2 addition that missed the r6 first-50 (never driver-evidenced)
-    "vocab_coverage_curve",
-    # r4-evidenced write-path queries; _atomic_commit changed this round
-    "delta_txn_idempotent_append",
-    "delta_schema_evolution",
-    # the complete r3-evidence block (38 entries) — retired this round
-    "agg_approx_distinct",
-    "agg_percentiles",
-    "bloom_semi_join_orders",
-    "conditional_functions",
-    "dedup_exact_groups",
-    "dedup_exact_rows",
-    "delta_column_mapping_scan",
-    "delta_delete_dv",
-    "doc_fingerprint_rolling",
-    "embedding_neardup_blocked",
-    "embedding_quantize_int8",
-    "embedding_variance_by_dim",
-    "events_windowed_agg",
-    "interval_join_attribution",
-    "inverted_index_postings",
-    "join_asof_tolerance",
-    "minhash_lsh_neardup",
-    "multimodal_binary_meta",
-    "multimodal_features",
-    "pca_project_embeddings",
-    "per_group_deterministic_sample",
-    "pii_redaction",
-    "pipeline_training_prep",
-    "pivot_event_types",
-    "repetition_signals",
-    "sequence_packing_partitioned",
-    "simhash_neardup",
-    "similarity_ann_ivf",
-    "similarity_ann_lsh",
-    "similarity_topk_exact",
-    "stats_moments",
-    "stratified_sample",
-    "text_lang_distribution",
-    "text_langid_heuristic",
-    "text_quality_score",
-    "text_token_stats",
-    "tfidf_top_terms",
-    "unpivot_part_measures",
-    # r4-evidenced REST-path entries (transport hardened in r6)
-    "delta_share_dv_rest_scan",
-    "delta_share_cdf_scan",
+_R8_WINDOW = [
+    # --- r8 NEW queries insert here (top of file order) ---
+    # late-r7 registrations, never driver-evidenced
+    "hard_negative_mining",
+    "dedup_cluster_histogram",
+    "conversion_lag_stats",
+    # plans/oracles changed in the r7 fuzz fixes post-evidence
+    "twap_hourly",
+    "quality_features",
+    "kmeans_lloyd_round",
+    "delta_merge_upsert",
     "delta_column_mapping_merge",
+    "pretrain_pipeline_e2e",
+    "gopher_quality_rules",
+    # oracles gained the explicit zero-norm predicate this round
+    "similarity_topk_exact",
+    "similarity_ann_ivf",
+    "embedding_neardup_blocked",
+    # oldest driver evidence (r4) — operator/write-path entries first
+    "benchmark_contamination",
+    "bigram_backoff_score",
+    "cdc_replication_e2e",
+    "char_entropy_quality",
+    "countmin_sketch_estimates",
+    "delta_check_constraint",
+    "delta_convert_clone_scan",
+    "delta_generated_columns",
+    "delta_identity_append",
+    "delta_nested_mapping_delete",
+    "delta_nested_mapping_scan",
+    "delta_partition_delete",
+    "delta_row_tracking_scan",
+    "delta_update_where",
+    "domain_mix_resample",
+    "dsir_importance_weights",
+    "ewma_hourly",
+    "funnel_stages",
+    "lateral_topk",
+    "multimodal_png_strict",
+    "ols_per_group",
+    "recursive_cte_hierarchy",
+    "salted_join_lineitem",
+    "scd2_dimension_cdf",
+    "simhash_signatures",
+    "similarity_ann_opq",
+    "similarity_range_search",
+    "similarity_topk_int8",
+    "substring_dedup_spans",
+    "window_rolling_median",
+    "zipf_term_slope",
+    # r4 function-sweep tail — first trimmed as r8 queries land
+    "bitwise_functions",
+    "try_arithmetic",
+    "map_functions",
+    "higher_order_array",
+    "set_ops_all",
+    "histogram_width_bucket",
 ]
 
 
@@ -108,6 +108,6 @@ def _rotate_window(first: list[str]) -> None:
     QUERIES.update({n: snapshot[n] for n in lead + rest})
 
 
-_rotate_window(_R7_WINDOW)
+_rotate_window(_R8_WINDOW)
 
 __all__ = ["QUERIES", "QueryDef", "query"]
