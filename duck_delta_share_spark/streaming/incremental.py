@@ -14,6 +14,15 @@ LAST, so
 - a crash mid-write leaves the pointer on the previous rollup; the replay
   simply overwrites the orphan directory.
 
+Single-writer contract (ENFORCED since r8): exactly one maintenance
+stream may own a rollup directory. Each stream acquires ``_owner.json``
+at start (last-wins, so a restart after a crash never wedges on a stale
+marker) and re-verifies ownership at every batch entry AND immediately
+before the pointer flip — a second stream racing the directory makes
+the first one fail LOUD on its next batch instead of silently
+overwriting the pointer with a rollup that misses the other writer's
+applied versions.
+
 At 100 TB each refresh reads O(changes in the batch) plus the current
 rollup (keyed aggregate — small), never the base table.
 """
@@ -38,38 +47,67 @@ def read_rollup(spark: SparkSession, rollup_path: str | Path) -> DataFrame | Non
     return spark.read.parquet(str(Path(rollup_path) / current))
 
 
-def maintain_rollup_stream(
-    spark: SparkSession,
-    table_path: str | Path,
-    keys: list[str],
-    sum_cols: dict[str, str],
-    rollup_path: str | Path,
-    checkpoint_path: str | Path,
-    starting_version: int = 0,
-):
-    """Start the maintenance stream; returns the StreamingQuery."""
-    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+def _write_atomic(target: Path, payload: dict) -> None:
+    # atomic pointer/marker flip: write_text truncates first, so a crash
+    # mid-write would corrupt the file and wedge every restart on
+    # json.loads — contradicting the crash-safety the GC relies on
+    import os as _os
+    import uuid as _uuid
 
-    spark.dataSource.register(DeltaShareDataSource)
+    tmp = target.with_name(f".{target.name}.{_uuid.uuid4().hex[:8]}.tmp")
+    tmp.write_text(json.dumps(payload))
+    _os.replace(tmp, target)
+
+
+def acquire_rollup_ownership(rollup_path: str | Path, owner_id: str) -> None:
+    """Claim the rollup directory for one maintenance stream (last-wins:
+    a restart after a crash must never wedge on the dead stream's stale
+    marker — liveness can't be read off a filesystem). The PREVIOUS
+    owner, if still running, detects the theft at its next batch entry
+    or pre-flip re-check and fails loud."""
+    import os as _os
+
     out = Path(rollup_path)
     out.mkdir(parents=True, exist_ok=True)
+    _write_atomic(out / "_owner.json", {"owner": owner_id, "pid": _os.getpid()})
 
-    def _write_meta(meta_file: Path, payload: dict) -> None:
-        # atomic pointer flip: write_text truncates first, so a crash
-        # mid-write would corrupt the pointer and wedge every restart on
-        # json.loads — contradicting the crash-safety the GC relies on
-        import os as _os
-        import uuid as _uuid
 
-        tmp = meta_file.with_name(f".{meta_file.name}.{_uuid.uuid4().hex[:8]}.tmp")
-        tmp.write_text(json.dumps(payload))
-        _os.replace(tmp, meta_file)
+def _check_rollup_ownership(out: Path, owner_id: str) -> None:
+    marker = out / "_owner.json"
+    held = None
+    if marker.exists():
+        try:
+            held = json.loads(marker.read_text()).get("owner")
+        except (OSError, ValueError):
+            held = None
+    if held != owner_id:
+        raise RuntimeError(
+            f"rollup directory {out} is owned by maintenance stream "
+            f"{held!r}, not {owner_id!r}: a second stream acquired this "
+            "directory (single-writer contract). Continuing would flip "
+            "the pointer to a rollup missing the other writer's applied "
+            "versions. Stop one of the streams; the survivor restart "
+            "re-acquires ownership."
+        )
+
+
+def rollup_upserter(
+    spark: SparkSession,
+    rollup_path: str | Path,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    owner_id: str,
+):
+    """The foreachBatch applier, exposed for injection tests (two
+    interleaved appliers racing one directory must detect each other)."""
+    out = Path(rollup_path)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
 
         from pyspark.sql import functions as F
 
+        _check_rollup_ownership(out, owner_id)
         meta_file = out / "_meta.json"
         meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
         if not meta and batch_id > 0:
@@ -135,7 +173,13 @@ def maintain_rollup_stream(
         target = f"data_v{int(hi) if hi is not None else 0}"
         new.write.mode("overwrite").parquet(str(out / target))
         prev_current = meta.get("current")
-        _write_meta(
+        # re-verify ownership IMMEDIATELY before the flip: the batch's
+        # read-fold-write is seconds long, and a second stream acquiring
+        # mid-batch would otherwise lose whatever it applied meanwhile
+        # to this stale pointer (the orphan generation dir we just wrote
+        # is harmless — the owner's next GC pass reclaims it)
+        _check_rollup_ownership(out, owner_id)
+        _write_atomic(
             meta_file,
             {
                 "current": target,
@@ -153,15 +197,41 @@ def maintain_rollup_stream(
                 and d.name not in (target, prev_current)
             ):
                 shutil.rmtree(d, ignore_errors=True)
-        # orphan pointer tmps from a writer that crashed between the tmp
-        # write and the atomic replace (the stream owns this directory —
-        # single-writer contract — so any tmp other than one we just
-        # replaced is abandoned)
-        for f in out.glob("._meta.json.*.tmp"):
-            try:
-                f.unlink()
-            except OSError:
-                pass
+        # orphan pointer/marker tmps from a writer that crashed between
+        # the tmp write and the atomic replace (we hold ownership — just
+        # re-verified — so any tmp other than one we just replaced is
+        # abandoned)
+        for pat in ("._meta.json.*.tmp", "._owner.json.*.tmp"):
+            for f in out.glob(pat):
+                try:
+                    f.unlink()
+                except OSError:
+                    pass
+
+    return upsert
+
+
+def maintain_rollup_stream(
+    spark: SparkSession,
+    table_path: str | Path,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    rollup_path: str | Path,
+    checkpoint_path: str | Path,
+    starting_version: int = 0,
+):
+    """Start the maintenance stream; returns the StreamingQuery.
+
+    Acquires single-writer ownership of ``rollup_path`` first — see the
+    module docstring for the contract a racing second stream hits."""
+    import uuid
+
+    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+
+    spark.dataSource.register(DeltaShareDataSource)
+    owner_id = uuid.uuid4().hex
+    acquire_rollup_ownership(rollup_path, owner_id)
+    upsert = rollup_upserter(spark, rollup_path, keys, sum_cols, owner_id)
 
     changes = (
         spark.readStream.format("deltashare")
