@@ -38,18 +38,23 @@ def assign_sessions(
     order_cols: Sequence[str] = ("ts", "event_id"),
 ) -> DataFrame:
     """Tag each event with a per-key ``session_seq`` (1-based): a new
-    session starts when the gap to the previous event is >= ``gap_seconds``.
+    session starts when the gap to the previous event EXCEEDS
+    ``gap_seconds`` (strict >).
 
-    Strictness matches Spark's ``session_window`` semantics (an event at
-    exactly ``last + gap`` opens a new session), so the batch and streaming
-    operators agree on boundaries.
+    Strictness matches Spark's ``session_window`` semantics: an event at
+    exactly ``last + gap`` MERGES into the session (probed empirically —
+    events at 12:00 and 12:30 under a 30-minute gap are ONE session; the
+    adjacent half-open windows [12:00,12:30) and [12:30,13:00) coalesce).
+    The pre-r8 ``>=`` rule here split at the exact boundary and silently
+    diverged from the native streaming twin on tie-heavy grids (r8
+    streaming fuzz, ties seed).
     """
     ts_s = F.col(ts_col).cast("timestamp").cast("long")
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     flagged = events.withColumn(
         "__new_session",
         F.when(
-            F.lag(ts_s).over(w).isNull() | ((ts_s - F.lag(ts_s).over(w)) >= gap_seconds),
+            F.lag(ts_s).over(w).isNull() | ((ts_s - F.lag(ts_s).over(w)) > gap_seconds),
             1,
         ).otherwise(0),
     )

@@ -48,6 +48,8 @@ _R8_WINDOW = [
     "similarity_topk_exact",
     "similarity_ann_ivf",
     "embedding_neardup_blocked",
+    # gap-boundary semantics aligned to native session_window (r8 fuzz)
+    "sessionization",
     # oldest driver evidence (r4) — operator/write-path entries first
     "benchmark_contamination",
     "bigram_backoff_score",
@@ -86,7 +88,6 @@ _R8_WINDOW = [
     "map_functions",
     "higher_order_array",
     "set_ops_all",
-    "histogram_width_bucket",
 ]
 
 

@@ -329,7 +329,7 @@ def events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
     SELECT user_id, event_id, ts, value,
            CASE WHEN LAG(ts) OVER w IS NULL
-                  OR DATE_DIFF('second', LAG(ts) OVER w, ts) >= 1800
+                  OR DATE_DIFF('second', LAG(ts) OVER w, ts) > 1800
                 THEN 1 ELSE 0 END AS is_new
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -115,7 +115,10 @@ def sessionize_with_state(
         closed: list[list] = []
         for ts, value in zip(rows["ts"], rows["value"]):
             us = ts.value // 1000  # pandas ns → µs
-            if cur is not None and us - cur[1] >= gap_us:
+            # STRICT >: an event at exactly last + gap merges, matching
+            # both Spark's native session_window (adjacent half-open
+            # windows coalesce) and the batch operator (r8 fuzz align)
+            if cur is not None and us - cur[1] > gap_us:
                 closed.append(cur)
                 cur = None
             if cur is None:
@@ -127,7 +130,13 @@ def sessionize_with_state(
             cur[0] = min(cur[0], us)
             cur[1] = max(cur[1], us)
             cur[2] += 1
-            cur[3] += float(value)
+            # SQL aggregate semantics: SUM skips NULLs (NaN in the Arrow
+            # batch) — += would poison the whole session's total to NaN
+            # where the batch twin (dsum) and native session_window
+            # (F.sum) report the sum of the non-NULL values (r8 fuzz)
+            v = float(value)
+            if v == v:
+                cur[3] += v
         state.update(tuple(cur))
         # emit the open session once the event-time watermark passes its gap
         state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
