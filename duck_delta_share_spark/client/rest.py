@@ -116,12 +116,28 @@ class DeltaSharingClient:
         self.profile = profile
         self.max_retries = max_retries
         self.timeout_sec = timeout_sec
+        self._oauth = None
+        if profile.uses_oauth:
+            from duck_delta_share_spark.client.oauth import (
+                OAuthClientCredentials,
+            )
+
+            self._oauth = OAuthClientCredentials(
+                profile.token_endpoint,
+                profile.client_id,
+                profile.client_secret,
+                scope=profile.scope,
+                timeout_sec=timeout_sec,
+            )
 
     # -- transport ----------------------------------------------------------
 
+    def _bearer(self) -> str:
+        return self._oauth.token() if self._oauth else self.profile.bearer_token
+
     def _headers(self) -> dict[str, str]:
         return {
-            "Authorization": f"Bearer {self.profile.bearer_token}",
+            "Authorization": f"Bearer {self._bearer()}",
             "Content-Type": "application/json",
             # The reference pins responseformat=parquet (cpp:124), which
             # limits it to minReaderVersion 1 tables. We additionally
@@ -159,6 +175,7 @@ class DeltaSharingClient:
         if method == "POST":
             data = json.dumps(body if body is not None else {}).encode()
         last_err: Exception | None = None
+        retried_401 = False
         for attempt in range(self.max_retries + 1):
             req = urllib.request.Request(url, data=data, headers=self._headers(), method=method)
             try:
@@ -188,6 +205,15 @@ class DeltaSharingClient:
                 except (ValueError, AttributeError):
                     pass
                 err = DeltaSharingError(e.code, message, url)
+                if e.code == 401 and self._oauth is not None and not retried_401:
+                    # expired/revoked OAuth access token: drop the cache
+                    # and retry ONCE with a freshly-fetched token (the
+                    # headers are rebuilt per attempt). A second 401 means
+                    # the credentials themselves are bad — surface it.
+                    retried_401 = True
+                    last_err = err
+                    self._oauth.invalidate()
+                    continue
                 if e.code in (429, 500, 502, 503, 504) and attempt < self.max_retries:
                     last_err = err
                     time.sleep(min(2**attempt * 0.2, 2.0))

@@ -68,6 +68,18 @@ class MockDeltaSharingServer:
         # Fault injection: the next N control-plane requests answer 503
         # (transient overload) — clients must retry through it.
         self.fail_next = 0
+        # OAuth client-credentials mode (shareCredentialsVersion 2):
+        # /oauth/token issues short-lived access tokens; data/control
+        # auth accepts any issued-and-not-revoked token instead of the
+        # static bearer. Tests flip oauth_enabled and drive expiry via
+        # oauth_expires_in / revoke_all_tokens().
+        self.oauth_enabled = False
+        self.oauth_client_id = "test-client"
+        self.oauth_client_secret = "test-secret"
+        self.oauth_expires_in = 3600
+        self.oauth_tokens: list[str] = []
+        self.oauth_revoked: set[str] = set()
+        self.oauth_token_requests: list[dict] = []
         # Change-data-feed history, consistent with the version-3 snapshot
         # that /query serves: eu.parquet added at v1, us.parquet at v2,
         # v3 a data-free commit. append_version() grows it.
@@ -304,7 +316,17 @@ class MockDeltaSharingServer:
                 cap = self.headers.get("delta-sharing-capabilities")
                 if cap is not None:
                     outer.capability_headers.append(cap)
-                if self.headers.get("Authorization") != f"Bearer {outer.token}":
+                auth = self.headers.get("Authorization", "")
+                if outer.oauth_enabled:
+                    tok = auth.removeprefix("Bearer ")
+                    ok = tok in outer.oauth_tokens and tok not in outer.oauth_revoked
+                    if not ok:
+                        self._reply(
+                            401, json.dumps({"message": "invalid token"}).encode()
+                        )
+                        return False
+                    return True
+                if auth != f"Bearer {outer.token}":
                     self._reply(401, json.dumps({"message": "unauthorized"}).encode())
                     return False
                 return True
@@ -435,6 +457,34 @@ class MockDeltaSharingServer:
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length).decode()
                 outer.requests.append(("POST", self.path, body))
+                if self.path == "/oauth/token":
+                    # RFC 6749 §4.4 client-credentials grant (form body);
+                    # NO bearer auth on the token endpoint itself
+                    form = {k: v[0] for k, v in parse_qs(body).items()}
+                    outer.oauth_token_requests.append(form)
+                    if (
+                        form.get("grant_type") != "client_credentials"
+                        or form.get("client_id") != outer.oauth_client_id
+                        or form.get("client_secret") != outer.oauth_client_secret
+                    ):
+                        self._reply(
+                            401,
+                            json.dumps({"error": "invalid_client"}).encode(),
+                        )
+                        return
+                    tok = f"at-{len(outer.oauth_tokens)}"
+                    outer.oauth_tokens.append(tok)
+                    self._reply(
+                        200,
+                        json.dumps(
+                            {
+                                "access_token": tok,
+                                "token_type": "Bearer",
+                                "expires_in": outer.oauth_expires_in,
+                            }
+                        ).encode(),
+                    )
+                    return
                 if not self._check_auth():
                     return
                 if self.path == "/shares/sales/schemas/web/tables/clicks/query":
