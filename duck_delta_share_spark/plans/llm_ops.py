@@ -4052,7 +4052,11 @@ FROM c GROUP BY sz
     "oracle.",
 )
 def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return dedup_cluster_histogram_core(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_cluster_histogram_core(d: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
     c = (
         d.where(F.col("text").isNotNull())
         .groupBy(fingerprint("text").alias("fp"))
@@ -4102,7 +4106,11 @@ FROM lag
     "exactly on a 7th-decimal half boundary (r7 ADVICE).",
 )
 def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    return conversion_lag_core(load_table(spark, sf_dir, "events"))
+
+
+def conversion_lag_core(e: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     f = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", us)).alias("v"),

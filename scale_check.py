@@ -747,11 +747,25 @@ def main() -> None:
         event_volume_anomaly_core,
     )
     from duck_delta_share_spark.plans.llm_ops import (
+        conversion_lag_core,
+        dedup_cluster_histogram_core,
         edit_distance_core,
         skipgram_core,
         source_term_lift_core,
         token_budget_core,
     )
+
+    def hard_negatives_shape(emb):
+        # constant query set (first-copy ids), growing base + label space
+        # (label is id-remapped per copy): the realistic mining growth
+        from duck_delta_share_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        return brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, exact=False,
+            contrast_col="label",
+        )
 
     ops = [
         ("q1_agg", q1_shape, l1, lN),
@@ -799,6 +813,9 @@ def main() -> None:
         ("token_budget", token_budget_core, d1, dN),
         ("event_debounce", event_debounce_core, e1, eN),
         ("volume_anomaly", event_volume_anomaly_core, e1, eN),
+        ("hard_negatives", hard_negatives_shape, emb1, embN),
+        ("dedup_histogram", dedup_cluster_histogram_core, d1, dN),
+        ("conversion_lag", conversion_lag_core, e1, eN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))
