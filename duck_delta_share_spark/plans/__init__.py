@@ -31,7 +31,11 @@ from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 # the r8-new block as they land, trimming the r4 tail one-for-one.
 # Everything stays registered; only the order changes.
 _R8_WINDOW = [
-    # --- r8 NEW queries insert here (top of file order) ---
+    # r8 NEW queries (never driver-evidenced)
+    "boilerplate_chunk_dedup",
+    "source_overlap_matrix",
+    "split_kl_divergence",
+    "ohlc_bars_hourly",
     # late-r7 registrations, never driver-evidenced
     "hard_negative_mining",
     "dedup_cluster_histogram",
@@ -84,10 +88,6 @@ _R8_WINDOW = [
     "zipf_term_slope",
     # r4 function-sweep tail — first trimmed as r8 queries land
     "bitwise_functions",
-    "try_arithmetic",
-    "map_functions",
-    "higher_order_array",
-    "set_ops_all",
 ]
 
 

@@ -4140,3 +4140,270 @@ def conversion_lag_core(e: DataFrame) -> DataFrame:
             F.floor(F.expr("percentile(lag_s, 0.9)") * 1e6 + F.lit(0.5)) / 1e6
         ).alias("p90_lag_s"),
     )
+
+
+@query(
+    "boilerplate_chunk_dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), nz AS (
+  SELECT doc_id, toks, CAST(ceil(len(toks) / 8.0) AS BIGINT) AS nch
+  FROM t WHERE len(toks) > 0
+), ch AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS chunk
+  FROM nz, UNNEST(range(nch)) AS u(i)
+), sc AS (
+  SELECT doc_id, pos, chunk, COUNT(*) OVER (PARTITION BY chunk) AS df FROM ch
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(SUM(CASE WHEN df <= 2 THEN 1 END), 0) AS BIGINT)
+         AS n_kept,
+       COALESCE(string_agg(CASE WHEN df <= 2 THEN chunk END, ' '
+                           ORDER BY pos), '') AS clean_text
+FROM sc GROUP BY doc_id
+""",
+    doc="chunk-level boilerplate removal (the CCNet/RefinedWeb line-dedup "
+    "step, expressed over fixed 8-token chunks since the fixture corpus "
+    "has no newlines): segment each document into consecutive chunks, "
+    "drop any chunk whose CORPUS frequency exceeds 2 (headers, footers, "
+    "navigation budgets repeat across pages; unique prose does not), "
+    "reassemble the survivors in order. Plan: the chunk array "
+    "materializes in its own projection BEFORE posexplode (an inline "
+    "HOF next to a generator re-evaluates per exploded row — the 16x "
+    "ngram_novelty trap), chunk frequency is ONE window keyed on the "
+    "chunk text (carried-stats, no join-back), reassembly sorts the "
+    "collected (pos, chunk) structs per doc. Zero-token docs drop out "
+    "on both engines (UNNEST/posexplode of an empty list). At 100 TB "
+    "the only wide op is the chunk-keyed window; chunk cardinality "
+    "~ corpus tokens / 8, uniformly hash-partitioned.",
+)
+def boilerplate_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.filter(tokenize("text"), lambda t: t != F.lit("")).alias("toks"),
+        )
+        .where(F.size("toks") > 0)
+    )
+    nch = F.ceil(F.size("toks") / F.lit(8)).cast("int")
+
+    def chunk_at(i):
+        # two-arg transform lambdas receive (element, index); here the
+        # sequence VALUE is the chunk index, so a 1-arg lambda is safe
+        return F.concat_ws(" ", F.slice(F.col("toks"), i * 8 + 1, 8))
+
+    # sequence(0, nch-1) is safe: the size("toks") > 0 filter above keeps
+    # nch >= 1 (sequence counts DOWN when the bound is negative)
+    carr = toks.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(0), nch - 1), chunk_at).alias("chunks"),
+    )
+    rows = carr.select("doc_id", F.posexplode("chunks").alias("pos", "chunk"))
+    sc = rows.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("chunk"))
+    )
+    kept = F.when(F.col("df") <= 2, F.col("chunk"))
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.coalesce(
+            F.sum((F.col("df") <= 2).cast("long")), F.lit(0)
+        ).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("df") <= 2,
+                            F.struct(F.col("pos"), F.col("chunk")),
+                        )
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+WITH t AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+), nz AS (
+  SELECT source, toks, CAST(ceil(len(toks) / 8.0) AS BIGINT) AS nch
+  FROM t WHERE len(toks) > 0
+), fs AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(toks[(i*8+1):(i*8+8)], ' ')) AS fp
+  FROM nz, UNNEST(range(nch)) AS u(i)
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+""",
+    doc="cross-source duplicate overlap matrix — the dedup-audit report "
+    "that answers 'which corpus sources copy from each other' before "
+    "choosing a canonical-source priority: for every source pair, the "
+    "number of shared content fingerprints, at the SAME 8-token-chunk "
+    "granularity boilerplate_chunk_dedup segments on (whole-doc "
+    "fingerprints under-report cross-source copying — pages share "
+    "passages, not full documents). Plan: distinct (chunk-fp, source) "
+    "in one agg, then per-fingerprint SORTED source sets (bounded by "
+    "source cardinality, not corpus size) expand to ordered pairs via "
+    "an index-aware transform (the oracle uses the textbook fp "
+    "self-join; the set expansion never shuffles pairs, only the tiny "
+    "(src_a, src_b) key agg). NULL text/source excluded explicitly on "
+    "both sides.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select(
+            "source",
+            F.filter(tokenize("text"), lambda t: t != F.lit("")).alias("toks"),
+        )
+        .where(F.size("toks") > 0)
+    )
+    nch = F.ceil(F.size("toks") / F.lit(8)).cast("int")
+
+    def chunk_fp(i):
+        return F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i * 8 + 1, 8)))
+
+    carr = toks.select(
+        "source",
+        F.transform(F.sequence(F.lit(0), nch - 1), chunk_fp).alias("fps"),
+    )
+    fs = carr.select(
+        "source", F.explode("fps").alias("fp")
+    ).distinct()
+    sets = (
+        fs.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") >= 2)
+    )
+    # (element, index) two-arg transform: for each source at index i,
+    # pair it with every LATER source (slice is 1-based; i is 0-based)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+_SPLIT_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100"
+)
+
+
+@query(
+    "split_kl_divergence",
+    oracle=f"""
+WITH sp AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train' ELSE 'val' END
+           AS split
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+), tok AS (
+  SELECT lang, split,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM sp
+), c AS (
+  SELECT lang, term,
+         COUNT(*) FILTER (split = 'train') AS ct,
+         COUNT(*) FILTER (split = 'val') AS cv
+  FROM tok GROUP BY 1, 2
+), tot AS (
+  SELECT lang,
+         SUM(ct) AS nt, SUM(cv) AS nv, COUNT(*) AS vocab
+  FROM c GROUP BY 1
+)
+SELECT c.lang,
+       CAST(MAX(tot.nt) AS BIGINT) AS n_train_tokens,
+       CAST(MAX(tot.nv) AS BIGINT) AS n_val_tokens,
+       CAST(SUM(CAST(floor(
+         (CAST(cv + 1 AS DOUBLE) / CAST(nv + vocab AS DOUBLE))
+         * ln((CAST(cv + 1 AS DOUBLE) / CAST(nv + vocab AS DOUBLE))
+              / (CAST(ct + 1 AS DOUBLE) / CAST(nt + vocab AS DOUBLE)))
+         * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS kl_e9
+FROM c JOIN tot ON c.lang = tot.lang
+GROUP BY c.lang
+""",
+    doc="train/val token-distribution shift per language: KL(val || "
+    "train) over add-1-smoothed unigram distributions — the dataset-QA "
+    "check that catches a skewed split or a domain leak before an "
+    "expensive training run (a healthy random split has KL near 0; a "
+    "topical leak spikes it). Split rule = the md5 bucket "
+    "dataset_split_assign ships (bucket < 80 -> train). Numerics: each "
+    "per-term KL contribution is a fixed IEEE op sequence on exact "
+    "integer counts, pinned to an e9 integer via floor(x*1e9 + 0.5) and "
+    "summed EXACTLY as integers — no float accumulation order anywhere "
+    "(the r7 twap/cos_e6 discipline applied to a sum of logs). Plan: "
+    "one tokenize pass, one (lang, term, split) hash agg folded to "
+    "(lang, term) via conditional counts, per-lang totals fold FROM the "
+    "count frame, final tiny per-lang agg.",
+)
+def split_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    sp = d.where(F.col("text").isNotNull() & F.col("lang").isNotNull()).select(
+        "lang",
+        F.when(bucket < 80, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+        F.filter(tokenize("text"), lambda t: t != F.lit("")).alias("toks"),
+    )
+    tok = sp.select("lang", "split", F.explode("toks").alias("term"))
+    c = tok.groupBy("lang", "term").agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("ct"),
+        F.sum((F.col("split") == "val").cast("long")).alias("cv"),
+    )
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("lang")
+    c2 = c.select(
+        "lang",
+        "ct",
+        "cv",
+        F.sum("ct").over(wl).alias("nt"),
+        F.sum("cv").over(wl).alias("nv"),
+        F.count(F.lit(1)).over(wl).alias("vocab"),
+    )
+    pv = (F.col("cv") + 1).cast("double") / (F.col("nv") + F.col("vocab")).cast(
+        "double"
+    )
+    pt = (F.col("ct") + 1).cast("double") / (F.col("nt") + F.col("vocab")).cast(
+        "double"
+    )
+    contrib = F.floor(pv * F.log(pv / pt) * F.lit(1000000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return c2.groupBy("lang").agg(
+        F.max("nt").alias("n_train_tokens"),
+        F.max("nv").alias("n_val_tokens"),
+        F.sum(contrib).alias("kl_e9"),
+    )

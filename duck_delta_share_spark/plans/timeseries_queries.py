@@ -229,3 +229,65 @@ def twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return twap(e, "ts", ["event_type"], "value", bucket_seconds=3600).orderBy(
         "event_type", "bucket_ts"
     )
+
+
+@query(
+    "ohlc_bars_hourly",
+    oracle="""
+WITH e2 AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS bucket_ts,
+         value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT event_type, bucket_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(CASE WHEN rn = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rd = 1 THEN value END) AS close
+FROM e2 GROUP BY event_type, bucket_ts
+""",
+    doc="OHLC candle bars per (event_type, hour) — the classic "
+    "downsampling rollup every metrics/financial pipeline ships (open = "
+    "first value in the bar, close = last, high/low = extremes). "
+    "Open/close need a TOTAL order: ties on ts break by event_id via "
+    "two ROW_NUMBERs over the SAME (type, hour) partitioning, so one "
+    "exchange feeds both sorts and the final hash agg (Spark reuses the "
+    "window shuffle for the groupBy on the same key). Values pass "
+    "through raw (no arithmetic) — hash-exact by construction. SCALE "
+    "NOTE: partitions are (type, hour); production streams grow along "
+    "TIME so per-partition rows stay bounded by arrival rate.",
+)
+def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy("event_type", bucket).orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", bucket).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select(
+            "event_type",
+            bucket.alias("bucket_ts"),
+            "value",
+            F.row_number().over(wa).alias("rn"),
+            F.row_number().over(wd).alias("rd"),
+        )
+        .groupBy("event_type", "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+        )
+    )
