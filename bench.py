@@ -122,6 +122,14 @@ HEADLINE = [
     "token_budget_selection",
     "event_debounce_dedup",
     "event_volume_anomaly",
+    # round-8 new operators: chunk-level boilerplate dedup (chunk-keyed
+    # window + ordered reassembly), cross-source chunk-overlap audit,
+    # per-lang split KL (integer-pinned log sums), OHLC bars (two
+    # row_numbers sharing one exchange). Baselines recorded as added_r8.
+    "boilerplate_chunk_dedup",
+    "source_overlap_matrix",
+    "split_kl_divergence",
+    "ohlc_bars_hourly",
 ]
 
 
