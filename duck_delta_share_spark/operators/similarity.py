@@ -319,7 +319,9 @@ def lsh_bucket_topk(
         )
     # zero-norm vectors score NaN (0/0) and Spark orders NaN ABOVE every
     # real double — drop them (no cosine exists), matching int8_topk
-    scored = pairs.withColumn("cosine", cosine).filter(~F.isnan("cosine"))
+    scored = pairs.withColumn("cosine", cosine).filter(
+        F.col("cosine").isNotNull() & ~F.isnan("cosine")  # arrow NaN→NULL
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -398,6 +400,13 @@ def ivf_topk(
     """
     from pyspark.sql.types import ArrayType, IntegerType
 
+    # zero-norm vectors have no cosine: exclude them BEFORE assignment /
+    # probing, like brute_force_topk's __bn/__qn guards — the r8 zerovec
+    # fuzz caught an all-zero query emitting k NULL-cosine rows (the
+    # arrow scorer's 0/0 NaN round-trips to NULL through Arrow, which
+    # F.isnan does NOT catch)
+    base = base.filter(norm_fast(F.col(vec_col)) > 0)
+    queries = queries.filter(norm_fast(F.col(vec_col)) > 0)
     C = centroids if centroids is not None else train_ivf_centroids(
         base, dim, n_centroids, id_col, vec_col, max_train_sample, seed=seed
     )
@@ -433,9 +442,11 @@ def ivf_topk(
     pairs = b.join(F.broadcast(q), "__cid").filter(
         F.col("vec_id") != F.col("query_id")
     )
+    # belt-and-braces behind the entry norm filters: the arrow scorer's
+    # 0/0 NaN becomes NULL through Arrow (isnan alone misses it)
     scored = pairs.withColumn(
         "cosine", _cosine_arrow_udf()(F.col("__qv"), F.col("__bv"))
-    ).filter(~F.isnan("cosine"))  # zero-norm guard: NaN sorts above reals
+    ).filter(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -587,8 +598,13 @@ def embedding_near_dup_pairs(
         # NaN guard must precede the threshold: Spark orders NaN ABOVE
         # every double, so `NaN > threshold` is TRUE — a zero-norm vector
         # would "near-dup" with its whole block (the numpy block scorer is
-        # immune: NaN > t is False there)
-        .filter(~F.isnan(F.col("cosine")) & (F.col("cosine") > threshold))
+        # immune: NaN > t is False there). NULL-safe too: the arrow
+        # scorer's 0/0 NaN round-trips to NULL through Arrow.
+        .filter(
+            F.col("cosine").isNotNull()
+            & ~F.isnan(F.col("cosine"))
+            & (F.col("cosine") > threshold)
+        )
     )
 
 
@@ -1076,6 +1092,11 @@ def ivfpq_topk(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
     sub = dim // m
+    # zero-norm vectors have no cosine: exclude at entry like ivf_topk /
+    # brute_force_topk (the encode path's max(norm, 1e-12) clamp would
+    # otherwise score them ~0 and the rerank cosine would go NULL)
+    base = base.filter(norm_fast(F.col(vec_col)) > 0)
+    queries = queries.filter(norm_fast(F.col(vec_col)) > 0)
     C = train_ivf_centroids(
         base, dim, n_centroids, id_col, vec_col, seed=seed
     )

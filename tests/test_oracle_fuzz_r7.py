@@ -39,9 +39,9 @@ KNOWN_ENGINE_DIVERGENCE = EMPTY_INPUT_GROUPING_DIVERGENCE | {
 MIN_RAN = 165
 
 
-@pytest.fixture(scope="module", params=["plain", "nulls", "tpch"])
+@pytest.fixture(scope="module", params=["plain", "nulls", "tpch", "zerovec"])
 def fuzz_dir(request, tmp_path_factory):
-    """Three seeded corpora: 'plain' stresses content (dups, ties, empty
+    """Four seeded corpora: 'plain' stresses content (dups, ties, empty
     strings); 'nulls' additionally injects NULL text/lang/source/value —
     the r7 NULL sweep found six queries whose Spark NULL handling
     silently diverged from their oracles (all now filter NULL text on
@@ -49,15 +49,23 @@ def fuzz_dir(request, tmp_path_factory):
     empty TPC-H stubs for FK-consistent RANDOM tables whose every value
     column is quantized into heavy ties — a non-total ORDER BY under a
     LIMIT/top-k would pick different rows per engine (181/184 agreed on
-    first run: the relational surface is tie-robust)."""
+    first run: the relational surface is tie-robust); 'zerovec' (r8)
+    plants ZERO vectors (incl. one inside the vec_id < 10 query set)
+    and SCALED-COPY duplicate directions in the embeddings table — the
+    zero-norm exclusions the similarity oracles gained in r8 and the
+    bit-exact-cosine tie-break claims are only fixture-verified without
+    it."""
     import random
 
     import numpy as np
     import pandas as pd
 
     with_nulls = request.param == "nulls"
+    zerovec = request.param == "zerovec"
     out = tmp_path_factory.mktemp(f"fuzzfix_{request.param}")
-    rng = random.Random({"plain": 7, "nulls": 11, "tpch": 13}[request.param])
+    rng = random.Random(
+        {"plain": 7, "nulls": 11, "tpch": 13, "zerovec": 17}[request.param]
+    )
     np_rng = np.random.default_rng(7)
     vocab = [
         "data", "table", "row", "agg", "the", "a", "fast", "slow", "query",
@@ -116,7 +124,17 @@ def fuzz_dir(request, tmp_path_factory):
     emb = []
     for i in range(120):
         v = np_rng.normal(size=16).astype("float32")
-        if rng.random() < 0.1 and emb:
+        r3 = rng.random()
+        if zerovec and (i == 3 or r3 < 0.05):
+            # zero-norm vectors, one FORCED into the vec_id < 10 query
+            # set: cosine is undefined (0/0) — engines must EXCLUDE them
+            # identically on both sides, never rank a NaN
+            v = np.zeros(16, dtype="float32")
+        elif zerovec and r3 < 0.12 and emb:
+            # scaled copy = duplicate DIRECTION: cosine ties at exactly
+            # the same fold value or the id tie-break diverges
+            v = 2.5 * np.array(emb[rng.randrange(len(emb))][1], dtype="float32")
+        elif rng.random() < 0.1 and emb:
             v = np.array(emb[rng.randrange(len(emb))][1], dtype="float32")
         emb.append((i, v.tolist(), rng.randrange(4)))
     pd.DataFrame(
