@@ -665,6 +665,15 @@ def _stage_files(
         for seg in rel.parts[:-1]:
             k, _, v = seg.partition("=")
             pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        stats = _file_stats(p, data_fields)
+        if json.loads(stats).get("numRecords") == 0:
+            # Spark writes one part per task and empty tasks leave empty
+            # parts: committing them bloats the log AND their empty
+            # minValues/maxValues make stats_allow conservatively TRUE —
+            # the r8 live-thread OCC stress caught a disjoint append's
+            # empty part aborting a concurrent MERGE as a false conflict.
+            # The file dies with the staging dir below.
+            continue
         dest = table / rel
         dest.parent.mkdir(parents=True, exist_ok=True)
         # uuid-suffixed names: appended files can never collide
@@ -678,7 +687,7 @@ def _stage_files(
                     "size": final.stat().st_size,
                     "modificationTime": int(final.stat().st_mtime * 1000),
                     "dataChange": data_change,
-                    "stats": _file_stats(final, data_fields),
+                    "stats": stats,
                 }
             }
         )
@@ -2487,6 +2496,11 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
             stats = json.loads(add.get("stats") or "{}")
         except ValueError:
             stats = {}
+        if isinstance(stats, dict) and stats.get("numRecords") == 0:
+            # a zero-row add (foreign writers may commit empty parts)
+            # cannot hold a matching key; its empty minValues would
+            # otherwise read as a conservative conflict
+            return False
         if phys_to_logical and isinstance(stats, dict):
             stats = {
                 k: {phys_to_logical.get(c, c): v for c, v in val.items()}
