@@ -130,6 +130,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "split_kl_divergence",
     "ohlc_bars_hourly",
+    "user_burstiness_profile",
 ]
 
 

@@ -36,6 +36,7 @@ _R8_WINDOW = [
     "source_overlap_matrix",
     "split_kl_divergence",
     "ohlc_bars_hourly",
+    "user_burstiness_profile",
     # late-r7 registrations, never driver-evidenced
     "hard_negative_mining",
     "dedup_cluster_histogram",
@@ -86,8 +87,6 @@ _R8_WINDOW = [
     "substring_dedup_spans",
     "window_rolling_median",
     "zipf_term_slope",
-    # r4 function-sweep tail — first trimmed as r8 queries land
-    "bitwise_functions",
 ]
 
 

@@ -1251,3 +1251,95 @@ def event_volume_anomaly_core(e: DataFrame) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+@query(
+    "user_burstiness_profile",
+    oracle="""
+WITH e2 AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), g AS (
+  SELECT user_id, nxt - us AS g FROM e2 WHERE nxt IS NOT NULL
+), s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(g) AS sg,
+         SUM(CAST(g AS HUGEINT) * g) AS s2,
+         MIN(g) AS min_g, MAX(g) AS max_g
+  FROM g GROUP BY 1 HAVING COUNT(*) >= 2
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_gaps,
+       CAST(min_g AS BIGINT) AS min_gap_us,
+       CAST(max_g AS BIGINT) AS max_gap_us,
+       floor(CAST(sg AS DOUBLE) / n / 1000000.0 * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_gap_s,
+       CASE WHEN sg > 0 THEN
+         floor(
+           (sqrt(CAST(n * s2 - CAST(sg AS HUGEINT) * sg AS DOUBLE))
+              - CAST(sg AS DOUBLE))
+           / (sqrt(CAST(n * s2 - CAST(sg AS HUGEINT) * sg AS DOUBLE))
+              + CAST(sg AS DOUBLE))
+           * 1000000000.0 + 0.5) / 1000000000.0
+       END AS burstiness
+FROM s
+""",
+    doc="per-user inter-arrival burstiness (Goh & Barabasi B = "
+    "(sigma - mu)/(sigma + mu) over event gaps): the bot/scraper "
+    "signature a data-quality pass computes — human activity is bursty "
+    "(B > 0), scripted traffic is periodic (B -> -1). Numerics: gaps "
+    "are exact integer microseconds; both moments stay EXACT integers "
+    "(DuckDB HUGEINT, Spark decimal products — a bigint gap^2 would "
+    "overflow int64) and n cancels so B reduces to "
+    "(sqrt(n*s2 - sg^2) - sg)/(sqrt(n*s2 - sg^2) + sg) — the same "
+    "sqrt/sub/add/div IEEE sequence on both engines from the same exact "
+    "integers, floor-pinned to e9; the all-ties user (sg = 0) yields "
+    "NULL via a lazily-evaluated CASE on both engines (ANSI 0/0 would "
+    "throw). Plan: ONE user-keyed window (lead) whose exchange the "
+    "grouped moment agg reuses; per-user rows bounded by arrival rate "
+    "at production scale.",
+)
+def user_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        e.select("user_id", us.alias("us"), F.lead(us).over(w).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+        .select("user_id", (F.col("nxt") - F.col("us")).alias("g"))
+    )
+    gd = F.col("g").cast("decimal(14,0)")
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("g").alias("sg"),
+            F.sum(gd * gd).alias("s2"),
+            F.min("g").alias("min_g"),
+            F.max("g").alias("max_g"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    num = (
+        F.col("n").cast("decimal(20,0)") * F.col("s2")
+        - F.col("sg").cast("decimal(19,0)") * F.col("sg").cast("decimal(19,0)")
+    ).cast("double")
+    sgd = F.col("sg").cast("double")
+    b = (F.sqrt(num) - sgd) / (F.sqrt(num) + sgd)
+    return s.select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.col("min_g").alias("min_gap_us"),
+        F.col("max_g").alias("max_gap_us"),
+        (
+            F.floor(sgd / F.col("n") / F.lit(1000000.0) * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("mean_gap_s"),
+        F.when(
+            F.col("sg") > 0,
+            F.floor(b * F.lit(1000000000.0) + F.lit(0.5)) / F.lit(1000000000.0),
+        ).alias("burstiness"),
+    )
