@@ -1301,9 +1301,13 @@ FROM s
     "at production scale.",
 )
 def user_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_burstiness_core(load_table(spark, sf_dir, "events"))
+
+
+def user_burstiness_core(e: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     g = (

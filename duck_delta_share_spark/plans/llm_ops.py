@@ -4181,9 +4181,13 @@ FROM sc GROUP BY doc_id
     "~ corpus tokens / 8, uniformly hash-partitioned.",
 )
 def boilerplate_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_chunk_dedup_core(load_table(spark, sf_dir, "documents"))
+
+
+def boilerplate_chunk_dedup_core(d: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
     toks = (
         d.where(F.col("text").isNotNull())
         .select(
@@ -4266,7 +4270,11 @@ GROUP BY 1, 2
     "both sides.",
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix_core(load_table(spark, sf_dir, "documents"))
+
+
+def source_overlap_matrix_core(d: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
     toks = (
         d.where(F.col("text").isNotNull() & F.col("source").isNotNull())
         .select(
@@ -4366,7 +4374,11 @@ GROUP BY c.lang
     "count frame, final tiny per-lang agg.",
 )
 def split_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return split_kl_divergence_core(load_table(spark, sf_dir, "documents"))
+
+
+def split_kl_divergence_core(d: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("long")

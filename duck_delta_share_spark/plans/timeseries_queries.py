@@ -266,9 +266,13 @@ FROM e2 GROUP BY event_type, bucket_ts
     "TIME so per-partition rows stay bounded by arrival rate.",
 )
 def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlc_bars_core(load_table(spark, sf_dir, "events"))
+
+
+def ohlc_bars_core(e: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
     bucket = F.date_trunc("hour", F.col("ts"))
     wa = Window.partitionBy("event_type", bucket).orderBy("ts", "event_id")
     wd = Window.partitionBy("event_type", bucket).orderBy(

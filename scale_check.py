@@ -746,13 +746,22 @@ def main() -> None:
         event_debounce_core,
         event_volume_anomaly_core,
     )
+    from duck_delta_share_spark.plans.functions_sweep import (
+        user_burstiness_core,
+    )
     from duck_delta_share_spark.plans.llm_ops import (
+        boilerplate_chunk_dedup_core,
         conversion_lag_core,
         dedup_cluster_histogram_core,
         edit_distance_core,
         skipgram_core,
+        source_overlap_matrix_core,
         source_term_lift_core,
+        split_kl_divergence_core,
         token_budget_core,
+    )
+    from duck_delta_share_spark.plans.timeseries_queries import (
+        ohlc_bars_core,
     )
 
     def hard_negatives_shape(emb):
@@ -816,6 +825,11 @@ def main() -> None:
         ("hard_negatives", hard_negatives_shape, emb1, embN),
         ("dedup_histogram", dedup_cluster_histogram_core, d1, dN),
         ("conversion_lag", conversion_lag_core, e1, eN),
+        ("boilerplate_chunks", boilerplate_chunk_dedup_core, d1, dN),
+        ("source_overlap", source_overlap_matrix_core, d1, dN),
+        ("split_kl", split_kl_divergence_core, d1, dN),
+        ("ohlc_bars", ohlc_bars_core, e1, eN),
+        ("user_burstiness", user_burstiness_core, e1, eN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))
