@@ -135,9 +135,9 @@ class DeltaSharingClient:
     def _bearer(self) -> str:
         return self._oauth.token() if self._oauth else self.profile.bearer_token
 
-    def _headers(self) -> dict[str, str]:
+    def _headers(self, bearer: str | None = None) -> dict[str, str]:
         return {
-            "Authorization": f"Bearer {self._bearer()}",
+            "Authorization": f"Bearer {bearer if bearer is not None else self._bearer()}",
             "Content-Type": "application/json",
             # The reference pins responseformat=parquet (cpp:124), which
             # limits it to minReaderVersion 1 tables. We additionally
@@ -176,8 +176,17 @@ class DeltaSharingClient:
             data = json.dumps(body if body is not None else {}).encode()
         last_err: Exception | None = None
         retried_401 = False
-        for attempt in range(self.max_retries + 1):
-            req = urllib.request.Request(url, data=data, headers=self._headers(), method=method)
+        attempt = 0
+        # while-loop, not `for attempt in range(...)`: the one OAuth 401
+        # retry must NOT consume a transient-retry attempt — with a for
+        # loop, a 401 landing on the final iteration (or max_retries=0)
+        # would invalidate the cache and exit without ever sending the
+        # freshly-fetched token (r8 self-review #1)
+        while attempt <= self.max_retries:
+            bearer = self._bearer()
+            req = urllib.request.Request(
+                url, data=data, headers=self._headers(bearer), method=method
+            )
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
                     text = resp.read().decode()
@@ -194,6 +203,7 @@ class DeltaSharingClient:
                         )
                         if attempt < self.max_retries:
                             time.sleep(min(2**attempt * 0.2, 2.0))
+                            attempt += 1
                             continue
                         raise last_err from None
                     return (out, dict(resp.headers)) if with_headers else out
@@ -212,11 +222,17 @@ class DeltaSharingClient:
                     # the credentials themselves are bad — surface it.
                     retried_401 = True
                     last_err = err
-                    self._oauth.invalidate()
+                    # keyed invalidation: only drop the token THIS request
+                    # sent — another thread's already-refetched fresh token
+                    # survives (oauth.py's conditional-drop contract).
+                    # attempt is NOT incremented: the fresh-token retry
+                    # must not consume a transient-retry slot.
+                    self._oauth.invalidate(bearer)
                     continue
                 if e.code in (429, 500, 502, 503, 504) and attempt < self.max_retries:
                     last_err = err
                     time.sleep(min(2**attempt * 0.2, 2.0))
+                    attempt += 1
                     continue
                 raise err from None
             except (OSError, http.client.HTTPException) as e:
@@ -227,6 +243,7 @@ class DeltaSharingClient:
                 last_err = DeltaSharingError(0, str(getattr(e, "reason", e)), url)
                 if attempt < self.max_retries:
                     time.sleep(min(2**attempt * 0.2, 2.0))
+                    attempt += 1
                     continue
                 raise last_err from None
         raise last_err  # pragma: no cover

@@ -1315,7 +1315,13 @@ def user_burstiness_core(e: DataFrame) -> DataFrame:
         .where(F.col("nxt").isNotNull())
         .select("user_id", (F.col("nxt") - F.col("us")).alias("g"))
     )
-    gd = F.col("g").cast("decimal(14,0)")
+    # decimal(19,0) holds any int64 gap, so the factor cast itself can
+    # never overflow (the earlier decimal(14,0) capped gaps at ~3.2
+    # years and threw one-sided while the oracle's HUGEINT succeeded —
+    # r8 self-review #8). g² < 8.5e37 fits the capped decimal(38,0)
+    # product; the moment SUMS overflow only past ~1e38, where BOTH
+    # engines fail loud (Spark decimal overflow, DuckDB hugeint).
+    gd = F.col("g").cast("decimal(19,0)")
     s = (
         g.groupBy("user_id")
         .agg(

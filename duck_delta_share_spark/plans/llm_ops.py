@@ -4213,7 +4213,6 @@ def boilerplate_chunk_dedup_core(d: DataFrame) -> DataFrame:
     sc = rows.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("chunk"))
     )
-    kept = F.when(F.col("df") <= 2, F.col("chunk"))
     return sc.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.coalesce(

@@ -16,12 +16,17 @@ LAST, so
 
 Single-writer contract (ENFORCED since r8): exactly one maintenance
 stream may own a rollup directory. Each stream acquires ``_owner.json``
-at start (last-wins, so a restart after a crash never wedges on a stale
-marker) and re-verifies ownership at every batch entry AND immediately
-before the pointer flip — a second stream racing the directory makes
-the first one fail LOUD on its next batch instead of silently
-overwriting the pointer with a rollup that misses the other writer's
-applied versions.
+at start (last-wins + a monotone acquisition EPOCH, so a restart after
+a crash never wedges on a stale marker) and re-verifies ownership at
+every batch entry AND immediately before the pointer flip — a second
+stream racing the directory makes the first one fail LOUD on its next
+batch instead of silently overwriting the pointer with a rollup that
+misses the other writer's applied versions. The check-then-act window
+between the pre-flip re-check and the replace cannot be closed on a
+plain filesystem, so every pointer flip also carries the writer's
+epoch: a stale flip that slips through brands the pointer with the OLD
+epoch, and the true owner's next batch detects the fence mismatch and
+fails loud rather than folding onto the regressed pointer.
 
 At 100 TB each refresh reads O(changes in the batch) plus the current
 rollup (keyed aggregate — small), never the base table.
@@ -59,17 +64,45 @@ def _write_atomic(target: Path, payload: dict) -> None:
     _os.replace(tmp, target)
 
 
-def acquire_rollup_ownership(rollup_path: str | Path, owner_id: str) -> None:
+def acquire_rollup_ownership(rollup_path: str | Path, owner_id: str) -> int:
     """Claim the rollup directory for one maintenance stream (last-wins:
     a restart after a crash must never wedge on the dead stream's stale
-    marker — liveness can't be read off a filesystem). The PREVIOUS
-    owner, if still running, detects the theft at its next batch entry
-    or pre-flip re-check and fails loud."""
+    marker — liveness can't be read off a filesystem). Returns this
+    acquisition's EPOCH (monotone per directory).
+
+    Detection is two-layered because plain-filesystem check-then-act
+    can't be atomic: the PREVIOUS owner usually dies at its next batch
+    entry or pre-flip re-check; if it slips a stale pointer flip through
+    the millisecond window between the re-check and the replace, the
+    flip carries the OLD epoch and the new owner's next batch detects
+    the fence mismatch and fails loud (never a silent fold onto the
+    regressed pointer — r8 self-review #2). Acquisition therefore
+    re-stamps the current _meta.json with the new epoch."""
     import os as _os
 
     out = Path(rollup_path)
     out.mkdir(parents=True, exist_ok=True)
-    _write_atomic(out / "_owner.json", {"owner": owner_id, "pid": _os.getpid()})
+    marker = out / "_owner.json"
+    epoch = 0
+    if marker.exists():
+        try:
+            epoch = int(json.loads(marker.read_text()).get("epoch", 0))
+        except (OSError, ValueError):
+            epoch = 0
+    epoch += 1
+    _write_atomic(
+        marker, {"owner": owner_id, "pid": _os.getpid(), "epoch": epoch}
+    )
+    meta_file = out / "_meta.json"
+    if meta_file.exists():
+        try:
+            meta = json.loads(meta_file.read_text())
+        except (OSError, ValueError):
+            meta = None
+        if isinstance(meta, dict):
+            meta["owner_epoch"] = epoch
+            _write_atomic(meta_file, meta)
+    return epoch
 
 
 def _check_rollup_ownership(out: Path, owner_id: str) -> None:
@@ -97,6 +130,7 @@ def rollup_upserter(
     keys: list[str],
     sum_cols: dict[str, str],
     owner_id: str,
+    owner_epoch: int = 0,
 ):
     """The foreachBatch applier, exposed for injection tests (two
     interleaved appliers racing one directory must detect each other)."""
@@ -110,6 +144,24 @@ def rollup_upserter(
         _check_rollup_ownership(out, owner_id)
         meta_file = out / "_meta.json"
         meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+        if (
+            meta
+            and owner_epoch
+            and int(meta.get("owner_epoch", owner_epoch)) != owner_epoch
+        ):
+            # epoch fence: the pointer was flipped under a DIFFERENT
+            # acquisition epoch after ours re-stamped it — a stale
+            # writer slipped a flip through the pre-flip-check window
+            # (or a newer stream took over). Folding onto the regressed
+            # pointer would silently drop applied versions; fail loud.
+            raise RuntimeError(
+                f"rollup pointer of {out} carries acquisition epoch "
+                f"{meta.get('owner_epoch')} but this stream holds epoch "
+                f"{owner_epoch}: a stale writer flipped the pointer (or "
+                "a newer stream acquired the directory). State may be "
+                "inconsistent — verify the rollup against the source "
+                "and reset checkpoint + rollup directory together."
+            )
         if not meta and batch_id > 0:
             # batch 0 ALWAYS records _meta.json before its checkpoint can
             # commit, so a later batch arriving with NO meta means the
@@ -184,6 +236,10 @@ def rollup_upserter(
             {
                 "current": target,
                 "last_version": int(hi) if hi is not None else -1,
+                # epoch fence: a flip that slips through the check above
+                # carries OUR epoch, so the true owner's next batch
+                # detects the mismatch and fails loud
+                "owner_epoch": owner_epoch,
             },
         )
         # GC superseded generations AFTER the pointer flip, keeping the
@@ -197,16 +253,20 @@ def rollup_upserter(
                 and d.name not in (target, prev_current)
             ):
                 shutil.rmtree(d, ignore_errors=True)
-        # orphan pointer/marker tmps from a writer that crashed between
-        # the tmp write and the atomic replace (we hold ownership — just
-        # re-verified — so any tmp other than one we just replaced is
-        # abandoned)
-        for pat in ("._meta.json.*.tmp", "._owner.json.*.tmp"):
-            for f in out.glob(pat):
-                try:
-                    f.unlink()
-                except OSError:
-                    pass
+        # orphan POINTER tmps from a writer that crashed between the tmp
+        # write and the atomic replace (we hold ownership — just
+        # re-verified — so any meta tmp other than one we just replaced
+        # is abandoned). OWNER tmps are deliberately NOT collected here:
+        # a competing acquirer writing ._owner.json.*.tmp right now is
+        # by definition not the owner yet, so its tmp is LIVE — deleting
+        # it would crash that stream's last-wins acquisition with
+        # FileNotFoundError (r8 self-review #4); a crashed acquirer
+        # leaves one ~100-byte file, not a growth concern.
+        for f in out.glob("._meta.json.*.tmp"):
+            try:
+                f.unlink()
+            except OSError:
+                pass
 
     return upsert
 
@@ -230,8 +290,10 @@ def maintain_rollup_stream(
 
     spark.dataSource.register(DeltaShareDataSource)
     owner_id = uuid.uuid4().hex
-    acquire_rollup_ownership(rollup_path, owner_id)
-    upsert = rollup_upserter(spark, rollup_path, keys, sum_cols, owner_id)
+    epoch = acquire_rollup_ownership(rollup_path, owner_id)
+    upsert = rollup_upserter(
+        spark, rollup_path, keys, sum_cols, owner_id, owner_epoch=epoch
+    )
 
     changes = (
         spark.readStream.format("deltashare")

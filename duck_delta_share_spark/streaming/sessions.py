@@ -100,18 +100,34 @@ def sessionize_with_state(
                     "session_start": [pd.Timestamp(s[0] * 1000) for s in sessions],
                     "session_end": [pd.Timestamp(s[1] * 1000) for s in sessions],
                     "n_events": [s[2] for s in sessions],
-                    "total_value": [s[3] for s in sessions],
+                    # nullable Float64: an all-NULL-value session must
+                    # emit SQL NULL like the batch twin's SUM (a plain
+                    # float column can only carry NaN, which Arrow keeps
+                    # as NaN, not NULL — r8 self-review #3); NaN is the
+                    # in-state encoding of "no non-NULL value yet"
+                    "total_value": pd.array(
+                        [s[3] if s[3] == s[3] else pd.NA for s in sessions],
+                        dtype="Float64",
+                    ),
                 }
             )
 
-        if state.hasTimedOut:
+        def from_state() -> list:
             cur = list(state.get)
+            if cur[3] is None:
+                # the state store may round-trip our NaN sentinel (no
+                # non-NULL value yet) as NULL — restore the sentinel
+                cur[3] = float("nan")
+            return cur
+
+        if state.hasTimedOut:
+            cur = from_state()
             state.remove()
             yield to_frame([cur])
             return
 
         rows = pd.concat(list(pdfs)).sort_values("ts")
-        cur = list(state.get) if state.exists else None
+        cur = from_state() if state.exists else None
         closed: list[list] = []
         for ts, value in zip(rows["ts"], rows["value"]):
             us = ts.value // 1000  # pandas ns → µs
@@ -122,7 +138,9 @@ def sessionize_with_state(
                 closed.append(cur)
                 cur = None
             if cur is None:
-                cur = [us, us, 0, 0.0]
+                # NaN = "no non-NULL value yet" (emitted as SQL NULL,
+                # matching the batch twin's SUM over an all-NULL set)
+                cur = [us, us, 0, float("nan")]
             # min/max extension, NOT assignment: a late-but-not-dropped
             # cross-batch event (inside the watermark) must never REGRESS
             # the open session's bounds — the batch twin and native
@@ -136,7 +154,7 @@ def sessionize_with_state(
             # (F.sum) report the sum of the non-NULL values (r8 fuzz)
             v = float(value)
             if v == v:
-                cur[3] += v
+                cur[3] = v if cur[3] != cur[3] else cur[3] + v
         state.update(tuple(cur))
         # emit the open session once the event-time watermark passes its gap
         state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)

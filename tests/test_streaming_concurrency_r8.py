@@ -41,16 +41,20 @@ def test_second_applier_makes_first_fail_loud_at_batch_entry(spark, tmp_path):
     )
 
     roll = tmp_path / "roll"
-    acquire_rollup_ownership(roll, "writer-a")
-    up_a = rollup_upserter(spark, roll, ["k"], {"total": "v"}, "writer-a")
+    e_a = acquire_rollup_ownership(roll, "writer-a")
+    up_a = rollup_upserter(
+        spark, roll, ["k"], {"total": "v"}, "writer-a", owner_epoch=e_a
+    )
     up_a(_batch(spark, [("a", 1.0, "insert", 0), ("b", 2.0, "insert", 0)]), 0)
     assert _totals(spark, roll) == {"a": (1, 1.0), "b": (1, 2.0)}
 
     # a second stream acquires the SAME directory (fresh checkpoint, so
     # its batch 0 spans the old version 0 plus the new version 1 — the
     # watermark filter must apply only the unapplied remainder)
-    acquire_rollup_ownership(roll, "writer-b")
-    up_b = rollup_upserter(spark, roll, ["k"], {"total": "v"}, "writer-b")
+    e_b = acquire_rollup_ownership(roll, "writer-b")
+    up_b = rollup_upserter(
+        spark, roll, ["k"], {"total": "v"}, "writer-b", owner_epoch=e_b
+    )
     up_b(
         _batch(
             spark,
@@ -77,8 +81,10 @@ def test_ownership_stolen_mid_batch_caught_before_flip(
     import duck_delta_share_spark.streaming.incremental as inc
 
     roll = tmp_path / "roll"
-    inc.acquire_rollup_ownership(roll, "writer-a")
-    up_a = inc.rollup_upserter(spark, roll, ["k"], {"total": "v"}, "writer-a")
+    e_a = inc.acquire_rollup_ownership(roll, "writer-a")
+    up_a = inc.rollup_upserter(
+        spark, roll, ["k"], {"total": "v"}, "writer-a", owner_epoch=e_a
+    )
     up_a(_batch(spark, [("a", 1.0, "insert", 0)]), 0)
     meta0 = json.loads((roll / "_meta.json").read_text())
 
@@ -93,12 +99,53 @@ def test_ownership_stolen_mid_batch_caught_before_flip(
     monkeypatch.setattr(inc, "apply_changes_to_rollup", steal_then_apply)
     with pytest.raises(RuntimeError, match="single-writer"):
         up_a(_batch(spark, [("a", 10.0, "insert", 1)]), 1)
-    # the pointer never flipped: still A's batch-0 generation, exactly
+    # the pointer never flipped: still A's batch-0 generation exactly
+    # (the thief's acquisition re-stamps owner_epoch — compare the
+    # pointer fields, which must be untouched)
     meta1 = json.loads((roll / "_meta.json").read_text())
-    assert meta1 == meta0
+    assert (meta1["current"], meta1["last_version"]) == (
+        meta0["current"],
+        meta0["last_version"],
+    )
     assert _totals(spark, roll) == {"a": (1, 1.0)}
     # the orphan generation dir A wrote pre-flip is harmless and stays
     # for the surviving owner's GC pass (documented in the upserter)
+
+
+def test_stale_flip_through_the_checkwindow_trips_the_epoch_fence(
+    spark, tmp_path
+):
+    """The check-then-act window between the pre-flip re-check and the
+    replace cannot be closed on a plain filesystem — but a stale flip
+    that slips through carries the OLD epoch, and the true owner's next
+    batch must fail loud instead of folding onto the regressed pointer."""
+    import duck_delta_share_spark.streaming.incremental as inc
+
+    roll = tmp_path / "roll"
+    e_a = inc.acquire_rollup_ownership(roll, "writer-a")
+    up_a = inc.rollup_upserter(
+        spark, roll, ["k"], {"total": "v"}, "writer-a", owner_epoch=e_a
+    )
+    up_a(_batch(spark, [("a", 1.0, "insert", 0)]), 0)
+
+    # takeover: B acquires (re-stamps the pointer with its epoch), applies
+    e_b = inc.acquire_rollup_ownership(roll, "writer-b")
+    up_b = inc.rollup_upserter(
+        spark, roll, ["k"], {"total": "v"}, "writer-b", owner_epoch=e_b
+    )
+    up_b(_batch(spark, [("a", 10.0, "insert", 1)]), 0)
+    assert _totals(spark, roll) == {"a": (2, 11.0)}
+
+    # writer A slips a stale pointer flip through the pre-flip window
+    # (simulated as the raw replace A's upsert would have issued):
+    # stale generation name, regressed watermark, A's old epoch
+    inc._write_atomic(
+        roll / "_meta.json",
+        {"current": "data_v0", "last_version": 0, "owner_epoch": e_a},
+    )
+    # B's next batch detects the fence mismatch and refuses to fold
+    with pytest.raises(RuntimeError, match="epoch"):
+        up_b(_batch(spark, [("a", 100.0, "insert", 2)]), 1)
 
 
 def test_two_real_streams_racing_one_directory(spark, tmp_path):

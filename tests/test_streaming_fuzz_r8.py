@@ -66,7 +66,9 @@ def fuzz(request, tmp_path_factory):
             # same-user-same-timestamp events and cross-user ties
             ts = base + pd.Timedelta(minutes=10 * rng.randrange(0, 250))
             user = rng.randrange(12)
-            val = rng.choice([0.5, 1.0, 1.0, 2.5, None if False else 2.5])
+            # NULL values ON the tie grid: the interaction of the NULL-sum
+            # and exact-gap-boundary session fixes is only probed here
+            val = rng.choice([0.5, 1.0, 1.0, 2.5, 2.5, None])
         else:
             ts = base + pd.Timedelta(seconds=rng.randrange(0, 2 * 86400))
             user = rng.randrange(25)
@@ -181,7 +183,6 @@ def test_windowed_counts_fuzz(spark, fuzz, tmp_path):
     got = {
         (_naive(r.window_start), r.event_type): (r.n, str(r.total_value))
         for r in spark.sql(f"SELECT * FROM {name}").collect()
-        if True
     }
     want = {
         (_naive(r.window_start), r.event_type): (r.n, str(r.total_value))
@@ -221,10 +222,10 @@ def test_sessionize_fuzz_matches_batch_exactly(spark, fuzz, tmp_path, impl):
         (r.user_id, _naive(r.session_start)): (
             _naive(r.session_end),
             r.n_events,
-            # an all-NULL-value session: batch dsum says NULL, the twins
-            # physically can't round-trip a NULL double through a pandas
-            # float column (NaN != NULL in Arrow) — normalize both to 0.0
-            round(float(r.total_value or 0.0), 4),
+            # NULL-preserving: an all-NULL-value session is SQL NULL on
+            # all three implementations (the stateful twin emits it via
+            # a nullable Float64 column — r8 self-review #3)
+            None if r.total_value is None else round(float(r.total_value), 4),
         )
         for r in spark.sql(f"SELECT * FROM {name}").collect()
         if r.user_id not in SENTINEL_USERS
@@ -233,7 +234,7 @@ def test_sessionize_fuzz_matches_batch_exactly(spark, fuzz, tmp_path, impl):
         (r.user_id, _naive(r.session_start)): (
             _naive(r.session_end),
             r.n_events,
-            round(float(r.total_value or 0.0), 4),
+            None if r.total_value is None else round(float(r.total_value), 4),
         )
         for r in sessionize(
             _events_batch(spark, fuzz["events"]), gap_seconds=1800
@@ -301,8 +302,6 @@ def test_dedup_exact_fuzz_doubled_feed(spark, fuzz, tmp_path):
 
 
 def test_dedup_content_fuzz(spark, fuzz, tmp_path):
-    from pyspark.sql import functions as F
-
     from duck_delta_share_spark.functions.text import fingerprint
     from duck_delta_share_spark.streaming.dedup import dedup_stream_content
 
@@ -333,7 +332,6 @@ def test_dedup_content_fuzz(spark, fuzz, tmp_path):
     # distinct)
     assert sorted(got_fps, key=str) == sorted(set(got_fps), key=str)
     assert set(got_fps) == want_fps
-    assert F is not None  # keep the import local-style consistent
 
 
 def test_heavy_hitters_fuzz_containment(spark, fuzz, tmp_path):
