@@ -4291,9 +4291,10 @@ def source_overlap_matrix_core(d: DataFrame) -> DataFrame:
         "source",
         F.transform(F.sequence(F.lit(0), nch - 1), chunk_fp).alias("fps"),
     )
-    fs = carr.select(
-        "source", F.explode("fps").alias("fp")
-    ).distinct()
+    fs = carr.select("source", F.explode("fps").alias("fp"))
+    # collect_set dedups (source, fp) internally with a map-side partial
+    # — a separate .distinct() before this groupBy paid a second
+    # exchange for nothing (plan audit r8: 2 exchanges → 1)
     sets = (
         fs.groupBy("fp")
         .agg(F.sort_array(F.collect_set("source")).alias("ss"))

@@ -273,15 +273,27 @@ def ohlc_bars_core(e: DataFrame) -> DataFrame:
     """Frame-parameterized core — shared with scale_check."""
     from pyspark.sql import Window
 
-    bucket = F.date_trunc("hour", F.col("ts"))
-    wa = Window.partitionBy("event_type", bucket).orderBy("ts", "event_id")
-    wd = Window.partitionBy("event_type", bucket).orderBy(
+    # bucket materializes FIRST so the windows and the final agg key on
+    # the same attribute — partitioning by the date_trunc EXPRESSION
+    # while grouping on its alias re-shuffles (plan audit r8: 2
+    # exchanges → 1)
+    base = e.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("event_type", "bucket_ts").orderBy(
+        "ts", "event_id"
+    )
+    wd = Window.partitionBy("event_type", "bucket_ts").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
     return (
-        e.select(
+        base.select(
             "event_type",
-            bucket.alias("bucket_ts"),
+            "bucket_ts",
             "value",
             F.row_number().over(wa).alias("rn"),
             F.row_number().over(wd).alias("rd"),
