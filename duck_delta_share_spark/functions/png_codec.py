@@ -32,6 +32,13 @@ class UnsupportedImageError(Exception):
     """Payload is not a PNG this codec can decode (or not a PNG at all)."""
 
 
+# PIL's decompression-bomb discipline: a tiny IDAT can declare (and
+# legally decompress to) gigabytes. Anything above this pixel budget is
+# refused LOUDLY before any allocation; a real lake pipeline raises the
+# cap consciously, never silently.
+MAX_PIXELS = 64_000_000
+
+
 def is_png(data: bytes) -> bool:
     return bool(data) and data[:8] == PNG_SIGNATURE
 
@@ -51,9 +58,15 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # len + type + body + crc
         if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
+            try:
+                width, height, bit_depth, color_type, _, _, interlace = (
+                    struct.unpack(">IIBBBBB", body)
+                )
+            except struct.error:
+                # truncated/corrupt header must fail as a CLEAN codec
+                # error, never a leaked struct.error (r8 corrupt-bytes
+                # lens)
+                raise UnsupportedImageError("truncated IHDR") from None
         elif ctype == b"PLTE":
             palette = body
         elif ctype == b"IDAT":
@@ -69,15 +82,30 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if color_type not in _COLOR_CHANNELS:
         raise UnsupportedImageError(f"color type {color_type}")
     channels = _COLOR_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    if width * height > MAX_PIXELS:
+        raise UnsupportedImageError(
+            f"image declares {width}x{height} pixels (> MAX_PIXELS "
+            f"{MAX_PIXELS}): refusing a potential decompression bomb"
+        )
     stride = width * channels
     expected = (stride + 1) * height
+    try:
+        # cap the inflate at the pixel budget the header promises: an
+        # adversarial IDAT otherwise decompresses a few hundred bytes
+        # into gigabytes BEFORE any length check can run
+        raw = zlib.decompressobj().decompress(bytes(idat), max(expected, 1))
+    except zlib.error as e:
+        raise UnsupportedImageError(f"corrupt IDAT stream: {e}") from None
     if len(raw) < expected:
         raise UnsupportedImageError("truncated IDAT stream")
     pixels = _unfilter(raw, height, stride, channels)
     if color_type == 3:
         if not palette:
             raise UnsupportedImageError("palette image without PLTE")
+        if pixels and 3 * max(pixels) + 2 >= len(palette):
+            # palette overrun must not leak an IndexError out of the
+            # expansion comprehension
+            raise UnsupportedImageError("palette index out of range")
         pixels = bytes(
             palette[3 * idx + c] for idx in pixels for c in range(3)
         )

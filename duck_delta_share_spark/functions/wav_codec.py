@@ -56,9 +56,18 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
     8-bit PCM (unsigned per spec) re-centers to signed; 24-bit unpacks
     3-byte little-endian two's complement (no struct code exists for it).
     """
-    with wave.open(io.BytesIO(data), "rb") as w:
-        rate, channels, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            rate, channels, width = (
+                w.getframerate(), w.getnchannels(), w.getsampwidth()
+            )
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError, struct.error, RuntimeError) as e:
+        # truncated/bit-flipped RIFF container must fail as a CLEAN codec
+        # error, never a leaked wave.Error/EOFError — nor the bare
+        # RuntimeError stdlib wave raises on some corrupt chunk sizes
+        # (r8 corrupt-bytes lens, found by the bit-flip sweep)
+        raise ValueError(f"corrupt WAV payload: {e}") from None
     if width == 1:
         samples = [b - 128 for b in raw]
     elif width == 3:
@@ -68,7 +77,10 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
         ]
     elif width in (2, 4):
         fmt = {2: "h", 4: "i"}[width]
-        samples = list(struct.unpack(f"<{len(raw) // width}{fmt}", raw))
+        # slice to the divisible prefix: a stream truncated MID-sample
+        # otherwise makes struct.unpack reject the buffer length
+        usable = len(raw) - len(raw) % width
+        samples = list(struct.unpack(f"<{usable // width}{fmt}", raw[:usable]))
     else:
         raise ValueError(f"unsupported PCM sample width {width}")
     return rate, channels, width, samples
