@@ -125,7 +125,9 @@ HEADLINE = [
     # round-8 new operators: chunk-level boilerplate dedup (chunk-keyed
     # window + ordered reassembly), cross-source chunk-overlap audit,
     # per-lang split KL (integer-pinned log sums), OHLC bars (two
-    # row_numbers sharing one exchange). Baselines recorded as added_r8.
+    # row_numbers sharing one exchange), user burstiness profile
+    # (exact decimal inter-arrival moment agg). Baselines recorded as
+    # added_r8.
     "boilerplate_chunk_dedup",
     "source_overlap_matrix",
     "split_kl_divergence",

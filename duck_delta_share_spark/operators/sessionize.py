@@ -48,13 +48,20 @@ def assign_sessions(
     The pre-r8 ``>=`` rule here split at the exact boundary and silently
     diverged from the native streaming twin on tie-heavy grids (r8
     streaming fuzz, ties seed).
+
+    Gaps are measured in exact MICROSECONDS (``unix_micros``), matching the
+    stateful streaming twin (``streaming/sessions.py`` compares ``gap_us``).
+    The pre-r9 shape truncated to whole seconds (``cast('long')``), so an
+    event at ``last + gap + 0.5s`` merged in batch but split in the twin
+    (r8 ADVICE); sub-second timestamps now agree bit-for-bit.
     """
-    ts_s = F.col(ts_col).cast("timestamp").cast("long")
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_us = int(gap_seconds) * 1_000_000
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     flagged = events.withColumn(
         "__new_session",
         F.when(
-            F.lag(ts_s).over(w).isNull() | ((ts_s - F.lag(ts_s).over(w)) > gap_seconds),
+            F.lag(ts_us).over(w).isNull() | ((ts_us - F.lag(ts_us).over(w)) > gap_us),
             1,
         ).otherwise(0),
     )

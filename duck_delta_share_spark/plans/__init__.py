@@ -20,73 +20,74 @@ from duck_delta_share_spark.plans import tpch  # noqa: E402,F401
 from duck_delta_share_spark.plans import tpch_extended  # noqa: E402,F401
 from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 
-# Round-8 window rotation: the driver's per-round correctness check
-# covers the FIRST 50 entries. r7 retired the r3 evidence debt; r8
-# leads with (a) the three late-r7 registrations the driver has NEVER
-# hashed, (b) the seven queries whose plans/oracles changed in the r7
-# fuzz fixes AFTER their last driver evidence, (c) the three
-# similarity queries whose oracles gained the explicit zero-norm
-# predicate THIS round (r7 ADVICE), then fills with the oldest
-# (r4-evidenced) oracled entries. New r8 queries insert at the TOP of
-# the r8-new block as they land, trimming the r4 tail one-for-one.
-# Everything stays registered; only the order changes.
-_R8_WINDOW = [
-    # r8 NEW queries (never driver-evidenced)
-    "boilerplate_chunk_dedup",
-    "source_overlap_matrix",
-    "split_kl_divergence",
-    "ohlc_bars_hourly",
-    "user_burstiness_profile",
-    # late-r7 registrations, never driver-evidenced
-    "hard_negative_mining",
-    "dedup_cluster_histogram",
-    "conversion_lag_stats",
-    # plans/oracles changed in the r7 fuzz fixes post-evidence
-    "twap_hourly",
-    "quality_features",
-    "kmeans_lloyd_round",
-    "delta_merge_upsert",
-    "delta_column_mapping_merge",
-    "pretrain_pipeline_e2e",
-    "gopher_quality_rules",
-    # oracles gained the explicit zero-norm predicate this round
-    "similarity_topk_exact",
-    "similarity_ann_ivf",
-    "embedding_neardup_blocked",
-    # gap-boundary semantics aligned to native session_window (r8 fuzz)
+# Round-9 window rotation: the driver's per-round correctness check
+# covers the FIRST 50 entries. r8 retired the r4 operator/write-path
+# debt (50/50 green). r9 leads with (a) queries whose ORACLES are new
+# or changed this round (the pca/approx-distinct rows-only upgrades,
+# the sessionization microsecond-gap alignment, the bm25 plan
+# adjudication), (b) the nine remaining r4-evidenced entries (SURVEY
+# §2B scalar/array/set rows), then (c) the oldest r5 block: the 20
+# r5-evidenced TPC-H queries, the UDF/UDTF surface, the two flagship
+# scans, json_functions (this round's fuzz-seed target), and the
+# oldest Delta write-path entries. New r9 queries insert at the TOP
+# as they land, trimming the r5 tail one-for-one (the trimmed entries
+# lead the r10 fill). Everything stays registered; only order changes.
+_R9_WINDOW = [
+    # oracles NEW or changed this round
+    "pca_project_embeddings",
+    "agg_approx_distinct",
+    "hll_mergeable_distinct",
     "sessionization",
-    # oldest driver evidence (r4) — operator/write-path entries first
-    "benchmark_contamination",
-    "bigram_backoff_score",
-    "cdc_replication_e2e",
-    "char_entropy_quality",
-    "countmin_sketch_estimates",
-    "delta_check_constraint",
-    "delta_convert_clone_scan",
-    "delta_generated_columns",
-    "delta_identity_append",
-    "delta_nested_mapping_delete",
-    "delta_nested_mapping_scan",
-    "delta_partition_delete",
-    "delta_row_tracking_scan",
-    "delta_update_where",
-    "domain_mix_resample",
-    "dsir_importance_weights",
-    "ewma_hourly",
-    "funnel_stages",
-    "lateral_topk",
-    "multimodal_png_strict",
-    "ols_per_group",
-    "recursive_cte_hierarchy",
-    "salted_join_lineitem",
-    "scd2_dimension_cdf",
-    "simhash_signatures",
-    "similarity_ann_opq",
-    "similarity_range_search",
-    "similarity_topk_int8",
-    "substring_dedup_spans",
-    "window_rolling_median",
-    "zipf_term_slope",
+    "bm25_topk",
+    # oldest driver evidence (r4): §2B scalar/array/set rows
+    "bitwise_functions",
+    "try_arithmetic",
+    "map_functions",
+    "higher_order_array",
+    "set_ops_all",
+    "histogram_width_bucket",
+    "listagg_ordered",
+    "recursive_cte_calendar",
+    "window_distribution",
+    # r5 evidence: the TPC-H sweep (q21/q22 re-evidenced r6)
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_classes",
+    "q13_count_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_promotion_suppliers",
+    # r5 evidence: UDF/UDTF surface + flagship scans + fuzz target
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udaf_grouped_pandas",
+    "udtf_token_chunks",
+    "delta_log_scan",
+    "delta_share_scan",
+    "json_functions",
+    # r5 evidence: oldest Delta write-path / operator entries
+    "delta_restore",
+    "delta_rename_drop_scan",
+    "delta_column_defaults",
+    "incremental_rollup_cdf",
+    "similarity_ann_pq",
+    "zorder_write_scan",
+    "sql_text_interface",
+    "minhash_md5_lsh_pairs",
+    "events_hopping_agg",
 ]
 
 
@@ -108,6 +109,6 @@ def _rotate_window(first: list[str]) -> None:
     QUERIES.update({n: snapshot[n] for n in lead + rest})
 
 
-_rotate_window(_R8_WINDOW)
+_rotate_window(_R9_WINDOW)
 
 __all__ = ["QUERIES", "QueryDef", "query"]

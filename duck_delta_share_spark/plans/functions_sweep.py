@@ -329,7 +329,7 @@ def events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
     SELECT user_id, event_id, ts, value,
            CASE WHEN LAG(ts) OVER w IS NULL
-                  OR DATE_DIFF('second', LAG(ts) OVER w, ts) > 1800
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS is_new
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -433,17 +433,37 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines — rows-only check;
-    # accuracy vs exact is asserted in tests/test_approx.py
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
     doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
     "cardinality estimation — constant memory per group vs a full "
-    "distinct shuffle",
+    "distinct shuffle. ORACLE SHAPE (r9, retiring rows-only status): "
+    "HLL register states differ across engines, so the raw estimate is "
+    "not hashable — instead the query emits the EXACT distinct twin "
+    "(SQL on both engines) plus the boolean "
+    "|approx - exact| <= max(0.05*exact, 2) which the oracle asserts as "
+    "literal TRUE; rsd=0.02 puts 5% at >2 sigma, and the same bound is "
+    "property-tested in tests/test_approx.py. The estimate still runs — "
+    "the boolean is computed from it — so the driver now checks the "
+    "sketch path instead of skipping it",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_orderkey", rsd=0.02)
+    exact = F.count_distinct("l_orderkey").cast("long")
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        exact.alias("exact_orders"),
         F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.greatest(F.lit(0.05) * exact.cast("double"), F.lit(2.0))
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -1661,20 +1661,129 @@ def embedding_variance_by_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pca_project_embeddings",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+), x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) :: DOUBLE AS x
+  FROM e
+), m AS (
+  SELECT dim,
+         CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1e9 / COUNT(*) AS mu
+  FROM x GROUP BY dim
+)
+SELECT x.vec_id,
+       CAST((SELECT MAX(len(embedding)) FROM e) AS BIGINT) AS dims,
+       CAST(SUM(CAST(floor((x.x - m.mu) * (x.x - m.mu) * 1e9 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS norm2_c_e9,
+       TRUE AS energy_ok,
+       TRUE AS transform_ok
+FROM x JOIN m USING (dim)
+GROUP BY x.vec_id
+""",
     doc="Distributed PCA (operators/embeddings.py): zero-shuffle moment "
     "partials (d+d^2 doubles per partition) -> bounded combine tree -> "
     "driver eigh on the 64x64 covariance only -> broadcast matmul "
-    "projection. Sign-pinned eigenvectors for determinism. No SQL oracle "
-    "(eigendecomposition); moments are oracle-anchored by "
-    "embedding_variance_by_dim and unit-tested vs numpy. Projection is "
-    "emitted as a fixed-precision CSV string (driver-canonicalizable)",
+    "projection. Sign-pinned eigenvectors for determinism. ORACLE SHAPE "
+    "(r9, retiring the rows-only status): DuckDB cannot eigendecompose, "
+    "so raw projection values are not SQL-reproducible — instead the "
+    "query projects onto the FULL basis (k = d) and emits, per vector, "
+    "the pinned centered squared norm (SQL-reproducible: per-dim "
+    "floor((x-mu)^2*1e9+0.5) integer terms over the e9-pinned mean, the "
+    "embedding_variance_by_dim discipline) plus `energy_ok` — the "
+    "distributed projection conserves per-vector energy, catching row "
+    "misalignment / wrong-broadcast bugs — and `transform_ok`, the AND "
+    "of four global invariants computed from a second bounded moments "
+    "pass over the PROJECTIONS: components orthonormal, projection dims "
+    "pairwise decorrelated, per-dim variances descending, projection "
+    "mean zero. An orthonormal rotation that decorrelates all dims with "
+    "descending variances IS the (sign-pinned) PCA — jointly these pin "
+    "the transform up to degenerate-eigenvalue ties, the strongest "
+    "SQL-checkable characterization. The oracle recomputes the norms "
+    "and asserts the invariant booleans as literal TRUE (precedent: the "
+    "within-tolerance pattern of agg_approx_distinct). The k=8 headline "
+    "projection is the prefix of the full one (eigenvalues descending "
+    "by construction); raw values stay numpy-parity-tested in "
+    "tests/test_embeddings.py.",
 )
 def pca_project_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duck_delta_share_spark.operators.embeddings import pca_project
+    import numpy as np
 
-    e = load_table(spark, sf_dir, "embeddings")
-    return pca_project(e, "embedding", k=8).select(
-        "vec_id", F.array_join(F.transform("pca", _f6), ",").alias("pca")
+    from duck_delta_share_spark.operators.embeddings import (
+        moments,
+        pca_project,
+        principal_components,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    d = int(
+        e.agg(F.max(F.size("embedding")).alias("d")).first()["d"]
+    )
+    comps, _, mean = principal_components(e, "embedding", k=d)
+    proj = pca_project(e, "embedding", k=d, components=comps, mean=mean)
+
+    # global invariants: one bounded moments pass over the projections
+    # (d + d^2 doubles per partition — control plane, like kmeans)
+    _, mean_y, cov_y = moments(proj, "pca")
+    diag = np.diag(cov_y)
+    lam = float(max(diag.max(), 1e-12))
+    off = cov_y - np.diag(diag)
+    transform_ok = bool(
+        np.abs(comps.T @ comps - np.eye(comps.shape[1])).max() < 1e-9
+        and np.abs(off).max() < 1e-9 * lam
+        and np.all(diag[:-1] >= diag[1:] - 1e-9 * lam)
+        and np.abs(mean_y).max() < 1e-9 * max(1.0, lam)
+    )
+
+    # pinned per-dim means (d control-plane values; bit-identical to the
+    # oracle's: exact integer sum of floor(x*1e9+0.5), then the same
+    # double division sequence /1e9 /n on both engines)
+    rows = (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * F.lit(1e9) + F.lit(0.5))
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    mu = {r["dim"]: (float(r["s"]) / 1e9) / r["n"] for r in rows}
+    mu_arr = F.array(*[F.lit(mu[i]) for i in range(d)])
+
+    terms = F.zip_with(
+        F.col("embedding"),
+        mu_arr,
+        lambda x, m: F.floor(
+            (x.cast("double") - m) * (x.cast("double") - m) * F.lit(1e9)
+            + F.lit(0.5)
+        ),
+    )
+    norm2_e9 = F.aggregate(terms, F.lit(0).cast("long"), lambda a, t: a + t)
+    pca_norm2 = F.aggregate(
+        F.col("pca"), F.lit(0.0), lambda a, y: a + y * y
+    )
+    # tolerance: e9 per-term pinning contributes <=5e-10 * d absolute;
+    # the rotation itself conserves energy to ~1e-13 relative — 1e-6
+    # relative + 1e-6 absolute is orders above float noise yet a
+    # misaligned/wrong projection misses by O(norm)
+    norm2_c = norm2_e9.cast("double") / F.lit(1e9)
+    energy_ok = (
+        F.abs(pca_norm2 - norm2_c)
+        <= F.lit(1e-6) * F.greatest(norm2_c, F.lit(1.0)) + F.lit(1e-6)
+    )
+    return proj.select(
+        "vec_id",
+        F.lit(d).cast("long").alias("dims"),
+        norm2_e9.cast("long").alias("norm2_c_e9"),
+        energy_ok.alias("energy_ok"),
+        F.lit(transform_ok).alias("transform_ok"),
     )
 
 
@@ -1988,32 +2097,85 @@ def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hll_mergeable_distinct",
-    oracle=None,  # DataSketches HLL binary states have no DuckDB twin —
-    # rows-only; exactness bounds asserted in tests/test_approx.py
+    oracle="""
+WITH per_type AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY event_type
+), total AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users_total
+  FROM events
+)
+SELECT event_type, exact_users, n_rows,
+       TRUE AS est_within_5pct,
+       exact_users_total,
+       TRUE AS union_est_within_5pct
+FROM per_type CROSS JOIN total
+ORDER BY event_type
+""",
     doc="MERGEABLE distinct-count sketches (Apache DataSketches HLL via "
-    "hll_sketch_agg/hll_union_agg): per-(lang,source) user sketches union "
-    "into per-lang totals WITHOUT rescanning the corpus — the 100 TB "
-    "rollup answer where approx_count_distinct forces one pass per "
-    "grouping level. Sketch states are bytes: storable, re-unionable "
-    "across days (the cube/rollup building block for distinct counts)",
+    "hll_sketch_agg/hll_union_agg): per-type user sketches union into "
+    "the global total WITHOUT rescanning the corpus — the 100 TB rollup "
+    "answer where approx_count_distinct forces one pass per grouping "
+    "level. Sketch states are bytes: storable, re-unionable across days "
+    "(the cube/rollup building block for distinct counts). ORACLE SHAPE "
+    "(r9, retiring rows-only status): sketch binaries have no DuckDB "
+    "twin, so the query emits the EXACT distinct twins plus booleans "
+    "|est - exact| <= max(0.05*exact, 2) at BOTH levels (per-type "
+    "estimates AND the sketch-union total), which the oracle asserts as "
+    "literal TRUE — the union boolean is the mergeability evidence: it "
+    "checks the estimate produced from unioned per-type sketch states "
+    "against the exact global distinct. Default lgK=12 puts the rsd at "
+    "~1.6%, so 5% is >3 sigma (same bound in tests/test_approx.py). The "
+    "exact twins are the audit cost of oracle evidence; production "
+    "rollups ship the sketches alone",
 )
 def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+
+    def _ok(est, exact):
+        return F.abs(est.cast("double") - exact.cast("double")) <= F.greatest(
+            F.lit(0.05) * exact.cast("double"), F.lit(2.0)
+        )
+
     fine = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     # union the fine-grained sketch states into the global estimate —
-    # no second scan of events
-    total = fine.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_total")
+    # no second scan of events for the ESTIMATE; the exact global twin
+    # (audit column) is the one extra distinct pass
+    total_est = fine.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__total_est")
+    )
+    total_exact = e.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users_total")
     )
     per_type = fine.select(
         "event_type",
-        F.hll_sketch_estimate("sk").alias("distinct_users"),
+        "exact_users",
         "n_rows",
+        _ok(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+            "est_within_5pct"
+        ),
     )
-    return per_type.crossJoin(F.broadcast(total)).orderBy("event_type")
+    return (
+        per_type.crossJoin(F.broadcast(total_est))
+        .crossJoin(F.broadcast(total_exact))
+        .select(
+            "event_type",
+            "exact_users",
+            "n_rows",
+            "est_within_5pct",
+            "exact_users_total",
+            _ok(F.col("__total_est"), F.col("exact_users_total")).alias(
+                "union_est_within_5pct"
+            ),
+        )
+        .orderBy("event_type")
+    )
 
 
 _WAV_HIST = ",\n         ".join(
@@ -3099,11 +3261,22 @@ LIMIT 50
     "the retrieval primitive of data-curation pipelines (dedup against "
     "eval sets, quality mining). Scale shape: the token stream is "
     "SEMI-FILTERED to the query terms before any shuffle (selectivity "
-    "first), df/N/avgdl are broadcast scalars, the idf join broadcasts "
-    "|query| rows, and the final per-doc sum aggregates only matching "
-    "docs. Cross-engine floats: idf logs rounded to 6 decimals before "
-    "use (the libm-divergence rule), document-length means and score "
-    "sums under the exact-decimal discipline, final score rounded to 6",
+    "first), df/N/avgdl are broadcast scalars (avgdl rides the idf "
+    "frame, so totals is referenced by ONE subtree), the idf join "
+    "broadcasts |query| rows, and the final per-doc sum aggregates only "
+    "matching docs. r9 drift adjudication (VERDICT r8 item 2): isolated "
+    "interleaved A/B showed the r8 1.6x reading was box noise (this "
+    "shape re-measures 1.27-1.30x = the r7 level), and BOTH "
+    "double-tokenize 'fixes' — driver-collected literals and a "
+    "persisted tf — measured ~1.5x SLOWER at sf0.1: documents is 5k "
+    "rows there, so per-job/persist overhead dominates and tokenize "
+    "does not. The lineage is still referenced by three subtrees "
+    "(totals, df_t, scored); at a corpus size where tokenize dominates, "
+    "persist the narrow (doc_id, __toks) projection upstream — the "
+    "operator composes with a cached input unchanged. Cross-engine "
+    "floats: idf logs rounded to 6 decimals before use (the "
+    "libm-divergence rule), document-length means and score sums under "
+    "the exact-decimal discipline, final score rounded to 6",
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duck_delta_share_spark.plans.registry import davg, dsum
@@ -3128,28 +3301,27 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("dl").alias("dl"),
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # avgdl is carried on the |query|-row idf frame instead of a second
+    # totals broadcast — one fewer evaluation of the tokenize lineage
     idf = df_t.crossJoin(F.broadcast(totals)).select(
         "term",
         F.round(
             F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1),
             6,
         ).alias("idf"),
+        "avgdl",
     )
-    scored = (
-        tf.join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(totals.select("avgdl")))
-        .select(
-            "doc_id",
-            (
-                F.col("idf")
-                * (F.col("tf") * (_BM25_K1 + 1))
-                / (
-                    F.col("tf")
-                    + _BM25_K1
-                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("s"),
-        )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        (
+            F.col("idf")
+            * (F.col("tf") * (_BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        ).alias("s"),
     )
     return (
         scored.groupBy("doc_id")
@@ -4365,10 +4537,16 @@ GROUP BY c.lang
     "expensive training run (a healthy random split has KL near 0; a "
     "topical leak spikes it). Split rule = the md5 bucket "
     "dataset_split_assign ships (bucket < 80 -> train). Numerics: each "
-    "per-term KL contribution is a fixed IEEE op sequence on exact "
-    "integer counts, pinned to an e9 integer via floor(x*1e9 + 0.5) and "
-    "summed EXACTLY as integers — no float accumulation order anywhere "
-    "(the r7 twap/cos_e6 discipline applied to a sum of logs). Plan: "
+    "per-term KL contribution is the same op SEQUENCE on exact integer "
+    "counts, pinned to an e9 integer via floor(x*1e9 + 0.5) and summed "
+    "EXACTLY as integers — no float accumulation order anywhere (the r7 "
+    "twap/cos_e6 discipline applied to a sum of logs). Residual risk: "
+    "unlike sqrt, ln() is NOT IEEE-pinned — Spark's java.lang.Math.log "
+    "(<=1 ulp) and DuckDB's libm log may differ in the last ulp, and "
+    "the e9 floor cannot absorb a divergence landing exactly on a half "
+    "boundary (same class as the FMA-contraction rule; never observed "
+    "in fuzz — if it ever trips, widen the pin granularity or evaluate "
+    "the log-argument ratio in a pinned rational form). Plan: "
     "one tokenize pass, one (lang, term, split) hash agg folded to "
     "(lang, term) via conditional counts, per-lang totals fold FROM the "
     "count frame, final tiny per-lang agg.",

@@ -576,6 +576,21 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
         table, row_index = _fetch_parquet(
             partition.url, cols, filters, want_row_index=need_index
         )
+    except FileNotFoundError as ex:
+        # a LOCAL file pinned by this task's snapshot vanished between
+        # planning and read — VACUUM deleted it under an in-flight reader
+        # or a time-travel read past the data-file retention window. The
+        # one wrong response is silence: skipping the task would return a
+        # silently smaller table (tests/test_vacuum_reader_race_r9.py).
+        raise RuntimeError(
+            f"data file {partition.url} is referenced by this scan's "
+            "snapshot but no longer exists: it was deleted after the scan "
+            "was planned (VACUUM under an in-flight reader, or time "
+            "travel to a version whose files are past the retention "
+            "window). Re-run the query from the latest snapshot; for "
+            "long-running scans or deep time travel, raise the vacuum "
+            "retain_hours above the scan/travel horizon."
+        ) from ex
     except UrlExpiredError:
         # ONLY an expired presigned URL is refreshable; a 404 (file no
         # longer in the table) re-raising immediately avoids a

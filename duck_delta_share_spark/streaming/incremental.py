@@ -100,7 +100,12 @@ def acquire_rollup_ownership(rollup_path: str | Path, owner_id: str) -> int:
         except (OSError, ValueError):
             meta = None
         if isinstance(meta, dict):
+            # brand with BOTH fields: two acquirers racing the (non-atomic)
+            # read-increment-write of _owner.json can mint the SAME epoch,
+            # so the epoch alone cannot distinguish their pointer flips —
+            # owner_id disambiguates colliding epochs (r8 ADVICE)
             meta["owner_epoch"] = epoch
+            meta["owner"] = owner_id
             _write_atomic(meta_file, meta)
     return epoch
 
@@ -147,17 +152,27 @@ def rollup_upserter(
         if (
             meta
             and owner_epoch
-            and int(meta.get("owner_epoch", owner_epoch)) != owner_epoch
+            and (
+                int(meta.get("owner_epoch", owner_epoch)) != owner_epoch
+                # owner_id disambiguates COLLIDING epochs: two acquirers
+                # racing acquire_rollup_ownership's read-increment-write
+                # can both mint epoch N+1, so the fence must compare the
+                # (owner, epoch) brand, not the epoch alone (r8 ADVICE;
+                # `in meta` guards pre-r9 metas without the owner field)
+                or ("owner" in meta and meta["owner"] != owner_id)
+            )
         ):
-            # epoch fence: the pointer was flipped under a DIFFERENT
-            # acquisition epoch after ours re-stamped it — a stale
-            # writer slipped a flip through the pre-flip-check window
-            # (or a newer stream took over). Folding onto the regressed
-            # pointer would silently drop applied versions; fail loud.
+            # (owner, epoch) fence: the pointer was flipped under a
+            # DIFFERENT acquisition brand after ours re-stamped it — a
+            # stale writer slipped a flip through the pre-flip-check
+            # window (or a newer stream took over). Folding onto the
+            # regressed pointer would silently drop applied versions;
+            # fail loud.
             raise RuntimeError(
-                f"rollup pointer of {out} carries acquisition epoch "
-                f"{meta.get('owner_epoch')} but this stream holds epoch "
-                f"{owner_epoch}: a stale writer flipped the pointer (or "
+                f"rollup pointer of {out} carries acquisition brand "
+                f"({meta.get('owner')!r}, epoch {meta.get('owner_epoch')}) "
+                f"but this stream holds ({owner_id!r}, epoch "
+                f"{owner_epoch}): a stale writer flipped the pointer (or "
                 "a newer stream acquired the directory). State may be "
                 "inconsistent — verify the rollup against the source "
                 "and reset checkpoint + rollup directory together."
@@ -236,10 +251,13 @@ def rollup_upserter(
             {
                 "current": target,
                 "last_version": int(hi) if hi is not None else -1,
-                # epoch fence: a flip that slips through the check above
-                # carries OUR epoch, so the true owner's next batch
-                # detects the mismatch and fails loud
+                # (owner, epoch) fence: a flip that slips through the
+                # check above carries OUR brand, so the true owner's next
+                # batch detects the mismatch and fails loud — owner_id
+                # keeps the fence sound even when two racing acquirers
+                # minted the same epoch (r8 ADVICE)
                 "owner_epoch": owner_epoch,
+                "owner": owner_id,
             },
         )
         # GC superseded generations AFTER the pointer flip, keeping the

@@ -1,5 +1,11 @@
-"""approx_count_distinct accuracy: the HLL++ sketch must land within its
-configured relative standard deviation (×3 for slack) of the exact count."""
+"""approx_count_distinct / DataSketches HLL accuracy: the sketches must land
+within their configured tolerance of the exact counts.
+
+Since r9 the two registry queries emit EXACT twins + within-tolerance
+booleans (so the driver oracle checks them — VERDICT r8 item 4); these
+tests (a) verify those booleans and twins against an independent
+recomputation, and (b) keep the ORIGINAL raw-estimate accuracy property
+tested directly, so the query-side booleans are not trusted blindly."""
 
 from __future__ import annotations
 
@@ -11,24 +17,30 @@ from tests.conftest import SF_DIR
 
 
 def test_approx_distinct_within_rsd(spark):
-    got = {
-        r.l_returnflag: r.approx_orders
-        for r in QUERIES["agg_approx_distinct"].spark_fn(spark, SF_DIR).collect()
-    }
+    rows = QUERIES["agg_approx_distinct"].spark_fn(spark, SF_DIR).collect()
     l = load_table(spark, SF_DIR, "lineitem")
     exact = {
         r.l_returnflag: r.d
-        for r in l.groupBy("l_returnflag").agg(F.count_distinct("l_orderkey").alias("d")).collect()
+        for r in l.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_orderkey").alias("d"))
+        .collect()
     }
-    assert set(got) == set(exact)
+    assert {r.l_returnflag for r in rows} == set(exact)
+    for r in rows:
+        assert r.exact_orders == exact[r.l_returnflag]
+        assert r.approx_within_5pct, (r.l_returnflag, r)
+    # raw-estimate accuracy, independent of the query's boolean
+    got = {
+        r.l_returnflag: r.a
+        for r in l.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a"))
+        .collect()
+    }
     for k, d in exact.items():
         assert abs(got[k] - d) <= max(3, 0.06 * d), (k, got[k], d)
 
 
 def test_hll_sketch_union_matches_exact_within_tolerance(spark):
-    from duck_delta_share_spark.plans import QUERIES
-    from tests.conftest import SF_DIR
-
     rows = QUERIES["hll_mergeable_distinct"].spark_fn(spark, SF_DIR).collect()
     e = load_table(spark, SF_DIR, "events")
     exact_total = e.select("user_id").distinct().count()
@@ -40,8 +52,15 @@ def test_hll_sketch_union_matches_exact_within_tolerance(spark):
     }
     assert rows
     for r in rows:
-        assert abs(r.distinct_users - exact_per_type[r.event_type]) <= max(
-            2, 0.05 * exact_per_type[r.event_type]
-        )
-        # the UNION of per-type sketches estimates the global count
-        assert abs(r.distinct_users_total - exact_total) <= max(2, 0.05 * exact_total)
+        assert r.exact_users == exact_per_type[r.event_type]
+        assert r.exact_users_total == exact_total
+        assert r.est_within_5pct, r
+        assert r.union_est_within_5pct, r
+    # raw sketch-union estimate accuracy, independent of the booleans
+    est_total = (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("t"))
+        .first()["t"]
+    )
+    assert abs(est_total - exact_total) <= max(2, 0.05 * exact_total)
