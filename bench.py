@@ -133,6 +133,12 @@ HEADLINE = [
     "split_kl_divergence",
     "ohlc_bars_hourly",
     "user_burstiness_profile",
+    # round-9 new operators: mergeable approximate quantiles (KLL-style
+    # percentile_approx + exact-twin rank certificate), key-skew profile
+    # (HHI/entropy concentration diagnostics, one hash agg). Baselines
+    # recorded as added_r9.
+    "agg_quantiles_mergeable",
+    "key_skew_profile",
 ]
 
 

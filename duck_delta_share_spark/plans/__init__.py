@@ -33,6 +33,9 @@ from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 # as they land, trimming the r5 tail one-for-one (the trimmed entries
 # lead the r10 fill). Everything stays registered; only order changes.
 _R9_WINDOW = [
+    # r9 NEW queries (never driver-evidenced)
+    "agg_quantiles_mergeable",
+    "key_skew_profile",
     # oracles NEW or changed this round
     "pca_project_embeddings",
     "agg_approx_distinct",
@@ -79,15 +82,17 @@ _R9_WINDOW = [
     "delta_share_scan",
     "json_functions",
     # r5 evidence: oldest Delta write-path / operator entries
+    # (incremental_rollup_cdf and sql_text_interface were judge-verified
+    # or low-risk r5 wrappers — they yield their slots to the two
+    # NEVER-driver-evidenced rows-only entries below)
     "delta_restore",
     "delta_rename_drop_scan",
     "delta_column_defaults",
-    "incremental_rollup_cdf",
     "similarity_ann_pq",
     "zorder_write_scan",
-    "sql_text_interface",
-    "minhash_md5_lsh_pairs",
-    "events_hopping_agg",
+    # rows-only by necessity, never driver-evidenced even at row level
+    "bpe_train_merges",
+    "similarity_ann_ivfpq",
 ]
 
 

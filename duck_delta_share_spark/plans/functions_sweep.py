@@ -170,18 +170,35 @@ def explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_functions",
     oracle="""
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-       CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS has_k
+       CASE WHEN props IS NOT NULL AND json_valid(props)
+             AND regexp_matches(
+                   COALESCE(json_extract_string(props, '$.k'), ''),
+                   '^-?[0-9]{1,9}$')
+            THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k_val,
+       CASE WHEN props IS NOT NULL AND json_valid(props)
+             AND json_extract_string(props, '$.k') IS NOT NULL
+            THEN 1 ELSE 0 END AS has_k
 FROM events
 """,
-    doc="JSON field extraction from the events.props string column",
+    doc="JSON field extraction from the events.props string column. TOTAL "
+    "on adversarial payloads (r9 props fuzz seed): Spark get_json_object "
+    "returns NULL on malformed JSON while DuckDB json_extract_string "
+    "ERRORS, so the oracle guards with json_valid; the int conversion is "
+    "gated by an explicit ^-?[0-9]{1,9}$ regexp on BOTH engines — plain "
+    "decimal ints convert, '9.9'/' 42 '/'1e3'/overflow all NULL "
+    "identically (ANSI cast would throw on some, TRY_CAST semantics "
+    "differ on others; the regexp pins one rule). Probed divergence that "
+    "stays OUT of the output: for integers beyond float precision, "
+    "json_extract_string re-renders via double ('1e23') while Spark "
+    "preserves the literal digits — never emit the RAW extract of an "
+    "unbounded number",
 )
 def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
     return e.select(
         "event_id",
-        k.cast("int").alias("k_val"),
+        F.when(k.rlike("^-?[0-9]{1,9}$"), k.cast("int")).alias("k_val"),
         F.when(k.isNotNull(), 1).otherwise(0).alias("has_k"),
     )
 
@@ -464,6 +481,117 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(approx.cast("double") - exact.cast("double"))
             <= F.greatest(F.lit(0.05) * exact.cast("double"), F.lit(2.0))
         ).alias("approx_within_5pct"),
+    )
+
+
+@query(
+    "agg_quantiles_mergeable",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(QUANTILE_CONT(l_quantity, 0.5) AS DOUBLE) AS p50_exact,
+       TRUE AS approx_rank_bound_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="mergeable approximate quantiles (percentile_approx = Spark's "
+    "KLL-style sketch, accuracy 100 => rank error eps = 1%): the 100 TB "
+    "quantile path — constant memory per group, partials merge across "
+    "partitions/days without re-scanning, unlike exact percentile's "
+    "per-group value buffer. ORACLE SHAPE (r9, the approx-distinct "
+    "pattern): sketch internals differ across engines, so the query "
+    "emits the EXACT interpolated median twin plus the boolean rank-"
+    "error certificate — the approx value must lie between the exact "
+    "quantiles at p +/- 2*eps (monotonicity of the quantile function "
+    "makes 2*eps a safe envelope for the sketch's eps*n rank guarantee; "
+    "the boolean is computed wholly Spark-side, the oracle asserts "
+    "literal TRUE). q50 exactness discipline = the green "
+    "agg_percentiles formulation",
+)
+def agg_quantiles_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg_quantiles_mergeable_core(load_table(spark, sf_dir, "lineitem"))
+
+
+def agg_quantiles_mergeable_core(l: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
+    ap = F.percentile_approx("l_quantity", 0.5, 100)
+    lo = F.expr("percentile(l_quantity, 0.48D)")
+    hi = F.expr("percentile(l_quantity, 0.52D)")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("percentile(l_quantity, 0.5D)").alias("p50_exact"),
+        ((ap >= lo) & (ap <= hi)).alias("approx_rank_bound_ok"),
+    )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+WITH kc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(MAX(c) AS BIGINT) AS max_count,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT) AS sum_c2,
+         CAST(SUM(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                             * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+           AS entropy_terms_e9
+  FROM kc
+)
+SELECT n_keys, n_events, max_count, sum_c2, entropy_terms_e9,
+       CAST(floor(CAST(sum_c2 AS DOUBLE) * 1e12
+                  / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+                  + 0.5) AS BIGINT) AS hhi_e12
+FROM agg
+""",
+    doc="key-distribution skew profile — the diagnostic run BEFORE "
+    "choosing a salting/AQE-skew strategy for a 100 TB shuffle: exact "
+    "per-key counts fold to (n_keys, n_events, max_count, sum of "
+    "squared counts, pinned Shannon-entropy terms) in ONE combiner-"
+    "friendly hash agg + a 1-row fold — no sort, no window, no "
+    "pair-join (the rank-based Gini needs a whole-domain sorted prefix "
+    "sum; HHI = sum_c2/S^2 carries the same concentration signal "
+    "shuffle-free: HHI*n_keys ~ 1 is uniform, >> 1 is hot-key). "
+    "Numerics: sum_c2 summed as exact decimal, emitted BIGINT "
+    "(ANSI cast fails loud past 2^63 rather than rounding); entropy terms "
+    "are floor(c*ln(c)*1e9+0.5) integers summed exactly (the split_kl ln "
+    "discipline, same residual last-ulp ln caveat); hhi_e12 is one "
+    "double division of exact-integer casts, floor-pinned",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return key_skew_profile_core(load_table(spark, sf_dir, "events"))
+
+
+def key_skew_profile_core(e: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
+    kc = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    cd = F.col("c").cast("double")
+    agg = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_events"),
+        F.max("c").alias("max_count"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("long")
+        .alias("sum_c2"),
+        F.sum(
+            F.floor(cd * F.log(cd) * F.lit(1e9) + F.lit(0.5)).cast("long")
+        ).cast("long").alias("entropy_terms_e9"),
+    )
+    return agg.select(
+        "n_keys",
+        "n_events",
+        "max_count",
+        "sum_c2",
+        "entropy_terms_e9",
+        F.floor(
+            F.col("sum_c2").cast("double")
+            * F.lit(1e12)
+            / (F.col("n_events").cast("double") * F.col("n_events").cast("double"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("hhi_e12"),
     )
 
 

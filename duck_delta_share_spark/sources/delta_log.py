@@ -361,10 +361,39 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
             f"log is missing commit(s) {missing} for version {target}{detail}"
         )
     for v in replay:
-        with open(_commit_path(table, v)) as f:
-            for line in f:
-                if line.strip():
-                    _apply_action(state, json.loads(line), table)
+        applied = 0
+        try:
+            with open(_commit_path(table, v), encoding="utf-8") as f:
+                for i, line in enumerate(f, 1):
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    _apply_action(state, action, table)
+                    applied += 1
+        except UnsupportedTableProtocol:
+            raise  # the protocol gate's own actionable error
+        except (ValueError, KeyError, TypeError) as e:
+            # garbled or torn commit content (a foreign writer without
+            # atomic rename, bit rot): non-UTF-8 bytes raise
+            # UnicodeDecodeError from the read itself, garbage text
+            # raises JSONDecodeError, and shape-violating actions raise
+            # KeyError/TypeError in _apply_action — all fail here WITH
+            # file context (the bare errors name no table, no version;
+            # r9 corrupt-log lens)
+            raise ValueError(
+                f"corrupt commit {v} of {table} (at or after line "
+                f"{applied + 1}): {e!r}. The log needs repair or restore "
+                "from a checkpoint/backup; refusing to skip actions (a "
+                "partial replay silently drops table state)."
+            ) from e
+        if applied == 0:
+            # a 0-byte/blank commit is a torn write, not a no-op: every
+            # real commit carries at least one action. Treating it as
+            # empty would silently erase whatever that version did.
+            raise ValueError(
+                f"commit {v} of {table} contains no actions (torn or "
+                "truncated write) — repair the log before reading"
+            )
     files = tuple(
         {
             "url": str(table / rel),

@@ -747,6 +747,8 @@ def main() -> None:
         event_volume_anomaly_core,
     )
     from duck_delta_share_spark.plans.functions_sweep import (
+        agg_quantiles_mergeable_core,
+        key_skew_profile_core,
         user_burstiness_core,
     )
     from duck_delta_share_spark.plans.llm_ops import (
@@ -830,6 +832,8 @@ def main() -> None:
         ("split_kl", split_kl_divergence_core, d1, dN),
         ("ohlc_bars", ohlc_bars_core, e1, eN),
         ("user_burstiness", user_burstiness_core, e1, eN),
+        ("agg_quantiles", agg_quantiles_mergeable_core, l1, lN),
+        ("key_skew", key_skew_profile_core, e1, eN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))

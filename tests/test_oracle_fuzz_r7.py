@@ -39,7 +39,33 @@ KNOWN_ENGINE_DIVERGENCE = EMPTY_INPUT_GROUPING_DIVERGENCE | {
 MIN_RAN = 165
 
 
-@pytest.fixture(scope="module", params=["plain", "nulls", "tpch", "zerovec"])
+# adversarial props payloads for the r9 'props' corpus: deep nesting,
+# numbers past int32/int64/double precision, duplicate keys, unicode
+# escapes (incl. an escaped NUL in a KEY), non-scalar k, top-level
+# non-objects, malformed/truncated/empty JSON. Engine ground truth
+# (probed r9): under the json_valid guard + regexp-gated int cast the
+# engines agree on every case; the one divergence (yyjson re-renders
+# 99999999999999999999999 as '1e23', Spark keeps the digits) never
+# reaches an output column.
+ADVERSARIAL_PROPS = [
+    '{"k": 42}', '{"k":"42"}', '{"k": "007"}', '{"k": " 42 "}',
+    '{"k": 9.9}', '{"k": "9.9"}', '{"k": 2147483648}',
+    '{"k": -2147483649}', '{"k": 1e3}', '{"k": "1e3"}', '{"k": true}',
+    '{"k": null}', '{"k": {"a": 1}}', '{"k": [1,2]}', '{"k":1,"k":2}',
+    '{"K": 5}', '{ }', '{"a":{"k":7}}', 'not json', '{"k": 1', '',
+    '{"k": "\\u0034\\u0032"}', '[1,2,3]', '"scalar"',
+    '{"k": 99999999999999999999999}', '{"k": -0}', '{"k": 0.0}',
+    '{"k\\u0000x": 1}',
+    '{"deep": {"deep": {"deep": {"deep": {"k": 8}}}}}',
+    '{"k": "café"}', '{"arr": [10, {"k": 3}]}', None,
+    '{"k": ' + "[" * 40 + "]" * 40 + "}",   # 40-deep array nesting
+    '{"k": "' + "x" * 4000 + '"}',            # 4 KB scalar
+]
+
+
+@pytest.fixture(
+    scope="module", params=["plain", "nulls", "tpch", "zerovec", "props"]
+)
 def fuzz_dir(request, tmp_path_factory):
     """Four seeded corpora: 'plain' stresses content (dups, ties, empty
     strings); 'nulls' additionally injects NULL text/lang/source/value —
@@ -54,7 +80,9 @@ def fuzz_dir(request, tmp_path_factory):
     and SCALED-COPY duplicate directions in the embeddings table — the
     zero-norm exclusions the similarity oracles gained in r8 and the
     bit-exact-cosine tie-break claims are only fixture-verified without
-    it."""
+    it; 'props' (r9) floods events.props with the ADVERSARIAL_PROPS
+    payloads above — json_functions semantics vs DuckDB were
+    fixture-verified only (VERDICT r8 item 6)."""
     import random
 
     import numpy as np
@@ -62,9 +90,12 @@ def fuzz_dir(request, tmp_path_factory):
 
     with_nulls = request.param == "nulls"
     zerovec = request.param == "zerovec"
+    adv_props = request.param == "props"
     out = tmp_path_factory.mktemp(f"fuzzfix_{request.param}")
     rng = random.Random(
-        {"plain": 7, "nulls": 11, "tpch": 13, "zerovec": 17}[request.param]
+        {"plain": 7, "nulls": 11, "tpch": 13, "zerovec": 17, "props": 19}[
+            request.param
+        ]
     )
     np_rng = np.random.default_rng(7)
     vocab = [
@@ -107,7 +138,10 @@ def fuzz_dir(request, tmp_path_factory):
         else:
             ts = base_ts + pd.Timedelta(seconds=rng.randrange(0, 1200000))
         val = round(rng.uniform(-5, 100), 2)
-        props = '{"k": %d}' % rng.randrange(100)
+        if adv_props:
+            props = rng.choice(ADVERSARIAL_PROPS + ['{"k": %d}' % rng.randrange(100)])
+        else:
+            props = '{"k": %d}' % rng.randrange(100)
         if with_nulls and rng.random() < 0.05:
             val = None
         if with_nulls and rng.random() < 0.05:
