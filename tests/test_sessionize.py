@@ -8,6 +8,8 @@ clearly-closed ones must have emitted.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from duck_delta_share_spark.catalog import load_table
 from duck_delta_share_spark.operators.sessionize import sessionize
 from duck_delta_share_spark.streaming.events import read_events_stream
@@ -146,3 +148,86 @@ def test_stateful_sessionize_late_event_does_not_regress(spark, tmp_path):
     assert s.n_events == 3
     for r in emitted:
         assert r.session_end >= r.session_start
+
+
+def test_subsecond_gap_boundary_batch_equals_stateful_twin(spark, tmp_path):
+    """r9 (ADVICE r8): the batch operator now measures gaps in exact
+    MICROSECONDS like the stateful twin — pin the sub-second boundary on
+    both implementations. Grid: an event at exactly last+gap MERGES
+    (strict >), at last+gap+0.5s and at last+gap+1µs SPLITS — cases the
+    old second-truncated batch gap silently merged."""
+    import pandas as pd
+
+    T = pd.Timestamp
+    rows = [
+        # u1: whole-second base; +gap exactly -> merge; +gap+0.5s -> split
+        (1, T("2024-01-01 12:00:00"), 1.0),
+        (1, T("2024-01-01 12:30:00"), 1.0),
+        (1, T("2024-01-01 13:00:00.500"), 1.0),
+        # u2: sub-second base; +gap exactly (sub-second ts both) -> merge
+        (2, T("2024-01-01 12:00:00.250"), 1.0),
+        (2, T("2024-01-01 12:30:00.250"), 1.0),
+        # u3: one MICROSECOND over the gap -> split
+        (3, T("2024-01-01 12:00:00"), 1.0),
+        (3, T("2024-01-01 12:30:00.000001"), 1.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+
+    batch_df = spark.createDataFrame(pdf).withColumn(
+        "event_id", F.monotonically_increasing_id()
+    )
+    got = {
+        (r.user_id, _naive(r.session_start)): (_naive(r.session_end), r.n_events)
+        for r in sessionize(batch_df, gap_seconds=1800).collect()
+    }
+    want = {
+        (1, T("2024-01-01 12:00:00")): (T("2024-01-01 12:30:00"), 2),
+        (1, T("2024-01-01 13:00:00.500")): (T("2024-01-01 13:00:00.500"), 1),
+        (2, T("2024-01-01 12:00:00.250")): (T("2024-01-01 12:30:00.250"), 2),
+        (3, T("2024-01-01 12:00:00")): (T("2024-01-01 12:00:00"), 1),
+        (3, T("2024-01-01 12:30:00.000001")): (T("2024-01-01 12:30:00.000001"), 1),
+    }
+    assert got == want
+
+    # stateful twin on the same sub-second grid: chunked feed + two
+    # far-future sentinel pushes flush the timeouts; emitted sessions
+    # must EQUAL the batch anchor (minus the sentinels)
+    src = tmp_path / "subsec_src"
+    src.mkdir()
+    out_dir = tmp_path / "subsec_out"
+
+    def write_batch(name, rs):
+        pd.DataFrame(rs, columns=["user_id", "ts", "value"]).astype(
+            {"user_id": "int64", "value": "float64"}
+        ).to_parquet(src / f"{name}.parquet", coerce_timestamps="us")
+
+    def drain(ck):
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp_ntz, value double")
+            .parquet(str(src))
+            .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+        )
+        out = sessionize_with_state(stream, gap_seconds=1800, watermark="1 hour")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, _: b.write.mode("append").parquet(str(out_dir))
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_subsec"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write_batch("b1", rows)
+    drain("s1")
+    write_batch("b2", [(99, T("2024-01-02 12:00:00"), 0.0)])
+    drain("s2")
+    write_batch("b3", [(99, T("2024-01-03 12:00:00"), 0.0)])
+    drain("s3")
+    emitted = {
+        (r.user_id, _naive(r.session_start)): (_naive(r.session_end), r.n_events)
+        for r in spark.read.parquet(str(out_dir)).collect()
+        if r.user_id != 99
+    }
+    assert emitted == want
