@@ -622,7 +622,22 @@ def _read_task(partition: _FileTask) -> Iterator[Any]:
 
         from duck_delta_share_spark.sources.deletion_vectors import load_dv
 
-        deleted = load_dv(partition.dv, "").astype(np.int64)
+        try:
+            deleted = load_dv(partition.dv, "").astype(np.int64)
+        except FileNotFoundError as ex:
+            # the SUPERSEDED DV bin of a time-travel/pinned snapshot was
+            # vacuumed (DV bins carry no remove tombstone — they age by
+            # mtime). Emitting the file UNMASKED would silently
+            # RESURRECT deleted rows — the one unacceptable response
+            # (tests/test_dv_vacuum_race_r9.py).
+            raise RuntimeError(
+                f"deletion vector {partition.dv.get('pathOrInlineDv')} "
+                f"for data file {partition.url} is referenced by this "
+                "scan's snapshot but no longer exists (VACUUM reclaimed "
+                "a superseded DV under an in-flight or time-travel "
+                "read). Re-run from the latest snapshot, or raise "
+                "vacuum retain_hours above the scan/travel horizon."
+            ) from ex
         if len(deleted):
             keep = ~np.isin(row_index, deleted)
             table = table.filter(pa.array(keep))
