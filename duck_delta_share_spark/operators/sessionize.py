@@ -56,7 +56,10 @@ def assign_sessions(
     (r8 ADVICE); sub-second timestamps now agree bit-for-bit.
     """
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    gap_us = int(gap_seconds) * 1_000_000
+    # int() AFTER the multiply: a fractional gap (the annotation is not
+    # enforced) must truncate the same way the stateful twin's
+    # `gap_seconds * 1_000_000` computes, not collapse to 0 (r9 review)
+    gap_us = int(gap_seconds * 1_000_000)
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     flagged = events.withColumn(
         "__new_session",

@@ -1662,8 +1662,17 @@ def embedding_variance_by_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pca_project_embeddings",
     oracle="""
-WITH e AS (
-  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+WITH d AS (
+  SELECT MAX(len(embedding)) AS d FROM embeddings WHERE embedding IS NOT NULL
+), e AS (
+  -- whole-row-faithful domain (r9 review): rows shorter than the max
+  -- width or carrying NULL elements are EXCLUDED on both engines — the
+  -- Spark side's zip_with would NULL-pad a short vector and its fold
+  -- would propagate a NULL element, silently diverging from SQL SUM
+  SELECT vec_id, embedding FROM embeddings CROSS JOIN d
+  WHERE embedding IS NOT NULL
+    AND len(embedding) = d.d
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ), x AS (
   SELECT vec_id,
          generate_subscripts(embedding, 1) - 1 AS dim,
@@ -1721,8 +1730,20 @@ def pca_project_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     )
-    d = int(
-        e.agg(F.max(F.size("embedding")).alias("d")).first()["d"]
+    d_raw = e.agg(F.max(F.size("embedding")).alias("d")).first()["d"]
+    if d_raw is None:
+        # fail with table context instead of int(None)'s bare TypeError
+        raise ValueError(
+            "pca_project_embeddings: embeddings table has no non-NULL "
+            "embedding rows"
+        )
+    d = int(d_raw)
+    # whole-row-faithful domain (mirrors the oracle): drop ragged rows
+    # (zip_with would NULL-pad them) and rows with NULL elements (the
+    # fold would propagate NULL where SQL SUM skips it)
+    e = e.where(
+        (F.size("embedding") == d)
+        & ~F.exists("embedding", lambda x: x.isNull())
     )
     comps, _, mean = principal_components(e, "embedding", k=d)
     proj = pca_project(e, "embedding", k=d, components=comps, mean=mean)
@@ -2139,18 +2160,29 @@ def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.05) * exact.cast("double"), F.lit(2.0)
         )
 
-    fine = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").cast("long").alias("exact_users"),
-        F.count(F.lit(1)).alias("n_rows"),
+    # ONE events scan: pre-aggregate to (event_type, user_id) pairs —
+    # HLL registers are duplicate-insensitive, so sketches over the
+    # deduped pairs equal sketches over raw events, exact distincts
+    # become plain counts, and every downstream frame (fine, union
+    # estimate, global exact) derives from this small persisted frame
+    # instead of re-scanning events per broadcast subtree (the CLAUDE.md
+    # self-derived-join rule; r9 review)
+    pairs = (
+        e.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .persist()
     )
-    # union the fine-grained sketch states into the global estimate —
-    # no second scan of events for the ESTIMATE; the exact global twin
-    # (audit column) is the one extra distinct pass
+    fine = pairs.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        # count(user_id), not count(*): a NULL-user pair row must not
+        # count — COUNT(DISTINCT user_id) skips NULLs on both engines
+        F.count("user_id").cast("long").alias("exact_users"),
+        F.sum("__n").alias("n_rows"),
+    )
     total_est = fine.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__total_est")
     )
-    total_exact = e.agg(
+    total_exact = pairs.agg(
         F.count_distinct("user_id").cast("long").alias("exact_users_total")
     )
     per_type = fine.select(
@@ -2161,7 +2193,7 @@ def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_within_5pct"
         ),
     )
-    return (
+    result = (
         per_type.crossJoin(F.broadcast(total_est))
         .crossJoin(F.broadcast(total_exact))
         .select(
@@ -2176,6 +2208,10 @@ def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    # deterministic release hook (pack_sequences/bm25 precedent); the
+    # cache is |types x distinct users| rows, not the event stream
+    result._hll_pairs_cache = pairs
+    return result
 
 
 _WAV_HIST = ",\n         ".join(

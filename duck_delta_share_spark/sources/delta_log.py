@@ -362,6 +362,7 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
         )
     for v in replay:
         applied = 0
+        i = 0
         try:
             with open(_commit_path(table, v), encoding="utf-8") as f:
                 for i, line in enumerate(f, 1):
@@ -375,14 +376,15 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
         except (ValueError, KeyError, TypeError) as e:
             # garbled or torn commit content (a foreign writer without
             # atomic rename, bit rot): non-UTF-8 bytes raise
-            # UnicodeDecodeError from the read itself, garbage text
-            # raises JSONDecodeError, and shape-violating actions raise
+            # UnicodeDecodeError from the read itself (i = last COMPLETE
+            # line then), garbage text raises JSONDecodeError with i on
+            # the offending line, and shape-violating actions raise
             # KeyError/TypeError in _apply_action — all fail here WITH
             # file context (the bare errors name no table, no version;
             # r9 corrupt-log lens)
             raise ValueError(
                 f"corrupt commit {v} of {table} (at or after line "
-                f"{applied + 1}): {e!r}. The log needs repair or restore "
+                f"{max(i, 1)}): {e!r}. The log needs repair or restore "
                 "from a checkpoint/backup; refusing to skip actions (a "
                 "partial replay silently drops table state)."
             ) from e

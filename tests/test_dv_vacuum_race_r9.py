@@ -5,7 +5,7 @@ only by OLD snapshots. DV bins carry no remove tombstone (removes name
 the DATA path), so they age out by mtime alone. Contract:
 
 - vacuum NEVER deletes the live DV (referenced via the current
-  snapshot) even at zero retention;
+  snapshot) even when everything else is expired;
 - the superseded bin IS reclaimed once aged — but a pinned/time-travel
   read that still references it must fail LOUD and actionably, never
   emit the file unmasked (silently RESURRECTING deleted rows is the
@@ -15,8 +15,6 @@ the DATA path), so they age out by mtime alone. Contract:
 
 from __future__ import annotations
 
-import os
-import time
 from pathlib import Path
 
 import pytest
@@ -28,9 +26,12 @@ from duck_delta_share_spark.sources.delta_log import (
     vacuum,
     write_delta,
 )
-from duck_delta_share_spark.sources.delta_share import (
-    DeltaShareDataSource,
-    _read_task,
+from duck_delta_share_spark.sources.delta_share import _read_task
+from tests.vacuum_util import (
+    age_all_data,
+    age_tombstones,
+    pin_tasks,
+    refresh_current_files,
 )
 
 
@@ -49,53 +50,28 @@ def _mk(spark, tmp_path):
     return t
 
 
-def _pin_tasks(t, version=None):
-    opts = {"deltaPath": str(t)}
-    if version is not None:
-        opts["versionAsOf"] = str(version)
-    ds = DeltaShareDataSource(options=opts)
-    schema = ds.schema()
-    return ds.reader(schema).partitions()
+def _live_dv_names(t):
+    return {
+        Path(f["deletionVector"]["pathOrInlineDv"]).name
+        for f in snapshot(t).files
+        if f.get("deletionVector")
+    }
 
 
-def _age_everything(t, hours=400):
-    old = time.time() - hours * 3600
-    for p in Path(t).rglob("*"):
-        if p.is_file() and "_delta_log" not in p.parts:
-            os.utime(p, (old, old))
+def _expire_superseded(t):
+    age_all_data(t)
+    refresh_current_files(t, snapshot)
+    age_tombstones(t, [1, 2])
 
 
 def test_vacuum_zero_retention_keeps_live_dv_reaps_superseded(spark, tmp_path):
     t = _mk(spark, tmp_path)
     bins = _dv_bins(t)
     assert len(bins) >= 2, f"expected superseded + live DV bins, got {bins}"
-    live = {
-        Path(f["deletionVector"]["pathOrInlineDv"]).name
-        for f in snapshot(t).files
-        if f.get("deletionVector")
-    }
+    live = _live_dv_names(t)
     assert live, "current snapshot should carry a DV"
 
-    _age_everything(t)
-    # re-fresh the CURRENT snapshot's data + DV files so only superseded
-    # artifacts are mtime-eligible (converted-table posture for the rest)
-    now = time.time()
-    for f in snapshot(t).files:
-        os.utime(f["url"], (now, now))
-    # age tombstones too: v1/v2 removes protect the ORIGINAL data file
-    import json
-
-    for v in (1, 2):
-        cp = Path(t) / "_delta_log" / f"{v:020d}.json"
-        old_ms = int((time.time() - 400 * 3600) * 1000)
-        lines = []
-        for line in cp.read_text().splitlines():
-            a = json.loads(line)
-            if "remove" in a:
-                a["remove"]["deletionTimestamp"] = old_ms
-            lines.append(json.dumps(a))
-        cp.write_text("\n".join(lines) + "\n")
-
+    _expire_superseded(t)
     out = vacuum(t, retain_hours=168.0)
     after = set(_dv_bins(t))
     assert live <= after, "vacuum must NEVER reclaim the live DV"
@@ -111,28 +87,9 @@ def test_vacuum_zero_retention_keeps_live_dv_reaps_superseded(spark, tmp_path):
 
 def test_pinned_dv_snapshot_fails_loud_never_resurrects(spark, tmp_path):
     t = _mk(spark, tmp_path)
-    tasks_v1 = _pin_tasks(t, version=1)  # snapshot whose file carries d1
-    live = {
-        Path(f["deletionVector"]["pathOrInlineDv"]).name
-        for f in snapshot(t).files
-        if f.get("deletionVector")
-    }
-    import json
-
-    _age_everything(t)
-    now = time.time()
-    for f in snapshot(t).files:
-        os.utime(f["url"], (now, now))
-    for v in (1, 2):
-        cp = Path(t) / "_delta_log" / f"{v:020d}.json"
-        old_ms = int((time.time() - 400 * 3600) * 1000)
-        lines = []
-        for line in cp.read_text().splitlines():
-            a = json.loads(line)
-            if "remove" in a:
-                a["remove"]["deletionTimestamp"] = old_ms
-            lines.append(json.dumps(a))
-        cp.write_text("\n".join(lines) + "\n")
+    _, tasks_v1 = pin_tasks(t, version=1)  # snapshot whose file carries d1
+    live = _live_dv_names(t)
+    _expire_superseded(t)
     vacuum(t, retain_hours=168.0)
     assert set(_dv_bins(t)) == live
 

@@ -15,57 +15,26 @@ already pinned (planned) when VACUUM destroys its files. Contract:
   referenced files).
 
 The pinned task list is produced exactly as Spark executors would see
-it: DeltaShareDataSource.reader(schema).partitions() on the driver,
-then _read_task per task — deterministic, no timing games.
+it (tests/vacuum_util.pin_tasks) — deterministic, no timing games.
 """
 
 from __future__ import annotations
-
-import json
-import os
-import time
-from pathlib import Path
 
 import pytest
 
 from duck_delta_share_spark.sources.delta_log import (
     read_delta,
+    snapshot,
     vacuum,
     write_delta,
 )
-from duck_delta_share_spark.sources.delta_share import (
-    DeltaShareDataSource,
-    _read_task,
+from duck_delta_share_spark.sources.delta_share import _read_task
+from tests.vacuum_util import (
+    age_files,
+    age_tombstones,
+    pin_tasks,
+    refresh_current_files,
 )
-
-
-def _age_files(table, hours=400):
-    old = time.time() - hours * 3600
-    for p in Path(table).rglob("*.parquet"):
-        if "_delta_log" not in p.parts:
-            os.utime(p, (old, old))
-
-
-def _age_tombstones(table, version, hours=400):
-    cp = Path(table) / "_delta_log" / f"{version:020d}.json"
-    old_ms = int((time.time() - hours * 3600) * 1000)
-    lines = []
-    for line in cp.read_text().splitlines():
-        a = json.loads(line)
-        if "remove" in a:
-            a["remove"]["deletionTimestamp"] = old_ms
-        lines.append(json.dumps(a))
-    cp.write_text("\n".join(lines) + "\n")
-
-
-def _pin_tasks(table, version=None):
-    """The driver-side planning step, pinned: what Spark hands executors."""
-    opts = {"deltaPath": str(table)}
-    if version is not None:
-        opts["versionAsOf"] = str(version)
-    ds = DeltaShareDataSource(options=opts)
-    schema = ds.schema()
-    return schema, ds.reader(schema).partitions()
 
 
 def _drain(tasks):
@@ -76,13 +45,27 @@ def _drain(tasks):
     return rows
 
 
+def _overwrite_and_expire(spark, t):
+    """Make v0's files vacuum-eligible: overwrite (v1 removes them), age
+    every data file's mtime, expire v1's tombstones, re-fresh the CURRENT
+    snapshot's files so only v0's are eligible."""
+    write_delta(
+        spark.createDataFrame([(99, "b")], "id int, v string"),
+        t,
+        mode="overwrite",
+    )
+    age_files(t)
+    age_tombstones(t, [1])
+    refresh_current_files(t, snapshot)
+
+
 def test_pinned_scan_survives_vacuum_within_retention(spark, tmp_path):
     t = tmp_path / "t"
     write_delta(
         spark.createDataFrame([(i, "a") for i in range(10)], "id int, v string"),
         t,
     )
-    _, tasks = _pin_tasks(t)  # reader planned against v0
+    _, tasks = pin_tasks(t)  # reader planned against v0
     write_delta(
         spark.createDataFrame([(99, "b")], "id int, v string"),
         t,
@@ -100,22 +83,9 @@ def test_pinned_scan_fails_loud_after_retention_expiry(spark, tmp_path):
         spark.createDataFrame([(i, "a") for i in range(10)], "id int, v string"),
         t,
     )
-    _, tasks = _pin_tasks(t)
+    _, tasks = pin_tasks(t)
     assert tasks, "need at least one pinned task"
-    write_delta(
-        spark.createDataFrame([(99, "b")], "id int, v string"),
-        t,
-        mode="overwrite",
-    )
-    _age_files(t)
-    # the overwrite is commit v1; age its tombstones past retention, then
-    # re-fresh the CURRENT snapshot's file so only v0 files are eligible
-    _age_tombstones(t, 1)
-    now = time.time()
-    from duck_delta_share_spark.sources.delta_log import snapshot
-
-    for f in snapshot(t).files:
-        os.utime(f["url"], (now, now))
+    _overwrite_and_expire(spark, t)
     out = vacuum(t, retain_hours=168.0)
     assert out["files_removed"] >= 1, "v0 files should be reclaimed"
     # the pinned scan must now fail LOUD and actionably — not shrink
@@ -129,22 +99,11 @@ def test_time_travel_past_vacuum_fails_loud_not_partial(spark, tmp_path):
         spark.createDataFrame([(i, "a") for i in range(10)], "id int, v string"),
         t,
     )
-    write_delta(
-        spark.createDataFrame([(99, "b")], "id int, v string"),
-        t,
-        mode="overwrite",
-    )
-    _age_files(t)
-    _age_tombstones(t, 1)
-    now = time.time()
-    from duck_delta_share_spark.sources.delta_log import snapshot
-
-    for f in snapshot(t).files:
-        os.utime(f["url"], (now, now))
+    _overwrite_and_expire(spark, t)
     assert vacuum(t, retain_hours=168.0)["files_removed"] >= 1
     # planning still succeeds (the log retains v0); the READ must raise —
     # a partial/empty result here would silently rewrite history
-    schema, tasks = _pin_tasks(t, version=0)
+    _, tasks = pin_tasks(t, version=0)
     with pytest.raises(RuntimeError, match="VACUUM|no longer exists"):
         _drain(tasks)
     # the end-to-end Spark path surfaces the same loud failure
@@ -158,18 +117,7 @@ def test_latest_read_after_vacuum_is_unaffected(spark, tmp_path):
         spark.createDataFrame([(i, "a") for i in range(10)], "id int, v string"),
         t,
     )
-    write_delta(
-        spark.createDataFrame([(99, "b")], "id int, v string"),
-        t,
-        mode="overwrite",
-    )
-    _age_files(t)
-    _age_tombstones(t, 1)
-    now = time.time()
-    from duck_delta_share_spark.sources.delta_log import snapshot
-
-    for f in snapshot(t).files:
-        os.utime(f["url"], (now, now))
+    _overwrite_and_expire(spark, t)
     vacuum(t, retain_hours=168.0)
     got = read_delta(spark, t).collect()
     assert [(r.id, r.v) for r in got] == [(99, "b")]
