@@ -139,6 +139,16 @@ HEADLINE = [
     # recorded as added_r9.
     "agg_quantiles_mergeable",
     "key_skew_profile",
+    # round-9 second wave: per-column dataset profile (union-of-pruned-
+    # scans exact distincts + one stats pass), the exact-moment Pearson
+    # correlation matrix (one hash agg + 1-row fold), and the robust
+    # median/MAD outlier profile (two percentile windows + final agg on
+    # one shared exchange). Baselines recorded as added_r9 from a
+    # CLEAN full-bench run (the box must be otherwise idle — a bench
+    # concurrent with a pytest session misread corr by 1.7x).
+    "table_profile",
+    "numeric_corr_matrix",
+    "mad_outlier_profile",
 ]
 
 

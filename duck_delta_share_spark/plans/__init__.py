@@ -36,6 +36,9 @@ _R9_WINDOW = [
     # r9 NEW queries (never driver-evidenced)
     "agg_quantiles_mergeable",
     "key_skew_profile",
+    "table_profile",
+    "numeric_corr_matrix",
+    "mad_outlier_profile",
     # oracles NEW or changed this round
     "pca_project_embeddings",
     "agg_approx_distinct",
@@ -85,11 +88,11 @@ _R9_WINDOW = [
     # (incremental_rollup_cdf and sql_text_interface were judge-verified
     # or low-risk r5 wrappers — they yield their slots to the two
     # NEVER-driver-evidenced rows-only entries below)
+    # (similarity_ann_pq, zorder_write_scan and delta_column_defaults
+    # trimmed for the three r9 profiling/QA queries above — they lead
+    # the r10 fill)
     "delta_restore",
     "delta_rename_drop_scan",
-    "delta_column_defaults",
-    "similarity_ann_pq",
-    "zorder_write_scan",
     # rows-only by necessity, never driver-evidenced even at row level
     "bpe_train_merges",
     "similarity_ann_ivfpq",

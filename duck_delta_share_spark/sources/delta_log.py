@@ -186,6 +186,19 @@ class UnsupportedTableProtocol(ValueError):
     from "no source of this table is legal to read" (never retryable)."""
 
 
+class ConcurrentLogTruncation(OSError):
+    """A commit file listed a moment ago vanished before replay read it.
+
+    This is the checkpoint-WRITE-vs-reader race (r9 lens): a maintainer
+    checkpoints the table and deletes commits ≤ N while a reader that
+    listed the log BEFORE the checkpoint appeared is still replaying
+    those commits. A fresh listing resolves it (the new checkpoint
+    covers the vanished commits), so ``snapshot()`` retries the whole
+    reconstruction; if the target version's sources are truly gone the
+    retry converges to the loud "log is missing commit(s)" error rather
+    than a silent partial state."""
+
+
 def _check_local_protocol(p: dict, table: Path) -> None:
     """Local-Delta protocol gate: v1 always; v2 (column mapping) is
     implemented; v3 when every listed readerFeature is implemented;
@@ -303,7 +316,24 @@ def _resolve_dv(descriptor: dict | None, table: Path) -> dict | None:
 
 
 def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapshot:
-    """Reconstruct the table state at ``version`` (default: latest)."""
+    """Reconstruct the table state at ``version`` (default: latest).
+
+    Retries (bounded) when a commit vanishes between the log listing and
+    its replay — the concurrent checkpoint-then-truncate race. Each retry
+    re-lists, so it either succeeds from the new checkpoint or converges
+    to the loud missing-commit error; it can never return partial state.
+    """
+    for _ in range(2):
+        try:
+            return _snapshot_once(table_path, version)
+        except ConcurrentLogTruncation:
+            continue
+    return _snapshot_once(table_path, version)
+
+
+def _snapshot_once(
+    table_path: str | Path, version: int | None = None
+) -> DeltaSnapshot:
     table = Path(table_path)
     log = _log_dir(table)
     if not log.is_dir():
@@ -338,6 +368,8 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
     state = _fresh_state()
     start = 0
     cp_error: Exception | None = None
+    cp_vanished = False  # a WHOLE-FILE disappearance (concurrent cleanup),
+    # as opposed to corrupt content, which no re-listing can fix
     for cp in sorted((v for v in checkpoints if v <= target), reverse=True):
         try:
             parts = _checkpoint_files(log, cp)
@@ -348,6 +380,8 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
             raise  # no older source makes this table legal to read
         except (OSError, ValueError) as e:
             cp_error = cp_error or e
+            if isinstance(e, FileNotFoundError) or "incomplete at read time" in str(e):
+                cp_vanished = True
             continue
         state = attempt
         start = cp + 1
@@ -356,6 +390,20 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
     expected = list(range(start, target + 1))
     if replay != expected:
         missing = sorted(set(expected) - set(replay))
+        if cp_vanished:
+            # a checkpoint this listing counted on VANISHED (or lost
+            # parts) between the listing and the read — concurrent
+            # maintenance: a FRESH listing may see the maintainer's newer
+            # checkpoint, so signal the bounded retry instead of failing
+            # on stale evidence. Corrupt checkpoint CONTENT does not take
+            # this branch: re-listing cannot repair bytes, and the loud
+            # ValueError below carries the repair guidance (r9
+            # corrupt-log lens).
+            raise ConcurrentLogTruncation(
+                f"log is missing commit(s) {missing} for version {target} "
+                f"and the covering checkpoint vanished mid-read "
+                f"({cp_error}) — concurrent checkpoint/log cleanup"
+            )
         detail = f" (checkpoint read also failed: {cp_error})" if cp_error else ""
         raise ValueError(
             f"log is missing commit(s) {missing} for version {target}{detail}"
@@ -373,6 +421,16 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
                     applied += 1
         except UnsupportedTableProtocol:
             raise  # the protocol gate's own actionable error
+        except FileNotFoundError as e:
+            # the commit existed when _list_versions ran but is gone now:
+            # a concurrent maintainer checkpointed and truncated the log.
+            # Signal snapshot()'s bounded retry — a fresh listing reads
+            # the new checkpoint instead; silently skipping the commit
+            # would drop its actions from the reconstructed state.
+            raise ConcurrentLogTruncation(
+                f"commit {v} of {table} vanished between listing and "
+                "replay (concurrent checkpoint + log truncation)"
+            ) from e
         except (ValueError, KeyError, TypeError) as e:
             # garbled or torn commit content (a foreign writer without
             # atomic rename, bit rot): non-UTF-8 bytes raise

@@ -749,6 +749,9 @@ def main() -> None:
     from duck_delta_share_spark.plans.functions_sweep import (
         agg_quantiles_mergeable_core,
         key_skew_profile_core,
+        mad_outlier_profile_core,
+        numeric_corr_matrix_core,
+        table_profile_core,
         user_burstiness_core,
     )
     from duck_delta_share_spark.plans.llm_ops import (
@@ -834,6 +837,9 @@ def main() -> None:
         ("user_burstiness", user_burstiness_core, e1, eN),
         ("agg_quantiles", agg_quantiles_mergeable_core, l1, lN),
         ("key_skew", key_skew_profile_core, e1, eN),
+        ("table_profile", table_profile_core, l1, lN),
+        ("numeric_corr", numeric_corr_matrix_core, l1, lN),
+        ("mad_outlier", mad_outlier_profile_core, e1, eN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))
