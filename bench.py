@@ -149,6 +149,10 @@ HEADLINE = [
     "table_profile",
     "numeric_corr_matrix",
     "mad_outlier_profile",
+    # round-9 third wave: minhash banding recall audit (composes the two
+    # oracled dedup pipelines through one full-outer pair join — the
+    # heaviest new r9 shape, worth perf-tracking).
+    "minhash_recall_audit",
 ]
 
 

@@ -4633,3 +4633,130 @@ def split_kl_divergence_core(d: DataFrame) -> DataFrame:
         F.max("nv").alias("n_val_tokens"),
         F.sum(contrib).alias("kl_e9"),
     )
+
+
+_MD5_SIG_SQL_M = "\n".join(
+    "         LIST_MIN(LIST_TRANSFORM(hs, h -> (h * {a} + {b}) % {p})) "
+    "AS mh_{i},".format(a=a, b=b, p=dd.CW_MD5_P, i=i)
+    for i, (a, b) in enumerate(dd.CW_MD5_PARAMS)
+).rstrip(",")
+
+
+@query(
+    "minhash_recall_audit",
+    oracle=f"""
+WITH jsh AS (
+  SELECT DISTINCT doc_id, lang, source, shingle FROM (
+    SELECT doc_id, lang, source,
+           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+                  i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents
+  ) t
+), jsizes AS (SELECT doc_id, COUNT(*) AS sz FROM jsh GROUP BY doc_id),
+jinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS xn
+  FROM jsh a
+  JOIN jsh b ON a.lang = b.lang AND a.source = b.source
+           AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b
+  FROM jinter
+  JOIN jsizes sa ON sa.doc_id = id_a
+  JOIN jsizes sb ON sb.doc_id = id_b
+  WHERE CAST(xn AS DOUBLE) / CAST(sa.sz + sb.sz - xn AS DOUBLE) > 0.15
+),
+msh AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+                        i -> ARRAY_TO_STRING(toks[i:i+2], ' ')) AS shingles
+  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+),
+mhv AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(shingles,
+           s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS hs
+  FROM msh
+),
+msig AS (
+  SELECT doc_id,
+{_MD5_SIG_SQL_M}
+  FROM mhv
+),
+mbands AS (
+  SELECT doc_id, 0 AS band,
+         md5(CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR)) AS bucket
+  FROM msig
+  UNION ALL SELECT doc_id, 1,
+         md5(CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR)) FROM msig
+  UNION ALL SELECT doc_id, 2,
+         md5(CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR)) FROM msig
+  UNION ALL SELECT doc_id, 3,
+         md5(CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR)) FROM msig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mbands a
+  JOIN mbands b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT CASE WHEN truth.id_a IS NOT NULL THEN 1 ELSE 0 END AS t,
+         CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END AS c
+  FROM truth FULL OUTER JOIN cand
+    ON truth.id_a = cand.id_a AND truth.id_b = cand.id_b
+)
+SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+       CAST(SUM(c) AS BIGINT) AS n_candidates,
+       CAST(SUM(t * c) AS BIGINT) AS n_hit,
+       CASE WHEN SUM(t) > 0
+            THEN CAST(floor(CAST(SUM(t * c) AS DOUBLE) * 1e6
+                            / CAST(SUM(t) AS DOUBLE) + 0.5) AS BIGINT)
+       END AS recall_e6
+FROM j
+""",
+    doc="MinHash banding RECALL audit — the tuning report run on a "
+    "sample BEFORE committing a (num_hashes, bands) choice to a 100 TB "
+    "dedup: ground truth = the oracled exact 3-gram Jaccard pairs "
+    "(threshold 0.15, (lang, source)-blocked), candidates = the oracled "
+    "md5 Carter-Wegman LSH pipeline (8 hashes, 4 bands, distinct "
+    "pairs); ONE full-outer join of the two pair lists folds "
+    "(n_truth, n_candidates, n_hit, recall_e6) in a single agg — "
+    "neither pipeline's lineage is evaluated twice (carried-flag "
+    "shape). Empty truth -> NULL recall via lazy CASE (ANSI-total). "
+    "Composes two independently hash-green pipelines, so a mismatch "
+    "here isolates the composition, not the ingredients",
+)
+def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    truth = dd.ngram_jaccard_pairs(
+        d, block_cols=["lang", "source"], threshold=0.15, shingle_n=3
+    ).select("id_a", "id_b", F.lit(1).alias("t"))
+    sigs = dd.minhash_md5_signatures(d, num_hashes=8, shingle_n=3)
+    # minhash_md5_lsh_pairs already groups to one row per pair
+    cand = dd.minhash_md5_lsh_pairs(sigs, num_hashes=8, bands=4).select(
+        "id_a", "id_b", F.lit(1).alias("c")
+    )
+    j = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    tt = F.when(F.col("t").isNotNull(), 1).otherwise(0)
+    cc = F.when(F.col("c").isNotNull(), 1).otherwise(0)
+    agg = j.agg(
+        F.sum(tt).cast("long").alias("n_truth"),
+        F.sum(cc).cast("long").alias("n_candidates"),
+        F.sum(tt * cc).cast("long").alias("n_hit"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.when(
+            F.col("n_truth") > 0,
+            F.floor(
+                F.col("n_hit").cast("double")
+                * F.lit(1e6)
+                / F.col("n_truth").cast("double")
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("recall_e6"),
+    )

@@ -218,3 +218,34 @@ def test_mad_single_exchange_plan(spark):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2000]
+
+
+def test_minhash_recall_audit_oracle_parity(spark, oracle_con):
+    from duck_delta_share_spark.plans import QUERIES
+
+    q = QUERIES["minhash_recall_audit"]
+    errs = compare_frames(
+        q.spark_fn(spark, SF_DIR).toPandas(),
+        oracle_con.execute(q.oracle).df(),
+        "minhash_recall_audit",
+    )
+    assert not errs, errs
+
+
+def test_minhash_recall_audit_invariants(spark):
+    from duck_delta_share_spark.plans import QUERIES
+
+    out = QUERIES["minhash_recall_audit"].spark_fn(spark, SF_DIR).collect()[0]
+    # hits are the intersection: bounded by both sides
+    assert out["n_hit"] <= out["n_truth"]
+    assert out["n_hit"] <= out["n_candidates"]
+    if out["n_truth"] > 0:
+        import math
+
+        assert out["recall_e6"] == math.floor(
+            out["n_hit"] * 1e6 / out["n_truth"] + 0.5
+        )
+    # fixtures contain at least one exact-dup pair, and 8-hash/4-band
+    # banding catches exact dups with certainty (identical signatures)
+    assert out["n_truth"] >= 1
+    assert out["recall_e6"] == 1_000_000
