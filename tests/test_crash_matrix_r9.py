@@ -56,11 +56,11 @@ class _FsFault:
         monkeypatch.setattr(os, "link", self._wrap(os.link))
         monkeypatch.setattr(os, "replace", self._wrap(os.replace))
         monkeypatch.setattr(os, "unlink", self._wrap(os.unlink))
-        monkeypatch.setattr(
-            Path, "rename", self._wrap(Path.rename, unbound=True)
-        )
+        # Path.rename patched as the unbound function: p.rename(t) calls
+        # inner(p, t) and the original passes through unchanged
+        monkeypatch.setattr(Path, "rename", self._wrap(Path.rename))
 
-    def _wrap(self, fn, unbound: bool = False):
+    def _wrap(self, fn):
         def inner(*a, **kw):
             self.n += 1
             if self.crash_at is not None and self.n == self.crash_at:
