@@ -145,7 +145,8 @@ HEADLINE = [
     # median/MAD outlier profile (two percentile windows + final agg on
     # one shared exchange). Baselines recorded as added_r9 from a
     # CLEAN full-bench run (the box must be otherwise idle — a bench
-    # concurrent with a pytest session misread corr by 1.7x).
+    # concurrent with a pytest session showed corr at 1.98x of a
+    # baseline the next clean run put at 1.17x).
     "table_profile",
     "numeric_corr_matrix",
     "mad_outlier_profile",

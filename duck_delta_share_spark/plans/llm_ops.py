@@ -4635,13 +4635,6 @@ def split_kl_divergence_core(d: DataFrame) -> DataFrame:
     )
 
 
-_MD5_SIG_SQL_M = "\n".join(
-    "         LIST_MIN(LIST_TRANSFORM(hs, h -> (h * {a} + {b}) % {p})) "
-    "AS mh_{i},".format(a=a, b=b, p=dd.CW_MD5_P, i=i)
-    for i, (a, b) in enumerate(dd.CW_MD5_PARAMS)
-).rstrip(",")
-
-
 @query(
     "minhash_recall_audit",
     oracle=f"""
@@ -4681,7 +4674,7 @@ mhv AS (
 ),
 msig AS (
   SELECT doc_id,
-{_MD5_SIG_SQL_M}
+{_MD5_SIG_SQL}
   FROM mhv
 ),
 mbands AS (
@@ -4729,7 +4722,11 @@ FROM j
     "here isolates the composition, not the ingredients",
 )
 def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return minhash_recall_audit_core(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_recall_audit_core(d: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
     truth = dd.ngram_jaccard_pairs(
         d, block_cols=["lang", "source"], threshold=0.15, shingle_n=3
     ).select("id_a", "id_b", F.lit(1).alias("t"))

@@ -120,6 +120,14 @@ def _list_versions(log: Path) -> tuple[list[int], list[int]]:
     return sorted(commits), sorted(checkpoints)
 
 
+class CheckpointIncompleteAtRead(ValueError):
+    """A multi-part checkpoint lost parts between the listing and the
+    read (concurrent retention cleanup / torn write). A ValueError
+    subclass so existing except-ValueError fallbacks keep working, but
+    TYPED so snapshot()'s concurrent-maintenance retry can recognize it
+    without matching message text."""
+
+
 def _checkpoint_files(log: Path, version: int) -> list[Path]:
     single = log / f"{version:020d}.checkpoint.parquet"
     if single.exists():
@@ -135,7 +143,7 @@ def _checkpoint_files(log: Path, version: int) -> list[Path]:
         declared = {int(p.name[:-8].split(".")[3]) for p in multi}
         have = {int(p.name[:-8].split(".")[2]) for p in multi}
         if len(declared) != 1 or have != set(range(1, next(iter(declared)) + 1)):
-            raise ValueError(
+            raise CheckpointIncompleteAtRead(
                 f"multi-part checkpoint {version} of {log.parent} is "
                 f"incomplete at read time (have parts {sorted(have)} of "
                 f"{sorted(declared)}): concurrent cleanup or torn write — "
@@ -323,11 +331,15 @@ def snapshot(table_path: str | Path, version: int | None = None) -> DeltaSnapsho
     re-lists, so it either succeeds from the new checkpoint or converges
     to the loud missing-commit error; it can never return partial state.
     """
-    for _ in range(2):
+    import time as _t
+
+    for attempt in range(2):
         try:
             return _snapshot_once(table_path, version)
         except ConcurrentLogTruncation:
-            continue
+            # tiny growing backoff: a continuously-cycling maintainer can
+            # otherwise win every list-to-read window three times in a row
+            _t.sleep(0.005 * (attempt + 1))
     return _snapshot_once(table_path, version)
 
 
@@ -380,7 +392,7 @@ def _snapshot_once(
             raise  # no older source makes this table legal to read
         except (OSError, ValueError) as e:
             cp_error = cp_error or e
-            if isinstance(e, FileNotFoundError) or "incomplete at read time" in str(e):
+            if isinstance(e, (FileNotFoundError, CheckpointIncompleteAtRead)):
                 cp_vanished = True
             continue
         state = attempt
@@ -2265,23 +2277,29 @@ def describe_history(table_path: str | Path, limit: int | None = None) -> list[d
             "operationParameters": {},
             "engineInfo": None,
         }
-        with open(_commit_path(table, v)) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if "commitInfo" in a:
-                    ci = a["commitInfo"]
-                    entry.update(
-                        timestamp=ci.get(
-                            "inCommitTimestamp", ci.get("timestamp")
-                        ),
-                        operation=ci.get("operation"),
-                        operationParameters=ci.get("operationParameters")
-                        or {},
-                        engineInfo=ci.get("engineInfo"),
-                    )
-                break  # commitInfo is always the first action when present
+        try:
+            with open(_commit_path(table, v)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        ci = a["commitInfo"]
+                        entry.update(
+                            timestamp=ci.get(
+                                "inCommitTimestamp", ci.get("timestamp")
+                            ),
+                            operation=ci.get("operation"),
+                            operationParameters=ci.get("operationParameters")
+                            or {},
+                            engineInfo=ci.get("engineInfo"),
+                        )
+                    break  # commitInfo is always the first action when present
+        except FileNotFoundError:
+            # folded + truncated by a concurrent maintainer between the
+            # listing and this read: same contract as already-truncated
+            # commits — no history row (a moment-later listing agrees)
+            continue
         out.append(entry)
     return out
 
@@ -2301,15 +2319,16 @@ def metadata_actions(
     out: list[tuple[int, dict]] = []
     for v in range(start, end + 1):
         cp = _commit_path(table, v)
-        if not cp.exists():
-            continue
-        with open(cp) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if "metaData" in a:
-                    out.append((v, a["metaData"]))
+        try:
+            with open(cp) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "metaData" in a:
+                        out.append((v, a["metaData"]))
+        except FileNotFoundError:
+            continue  # documented skip; also closes the exists->open race
     return out
 
 
@@ -2345,14 +2364,18 @@ def version_changes(
     out: list[dict] = []
     for v in range(start, end + 1):
         cp = _commit_path(table, v)
-        if not cp.exists():
+        try:
+            ts_ms = int(cp.stat().st_mtime * 1000)
+            fh = open(cp)
+        except FileNotFoundError:
+            # absent at entry OR vanished between stat and open (concurrent
+            # checkpoint + truncation): one documented, actionable error
             raise ValueError(
                 f"commit {v} is missing from {table}/_delta_log (log truncated?); "
                 "restart the stream from a fresh snapshot"
-            )
-        ts_ms = int(cp.stat().st_mtime * 1000)
+            ) from None
         actions = []
-        with open(cp) as f:
+        with fh as f:
             for line in f:
                 if not line.strip():
                     continue
@@ -3637,14 +3660,34 @@ def version_at_timestamp(table_path: str | Path, ts_ms: int) -> int:
     """Latest version committed at-or-before ``ts_ms`` (epoch millis) —
     Delta's timestampAsOf resolution: commitInfo.timestamp when present,
     else the commit file's mtime. Errors when the earliest retained commit
-    is already newer (nothing to travel to)."""
+    is already newer (nothing to travel to). Re-lists (bounded) when a
+    commit vanishes mid-scan under a concurrent checkpoint + truncation —
+    a stale skip could resolve to the wrong version."""
+    import time as _t
+
+    for attempt in range(2):
+        try:
+            return _version_at_timestamp_once(table_path, ts_ms)
+        except ConcurrentLogTruncation:
+            _t.sleep(0.005 * (attempt + 1))
+    return _version_at_timestamp_once(table_path, ts_ms)
+
+
+def _version_at_timestamp_once(table_path: str | Path, ts_ms: int) -> int:
     table = Path(table_path)
     commits, checkpoints = _list_versions(_log_dir(table))
     best = None
     for v in commits:
         cp = _commit_path(table, v)
-        t = int(cp.stat().st_mtime * 1000)
-        with open(cp) as f:
+        try:
+            t = int(cp.stat().st_mtime * 1000)
+            fh = open(cp)
+        except FileNotFoundError as e:
+            raise ConcurrentLogTruncation(
+                f"commit {v} of {table} vanished during timestamp "
+                "resolution (concurrent checkpoint + log truncation)"
+            ) from e
+        with fh as f:
             for line in f:
                 if line.strip():
                     a = json.loads(line)

@@ -756,6 +756,7 @@ def main() -> None:
     )
     from duck_delta_share_spark.plans.llm_ops import (
         boilerplate_chunk_dedup_core,
+        minhash_recall_audit_core,
         conversion_lag_core,
         dedup_cluster_histogram_core,
         edit_distance_core,
@@ -768,25 +769,6 @@ def main() -> None:
     from duck_delta_share_spark.plans.timeseries_queries import (
         ohlc_bars_core,
     )
-
-    def recall_audit_shape(d):
-        from duck_delta_share_spark.operators import dedup as dd
-
-        truth = dd.ngram_jaccard_pairs(
-            d, block_cols=["lang", "source"], threshold=0.15, shingle_n=3
-        ).select("id_a", "id_b", F.lit(1).alias("t"))
-        sigs = dd.minhash_md5_signatures(d, num_hashes=8, shingle_n=3)
-        cand = dd.minhash_md5_lsh_pairs(sigs, num_hashes=8, bands=4).select(
-            "id_a", "id_b", F.lit(1).alias("c")
-        )
-        j = truth.join(cand, ["id_a", "id_b"], "full_outer")
-        tt = F.when(F.col("t").isNotNull(), 1).otherwise(0)
-        cc = F.when(F.col("c").isNotNull(), 1).otherwise(0)
-        return j.agg(
-            F.sum(tt).alias("n_truth"),
-            F.sum(cc).alias("n_cand"),
-            F.sum(tt * cc).alias("n_hit"),
-        )
 
     def hard_negatives_shape(emb):
         # constant query set (first-copy ids), growing base + label space
@@ -859,7 +841,7 @@ def main() -> None:
         ("table_profile", table_profile_core, l1, lN),
         ("numeric_corr", numeric_corr_matrix_core, l1, lN),
         ("mad_outlier", mad_outlier_profile_core, e1, eN),
-        ("minhash_recall", recall_audit_shape, d1, dN),
+        ("minhash_recall", minhash_recall_audit_core, d1, dN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))

@@ -154,8 +154,7 @@ def test_corr_single_agg_plan_no_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     # narrow projection reaches the scan: only the 4 numeric columns read
-    read = df._jdf.queryExecution().executedPlan().toString()
-    assert "l_returnflag" not in read
+    assert "l_returnflag" not in plan
 
 
 def test_mad_outlier_oracle_parity(spark, oracle_con):
