@@ -289,3 +289,78 @@ def test_checkpoint_racing_appends_describes_one_version(spark, tmp_path):
         # exactly v+1 one-row files: the checkpoint is a pure function of
         # version v, untouched by the appends racing past it
         assert len(state["files"]) == v + 1, (v, len(state["files"]))
+
+
+# --- sibling list-then-read paths (self-review finding: the lens's
+# "reader never fails spuriously under maintenance" guarantee must hold
+# for every reader, not just snapshot()) -------------------------------
+
+
+def _stale_listing(monkeypatch, log, then_real=True):
+    """First _list_versions call returns the CURRENT listing captured
+    now; later calls (after the caller truncates the log) see reality."""
+    stale = delta_log._list_versions(log)
+    calls = {"n": 0}
+    real = delta_log._list_versions
+
+    def fn(p):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 or not then_real else real(p)
+
+    monkeypatch.setattr(delta_log, "_list_versions", fn)
+    return calls
+
+
+def test_describe_history_skips_vanished_commits(spark, tmp_path, monkeypatch):
+    t = tmp_path / "t"
+    _build(spark, t, 6)
+    log = t / "_delta_log"
+    calls = _stale_listing(monkeypatch, log)
+    cp = checkpoint(t)
+    _truncate(log, upto=cp - 1)  # keep only the latest commit
+    hist = delta_log.describe_history(t)
+    assert calls["n"] >= 1
+    # vanished commits have no history rows (same as already-truncated);
+    # the retained one is still reported, and nothing raised
+    assert [h["version"] for h in hist] == [5]
+    assert hist[0]["operation"] is not None
+
+
+def test_metadata_actions_tolerates_vanishing_commit(spark, tmp_path):
+    t = tmp_path / "t"
+    _build(spark, t, 4)
+    log = t / "_delta_log"
+    checkpoint(t)
+    _truncate(log, upto=2)  # versions 0..2 vanish under a reader's range
+    # documented skip semantics: absent commits contribute nothing
+    out = delta_log.metadata_actions(t, 0, 3)
+    assert all(v == 3 or v > 2 for v, _ in out) or out == []
+
+
+def test_version_changes_vanished_commit_is_documented_error(
+    spark, tmp_path
+):
+    t = tmp_path / "t"
+    _build(spark, t, 4)
+    log = t / "_delta_log"
+    cp = checkpoint(t)
+    _truncate(log, upto=cp)
+    with pytest.raises(ValueError, match="log truncated.*fresh snapshot"):
+        delta_log.version_changes(t, 0, 3)
+
+
+def test_version_at_timestamp_relists_on_vanished_commit(
+    spark, tmp_path, monkeypatch
+):
+    t = tmp_path / "t"
+    _build(spark, t, 6)
+    log = t / "_delta_log"
+    calls = _stale_listing(monkeypatch, log)
+    cp = checkpoint(t)
+    _truncate(log, upto=cp - 1)
+    # resolution must re-list after hitting the vanished commit, then
+    # resolve from what is actually retained (commit 5 + checkpoint)
+    far_future = 4102444800000  # 2100-01-01 in epoch ms
+    v = delta_log.version_at_timestamp(t, far_future)
+    assert calls["n"] >= 2
+    assert v == 5
