@@ -154,6 +154,10 @@ HEADLINE = [
     # oracled dedup pipelines through one full-outer pair join — the
     # heaviest new r9 shape, worth perf-tracking).
     "minhash_recall_audit",
+    # round-9 fourth wave: context-length planning histogram (exact
+    # integer log2 buckets via binary-string length, bounded-domain
+    # cumulative window).
+    "doclen_log2_histogram",
 ]
 
 

@@ -40,6 +40,7 @@ _R9_WINDOW = [
     "numeric_corr_matrix",
     "mad_outlier_profile",
     "minhash_recall_audit",
+    "doclen_log2_histogram",
     # oracles NEW or changed this round
     "pca_project_embeddings",
     "agg_approx_distinct",
@@ -89,10 +90,9 @@ _R9_WINDOW = [
     # (incremental_rollup_cdf and sql_text_interface were judge-verified
     # or low-risk r5 wrappers — they yield their slots to the two
     # NEVER-driver-evidenced rows-only entries below)
-    # (similarity_ann_pq, zorder_write_scan, delta_column_defaults and
-    # delta_rename_drop_scan trimmed for the four r9 profiling/QA/audit
-    # queries above — they lead the r10 fill)
-    "delta_restore",
+    # (similarity_ann_pq, zorder_write_scan, delta_column_defaults,
+    # delta_rename_drop_scan and delta_restore trimmed for the five r9
+    # profiling/QA/audit/planning queries above — they lead the r10 fill)
     # rows-only by necessity, never driver-evidenced even at row level
     "bpe_train_merges",
     "similarity_ann_ivfpq",

@@ -4757,3 +4757,78 @@ def minhash_recall_audit_core(d: DataFrame) -> DataFrame:
             ).cast("long"),
         ).alias("recall_e6"),
     )
+
+
+@query(
+    "doclen_log2_histogram",
+    oracle="""
+WITH per AS (
+  SELECT LENGTH(BIN(LEN(STRING_SPLIT(text, ' ')))) - 1 AS bucket,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS total_tokens
+  FROM per GROUP BY bucket
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST((CAST(1 AS BIGINT) << bucket) AS BIGINT) AS lo_tokens,
+       n_docs,
+       total_tokens,
+       CAST(SUM(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+       CAST(SUM(total_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+       CAST(floor(CAST(SUM(total_tokens) OVER (ORDER BY bucket) AS DOUBLE)
+                  * 1e6 / CAST(SUM(total_tokens) OVER () AS DOUBLE) + 0.5)
+            AS BIGINT) AS cum_token_share_e6
+FROM g
+""",
+    doc="context-length planning histogram: docs and token mass per "
+    "log2 length bucket with cumulative shares — the report behind a "
+    "max_seq_len / packing-budget choice ('what fraction of tokens "
+    "fits under 2^k?'). NUMERICS: the bucket is length(binary-string "
+    "of n) - 1 (Spark conv / DuckDB bin) — exact integer floor(log2) "
+    "on BOTH engines, deliberately NOT float log2 (JVM computes "
+    "log(x)/ln2, which can land a hair under an exact power of two "
+    "and floor into the wrong bucket on one engine only); shares are "
+    "exact-integer ratios floor-pinned to e6. PLAN: one pruned scan "
+    "-> tiny hash agg (<= 32 buckets) -> single-partition window over "
+    "the BOUNDED bucket domain (32 rows max at any corpus size — not "
+    "a data-sized window, so the single partition is scale-safe)",
+)
+def doclen_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doclen_log2_histogram_core(load_table(spark, sf_dir, "documents"))
+
+
+def doclen_log2_histogram_core(d: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
+    from pyspark.sql import Window
+
+    per = d.where(F.col("text").isNotNull()).select(
+        (
+            F.length(F.conv(F.size(tokenize("text")).cast("string"), 10, 2)) - 1
+        ).alias("bucket"),
+        F.size(tokenize("text")).cast("long").alias("n"),
+    )
+    g = per.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+    )
+    cum = Window.orderBy("bucket")
+    alln = Window.partitionBy()
+    return g.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias("lo_tokens"),
+        "n_docs",
+        "total_tokens",
+        F.sum("n_docs").over(cum).cast("long").alias("cum_docs"),
+        F.sum("total_tokens").over(cum).cast("long").alias("cum_tokens"),
+        F.floor(
+            F.sum("total_tokens").over(cum).cast("double")
+            * F.lit(1e6)
+            / F.sum("total_tokens").over(alln).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cum_token_share_e6"),
+    )

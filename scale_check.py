@@ -756,6 +756,7 @@ def main() -> None:
     )
     from duck_delta_share_spark.plans.llm_ops import (
         boilerplate_chunk_dedup_core,
+        doclen_log2_histogram_core,
         minhash_recall_audit_core,
         conversion_lag_core,
         dedup_cluster_histogram_core,
@@ -842,6 +843,7 @@ def main() -> None:
         ("numeric_corr", numeric_corr_matrix_core, l1, lN),
         ("mad_outlier", mad_outlier_profile_core, e1, eN),
         ("minhash_recall", minhash_recall_audit_core, d1, dN),
+        ("doclen_histogram", doclen_log2_histogram_core, d1, dN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))

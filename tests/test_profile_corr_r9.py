@@ -248,3 +248,55 @@ def test_minhash_recall_audit_invariants(spark):
     # banding catches exact dups with certainty (identical signatures)
     assert out["n_truth"] >= 1
     assert out["recall_e6"] == 1_000_000
+
+
+def test_doclen_histogram_oracle_parity(spark, oracle_con):
+    from duck_delta_share_spark.plans import QUERIES
+
+    q = QUERIES["doclen_log2_histogram"]
+    errs = compare_frames(
+        q.spark_fn(spark, SF_DIR).toPandas(),
+        oracle_con.execute(q.oracle).df(),
+        "doclen_log2_histogram",
+    )
+    assert not errs, errs
+
+
+def test_doclen_histogram_buckets_and_cumshare(spark):
+    from duck_delta_share_spark.plans.llm_ops import doclen_log2_histogram_core
+
+    d = spark.createDataFrame(
+        [
+            (1, "a"),                       # 1 token  -> bucket 0
+            (2, "a b"),                     # 2 tokens -> bucket 1
+            (3, "a b c"),                   # 3 tokens -> bucket 1
+            (4, "a b c d e f g h"),         # 8 tokens -> bucket 3
+            (5, None),                      # NULL text excluded
+            (6, ""),                        # '' splits to [''] = 1 token
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["bucket"]: r.asDict() for r in doclen_log2_histogram_core(d).collect()}
+    assert set(out) == {0, 1, 3}
+    assert out[0]["n_docs"] == 2 and out[0]["total_tokens"] == 2
+    assert out[0]["lo_tokens"] == 1
+    assert out[1]["n_docs"] == 2 and out[1]["total_tokens"] == 5
+    assert out[3]["lo_tokens"] == 8
+    # cumulative mass: 2, 7, 15 of 15 total
+    assert out[3]["cum_docs"] == 5
+    assert out[3]["cum_tokens"] == 15
+    assert out[3]["cum_token_share_e6"] == 1_000_000
+    assert out[0]["cum_token_share_e6"] == round(2 / 15 * 1e6)
+
+
+def test_doclen_exact_power_of_two_bucket_boundary(spark):
+    # the float-log2 hazard this query avoids: exactly 2^k tokens must
+    # land in bucket k on BOTH engines (float log2 can floor to k-1)
+    from duck_delta_share_spark.plans.llm_ops import doclen_log2_histogram_core
+
+    rows = [(k, " ".join(["t"] * (2**k))) for k in range(1, 11)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = doclen_log2_histogram_core(d).collect()
+    assert sorted(r["bucket"] for r in out) == list(range(1, 11))
+    assert all(r["n_docs"] == 1 for r in out)
+    assert all(r["lo_tokens"] == r["total_tokens"] for r in out)
