@@ -158,6 +158,7 @@ HEADLINE = [
     # integer log2 buckets via binary-string length, bounded-domain
     # cumulative window).
     "doclen_log2_histogram",
+    "split_leakage_audit",
 ]
 
 

@@ -41,6 +41,7 @@ _R9_WINDOW = [
     "mad_outlier_profile",
     "minhash_recall_audit",
     "doclen_log2_histogram",
+    "split_leakage_audit",
     # oracles NEW or changed this round
     "pca_project_embeddings",
     "agg_approx_distinct",
@@ -77,7 +78,8 @@ _R9_WINDOW = [
     "q17_small_quantity",
     "q18_large_orders",
     "q19_disjunctive_predicates",
-    "q20_promotion_suppliers",
+    # (q20_promotion_suppliers trimmed for split_leakage_audit — it
+    # leads the r10 fill with the other trimmed entries)
     # r5 evidence: UDF/UDTF surface + flagship scans + fuzz target
     "udf_python_scalar",
     "udf_pandas_scalar",

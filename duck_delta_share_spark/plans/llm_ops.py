@@ -4832,3 +4832,91 @@ def doclen_log2_histogram_core(d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("cum_token_share_e6"),
     )
+
+
+@query(
+    "split_leakage_audit",
+    oracle="""
+WITH h AS (
+  SELECT md5(text) AS fp,
+         ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+         ) % 100 AS bucket
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT fp,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM h
+), g AS (
+  SELECT fp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train,
+         MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS has_val,
+         MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS has_test
+  FROM s GROUP BY fp
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN has_train + has_val + has_test >= 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaky_fps,
+       CAST(SUM(CASE WHEN has_train + has_val + has_test >= 2 THEN n ELSE 0 END)
+            AS BIGINT) AS n_docs_in_leaky,
+       CAST(SUM(CASE WHEN has_train = 1 AND has_test = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS train_test_leak_fps
+FROM g
+""",
+    doc="split-contamination audit: after the md5-stable 80/10/10 "
+    "assignment (dataset_split_assign's exact bucket rule), does any "
+    "EXACT-duplicate document span two splits? Evaluation on a test "
+    "set whose members also sit in train is invalid — this is the "
+    "check a pretraining pipeline runs right after splitting. "
+    "fingerprint = md5(text) (raw content — no lower(), sidestepping "
+    "the locale-casing engine boundary); split membership folds to "
+    "per-fingerprint has_train/has_val/has_test flags in ONE "
+    "fingerprint-keyed hash agg, then a 1-row fold counts leaky "
+    "fingerprints, leaked docs, and the critical train<->test pairs. "
+    "All exact integers; NULL text excluded on both sides. Two "
+    "combiner-friendly hash aggs — no joins, no windows, scale-safe "
+    "at any corpus size",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_leakage_audit_core(load_table(spark, sf_dir, "documents"))
+
+
+def split_leakage_audit_core(d: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    s = d.where(F.col("text").isNotNull()).select(
+        F.md5("text").alias("fp"), split.alias("split")
+    )
+    g = s.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("has_train"),
+        F.max(F.when(F.col("split") == "val", 1).otherwise(0)).alias("has_val"),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("has_test"),
+    )
+    leaky = F.col("has_train") + F.col("has_val") + F.col("has_test") >= 2
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.when(leaky, 1).otherwise(0)).cast("long").alias("n_leaky_fps"),
+        F.sum(F.when(leaky, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_docs_in_leaky"),
+        F.sum(
+            F.when((F.col("has_train") == 1) & (F.col("has_test") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("train_test_leak_fps"),
+    )

@@ -758,6 +758,7 @@ def main() -> None:
         boilerplate_chunk_dedup_core,
         doclen_log2_histogram_core,
         minhash_recall_audit_core,
+        split_leakage_audit_core,
         conversion_lag_core,
         dedup_cluster_histogram_core,
         edit_distance_core,
@@ -844,6 +845,7 @@ def main() -> None:
         ("mad_outlier", mad_outlier_profile_core, e1, eN),
         ("minhash_recall", minhash_recall_audit_core, d1, dN),
         ("doclen_histogram", doclen_log2_histogram_core, d1, dN),
+        ("split_leakage", split_leakage_audit_core, d1, dN),
     ]
     if len(sys.argv) > 2:
         wanted = set(sys.argv[2].split(","))

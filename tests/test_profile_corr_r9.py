@@ -300,3 +300,73 @@ def test_doclen_exact_power_of_two_bucket_boundary(spark):
     assert sorted(r["bucket"] for r in out) == list(range(1, 11))
     assert all(r["n_docs"] == 1 for r in out)
     assert all(r["lo_tokens"] == r["total_tokens"] for r in out)
+
+
+def test_split_leakage_oracle_parity(spark, oracle_con):
+    from duck_delta_share_spark.plans import QUERIES
+
+    q = QUERIES["split_leakage_audit"]
+    errs = compare_frames(
+        q.spark_fn(spark, SF_DIR).toPandas(),
+        oracle_con.execute(q.oracle).df(),
+        "split_leakage_audit",
+    )
+    assert not errs, errs
+
+
+def test_split_leakage_detects_planted_cross_split_dup(spark):
+    from duck_delta_share_spark.plans.llm_ops import split_leakage_audit_core
+    from pyspark.sql import functions as F
+
+    # find two doc_ids that the md5 rule puts in train and test, plant
+    # identical text on both — the audit must count exactly one leaky
+    # fingerprint and one train<->test pair
+    base = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rows = base.select("doc_id", bucket.alias("b")).collect()
+    train_id = next(r.doc_id for r in rows if r.b < 80)
+    test_id = next(r.doc_id for r in rows if r.b >= 90)
+    planted = base.withColumn(
+        "text",
+        F.when(F.col("doc_id").isin(train_id, test_id), "LEAKED DOC").otherwise(
+            F.col("text")
+        ),
+    )
+    out = split_leakage_audit_core(planted).collect()[0]
+    assert out["n_docs"] == 200
+    assert out["n_fingerprints"] == 199  # two docs share one fp
+    assert out["n_leaky_fps"] == 1
+    assert out["n_docs_in_leaky"] == 2
+    assert out["train_test_leak_fps"] == 1
+
+
+def test_split_leakage_same_split_dup_not_leaky(spark):
+    from duck_delta_share_spark.plans.llm_ops import split_leakage_audit_core
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rows = base.select("doc_id", bucket.alias("b")).collect()
+    train_ids = [r.doc_id for r in rows if r.b < 80][:2]
+    planted = base.withColumn(
+        "text",
+        F.when(F.col("doc_id").isin(*train_ids), "DUP WITHIN TRAIN").otherwise(
+            F.col("text")
+        ),
+    )
+    out = split_leakage_audit_core(planted).collect()[0]
+    # duplicate content within ONE split is dedup's business, not leakage
+    assert out["n_leaky_fps"] == 0
+    assert out["train_test_leak_fps"] == 0
