@@ -4801,9 +4801,17 @@ def doclen_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doclen_log2_histogram_core(d: DataFrame) -> DataFrame:
-    """Frame-parameterized core — shared with scale_check."""
-    from pyspark.sql import Window
+    """Frame-parameterized core — shared with scale_check.
 
+    The cumulative sums deliberately avoid a single-partition window
+    (the plan-hazard sweep forbids them, and rightly: textually they
+    are indistinguishable from a data-sized whole-corpus sort).
+    Instead each of the <= 64 bucket rows EXPLODES over the full
+    bounded target domain and a second tiny hash agg folds, per
+    target t: the bucket's own stats (bucket == t), the cumulative
+    stats (bucket <= t) and the grand total (always) — 64x64 rows
+    max at any corpus size, two ordinary exchanges, no window, no
+    join, no driver collect."""
     per = d.where(F.col("text").isNotNull()).select(
         (
             F.length(F.conv(F.size(tokenize("text")).cast("string"), 10, 2)) - 1
@@ -4811,22 +4819,33 @@ def doclen_log2_histogram_core(d: DataFrame) -> DataFrame:
         F.size(tokenize("text")).cast("long").alias("n"),
     )
     g = per.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n").alias("total_tokens"),
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n").alias("tt"),
     )
-    cum = Window.orderBy("bucket")
-    alln = Window.partitionBy()
-    return g.select(
-        F.col("bucket").cast("int").alias("bucket"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias("lo_tokens"),
-        "n_docs",
-        "total_tokens",
-        F.sum("n_docs").over(cum).cast("long").alias("cum_docs"),
-        F.sum("total_tokens").over(cum).cast("long").alias("cum_tokens"),
+    b = F.col("bucket")
+    t = F.col("t")
+    e = g.select(
+        "bucket", "nd", "tt",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("t"),
+    )
+    at = e.groupBy("t").agg(
+        F.sum(F.when(b == t, F.col("nd"))).alias("own_docs"),
+        F.sum(F.when(b == t, F.col("tt"))).alias("own_tokens"),
+        F.sum(F.when(b <= t, F.col("nd"))).alias("cum_docs_raw"),
+        F.sum(F.when(b <= t, F.col("tt"))).alias("cum_tokens_raw"),
+        F.sum("tt").alias("all_tokens"),
+    )
+    return at.where(F.col("own_docs").isNotNull()).select(
+        F.col("t").cast("int").alias("bucket"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), t)").alias("lo_tokens"),
+        F.col("own_docs").cast("long").alias("n_docs"),
+        F.col("own_tokens").cast("long").alias("total_tokens"),
+        F.col("cum_docs_raw").cast("long").alias("cum_docs"),
+        F.col("cum_tokens_raw").cast("long").alias("cum_tokens"),
         F.floor(
-            F.sum("total_tokens").over(cum).cast("double")
+            F.col("cum_tokens_raw").cast("double")
             * F.lit(1e6)
-            / F.sum("total_tokens").over(alln).cast("double")
+            / F.col("all_tokens").cast("double")
             + F.lit(0.5)
         )
         .cast("long")
