@@ -1608,11 +1608,16 @@ def table_profile_core(l: DataFrame, exact_distinct: bool = True) -> DataFrame:
     # COUNT(DISTINCT all-NULL) is 0, so the join is LEFT + coalesce.
     from functools import reduce
 
-    def _dedup_counts(cols: list[str]) -> DataFrame:
+    def _dedup_counts(cols: list[str], pin_type: str) -> DataFrame:
+        # Pin every branch to ONE explicit type: positional unionAll
+        # set-op widening would otherwise coerce heterogeneous source
+        # types (e.g. decimal vs double after a fixture regeneration)
+        # and count distincts on the COERCED domain while the oracle's
+        # COUNT(DISTINCT) runs per-column on native types.
         branches = [
-            l.select(F.lit(c).alias("col_name"), F.col(c).alias("v")).where(
-                F.col("v").isNotNull()
-            )
+            l.select(
+                F.lit(c).alias("col_name"), F.col(c).cast(pin_type).alias("v")
+            ).where(F.col("v").isNotNull())
             for c in cols
         ]
         return (
@@ -1622,7 +1627,9 @@ def table_profile_core(l: DataFrame, exact_distinct: bool = True) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("nd_exact"))
         )
 
-    nd_counts = _dedup_counts(_PROFILE_NUM).unionAll(_dedup_counts(_PROFILE_CAT))
+    nd_counts = _dedup_counts(_PROFILE_NUM, "double").unionAll(
+        _dedup_counts(_PROFILE_CAT, "string")
+    )
     return wide.drop("n_distinct").join(
         F.broadcast(nd_counts), "col_name", "left"
     ).select(

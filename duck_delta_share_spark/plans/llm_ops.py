@@ -4713,8 +4713,10 @@ FROM j
     "sample BEFORE committing a (num_hashes, bands) choice to a 100 TB "
     "dedup: ground truth = the oracled exact 3-gram Jaccard pairs "
     "(threshold 0.15, (lang, source)-blocked), candidates = the oracled "
-    "md5 Carter-Wegman LSH pipeline (8 hashes, 4 bands, distinct "
-    "pairs); ONE full-outer join of the two pair lists folds "
+    "md5 Carter-Wegman LSH pipeline (8 hashes, 4 bands, distinct pairs, "
+    "max_bucket_size=None — the audit must see the UNCAPPED banding the "
+    "oracle computes, or big buckets silently understate recall); ONE "
+    "full-outer join of the two pair lists folds "
     "(n_truth, n_candidates, n_hit, recall_e6) in a single agg — "
     "neither pipeline's lineage is evaluated twice (carried-flag "
     "shape). Empty truth -> NULL recall via lazy CASE (ANSI-total). "
@@ -4731,10 +4733,14 @@ def minhash_recall_audit_core(d: DataFrame) -> DataFrame:
         d, block_cols=["lang", "source"], threshold=0.15, shingle_n=3
     ).select("id_a", "id_b", F.lit(1).alias("t"))
     sigs = dd.minhash_md5_signatures(d, num_hashes=8, shingle_n=3)
-    # minhash_md5_lsh_pairs already groups to one row per pair
-    cand = dd.minhash_md5_lsh_pairs(sigs, num_hashes=8, bands=4).select(
-        "id_a", "id_b", F.lit(1).alias("c")
-    )
+    # minhash_md5_lsh_pairs already groups to one row per pair.
+    # max_bucket_size=None: this is the TUNING report, not the production
+    # dedup — the DuckDB oracle's band-bucket self-join is uncapped, and a
+    # capped audit would silently understate recall on a corpus with a
+    # >2000-doc bucket (the CLAUDE.md silent-result-cliff pattern).
+    cand = dd.minhash_md5_lsh_pairs(
+        sigs, num_hashes=8, bands=4, max_bucket_size=None
+    ).select("id_a", "id_b", F.lit(1).alias("c"))
     j = truth.join(cand, ["id_a", "id_b"], "full_outer")
     tt = F.when(F.col("t").isNotNull(), 1).otherwise(0)
     cc = F.when(F.col("c").isNotNull(), 1).otherwise(0)
@@ -4792,9 +4798,13 @@ FROM g
     "log(x)/ln2, which can land a hair under an exact power of two "
     "and floor into the wrong bucket on one engine only); shares are "
     "exact-integer ratios floor-pinned to e6. PLAN: one pruned scan "
-    "-> tiny hash agg (<= 32 buckets) -> single-partition window over "
-    "the BOUNDED bucket domain (32 rows max at any corpus size — not "
-    "a data-sized window, so the single partition is scale-safe)",
+    "-> tiny hash agg (<= 64 buckets) -> each bucket row explodes "
+    "over the bounded target domain sequence(0,63) and a second tiny "
+    "hash agg folds own/cumulative/grand-total stats per target "
+    "(64x64 rows max at any corpus size) — two ordinary exchanges, "
+    "NO window (the hazard sweep bans single-partition windows and "
+    "this shape also measured a better 32x factor), no join, no "
+    "driver collect",
 )
 def doclen_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doclen_log2_histogram_core(load_table(spark, sf_dir, "documents"))
