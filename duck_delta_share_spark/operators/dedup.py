@@ -1117,3 +1117,91 @@ def semantic_dedup(
             keep_shard, out_schema
         )
     return narrow.groupBy("cluster_id").applyInPandas(keep_block, out_schema)
+
+
+def incremental_dedup_commit(
+    spark,
+    new_docs: DataFrame,
+    corpus_path,
+    store_path,
+    app_id: str,
+    shard_version: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Dedup a NEW shard against the accumulated corpus WITHOUT rescanning
+    it, then transactionally append the survivors — the daily shape of a
+    100 TB ingest pipeline (nothing rescans history; only the narrow
+    fingerprint store is joined).
+
+    The fingerprint store (a Delta table at ``store_path`` with columns
+    ``fp``/``doc_id``) carries one 32-hex-char md5 per corpus document —
+    at 100 TB of documents that is ~0.05% of the corpus bytes, and it is
+    the ONLY history the shard touches: survivors = within-shard exact
+    dedup (lowest id per fingerprint) anti-joined against the store on
+    ``fp``. The anti-join shuffles 16-byte keys, never document bodies;
+    a bloom semi-join pre-filter (operators/bloom.py) can cut the shuffle
+    further when the shard is small relative to the store.
+
+    Exactly-once across crash-replay via SetTransaction (protocol
+    "Transaction Identifiers", sources/delta_log.py write_delta txn=):
+    both appends carry ``(app_id, shard_version)`` and each is gated on
+    ``last_txn_version``. Commit ORDER is corpus first, store second: a
+    crash between the two leaves corpus docs whose fingerprints are not
+    yet in the store, and the replay — recomputing survivors against the
+    UNCHANGED store — reproduces the identical survivor set and completes
+    the store append (skipping the corpus, whose txn marker it sees). The
+    reverse order would poison the replay: with the shard's fingerprints
+    already in the store, the recomputed anti-join would drop every
+    survivor and the corpus append would commit nothing.
+
+    Returns {"n_survivors", "corpus_version", "store_version"} — a
+    version is None when that table had already absorbed this shard
+    (crash-replay no-op); on a FULL no-op replay nothing is recomputed
+    and n_survivors is None too.
+    """
+    from duck_delta_share_spark.sources.delta_log import (
+        last_txn_version,
+        read_delta,
+        write_delta,
+    )
+
+    if shard_version <= last_txn_version(
+        corpus_path, app_id
+    ) and shard_version <= last_txn_version(store_path, app_id):
+        return {"n_survivors": None, "corpus_version": None, "store_version": None}
+
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    within = (
+        new_docs.withColumn("__fp", fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    store_fps = read_delta(spark, store_path).select(F.col("fp").alias("__fp"))
+    survivors = within.join(store_fps, "__fp", "left_anti")
+    # two commits read this frame; persist so the anti-join runs once
+    survivors = survivors.persist()
+    try:
+        n = survivors.count()
+        corpus_version = None
+        if shard_version > last_txn_version(corpus_path, app_id):
+            corpus_version = write_delta(
+                survivors.drop("__fp"),
+                corpus_path,
+                txn=(app_id, shard_version),
+            )
+        store_version = None
+        if shard_version > last_txn_version(store_path, app_id):
+            store_version = write_delta(
+                survivors.select(F.col("__fp").alias("fp"), F.col(id_col)),
+                store_path,
+                txn=(app_id, shard_version),
+            )
+    finally:
+        survivors.unpersist()
+    return {
+        "n_survivors": n,
+        "corpus_version": corpus_version,
+        "store_version": store_version,
+    }

@@ -4949,3 +4949,101 @@ def split_leakage_audit_core(d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("train_test_leak_fps"),
     )
+
+
+_BUCKET4_SQL = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+    " * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+    " * 256"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)"
+    " * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))"
+    " % 100"
+)
+
+
+@query(
+    "incremental_dedup_new_shard",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         md5({_NORM}) AS fp,
+         {_BUCKET4_SQL} AS bucket
+  FROM documents WHERE text IS NOT NULL
+),
+hist_kept AS (
+  SELECT doc_id, lang, source, fp FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM d WHERE bucket < 70
+  ) t WHERE rn = 1
+),
+shard_kept AS (
+  SELECT doc_id, lang, source, fp FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM d WHERE bucket >= 70
+  ) t WHERE rn = 1
+),
+survivors AS (
+  SELECT * FROM shard_kept
+  WHERE fp NOT IN (SELECT fp FROM hist_kept)
+)
+SELECT doc_id, lang, source, fp FROM hist_kept
+UNION ALL
+SELECT doc_id, lang, source, fp FROM survivors
+ORDER BY doc_id
+""",
+    doc="incremental cross-snapshot dedup — the shape a 100 TB pipeline "
+    "runs DAILY: a new shard is deduped against the accumulated corpus "
+    "by anti-joining its fingerprints against a maintained Delta "
+    "fingerprint STORE (32-hex md5 per corpus doc, ~0.05% of corpus "
+    "bytes) — history is never rescanned; then survivors + their "
+    "fingerprints are appended transactionally, exactly-once via "
+    "SetTransaction (corpus first, store second — the replay-safe "
+    "order; see operators/dedup.py incremental_dedup_commit). This "
+    "query seeds history (md5(doc_id) buckets < 70), ingests the rest "
+    "as the shard, crash-REPLAYS the same shard (must be a full no-op "
+    "on both tables), and returns the final corpus JOINED to the "
+    "store on doc_id — so the hash also pins corpus<->store "
+    "consistency. Oracle = pure-SQL emulation of seed dedup + "
+    "within-shard dedup + anti-join over the same md5-stable split",
+)
+def incremental_dedup_new_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.functions.text import fingerprint
+    from duck_delta_share_spark.operators.dedup import incremental_dedup_commit
+    from duck_delta_share_spark.sources.delta_log import read_delta, write_delta
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    d = d.select("doc_id", "lang", "source", "text", bucket.alias("__bucket"))
+    hist = d.where(F.col("__bucket") < 70).drop("__bucket")
+    shard = d.where(F.col("__bucket") >= 70).drop("__bucket")
+
+    base = Path(tempfile.mkdtemp(prefix="ddss_incdedup_"))
+    corpus, store = base / "corpus", base / "fps"
+    seed = dd.exact_dedup(hist, "text", "doc_id")
+    write_delta(seed, corpus)
+    write_delta(seed.select(fingerprint("text").alias("fp"), "doc_id"), store)
+
+    r1 = incremental_dedup_commit(spark, shard, corpus, store, "loader", 1)
+    # crash-replay of the SAME shard: must be a full no-op on both tables
+    r2 = incremental_dedup_commit(spark, shard, corpus, store, "loader", 1)
+    if r2["corpus_version"] is not None or r2["store_version"] is not None:
+        raise AssertionError(f"shard replay was not a no-op: {r2}")
+    if r1["corpus_version"] is None or r1["store_version"] is None:
+        raise AssertionError(f"first ingest did not commit both tables: {r1}")
+
+    final = read_delta(spark, corpus).select("doc_id", "lang", "source")
+    fps = read_delta(spark, store)
+    return (
+        final.join(fps, "doc_id")
+        .select("doc_id", "lang", "source", "fp")
+        .orderBy("doc_id")
+    )
