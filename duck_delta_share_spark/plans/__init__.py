@@ -20,84 +20,83 @@ from duck_delta_share_spark.plans import tpch  # noqa: E402,F401
 from duck_delta_share_spark.plans import tpch_extended  # noqa: E402,F401
 from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 
-# Round-9 window rotation: the driver's per-round correctness check
-# covers the FIRST 50 entries. r8 retired the r4 operator/write-path
-# debt (50/50 green). r9 leads with (a) queries whose ORACLES are new
-# or changed this round (the pca/approx-distinct rows-only upgrades,
-# the sessionization microsecond-gap alignment, the bm25 plan
-# adjudication), (b) the nine remaining r4-evidenced entries (SURVEY
-# §2B scalar/array/set rows), then (c) the oldest r5 block: the 20
-# r5-evidenced TPC-H queries, the UDF/UDTF surface, the two flagship
-# scans, json_functions (this round's fuzz-seed target), and the
-# oldest Delta write-path entries. New r9 queries insert at the TOP
-# as they land, trimming the r5 tail one-for-one (the trimmed entries
-# lead the r10 fill). Everything stays registered; only order changes.
-_R9_WINDOW = [
-    # r9 NEW queries (never driver-evidenced)
-    "agg_quantiles_mergeable",
-    "key_skew_profile",
-    "table_profile",
-    "numeric_corr_matrix",
-    "mad_outlier_profile",
-    "minhash_recall_audit",
-    "doclen_log2_histogram",
-    "split_leakage_audit",
-    # oracles NEW or changed this round
-    "pca_project_embeddings",
-    "agg_approx_distinct",
-    "hll_mergeable_distinct",
-    "sessionization",
-    "bm25_topk",
-    # oldest driver evidence (r4): §2B scalar/array/set rows
-    "bitwise_functions",
-    "try_arithmetic",
-    "map_functions",
-    "higher_order_array",
-    "set_ops_all",
-    "histogram_width_bucket",
-    "listagg_ordered",
-    "recursive_cte_calendar",
-    "window_distribution",
-    # r5 evidence: the TPC-H sweep (q21/q22 re-evidenced r6)
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_classes",
-    "q13_count_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    # (q20_promotion_suppliers trimmed for split_leakage_audit — it
-    # leads the r10 fill with the other trimmed entries)
-    # r5 evidence: UDF/UDTF surface + flagship scans + fuzz target
-    "udf_python_scalar",
-    "udf_pandas_scalar",
-    "udaf_grouped_pandas",
-    "udtf_token_chunks",
-    "delta_log_scan",
-    "delta_share_scan",
-    "json_functions",
-    # r5 evidence: oldest Delta write-path / operator entries
-    # (incremental_rollup_cdf and sql_text_interface were judge-verified
-    # or low-risk r5 wrappers — they yield their slots to the two
-    # NEVER-driver-evidenced rows-only entries below)
-    # (similarity_ann_pq, zorder_write_scan, delta_column_defaults,
-    # delta_rename_drop_scan and delta_restore trimmed for the five r9
-    # profiling/QA/audit/planning queries above — they lead the r10 fill)
-    # rows-only by necessity, never driver-evidenced even at row level
-    "bpe_train_merges",
-    "similarity_ann_ivfpq",
+# Round-10 window rotation: the driver's per-round correctness check
+# covers the FIRST 50 entries. r9 went 50/50 green, and the judge's own
+# full-registry run re-verified every oracled query, so r10 is pure
+# evidence-staleness retirement: (a) queries NEW or with changed
+# oracles/plans this round, (b) ALL 19 entries whose latest driver
+# evidence is r5 (VERDICT r9 "What's missing" #2 list), then (c) the
+# oldest r6 tail — the VERDICT-named dedup block plus the r6
+# join/agg/window/set/filter/sort/array families. After this window
+# goes green, no entry's latest evidence predates r6. Everything stays
+# registered; only order changes.
+_R10_WINDOW = [
+    # r10 NEW queries / changed oracles or plans this round
+    "incremental_dedup_new_shard",  # new: cross-snapshot dedup vs fp store
+    "stratified_sample",  # rows-only -> exact-twin + binomial-bound oracle
+    "minhash_recall_audit",  # plan changed: uncapped banding (advice r9)
+    "table_profile",  # plan changed: pinned union-branch types (advice r9)
+    # (b) the 19 r5-evidenced entries
+    "similarity_ann_pq",
+    "zorder_write_scan",
+    "delta_column_defaults",
+    "delta_rename_drop_scan",
+    "delta_restore",
+    "q20_promotion_suppliers",
+    "incremental_rollup_cdf",
+    "sql_text_interface",
+    "minhash_md5_lsh_pairs",
+    "events_hopping_agg",
+    "dataset_split_assign",
+    "date_functions",
+    "exists_subquery",
+    "interval_join_events",
+    "join_null_safe",
+    "resample_gapfill_hourly",
+    "string_functions",
+    "text_normalize",
+    "weighted_quality_sample",
+    # (c) oldest r6 tail: VERDICT-named dedup block
+    "ngram_jaccard_neardup",
+    "dedup_components",
+    "semantic_dedup",
+    "heavy_hitter_terms",
+    "neardup_canonical_keep",
+    # r6 join family
+    "join_anti",
+    "join_asof",
+    "join_full_outer",
+    "join_left_outer",
+    "join_semi",
+    "join_theta_band",
+    # r6 agg family
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_rollup",
+    # r6 window family
+    "window_analytic",
+    "window_frames",
+    "window_ranking",
+    # r6 set ops
+    "set_except",
+    "set_intersect",
+    "set_union_distinct",
+    # r6 filter/projection + sort/topk + array/explode
+    "filter_projection",
+    "filter_in_between_null",
+    "sort_limit",
+    "topk_per_group",
+    "array_functions",
+    "explode_unnest",
+    # (remaining r6 tail — bag_fingerprint_dedup, correlated_in_subquery,
+    # cross_source_leakage, embedding_winsorized_stats,
+    # event_type_transitions, interarrival_histogram, math_functions,
+    # multimodal_wav_strict, ngram_novelty_score, oov_rate_topk_vocab,
+    # phrase_match_positional, pit_segment_attribution, pmi_bigram_scores,
+    # q21_waiting_suppliers, q22_dormant_customers, retention_cohorts,
+    # salted_agg_events, scalar_subquery, sequence_packing,
+    # simhash_md5_pairs, unigram_perplexity_score — leads the r11 fill)
 ]
 
 
@@ -119,6 +118,6 @@ def _rotate_window(first: list[str]) -> None:
     QUERIES.update({n: snapshot[n] for n in lead + rest})
 
 
-_rotate_window(_R9_WINDOW)
+_rotate_window(_R10_WINDOW)
 
 __all__ = ["QUERIES", "QueryDef", "query"]

@@ -1398,21 +1398,68 @@ def sequence_packing_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stratified_sample",
-    oracle=None,  # rows-only BY NECESSITY: df.sampleBy draws from Spark's
-    # XORShiftRandom stream — no other engine can reproduce the draw.
-    # Per-stratum proportions are asserted in tests/test_sampling.py, and
-    # per_group_deterministic_sample is the hash-checked deterministic twin
-    # (md5-rank quota sampling, same rebalancing semantics)
-    doc="stratified corpus rebalancing: seeded per-language Bernoulli "
-    "sampling (downsample dominant en, keep the rest) via df.sampleBy — "
-    "deterministic for a fixed seed, narrow map (no shuffle)",
+    oracle="""
+WITH f(lang, frac_e6) AS (
+  VALUES ('en', CAST(300000 AS BIGINT)), ('de', CAST(1000000 AS BIGINT)),
+         ('fr', CAST(1000000 AS BIGINT)), ('es', CAST(1000000 AS BIGINT)),
+         ('zh', CAST(1000000 AS BIGINT))
+),
+c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_in FROM documents GROUP BY lang)
+SELECT c.lang, c.n_in, f.frac_e6, TRUE AS within_binomial_bound
+FROM c JOIN f ON c.lang = f.lang
+ORDER BY c.lang
+""",
+    doc="stratified corpus rebalancing AUDIT: seeded per-language "
+    "Bernoulli sampling (downsample dominant en, keep the rest) via "
+    "df.sampleBy — deterministic for a fixed seed, narrow map, no "
+    "shuffle — folded to the exact-twin oracle pattern (r9 sketch "
+    "precedent): per stratum the output carries the EXACT input count "
+    "(oracle-computable), the literal target fraction, and a boolean "
+    "asserting the realized sample count sits within 6 standard "
+    "deviations of the binomial mean (+1 for the fraction-1.0 strata, "
+    "where the draw is exact) — the oracle asserts it as literal TRUE. "
+    "The raw draw itself stays out of the hashed output BY NECESSITY "
+    "(Spark's XORShiftRandom stream is not reproducible elsewhere); "
+    "per_group_deterministic_sample remains the hash-checked "
+    "deterministic row-level twin. 6-sigma makes the boolean stable "
+    "under fixture regeneration (~1e-9 flake per stratum)",
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
-    return d.sampleBy("lang", fractions, seed=42).select(
-        "doc_id", "lang", "source", "n_chars"
+    s = d.sampleBy("lang", fractions, seed=42)
+    n_out = s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_out"))
+    n_in = (
+        d.where(F.col("lang").isin(list(fractions)))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_in"))
     )
+    # frac_e6 as INTEGER literals — casting p*1e6 to long would truncate
+    # 0.3*1e6 = 299999.999... to 299999 (the decimal-discipline trap)
+    frac_e6 = F.create_map(
+        *[
+            F.lit(x)
+            for k, v in fractions.items()
+            for x in (k, int(round(v * 1e6)))
+        ]
+    )[F.col("lang")]
+    j = n_in.join(n_out, "lang", "left").select(
+        "lang",
+        "n_in",
+        F.coalesce(F.col("n_out"), F.lit(0)).alias("n_out_raw"),
+        frac_e6.cast("long").alias("frac_e6"),
+    )
+    p = F.col("frac_e6").cast("double") / F.lit(1e6)
+    mean = F.col("n_in") * p
+    sigma = F.sqrt(F.col("n_in") * p * (F.lit(1.0) - p))
+    return j.select(
+        "lang",
+        "n_in",
+        "frac_e6",
+        (F.abs(F.col("n_out_raw") - mean) <= sigma * 6 + 1).alias(
+            "within_binomial_bound"
+        ),
+    ).orderBy("lang")
 
 
 # ---------------------------------------------------------------------------
