@@ -2256,6 +2256,75 @@ def latest_version(table_path: str | Path) -> int:
     return max(commits + checkpoints)
 
 
+def paired_snapshot_versions(
+    primary_path: str | Path, secondary_path: str | Path, app_id: str
+) -> tuple[int, int]:
+    """Consistent cross-table read pinning for a two-table pipeline.
+
+    Two Delta tables have independent logs, so there is no atomic
+    cross-table commit — a reader taking two head snapshots can observe a
+    HALF-APPLIED batch (primary updated, secondary not yet). The writer
+    contract that makes consistent reads derivable anyway: every batch
+    commits the PRIMARY first, then the SECONDARY, both carrying the same
+    SetTransaction ``(app_id, batch)`` marker (the order
+    operators/dedup.py incremental_dedup_commit uses for corpus + store).
+    The secondary is therefore always the LAGGING table, and a consistent
+    pair is: take the secondary HEAD, read its txn marker ``w``, pin the
+    primary at the latest version whose marker is still ``w`` — that
+    version exists for every ``w`` the secondary has ever recorded,
+    because the primary committed batch ``w`` strictly earlier.
+
+    Marker monotonicity over versions makes the pin a BINARY SEARCH:
+    O(log versions) snapshot replays, each itself checkpoint-accelerated
+    — no full history walk, scale-safe at any commit count.
+
+    Fails LOUD (never a silently mixed pair) when:
+    - the secondary's marker is AHEAD of every primary version (writer
+      order violated — the pipeline bug this lens exists to catch);
+    - the primary log was truncated past the pinned version (vacuum /
+      checkpoint-cleanup raced the reader; retention too short).
+
+    Returns ``(primary_version, secondary_version)`` to feed
+    ``read_delta(..., version=...)``.
+    """
+    sec_v = latest_version(secondary_path)
+    w = int(snapshot(secondary_path, sec_v).transactions.get(app_id, -1))
+    commits, checkpoints = _list_versions(_log_dir(Path(primary_path)))
+    if not commits and not checkpoints:
+        raise FileNotFoundError(f"empty _delta_log in {primary_path}")
+    vs = sorted(set(commits) | set(checkpoints))
+
+    def txn_at(v: int) -> int:
+        return int(snapshot(primary_path, v).transactions.get(app_id, -1))
+
+    if txn_at(vs[0]) > w:
+        raise ValueError(
+            f"paired read impossible: primary {primary_path} oldest "
+            f"retained version {vs[0]} already carries txn "
+            f"{txn_at(vs[0])} > secondary marker {w} — the log was "
+            "truncated past the pinned state (raise retention) or the "
+            "writer violated primary-first commit order"
+        )
+    lo, hi = 0, len(vs) - 1
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if txn_at(vs[mid]) <= w:
+            lo = mid
+        else:
+            hi = mid - 1
+    pinned = vs[lo]
+    got = txn_at(pinned)
+    if got != w:
+        raise ValueError(
+            f"paired read impossible: secondary {secondary_path} marker "
+            f"{w} (appId {app_id!r}) is AHEAD of every primary version "
+            f"(primary tops out at txn {got}) — the writer violated the "
+            "primary-first commit order; a silent head-head read here "
+            "would expose a half-applied batch"
+        )
+    return pinned, sec_v
+
+
 def describe_history(table_path: str | Path, limit: int | None = None) -> list[dict]:
     """Newest-first commit provenance (delta-spark ``DESCRIBE HISTORY``
     twin): one record per RETAINED commit json with {version, timestamp
