@@ -159,6 +159,14 @@ HEADLINE = [
     # cumulative window).
     "doclen_log2_histogram",
     "split_leakage_audit",
+    # round-10: incremental cross-snapshot dedup (the daily-ingest shape:
+    # within-shard dedup + fp-store anti-join + two transactional Delta
+    # appends — commit I/O included, like the other e2e write-path
+    # entries) and the stratified-sampling audit (sampleBy + two tiny
+    # aggs + broadcast join). Baselines recorded as added_r10 from a
+    # clean full-bench run.
+    "incremental_dedup_new_shard",
+    "stratified_sample",
 ]
 
 

@@ -1425,7 +1425,11 @@ ORDER BY c.lang
     "under fixture regeneration (~1e-9 flake per stratum)",
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample_core(load_table(spark, sf_dir, "documents"))
+
+
+def stratified_sample_core(d: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
     fractions = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
     s = d.sampleBy("lang", fractions, seed=42)
     n_out = s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_out"))

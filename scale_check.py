@@ -784,8 +784,43 @@ def main() -> None:
             contrast_col="label",
         )
 
+    def incremental_dedup_shape(d):
+        # the QUERY plan of incremental_dedup_new_shard minus the Delta
+        # I/O: within-shard exact dedup + anti-join of 16-byte fps
+        # against the history store projection — the daily-ingest shape
+        from pyspark.sql import Window
+
+        from duck_delta_share_spark.functions.text import fingerprint
+
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % 100
+        )
+        dd2 = d.select("doc_id", "text", bucket.alias("__b"))
+        hist_fps = (
+            dd2.where(F.col("__b") < 70)
+            .select(fingerprint("text").alias("__fp"))
+            .dropDuplicates(["__fp"])
+        )
+        w = Window.partitionBy("__fp").orderBy("doc_id")
+        within = (
+            dd2.where(F.col("__b") >= 70)
+            .withColumn("__fp", fingerprint("text"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+        return within.join(hist_fps, "__fp", "left_anti").select("doc_id", "__fp")
+
+    def stratified_audit_shape(d):
+        from duck_delta_share_spark.plans.llm_ops import stratified_sample_core
+
+        return stratified_sample_core(d)
+
     ops = [
         ("q1_agg", q1_shape, l1, lN),
+        ("incremental_dedup", incremental_dedup_shape, d1, dN),
+        ("stratified_audit", stratified_audit_shape, d1, dN),
         ("minhash_lsh", minhash_shape, d1, dN),
         ("sessionization", sessionize_shape, e1, eN),
         ("embedding_neardup", neardup_shape, emb1, embN),
