@@ -167,6 +167,10 @@ HEADLINE = [
     # clean full-bench run.
     "incremental_dedup_new_shard",
     "stratified_sample",
+    # round-10 second wave: incremental NEAR-dup vs the band-bucket store
+    # (store build + Delta I/O + the shard-vs-store banded join — the
+    # heaviest new r10 shape, worth perf-tracking like minhash_recall).
+    "incremental_neardup_new_shard",
 ]
 
 

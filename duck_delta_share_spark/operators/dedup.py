@@ -586,18 +586,20 @@ def simhash_md5(
     return agg.select(F.col(id_col), packed.alias("simhash"))
 
 
-def minhash_md5_lsh_pairs(
+def minhash_md5_band_rows(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 4,
-    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
-    """Banded candidate pairs over Carter-Wegman md5 signatures. Band
-    buckets are ``md5(mh_a || '|' || mh_b)`` with NULL-PROPAGATING concat
-    (concat_ws would collapse all empty-signature docs into one giant ''
-    bucket); otherwise the exact same capped bucket self-join as
-    ``lsh_candidate_pairs``."""
+    """(id, band, bucket) rows from Carter-Wegman md5 signatures — the
+    shared banding step of the self-join pair generator AND the
+    incremental band-bucket STORE (one ~32-hex bucket string per band per
+    doc, the only per-document state a cross-snapshot near-dup pipeline
+    persists). Buckets are ``md5(mh_a || '|' || mh_b)`` with
+    NULL-PROPAGATING concat (concat_ws would collapse all
+    empty-signature docs into one giant '' bucket); NULL buckets are
+    dropped here so they can never pair or bloat the store."""
     if num_hashes % bands:
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes}: trailing "
@@ -614,11 +616,24 @@ def minhash_md5_lsh_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bucket"))
         )
-    exploded = (
+    return (
         signatures.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
         .filter(F.col("bucket").isNotNull())
     )
+
+
+def minhash_md5_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """Banded candidate pairs over Carter-Wegman md5 signatures
+    (:func:`minhash_md5_band_rows` buckets); otherwise the exact same
+    capped bucket self-join as ``lsh_candidate_pairs``."""
+    exploded = minhash_md5_band_rows(signatures, id_col, num_hashes, bands)
     exploded = _cap_buckets(exploded, ["band", "bucket"], max_bucket_size)
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -1205,3 +1220,86 @@ def incremental_dedup_commit(
         "corpus_version": corpus_version,
         "store_version": store_version,
     }
+
+
+def incremental_neardup_candidates(
+    spark,
+    new_docs: DataFrame,
+    bucket_store_path,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """NEAR-dup candidates of a new shard against the accumulated corpus
+    WITHOUT rescanning it — the MinHash twin of
+    :func:`incremental_dedup_commit`'s exact pipeline, and the other half
+    of what a 100 TB ingest actually runs daily (exact-dup filtering
+    alone misses boilerplate rewraps and near-copies).
+
+    The only history touched is the maintained band-bucket STORE (a
+    Delta table of ``(band, bucket, doc_id)`` — ``bands`` rows of one
+    32-hex bucket string per corpus document, ~0.2% of corpus bytes at
+    8/4 defaults): the shard's band rows join it on ``(band, bucket)``,
+    so candidate pairs only form inside shared LSH buckets — never
+    all-pairs, and the shuffle key IS the band hash, exactly like the
+    within-corpus self-join. Returns one row per (id_new, id_old)
+    candidate with ``n_shared_bands``.
+
+    ``max_bucket_size`` caps the per-(band,bucket) group size over the
+    UNION of store + shard rows before pair generation (same quadratic
+    argument and same zero-extra-exchange window shape as
+    ``_cap_buckets``; pass ``None`` for audits that must see uncapped
+    banding — the silent-result-cliff rule). KNOWN COST of the capped
+    path: both join sides derive from the capped union, so its lineage
+    evaluates twice per action — bounded, because the only expensive leg
+    is the shard's signature map (one md5 per shingle over the NEW SHARD
+    only; the store side is a cheap columnar Delta scan) and a daily
+    shard is small relative to the corpus. Persist the shard's band rows
+    upstream if a shard is ever corpus-sized.
+
+    Store maintenance (appending the shard's band rows after ingest,
+    exactly-once) composes ``minhash_md5_band_rows`` + ``write_delta``
+    with a SetTransaction, the corpus-first order proven by
+    tests/test_multi_table_txn_r10.py.
+    """
+    from duck_delta_share_spark.sources.delta_log import read_delta
+
+    sigs = minhash_md5_signatures(
+        new_docs, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    shard_rows = minhash_md5_band_rows(sigs, id_col, num_hashes, bands)
+    store_rows = read_delta(spark, bucket_store_path).select(
+        "band", "bucket", F.col(id_col).alias("__old")
+    )
+    if max_bucket_size is not None:
+        # cap on the union: a hot bucket is hot regardless of which side
+        # its members came from. Rows carry a literal side tag INTO the
+        # capped union and split back by it afterwards — zero extra
+        # joins, and the cap window partitions on the same (band, bucket)
+        # key the candidate join hash-partitions on anyway.
+        tagged = store_rows.select(
+            F.col("__old").alias(id_col), "band", "bucket",
+            F.lit("store").alias("__side"),
+        ).unionByName(
+            shard_rows.select(
+                id_col, "band", "bucket", F.lit("shard").alias("__side")
+            )
+        )
+        capped = _cap_buckets(tagged, ["band", "bucket"], max_bucket_size)
+        store_side = capped.filter(F.col("__side") == "store").select(
+            "band", "bucket", F.col(id_col).alias("__old")
+        )
+        shard_side = capped.filter(F.col("__side") == "shard").select(
+            id_col, "band", "bucket"
+        )
+    else:
+        store_side = store_rows
+        shard_side = shard_rows
+    j = shard_side.join(store_side, ["band", "bucket"])
+    return (
+        j.groupBy(F.col(id_col).alias("id_new"), F.col("__old").alias("id_old"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )

@@ -5098,3 +5098,114 @@ def incremental_dedup_new_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "fp")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "incremental_neardup_new_shard",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+                        i -> ARRAY_TO_STRING(toks[i:i+2], ' ')) AS shingles,
+         CASE WHEN {_BUCKET4_SQL} < 70 THEN 'hist' ELSE 'shard' END AS side
+  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+),
+hv AS (
+  SELECT doc_id, side,
+         LIST_TRANSFORM(shingles,
+           s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS hs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, side,
+{_MD5_SIG_SQL}
+  FROM hv
+),
+bands AS (
+  SELECT doc_id, side, 0 AS band,
+         md5(CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR)) AS bucket
+  FROM sig
+  UNION ALL SELECT doc_id, side, 1,
+         md5(CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR)) FROM sig
+  UNION ALL SELECT doc_id, side, 2,
+         md5(CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR)) FROM sig
+  UNION ALL SELECT doc_id, side, 3,
+         md5(CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR)) FROM sig
+),
+hist_cand AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+         GREATEST(a.doc_id, b.doc_id) AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_bands,
+         'history' AS vs
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.side = 'shard' AND b.side = 'hist'
+  GROUP BY 1, 2
+),
+shard_cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_bands,
+         'shard' AS vs
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+  WHERE a.side = 'shard' AND b.side = 'shard'
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared_bands, vs FROM hist_cand
+UNION ALL
+SELECT id_a, id_b, n_shared_bands, vs FROM shard_cand
+ORDER BY vs, id_a, id_b
+""",
+    doc="incremental cross-snapshot NEAR-dup — the MinHash twin of "
+    "incremental_dedup_new_shard, and the other half of a daily 100 TB "
+    "ingest (exact fingerprints miss boilerplate rewraps): the new "
+    "shard's LSH band rows join the maintained Delta band-bucket STORE "
+    "(bands x 32-hex chars per corpus doc, ~0.2% of corpus bytes) on "
+    "(band, bucket) — history documents are never rescanned, candidate "
+    "pairs only form inside shared buckets, and the shuffle key is the "
+    "band hash (operators/dedup.py incremental_neardup_candidates). "
+    "Output = vs-history candidates UNION within-shard candidates, both "
+    "uncapped here so the oracle's band-bucket joins mirror exactly "
+    "(production callers keep the documented max_bucket_size cap). "
+    "Split = md5(doc_id) buckets <70 history / >=70 shard, the same "
+    "md5-stable rule as the exact twin",
+)
+def incremental_neardup_new_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.operators.dedup import (
+        incremental_neardup_candidates,
+        minhash_md5_band_rows,
+    )
+    from duck_delta_share_spark.sources.delta_log import write_delta
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    d = d.select("doc_id", "text", bucket.alias("__bucket"))
+    hist = d.where(F.col("__bucket") < 70).drop("__bucket")
+    shard = d.where(F.col("__bucket") >= 70).drop("__bucket")
+
+    store = Path(tempfile.mkdtemp(prefix="ddss_incnd_")) / "buckets"
+    hist_sigs = dd.minhash_md5_signatures(hist, num_hashes=8, shingle_n=3)
+    write_delta(minhash_md5_band_rows(hist_sigs, num_hashes=8, bands=4), store)
+
+    vs_hist = incremental_neardup_candidates(
+        spark, shard, store, num_hashes=8, bands=4, shingle_n=3,
+        max_bucket_size=None,
+    ).select(
+        F.least("id_new", "id_old").alias("id_a"),
+        F.greatest("id_new", "id_old").alias("id_b"),
+        "n_shared_bands",
+        F.lit("history").alias("vs"),
+    )
+    shard_sigs = dd.minhash_md5_signatures(shard, num_hashes=8, shingle_n=3)
+    within = dd.minhash_md5_lsh_pairs(
+        shard_sigs, num_hashes=8, bands=4, max_bucket_size=None
+    ).select("id_a", "id_b", "n_shared_bands", F.lit("shard").alias("vs"))
+    return vs_hist.unionByName(within).orderBy("vs", "id_a", "id_b")

@@ -817,9 +817,47 @@ def main() -> None:
 
         return stratified_sample_core(d)
 
+    def incremental_neardup_shape(d):
+        # the e2e daily near-dup ingest: build the band-bucket store from
+        # history (signatures + Delta write INCLUDED — that cost scales
+        # too), then the shard-vs-store candidate join at the production
+        # cap
+        import tempfile
+        from pathlib import Path as _P
+
+        from duck_delta_share_spark.operators.dedup import (
+            incremental_neardup_candidates,
+            minhash_md5_band_rows,
+            minhash_md5_signatures,
+        )
+        from duck_delta_share_spark.sources.delta_log import write_delta
+
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % 100
+        )
+        dd2 = d.select("doc_id", "text", bucket.alias("__b"))
+        hist = dd2.where(F.col("__b") < 70).drop("__b")
+        shard = dd2.where(F.col("__b") >= 70).drop("__b")
+        store = _P(tempfile.mkdtemp(prefix="ddss_scale_incnd_")) / "buckets"
+        write_delta(
+            minhash_md5_band_rows(
+                minhash_md5_signatures(hist, num_hashes=8, shingle_n=3),
+                num_hashes=8,
+                bands=4,
+            ),
+            store,
+        )
+        return incremental_neardup_candidates(
+            spark, shard, store, num_hashes=8, bands=4, shingle_n=3,
+            max_bucket_size=2000,
+        )
+
     ops = [
         ("q1_agg", q1_shape, l1, lN),
         ("incremental_dedup", incremental_dedup_shape, d1, dN),
+        ("incremental_neardup", incremental_neardup_shape, d1, dN),
         ("stratified_audit", stratified_audit_shape, d1, dN),
         ("minhash_lsh", minhash_shape, d1, dN),
         ("sessionization", sessionize_shape, e1, eN),

@@ -202,3 +202,81 @@ def test_crash_matrix_never_diverge(spark, tmp_path, monkeypatch):
         assert len(store_rows) == len({r.fp for r in store_rows}), f"k={k}"
         assert last_txn_version(corpus, "loader") == 1
         assert last_txn_version(store, "loader") == 1
+
+
+def test_incremental_neardup_candidates_cap_and_parity(spark, tmp_path):
+    """The capped path must (a) agree with the uncapped path when no
+    bucket exceeds the cap, and (b) drop every pair of an over-cap
+    bucket on BOTH sides (the union cap: a hot bucket is hot regardless
+    of which side its members came from)."""
+    from duck_delta_share_spark.operators.dedup import (
+        incremental_neardup_candidates,
+        minhash_md5_band_rows,
+        minhash_md5_signatures,
+    )
+
+    # history: 3 near-identical docs (one hot set of buckets) + 1 unique;
+    # shard: 2 near-copies of the hot text + 1 unique
+    hist_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        (4, "completely different historical content here now"),
+    ]
+    shard_rows = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta"),
+        (12, "another fresh unique shard document text body"),
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    shard = spark.createDataFrame(shard_rows, "doc_id long, text string")
+    store = tmp_path / "buckets"
+    sigs = minhash_md5_signatures(hist, num_hashes=8, shingle_n=3)
+    write_delta(minhash_md5_band_rows(sigs, num_hashes=8, bands=4), store)
+
+    def pairs(cap):
+        return {
+            (r.id_new, r.id_old, r.n_shared_bands)
+            for r in incremental_neardup_candidates(
+                spark, shard, store, num_hashes=8, bands=4, shingle_n=3,
+                max_bucket_size=cap,
+            ).collect()
+        }
+
+    uncapped = pairs(None)
+    # identical texts share all 4 bands; each shard hot doc pairs with
+    # each of the 3 hot history docs
+    assert uncapped == {
+        (n, o, 4) for n in (10, 11) for o in (1, 2, 3)
+    }
+    # a generous cap changes nothing
+    assert pairs(100) == uncapped
+    # the hot bucket holds 3 hist + 2 shard = 5 members; cap=4 kills it
+    # on BOTH sides -> no history candidates survive
+    assert pairs(4) == set()
+
+
+def test_incremental_neardup_store_never_rescans_history(spark, tmp_path):
+    """Corrupting the HISTORY documents after the store is built must not
+    change the candidates — proof the operator reads only the store."""
+    from duck_delta_share_spark.operators.dedup import (
+        incremental_neardup_candidates,
+        minhash_md5_band_rows,
+        minhash_md5_signatures,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    shard = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    store = tmp_path / "buckets"
+    sigs = minhash_md5_signatures(hist, num_hashes=8, shingle_n=3)
+    write_delta(minhash_md5_band_rows(sigs, num_hashes=8, bands=4), store)
+    got = incremental_neardup_candidates(
+        spark, shard, store, max_bucket_size=None
+    ).collect()
+    assert {(r.id_new, r.id_old, r.n_shared_bands) for r in got} == {(10, 1, 4)}
