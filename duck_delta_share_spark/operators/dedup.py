@@ -1298,7 +1298,11 @@ def incremental_neardup_candidates(
     else:
         store_side = store_rows
         shard_side = shard_rows
-    j = shard_side.join(store_side, ["band", "bucket"])
+    # self-pair guard: re-probing a shard whose docs were already
+    # appended to the store would otherwise pair every doc with itself
+    j = shard_side.join(store_side, ["band", "bucket"]).where(
+        F.col(id_col) != F.col("__old")
+    )
     return (
         j.groupBy(F.col(id_col).alias("id_new"), F.col("__old").alias("id_old"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
