@@ -171,6 +171,9 @@ HEADLINE = [
     # (store build + Delta I/O + the shard-vs-store banded join — the
     # heaviest new r10 shape, worth perf-tracking like minhash_recall).
     "incremental_neardup_new_shard",
+    # round-10 third wave: temporal corpus-novelty trend (fp-keyed window
+    # + shard-keyed agg — the crawl-dedup budgeting report).
+    "crawl_novelty_by_shard",
 ]
 
 

@@ -34,6 +34,7 @@ _R10_WINDOW = [
     # r10 NEW queries / changed oracles or plans this round
     "incremental_dedup_new_shard",  # new: cross-snapshot dedup vs fp store
     "incremental_neardup_new_shard",  # new: MinHash twin vs band-bucket store
+    "crawl_novelty_by_shard",  # new: temporal corpus-novelty trend
     "stratified_sample",  # rows-only -> exact-twin + binomial-bound oracle
     "minhash_recall_audit",  # plan changed: uncapped banding (advice r9)
     "table_profile",  # plan changed: pinned union-branch types (advice r9)
@@ -88,9 +89,10 @@ _R10_WINDOW = [
     "filter_in_between_null",
     "sort_limit",
     "topk_per_group",
-    "array_functions",
-    # (explode_unnest trimmed for incremental_neardup_new_shard)
-    # (remaining r6 tail — explode_unnest, bag_fingerprint_dedup, correlated_in_subquery,
+    # (explode_unnest trimmed for incremental_neardup_new_shard,
+    # array_functions for crawl_novelty_by_shard)
+    # (remaining r6 tail — array_functions, explode_unnest,
+    # bag_fingerprint_dedup, correlated_in_subquery,
     # cross_source_leakage, embedding_winsorized_stats,
     # event_type_transitions, interarrival_histogram, math_functions,
     # multimodal_wav_strict, ngram_novelty_score, oov_rate_topk_vocab,

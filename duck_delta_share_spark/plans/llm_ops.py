@@ -5209,3 +5209,81 @@ def incremental_neardup_new_shard(spark: SparkSession, sf_dir: str) -> DataFrame
         shard_sigs, num_hashes=8, bands=4, max_bucket_size=None
     ).select("id_a", "id_b", "n_shared_bands", F.lit("shard").alias("vs"))
     return vs_hist.unionByName(within).orderBy("vs", "id_a", "id_b")
+
+
+@query(
+    "crawl_novelty_by_shard",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS fp, ({_BUCKET4_SQL}) % 10 AS shard
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT shard,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY fp ORDER BY shard, doc_id) = 1
+              THEN 1 ELSE 0 END AS first
+  FROM d
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(first) AS BIGINT) AS n_first_instances,
+       CAST(COUNT(*) - SUM(first) AS BIGINT) AS n_dup_docs,
+       CAST(floor(CAST((COUNT(*) - SUM(first)) * 1000000 AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS dup_rate_e6
+FROM r GROUP BY shard ORDER BY shard
+""",
+    doc="temporal corpus-novelty trend — the report behind crawl-dedup "
+    "budgeting ('how fast is the incoming stream repeating itself?'): "
+    "docs bucketed into 10 md5-stable arrival shards; per shard, how "
+    "many docs are the FIRST instance of their exact fingerprint across "
+    "the whole accumulated sequence (lowest (shard, doc_id) per "
+    "md5(text) — raw content, no locale-casing hazard) vs repeats of "
+    "earlier shards or earlier rows. PLAN: one fingerprint-KEYED window "
+    "(hash-partitioned on fp — never single-partition) then one "
+    "shard-keyed hash agg; dup_rate floor-pinned to e6 on "
+    "exactly-representable integer-valued doubles (one IEEE divide, "
+    "same on both engines). At 100 TB the window shuffles 16-byte "
+    "fingerprints + two small ints per doc, never bodies",
+)
+def crawl_novelty_by_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return crawl_novelty_by_shard_core(load_table(spark, sf_dir, "documents"))
+
+
+def crawl_novelty_by_shard_core(d: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
+    from pyspark.sql import Window
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    ) % 10
+    rows = d.where(F.col("text").isNotNull()).select(
+        "doc_id", F.md5("text").alias("fp"), shard.alias("shard")
+    )
+    w = Window.partitionBy("fp").orderBy("shard", "doc_id")
+    flagged = rows.select(
+        "shard",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("first"),
+    )
+    g = flagged.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs_raw"),
+        F.sum("first").alias("n_first_raw"),
+    )
+    return g.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_docs_raw").cast("long").alias("n_docs"),
+        F.col("n_first_raw").cast("long").alias("n_first_instances"),
+        (F.col("n_docs_raw") - F.col("n_first_raw"))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.floor(
+            ((F.col("n_docs_raw") - F.col("n_first_raw")) * F.lit(1000000))
+            .cast("double")
+            / F.col("n_docs_raw").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dup_rate_e6"),
+    ).orderBy("shard")

@@ -755,6 +755,9 @@ def main() -> None:
         user_burstiness_core,
     )
     from duck_delta_share_spark.plans.llm_ops import (
+        crawl_novelty_by_shard_core as _crawl_novelty_core,
+    )
+    from duck_delta_share_spark.plans.llm_ops import (
         boilerplate_chunk_dedup_core,
         doclen_log2_histogram_core,
         minhash_recall_audit_core,
@@ -859,6 +862,7 @@ def main() -> None:
         ("incremental_dedup", incremental_dedup_shape, d1, dN),
         ("incremental_neardup", incremental_neardup_shape, d1, dN),
         ("stratified_audit", stratified_audit_shape, d1, dN),
+        ("crawl_novelty", _crawl_novelty_core, d1, dN),
         ("minhash_lsh", minhash_shape, d1, dN),
         ("sessionization", sessionize_shape, e1, eN),
         ("embedding_neardup", neardup_shape, emb1, embN),
