@@ -172,8 +172,11 @@ HEADLINE = [
     # heaviest new r10 shape, worth perf-tracking like minhash_recall).
     "incremental_neardup_new_shard",
     # round-10 third wave: temporal corpus-novelty trend (fp-keyed window
-    # + shard-keyed agg — the crawl-dedup budgeting report).
+    # + shard-keyed agg — the crawl-dedup budgeting report) and the
+    # persisted-IVF lifecycle (train + partitioned index write + pruned
+    # probe — Delta I/O included).
     "crawl_novelty_by_shard",
+    "similarity_ann_ivf_persisted",
 ]
 
 

@@ -371,6 +371,39 @@ def train_ivf_centroids(
     return C
 
 
+def _nearest_centroid_udf(C: np.ndarray):
+    """Arrow-batched argmax-cosine assignment against the (broadcast via
+    task closure) centroid matrix — shared by ivf_topk and the persisted
+    index builder so the two can never drift."""
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def nearest_centroid(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # Arrow may deliver empty batches
+            return pd.Series([], dtype="int32")
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
+
+    return nearest_centroid
+
+
+def _probe_centroids_udf(C: np.ndarray, n_probe: int):
+    """Arrow-batched top-``n_probe`` centroid probe order per query."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_centroids(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # Arrow may deliver empty batches
+            return pd.Series([], dtype=object)
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(V @ C.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return probe_centroids
+
+
 def ivf_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -398,8 +431,6 @@ def ivf_topk(
     :func:`train_ivf_centroids`); pass precomputed ``centroids`` to reuse
     a trained quantizer across queries/jobs.
     """
-    from pyspark.sql.types import ArrayType, IntegerType
-
     # zero-norm vectors have no cosine: exclude them BEFORE assignment /
     # probing, like brute_force_topk's __bn/__qn guards — the r8 zerovec
     # fuzz caught an all-zero query emitting k NULL-cosine rows (the
@@ -411,23 +442,8 @@ def ivf_topk(
         base, dim, n_centroids, id_col, vec_col, max_train_sample, seed=seed
     )
     n_probe = min(n_probe, len(C))
-
-    @F.pandas_udf(IntegerType())
-    def nearest_centroid(v: pd.Series) -> pd.Series:
-        if len(v) == 0:  # Arrow may deliver empty batches
-            return pd.Series([], dtype="int32")
-        V = np.vstack(v.to_numpy()).astype(np.float64)
-        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def probe_centroids(v: pd.Series) -> pd.Series:
-        if len(v) == 0:  # Arrow may deliver empty batches
-            return pd.Series([], dtype=object)
-        V = np.vstack(v.to_numpy()).astype(np.float64)
-        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(V @ C.T), axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
+    nearest_centroid = _nearest_centroid_udf(C)
+    probe_centroids = _probe_centroids_udf(C, n_probe)
 
     b = base.select(
         F.col(id_col).alias("vec_id"),
@@ -1201,6 +1217,114 @@ def ivfpq_topk(
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
         exact.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+def ivf_build_index(
+    spark,
+    base: DataFrame,
+    index_path,
+    dim: int,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_sample: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Build and PERSIST an IVF index as two Delta tables — the
+    build-once / probe-many shape a production ANN service runs (FAISS's
+    train→add→save lifecycle, re-expressed on Delta):
+
+    - ``<index_path>/centroids``: (cid, centroid) — the tiny coarse
+      quantizer (n_centroids × dim floats);
+    - ``<index_path>/lists``: (vec_id, embedding, cid), PARTITIONED BY
+      cid — each hive partition IS an inverted list, so probe-time
+      partition pruning reads only the probed lists from storage. At
+      100 TB the probe's scan cost is ~n_probe/n_centroids of the index,
+      enforced by the layout itself, not a runtime filter.
+
+    Assignment is the same Arrow argmax pass ivf_topk uses
+    (``_nearest_centroid_udf`` — shared, so index and ad-hoc search can
+    never drift); zero-norm vectors are excluded exactly like the
+    search-time guards. Returns the trained centroid matrix.
+    """
+    from pathlib import Path
+
+    from duck_delta_share_spark.sources.delta_log import write_delta
+
+    base = base.filter(norm_fast(F.col(vec_col)) > 0)
+    C = train_ivf_centroids(
+        base, dim, n_centroids, id_col, vec_col, max_train_sample, seed=seed
+    )
+    assigned = base.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        _nearest_centroid_udf(C)(vec_col).alias("cid"),
+    )
+    write_delta(assigned, Path(index_path) / "lists", partition_by=["cid"])
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in C[i]]) for i in range(len(C))],
+        "cid int, centroid array<double>",
+    )
+    write_delta(cent, Path(index_path) / "centroids")
+    return C
+
+
+def ivf_probe_index(
+    spark,
+    queries: DataFrame,
+    index_path,
+    k: int = 5,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search against a PERSISTED IVF index (``ivf_build_index``)
+    without touching the original corpus: centroids load as bounded
+    driver state (n_centroids × dim floats), each query probes its
+    ``n_probe`` nearest lists, and the union of probed cids — at most
+    n_centroids ints — becomes a PARTITION filter on the lists table, so
+    the scan physically skips every unprobed inverted list. Scoring and
+    ranking are identical to ivf_topk (Arrow batch cosine, lowest-id tie
+    break); probing all lists is provably exact, the same dial as the
+    ad-hoc path.
+    """
+    from pathlib import Path
+
+    from duck_delta_share_spark.sources.delta_log import read_delta
+
+    cent_rows = read_delta(spark, Path(index_path) / "centroids").collect()
+    C = np.vstack(
+        [
+            np.asarray(r.centroid, dtype=np.float64)
+            for r in sorted(cent_rows, key=lambda r: r.cid)
+        ]
+    )
+    n_probe = min(n_probe, len(C))
+    queries = queries.filter(norm_fast(F.col(vec_col)) > 0)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_probe_centroids_udf(C, n_probe)(vec_col)).alias("cid"),
+    )
+    # the probed-cid union is bounded by n_centroids — collecting it is
+    # control-plane, and turning it into a literal isin() is what lets
+    # the DataSource prune the unprobed hive partitions at the SCAN
+    probed = sorted({int(r.cid) for r in q.select("cid").distinct().collect()})
+    lists = read_delta(spark, Path(index_path) / "lists").filter(
+        F.col("cid").isin(probed)
+    )
+    pairs = lists.join(F.broadcast(q), "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.withColumn(
+        "cosine", _cosine_arrow_udf()(F.col("__qv"), F.col("embedding"))
+    ).filter(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "cosine", "rk")
     )

@@ -35,6 +35,7 @@ _R10_WINDOW = [
     "incremental_dedup_new_shard",  # new: cross-snapshot dedup vs fp store
     "incremental_neardup_new_shard",  # new: MinHash twin vs band-bucket store
     "crawl_novelty_by_shard",  # new: temporal corpus-novelty trend
+    "similarity_ann_ivf_persisted",  # new: build-once/probe-many IVF on Delta
     "stratified_sample",  # rows-only -> exact-twin + binomial-bound oracle
     "minhash_recall_audit",  # plan changed: uncapped banding (advice r9)
     "table_profile",  # plan changed: pinned union-branch types (advice r9)
@@ -88,10 +89,10 @@ _R10_WINDOW = [
     "filter_projection",
     "filter_in_between_null",
     "sort_limit",
-    "topk_per_group",
     # (explode_unnest trimmed for incremental_neardup_new_shard,
-    # array_functions for crawl_novelty_by_shard)
-    # (remaining r6 tail — array_functions, explode_unnest,
+    # array_functions for crawl_novelty_by_shard, topk_per_group for
+    # similarity_ann_ivf_persisted)
+    # (remaining r6 tail — array_functions, explode_unnest, topk_per_group,
     # bag_fingerprint_dedup, correlated_in_subquery,
     # cross_source_leakage, embedding_winsorized_stats,
     # event_type_transitions, interarrival_histogram, math_functions,

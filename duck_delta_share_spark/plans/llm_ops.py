@@ -5287,3 +5287,33 @@ def crawl_novelty_by_shard_core(d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("dup_rate_e6"),
     ).orderBy("shard")
+
+
+@query(
+    "similarity_ann_ivf_persisted",
+    oracle=_IVF_ORACLE,
+    doc="PERSISTED-index IVF top-5 — the build-once/probe-many lifecycle "
+    "a production ANN service runs (FAISS train→add→save on Delta): "
+    "ivf_build_index writes the coarse quantizer and the inverted lists "
+    "as Delta tables with the lists PARTITIONED BY cid (each hive "
+    "partition IS an inverted list — probe-time partition pruning skips "
+    "unprobed lists at the SCAN, enforced by layout, not a runtime "
+    "filter); ivf_probe_index then searches WITHOUT touching the "
+    "original corpus. Probing all lists is provably exact, so the whole "
+    "persisted lifecycle — train, assign, write, prune, probe, rank — "
+    "is hash-checked against brute force (the similarity_ann_ivf "
+    "precedent); the production dial (n_probe < n_centroids) shares "
+    "ivf_topk's recall tests since both paths share the same UDFs. "
+    "Ranks only: numpy batch dots differ from the order-pinned fold in "
+    "the last ulp (cannot flip ranks at this corpus's cosine gaps)",
+)
+def similarity_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = Path(tempfile.mkdtemp(prefix="ddss_ivfidx_")) / "index"
+    sim.ivf_build_index(spark, e, idx, dim=64, n_centroids=32)
+    return sim.ivf_probe_index(
+        spark, e.filter(F.col("vec_id") < 10), idx, k=5, n_probe=32
+    ).select("query_id", "vec_id", "rk")

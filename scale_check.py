@@ -820,6 +820,23 @@ def main() -> None:
 
         return stratified_sample_core(d)
 
+    def ivf_persisted_shape(emb):
+        # full persisted-IVF lifecycle: train (bounded sample), assign +
+        # partitioned index write, pruned probe — Delta I/O included
+        import tempfile
+        from pathlib import Path as _P
+
+        from duck_delta_share_spark.operators.similarity import (
+            ivf_build_index,
+            ivf_probe_index,
+        )
+
+        idx = _P(tempfile.mkdtemp(prefix="ddss_scale_ivfidx_")) / "index"
+        ivf_build_index(spark, emb, idx, dim=64, n_centroids=32)
+        return ivf_probe_index(
+            spark, emb.filter(F.col("vec_id") < 10), idx, k=5, n_probe=8
+        )
+
     def incremental_neardup_shape(d):
         # the e2e daily near-dup ingest: build the band-bucket store from
         # history (signatures + Delta write INCLUDED — that cost scales
@@ -863,6 +880,7 @@ def main() -> None:
         ("incremental_neardup", incremental_neardup_shape, d1, dN),
         ("stratified_audit", stratified_audit_shape, d1, dN),
         ("crawl_novelty", _crawl_novelty_core, d1, dN),
+        ("ivf_persisted", ivf_persisted_shape, emb1, embN),
         ("minhash_lsh", minhash_shape, d1, dN),
         ("sessionization", sessionize_shape, e1, eN),
         ("embedding_neardup", neardup_shape, emb1, embN),
