@@ -36,6 +36,7 @@ _R10_WINDOW = [
     "incremental_neardup_new_shard",  # new: MinHash twin vs band-bucket store
     "crawl_novelty_by_shard",  # new: temporal corpus-novelty trend
     "similarity_ann_ivf_persisted",  # new: build-once/probe-many IVF on Delta
+    "doc_embedding_coverage",  # new: cross-table embedding-coverage audit
     "stratified_sample",  # rows-only -> exact-twin + binomial-bound oracle
     "minhash_recall_audit",  # plan changed: uncapped banding (advice r9)
     "table_profile",  # plan changed: pinned union-branch types (advice r9)
@@ -88,11 +89,11 @@ _R10_WINDOW = [
     # r6 filter/projection + sort/topk + array/explode
     "filter_projection",
     "filter_in_between_null",
-    "sort_limit",
     # (explode_unnest trimmed for incremental_neardup_new_shard,
     # array_functions for crawl_novelty_by_shard, topk_per_group for
-    # similarity_ann_ivf_persisted)
+    # similarity_ann_ivf_persisted, sort_limit for doc_embedding_coverage)
     # (remaining r6 tail — array_functions, explode_unnest, topk_per_group,
+    # sort_limit,
     # bag_fingerprint_dedup, correlated_in_subquery,
     # cross_source_leakage, embedding_winsorized_stats,
     # event_type_transitions, interarrival_histogram, math_functions,

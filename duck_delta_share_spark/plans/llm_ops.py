@@ -5317,3 +5317,75 @@ def similarity_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_probe_index(
         spark, e.filter(F.col("vec_id") < 10), idx, k=5, n_probe=32
     ).select("query_id", "vec_id", "rk")
+
+
+@query(
+    "doc_embedding_coverage",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents),
+e AS (
+  SELECT vec_id, LEN(embedding) AS dim,
+         CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null
+  FROM embeddings
+),
+j AS (
+  SELECT d.doc_id, e.vec_id, e.dim
+  FROM d FULL OUTER JOIN e ON d.doc_id = e.vec_id
+)
+SELECT CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(vec_id) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_unembedded,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan_vectors,
+       CAST(MIN(dim) AS BIGINT) AS dim_min,
+       CAST(MAX(dim) AS BIGINT) AS dim_max,
+       CAST((SELECT COUNT(*) FROM e WHERE is_null = 1) AS BIGINT)
+         AS n_null_vectors
+FROM j
+""",
+    doc="cross-table embedding-coverage audit — the pipeline health "
+    "check run before any embedding-dependent stage (semantic dedup, "
+    "ANN, clustering): every document should have exactly one vector "
+    "and every vector a document. One full-outer join on the id (both "
+    "sides project to the join key + a small int — at 100 TB this "
+    "shuffles ids, never bodies or vectors) folded to a 1-row report: "
+    "matched/unembedded/orphan counts, the dim range (a mixed-dimension "
+    "corpus breaks every downstream matmul), and NULL-vector count. "
+    "All exact integers",
+)
+def doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.when(F.col("embedding").isNull(), 1).otherwise(0).alias("is_null"),
+    )
+    j = d.join(e, d["doc_id"] == e["vec_id"], "full_outer")
+    return j.agg(
+        F.count("doc_id").cast("long").alias("n_docs"),
+        F.count("vec_id").cast("long").alias("n_vectors"),
+        F.sum(
+            F.when(F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("vec_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_unembedded"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphan_vectors"),
+        F.min(F.when(F.col("is_null") == 0, F.col("dim")))
+        .cast("long")
+        .alias("dim_min"),
+        F.max(F.when(F.col("is_null") == 0, F.col("dim")))
+        .cast("long")
+        .alias("dim_max"),
+        F.sum(F.coalesce(F.col("is_null"), F.lit(0)))
+        .cast("long")
+        .alias("n_null_vectors"),
+    )
