@@ -280,3 +280,26 @@ def test_incremental_neardup_store_never_rescans_history(spark, tmp_path):
         spark, shard, store, max_bucket_size=None
     ).collect()
     assert {(r.id_new, r.id_old, r.n_shared_bands) for r in got} == {(10, 1, 4)}
+
+
+def test_empty_shard_commits_marker_and_pipeline_continues(spark, tmp_path):
+    """Daily pipelines get empty shards: the ingest must still record the
+    (appId, version) marker — an unmarked gap would make a later replay
+    of that shard version re-run — and the next shard proceeds normally."""
+    corpus, store = _seed(spark, tmp_path)
+    empty = spark.createDataFrame([], SCHEMA)
+    r = incremental_dedup_commit(spark, empty, corpus, store, "loader", 1)
+    assert r["n_survivors"] == 0
+    assert r["corpus_version"] is not None and r["store_version"] is not None
+    assert last_txn_version(corpus, "loader") == 1
+    assert last_txn_version(store, "loader") == 1
+    assert {x.doc_id for x in read_delta(spark, corpus).collect()} == {1, 2, 3}
+    # replay of the empty shard: full no-op
+    r2 = incremental_dedup_commit(spark, empty, corpus, store, "loader", 1)
+    assert r2 == {"n_survivors": None, "corpus_version": None, "store_version": None}
+    # the pipeline continues
+    r3 = incremental_dedup_commit(
+        spark, _docs(spark, SHARD), corpus, store, "loader", 2
+    )
+    assert r3["n_survivors"] == len(SURVIVOR_IDS)
+    assert _fps(spark, store, False) == _fps(spark, corpus, True)
