@@ -2277,6 +2277,13 @@ def paired_snapshot_versions(
     Marker monotonicity over versions makes the pin a BINARY SEARCH:
     O(log versions) snapshot replays, each itself checkpoint-accelerated
     — no full history walk, scale-safe at any commit count.
+    PRECONDITION: the primary's markers for ``app_id`` are monotone
+    non-decreasing over versions — guaranteed by the idempotent-writer
+    gate (check ``last_txn_version`` before committing). A gate-LESS
+    stale writer can REGRESS the marker (protocol replay keeps the last
+    txn per appId in commit order — pinned by
+    tests/test_writer_fencing_r10.py), and a non-monotone history makes
+    any version-pinning reader ill-defined, binary search or not.
 
     Fails LOUD (never a silently mixed pair) when:
     - the secondary's marker is AHEAD of every primary version (writer
