@@ -37,6 +37,7 @@ _R10_WINDOW = [
     "crawl_novelty_by_shard",  # new: temporal corpus-novelty trend
     "similarity_ann_ivf_persisted",  # new: build-once/probe-many IVF on Delta
     "doc_embedding_coverage",  # new: cross-table embedding-coverage audit
+    "dedup_savings_by_source",  # new: dedup token-savings budgeting report
     "stratified_sample",  # rows-only -> exact-twin + binomial-bound oracle
     "minhash_recall_audit",  # plan changed: uncapped banding (advice r9)
     "table_profile",  # plan changed: pinned union-branch types (advice r9)
@@ -88,12 +89,12 @@ _R10_WINDOW = [
     "set_union_distinct",
     # r6 filter/projection + sort/topk + array/explode
     "filter_projection",
-    "filter_in_between_null",
     # (explode_unnest trimmed for incremental_neardup_new_shard,
     # array_functions for crawl_novelty_by_shard, topk_per_group for
-    # similarity_ann_ivf_persisted, sort_limit for doc_embedding_coverage)
+    # similarity_ann_ivf_persisted, sort_limit for doc_embedding_coverage,
+    # filter_in_between_null for dedup_savings_by_source)
     # (remaining r6 tail — array_functions, explode_unnest, topk_per_group,
-    # sort_limit,
+    # sort_limit, filter_in_between_null,
     # bag_fingerprint_dedup, correlated_in_subquery,
     # cross_source_leakage, embedding_winsorized_stats,
     # event_type_transitions, interarrival_histogram, math_functions,

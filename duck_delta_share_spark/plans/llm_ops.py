@@ -5389,3 +5389,87 @@ def doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_null_vectors"),
     )
+
+
+@query(
+    "dedup_savings_by_source",
+    oracle=f"""
+WITH d AS (
+  SELECT source,
+         md5({_NORM}) AS fp,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         doc_id
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT source, n_tokens,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_raw,
+       CAST(SUM(keep) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(keep * n_tokens) AS BIGINT) AS n_tokens_kept,
+       CAST(floor(CAST((SUM(n_tokens) - SUM(keep * n_tokens)) * 1000000 AS DOUBLE)
+                  / CAST(SUM(n_tokens) AS DOUBLE) + 0.5) AS BIGINT)
+         AS token_savings_e6
+FROM r GROUP BY source ORDER BY source
+""",
+    doc="dedup-savings accounting per source — the budgeting report that "
+    "justifies (or kills) a dedup stage: raw vs post-exact-dedup doc and "
+    "TOKEN counts per source, with the token savings rate. Keeps the "
+    "exact_dedup keep rule verbatim (lowest doc_id per normalized "
+    "fingerprint, corpus-GLOBAL — a doc whose duplicate lives in another "
+    "source is charged to the source holding the copy). One "
+    "fingerprint-keyed window (16-byte keys + one int shuffle) then one "
+    "source-keyed hash agg; savings floor-pinned to e6 on "
+    "exactly-representable integer-valued doubles. At 100 TB token "
+    "counts ride the same shuffle rows — no second corpus pass",
+)
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_savings_by_source_core(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_savings_by_source_core(d: DataFrame) -> DataFrame:
+    """Frame-parameterized core — shared with scale_check."""
+    from pyspark.sql import Window
+
+    from duck_delta_share_spark.functions.text import fingerprint, tokenize
+
+    rows = d.where(F.col("text").isNotNull()).select(
+        "source",
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        F.size(tokenize("text")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = rows.select(
+        "source",
+        "n_tokens",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("keep"),
+    )
+    g = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_raw"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_raw"),
+        F.sum("keep").cast("long").alias("n_docs_kept"),
+        F.sum(F.col("keep") * F.col("n_tokens"))
+        .cast("long")
+        .alias("n_tokens_kept"),
+    )
+    return g.select(
+        "source",
+        "n_docs_raw",
+        "n_tokens_raw",
+        "n_docs_kept",
+        "n_tokens_kept",
+        F.floor(
+            ((F.col("n_tokens_raw") - F.col("n_tokens_kept")) * F.lit(1000000))
+            .cast("double")
+            / F.col("n_tokens_raw").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("token_savings_e6"),
+    ).orderBy("source")

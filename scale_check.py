@@ -758,6 +758,9 @@ def main() -> None:
         crawl_novelty_by_shard_core as _crawl_novelty_core,
     )
     from duck_delta_share_spark.plans.llm_ops import (
+        dedup_savings_by_source_core as _dedup_savings_core,
+    )
+    from duck_delta_share_spark.plans.llm_ops import (
         boilerplate_chunk_dedup_core,
         doclen_log2_histogram_core,
         minhash_recall_audit_core,
@@ -880,6 +883,7 @@ def main() -> None:
         ("incremental_neardup", incremental_neardup_shape, d1, dN),
         ("stratified_audit", stratified_audit_shape, d1, dN),
         ("crawl_novelty", _crawl_novelty_core, d1, dN),
+        ("dedup_savings", _dedup_savings_core, d1, dN),
         ("ivf_persisted", ivf_persisted_shape, emb1, embN),
         ("minhash_lsh", minhash_shape, d1, dN),
         ("sessionization", sessionize_shape, e1, eN),
