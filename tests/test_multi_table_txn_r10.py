@@ -301,3 +301,75 @@ def test_paired_read_survives_optimize_and_vacuum(spark, tmp_path):
     # store lags the filler row's fp by design (it bypassed the pipeline);
     # the PAIRED invariant here is pipeline-doc consistency
     assert b <= a
+
+
+def test_paired_reads_race_log_maintenance(spark, tmp_path):
+    """A maintainer thread checkpoints + truncates the primary's log
+    while a reader loops paired reads and a writer advances batches:
+    every read must either return a consistent pair or fail with the
+    LOUD truncation/retention error — never a silent mix, never a
+    spurious error class."""
+    import time
+
+    from duck_delta_share_spark.sources.delta_log import checkpoint
+
+    corpus, store = _seed(spark, tmp_path)
+    incremental_dedup_commit(spark, _docs(spark, _shard(1)), corpus, store, "loader", 1)
+    stop = threading.Event()
+    failures: list[str] = []
+
+    def maintainer():
+        log = Path(corpus) / "_delta_log"
+        while not stop.is_set():
+            try:
+                checkpoint(corpus)
+                kept = max(int(p.stem) for p in log.glob("*.json"))
+                # retain the last two commits: the pin target usually
+                # survives, but the race can outrun it — that case must
+                # surface as the loud ValueError, which the reader allows
+                for p in list(log.glob("*.json")):
+                    if int(p.stem) < kept - 1:
+                        p.unlink()
+            except Exception as e:  # noqa: BLE001
+                failures.append(f"maintainer: {type(e).__name__}: {e}")
+                return
+            time.sleep(0.02)
+
+    def reader():
+        while not stop.is_set():
+            try:
+                a, b, _ = _paired_fps_equal(spark, corpus, store)
+            except ValueError as e:
+                if "truncated past the pinned state" in str(
+                    e
+                ) or "AHEAD of every primary" in str(e):
+                    continue  # the documented loud outcome
+                failures.append(f"reader wrong error: {e}")
+                return
+            except Exception as e:  # noqa: BLE001
+                if type(e).__name__ == "ConcurrentLogTruncation":
+                    continue  # snapshot()'s own documented loud outcome
+                failures.append(f"reader error: {type(e).__name__}: {e}")
+                return
+            if a != b:
+                failures.append("inconsistent pair under maintenance race")
+                return
+
+    threads = [threading.Thread(target=maintainer), threading.Thread(target=reader)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(2, 6):
+            incremental_dedup_commit(
+                spark, _docs(spark, _shard(i)), corpus, store, "loader", i
+            )
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not failures, failures
+    # final state: all five shards' fresh docs exactly once, pair equal
+    a, b, (pv, _) = _paired_fps_equal(spark, corpus, store)
+    assert a == b
+    ids = sorted(r.doc_id for r in read_delta(spark, corpus, version=pv).collect())
+    assert ids == [1, 2] + [100 + i for i in range(1, 6)]
