@@ -38,6 +38,7 @@ _R10_WINDOW = [
     "similarity_ann_ivf_persisted",  # new: build-once/probe-many IVF on Delta
     "doc_embedding_coverage",  # new: cross-table embedding-coverage audit
     "dedup_savings_by_source",  # new: dedup token-savings budgeting report
+    "minhash_estimator_error_audit",  # new: estimator accuracy vs exact Jaccard
     "stratified_sample",  # rows-only -> exact-twin + binomial-bound oracle
     "minhash_recall_audit",  # plan changed: uncapped banding (advice r9)
     "table_profile",  # plan changed: pinned union-branch types (advice r9)
@@ -88,13 +89,13 @@ _R10_WINDOW = [
     "set_intersect",
     "set_union_distinct",
     # r6 filter/projection + sort/topk + array/explode
-    "filter_projection",
     # (explode_unnest trimmed for incremental_neardup_new_shard,
     # array_functions for crawl_novelty_by_shard, topk_per_group for
     # similarity_ann_ivf_persisted, sort_limit for doc_embedding_coverage,
-    # filter_in_between_null for dedup_savings_by_source)
+    # filter_in_between_null for dedup_savings_by_source,
+    # filter_projection for minhash_estimator_error_audit)
     # (remaining r6 tail — array_functions, explode_unnest, topk_per_group,
-    # sort_limit, filter_in_between_null,
+    # sort_limit, filter_in_between_null, filter_projection,
     # bag_fingerprint_dedup, correlated_in_subquery,
     # cross_source_leakage, embedding_winsorized_stats,
     # event_type_transitions, interarrival_histogram, math_functions,

@@ -5473,3 +5473,154 @@ def dedup_savings_by_source_core(d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("token_savings_e6"),
     ).orderBy("source")
+
+
+_EST_MATCHES_SQL = " + ".join(
+    f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(8)
+)
+
+
+@query(
+    "minhash_estimator_error_audit",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+                        i -> ARRAY_TO_STRING(toks[i:i+2], ' ')) AS shingles
+  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+),
+hv AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(shingles,
+           s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS hs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+{_MD5_SIG_SQL}
+  FROM hv
+),
+bands AS (
+  SELECT doc_id, 0 AS band,
+         md5(CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR)) AS bucket
+  FROM sig
+  UNION ALL SELECT doc_id, 1,
+         md5(CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR)) FROM sig
+  UNION ALL SELECT doc_id, 2,
+         md5(CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR)) FROM sig
+  UNION ALL SELECT doc_id, 3,
+         md5(CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR)) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+),
+dsh AS (
+  SELECT DISTINCT doc_id, UNNEST(shingles) AS shingle FROM sh
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS xn
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.id_a
+  JOIN dsh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT c.id_a, c.id_b,
+         CAST(floor(CAST(COALESCE(i.xn, 0) * 1000000 AS DOUBLE)
+                    / CAST(sa.sz + sb.sz - COALESCE(i.xn, 0) AS DOUBLE)
+                    + 0.5) AS BIGINT) AS exact_e6
+  FROM cand c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+)
+SELECT ex.id_a, ex.id_b,
+       CAST(({_EST_MATCHES_SQL}) * 125000 AS BIGINT) AS est_e6,
+       ex.exact_e6,
+       CAST(ABS(({_EST_MATCHES_SQL}) * 125000 - ex.exact_e6) AS BIGINT)
+         AS abs_err_e6
+FROM ex
+JOIN sig sa ON sa.doc_id = ex.id_a
+JOIN sig sb ON sb.doc_id = ex.id_b
+ORDER BY ex.id_a, ex.id_b
+""",
+    doc="MinHash ESTIMATOR accuracy audit — the companion to "
+    "minhash_recall_audit (that one tunes banding RECALL; this one "
+    "answers 'can I trust the Jaccard estimates I will filter on at "
+    "100 TB?'): for every LSH candidate pair, the 8-hash component-"
+    "match estimate vs the EXACT 3-gram Jaccard, both as exact "
+    "integers (matches/8 -> *125000 exact; exact Jaccard floor-pinned "
+    "to e6) with the absolute error. Candidates UNCAPPED to mirror the "
+    "oracle. PLAN: the signature table feeds the band self-join, the "
+    "estimate join and the exact-intersection join — persist it "
+    "(the materialize-the-signature-table step, tiny vs the corpus); "
+    "exact intersections only computed FOR candidate pairs (never "
+    "all-pairs), shingles join on (doc, shingle) keys",
+)
+def minhash_estimator_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_delta_share_spark.functions.text import tokenize, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    # the signature table feeds the band self-join AND both sides of the
+    # estimate join: persist once (minhash_lsh_neardup precedent — the
+    # standard materialize-the-signature-table step)
+    sigs = dd.minhash_md5_signatures(d, num_hashes=8, shingle_n=3).cache()
+    pairs = dd.minhash_md5_lsh_pairs(
+        sigs, num_hashes=8, bands=4, max_bucket_size=None
+    ).select("id_a", "id_b")
+    est = dd.minhash_jaccard_estimate(
+        sigs, pairs.withColumn("n_shared_bands", F.lit(1)), num_hashes=8
+    ).select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("jaccard_est") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("est_e6"),
+    )
+    dsh = d.select(
+        "doc_id", F.explode(word_shingles(tokenize("text"), 3)).alias("shingle")
+    ).distinct()
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = dsh.withColumnRenamed("doc_id", "id_a")
+    b = dsh.select(
+        F.col("doc_id").alias("id_b"), F.col("shingle")
+    )
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("xn"))
+    )
+    ex = (
+        pairs.join(sizes.withColumnsRenamed({"doc_id": "id_a", "sz": "sa"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "sz": "sb"}), "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(
+                (F.coalesce(F.col("xn"), F.lit(0)) * F.lit(1000000))
+                .cast("double")
+                / (F.col("sa") + F.col("sb") - F.coalesce(F.col("xn"), F.lit(0)))
+                .cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("exact_e6"),
+        )
+    )
+    return (
+        est.join(ex, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "est_e6",
+            "exact_e6",
+            F.abs(F.col("est_e6") - F.col("exact_e6")).alias("abs_err_e6"),
+        )
+        .orderBy("id_a", "id_b")
+    )
