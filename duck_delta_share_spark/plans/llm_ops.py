@@ -324,7 +324,13 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Signatures feed the band self-join AND the estimate join (4 scans of
     # the same ~k-column table): persist once — at 100 TB this is the
     # standard "materialize the signature table" step, tiny vs. the corpus.
-    sigs = dd.minhash_signatures(d, num_hashes=32, shingle_n=3).cache()
+    # LAZY localCheckpoint, not .cache(): no in-function action exists to
+    # unpersist after, and CacheManager pins cache() blocks for the
+    # session's lifetime (sweep/bench-loop leak); checkpoint blocks are
+    # ContextCleaner-freed once the collected frame is GC'd.
+    sigs = dd.minhash_signatures(d, num_hashes=32, shingle_n=3).localCheckpoint(
+        eager=False
+    )
     pairs = dd.lsh_candidate_pairs(sigs, num_hashes=32, bands=8)
     return dd.minhash_jaccard_estimate(sigs, pairs, num_hashes=32).orderBy("id_a", "id_b")
 
@@ -5363,8 +5369,19 @@ def doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.when(F.col("embedding").isNull(), 1).otherwise(0).alias("is_null"),
     )
+    # n_null_vectors is counted PRE-join (matching the oracle's unjoined
+    # subquery): a duplicate doc_id matching a NULL-embedding vector
+    # would fan the joined-row sum out but not the oracle's count
+    # (whole-row-faithful rule — never assume fixture uniqueness).
+    # count(when(...)) so an empty embeddings table yields 0, like the
+    # oracle's COUNT(*). 1-row broadcast crossJoin (BNLJ-allowlisted).
+    nulls = e.agg(
+        F.count(F.when(F.col("is_null") == 1, 1))
+        .cast("long")
+        .alias("n_null_vectors")
+    )
     j = d.join(e, d["doc_id"] == e["vec_id"], "full_outer")
-    return j.agg(
+    report = j.agg(
         F.count("doc_id").cast("long").alias("n_docs"),
         F.count("vec_id").cast("long").alias("n_vectors"),
         F.sum(
@@ -5385,10 +5402,8 @@ def doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("is_null") == 0, F.col("dim")))
         .cast("long")
         .alias("dim_max"),
-        F.sum(F.coalesce(F.col("is_null"), F.lit(0)))
-        .cast("long")
-        .alias("n_null_vectors"),
     )
+    return report.crossJoin(F.broadcast(nulls))
 
 
 @query(
@@ -5413,7 +5428,7 @@ SELECT source,
        CAST(SUM(keep) AS BIGINT) AS n_docs_kept,
        CAST(SUM(keep * n_tokens) AS BIGINT) AS n_tokens_kept,
        CAST(floor(CAST((SUM(n_tokens) - SUM(keep * n_tokens)) * 1000000 AS DOUBLE)
-                  / CAST(SUM(n_tokens) AS DOUBLE) + 0.5) AS BIGINT)
+                  / CAST(GREATEST(SUM(n_tokens), 1) AS DOUBLE) + 0.5) AS BIGINT)
          AS token_savings_e6
 FROM r GROUP BY source ORDER BY source
 """,
@@ -5467,7 +5482,9 @@ def dedup_savings_by_source_core(d: DataFrame) -> DataFrame:
         F.floor(
             ((F.col("n_tokens_raw") - F.col("n_tokens_kept")) * F.lit(1000000))
             .cast("double")
-            / F.col("n_tokens_raw").cast("double")
+            # total division (r7 ANSI rule): a source whose non-null texts
+            # all tokenize to zero tokens must yield 0, not DIVIDE_BY_ZERO.
+            / F.greatest(F.col("n_tokens_raw"), F.lit(1)).cast("double")
             + F.lit(0.5)
         )
         .cast("long")
@@ -5567,8 +5584,14 @@ def minhash_estimator_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     d = load_table(spark, sf_dir, "documents")
     # the signature table feeds the band self-join AND both sides of the
     # estimate join: persist once (minhash_lsh_neardup precedent — the
-    # standard materialize-the-signature-table step)
-    sigs = dd.minhash_md5_signatures(d, num_hashes=8, shingle_n=3).cache()
+    # standard materialize-the-signature-table step). LAZY localCheckpoint,
+    # not .cache(): the returned frame is lazy so no in-function unpersist
+    # is possible, and CacheManager entries leak for the session's
+    # lifetime in a 217-query sweep — RDD-level blocks behind a local
+    # checkpoint are freed by ContextCleaner once the frame is GC'd.
+    sigs = dd.minhash_md5_signatures(d, num_hashes=8, shingle_n=3).localCheckpoint(
+        eager=False
+    )
     pairs = dd.minhash_md5_lsh_pairs(
         sigs, num_hashes=8, bands=4, max_bucket_size=None
     ).select("id_a", "id_b")

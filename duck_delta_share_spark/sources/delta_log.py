@@ -2308,9 +2308,13 @@ def paired_snapshot_versions(
         raise ValueError(
             f"paired read impossible: primary {primary_path} oldest "
             f"retained version {vs[0]} already carries txn "
-            f"{txn_at(vs[0])} > secondary marker {w} — the log was "
-            "truncated past the pinned state (raise retention) or the "
-            "writer violated primary-first commit order"
+            f"{txn_at(vs[0])} > secondary marker {w} — either a "
+            "TRANSIENT mid-flight state (the primary's first batch is "
+            "committed but the secondary's commit is still in flight, "
+            "e.g. a just-created table pair: RETRY-able, not a bug), or "
+            "the log was truncated past the pinned state (raise "
+            "retention), or the writer violated primary-first commit "
+            "order"
         )
     lo, hi = 0, len(vs) - 1
     while lo < hi:

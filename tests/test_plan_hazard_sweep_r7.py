@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "pmi_bigram_scores",         # two 1-row totals frames
     "salted_join_lineitem",      # n_salts-row replication frame
     "q20_promotion_suppliers",   # 1-row scalar-subquery threshold
+    "doc_embedding_coverage",    # 1-row pre-join null-vector count
 }
 
 
