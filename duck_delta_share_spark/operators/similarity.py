@@ -301,6 +301,24 @@ def lsh_bucket_topk(
         .select("query_id", "vec_id")
         .distinct()
     )
+    return _score_rank_candidates(
+        base, queries, candidates, k, id_col, vec_col, scorer
+    )
+
+
+def _score_rank_candidates(
+    base: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    scorer: str,
+) -> DataFrame:
+    """Shared LSH tail: re-attach vectors to (query_id, vec_id) candidate
+    pairs, cosine-score, rank. Used by the float-hyperplane production
+    path and the integer-lattice oracled twin so the two can never
+    drift."""
     # zero-norm guard BEFORE scoring: under ANSI the expr scorer's
     # division throws DIVIDE_BY_ZERO outright (and the arrow scorer's NaN
     # would sort above every real cosine)
@@ -327,6 +345,104 @@ def lsh_bucket_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+def lattice_hyperplanes(
+    dim: int, n_planes: int, n_tables: int
+) -> np.ndarray:
+    """md5-derived INTEGER hyperplane coefficients in [-8, 8]: coefficient
+    (t, i, j) = (first 7 md5 hex digits of "t|i|j") % 17 - 8 — exactly
+    recomputable in ANSI SQL (the minhash_md5 trick applied to
+    hyperplanes), so a sign-LSH pipeline built on them is cross-engine
+    deterministic end to end. Returns int64 (n_tables*n_planes, dim)."""
+    import hashlib
+
+    out = np.empty((n_tables * n_planes, dim), dtype=np.int64)
+    for t in range(n_tables):
+        for i in range(n_planes):
+            for j in range(dim):
+                h = int(
+                    hashlib.md5(f"{t}|{i}|{j}".encode()).hexdigest()[:7], 16
+                )
+                out[t * n_planes + i, j] = h % 17 - 8
+    return out
+
+
+def lsh_lattice_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hash-checkable twin of :func:`lsh_bucket_topk`: the SAME multi-table
+    sign-LSH pipeline (explode ×L into (table, bucket) rows, bucket
+    equi-join, dedupe, score, rank — the candidate join and the scoring
+    tail are literally shared code), but the hyperplanes are md5-derived
+    INTEGER lattice directions and the vectors are pinned to the e6
+    integer grid before the plane dot. Integer dot products are exact and
+    order-independent, so the sign (and therefore every bucket, every
+    candidate pair, and the final ranking) is bit-identical between
+    numpy's batch matmul here and a DuckDB first-principles re-derivation
+    — closing the one gap that kept the float-hyperplane path rows-only
+    (a float plane dot near zero can flip sign in the last ulp between a
+    matmul and an ordered fold).
+
+    Production keeps :func:`lsh_bucket_topk` (Gaussian planes have the
+    textbook collision geometry); this variant is the correctness
+    certificate for the shared pipeline and a drop-in when cross-engine
+    reproducibility of the BUCKETS themselves matters (e.g. incremental
+    ANN stores written by one engine and probed by another).
+
+    |dot| ≤ dim · 8 · max|v|·1e6 ≈ 5e8·max|v| — no int64 overflow for any
+    sane embedding scale (ANSI would fail loud, not wrap).
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = lattice_hyperplanes(dim, n_planes, n_tables)
+    weights = 2 ** np.arange(n_planes, dtype=np.int64)
+    offsets = np.arange(n_tables, dtype=np.int64) << 32
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def table_buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # Arrow may deliver empty batches
+            return pd.Series([], dtype=object)
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        # e6 grid pin: floor(x*1e6 + 0.5) — the same IEEE op sequence the
+        # SQL side runs, so the int64 inputs (hence the exact dots and
+        # signs) agree bit-for-bit
+        Ve6 = np.floor(V * 1e6 + 0.5).astype(np.int64)
+        bits = ((Ve6 @ planes.T) > 0).reshape(len(V), n_tables, n_planes)
+        per_table = (bits * weights).sum(axis=2) + offsets
+        return pd.Series(list(per_table.astype(np.int64)))
+
+    # malformed rows (NULL / wrong-dim vectors) are excluded from
+    # bucketing on BOTH engines — np.vstack needs a rectangle, and the
+    # oracle filters LEN(embedding)=dim the same way
+    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    b = base.filter(ok).select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(table_buckets(vec_col)).alias("__tb"),
+    )
+    q = queries.filter(ok).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(table_buckets(vec_col)).alias("__qtb"),
+    )
+    candidates = (
+        b.join(
+            F.broadcast(q),
+            (F.col("__tb") == F.col("__qtb"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    return _score_rank_candidates(
+        base, queries, candidates, k, id_col, vec_col, scorer="expr"
     )
 
 

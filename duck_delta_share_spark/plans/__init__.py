@@ -32,6 +32,7 @@ from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 # registered; only order changes.
 _R11_WINDOW = [
     # (a) r11 NEW queries / changed oracles or plans this round
+    "similarity_ann_lsh",  # rows-only -> ORACLED (md5 integer-lattice planes)
     "dedup_savings_by_source",  # total division guard (ADVICE r10)
     "doc_embedding_coverage",  # pre-join null-vector count (ADVICE r10)
     "minhash_estimator_error_audit",  # persist -> GC-released checkpoint
@@ -84,7 +85,6 @@ _R11_WINDOW = [
     "event_debounce_dedup",
     "event_volume_anomaly",
     "events_windowed_agg",
-    "interval_join_attribution",
 ]
 
 

@@ -981,19 +981,81 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_LATTICE_ORACLE = f"""
+WITH ve AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+           AS q6
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND LEN(embedding) = 64
+),
+planes AS (
+  SELECT t.tt AS t, i.ii AS i, j.jj AS j,
+         CAST(concat('0x', substr(md5(
+             CAST(t.tt AS VARCHAR) || '|' || CAST(i.ii AS VARCHAR)
+             || '|' || CAST(j.jj AS VARCHAR)), 1, 7)) AS BIGINT)
+           % 17 - 8 AS c
+  FROM range(8) t(tt), range(4) i(ii), range(64) j(jj)
+),
+dots AS (
+  SELECT v.vec_id, p.t, p.i, SUM(p.c * v.q6[p.j + 1]) AS d
+  FROM ve v JOIN planes p ON TRUE
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN d > 0 THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END)
+           + t * 4294967296 AS tb
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS vec_id
+  FROM buckets q JOIN buckets b
+    ON q.tb = b.tb AND b.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         {_DOT.format(a='q.embedding', b='b.embedding')}
+         / (SQRT({_DOT.format(a='q.embedding', b='q.embedding')})
+            * SQRT({_DOT.format(a='b.embedding', b='b.embedding')}))
+           AS cosine
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.vec_id
+  WHERE {_DOT.format(a='q.embedding', b='q.embedding')} > 0
+    AND {_DOT.format(a='b.embedding', b='b.embedding')} > 0
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
 @query(
     "similarity_ann_lsh",
-    oracle=None,  # rows-only BY NECESSITY: sign-LSH bucketing drops
-    # candidates probabilistically (recall < 1 by design), so NO exact
-    # oracle exists for its output; recall is asserted against the (k,L)
-    # S-curve in tests/test_ann_recall.py, and the scoring/ranking path is
-    # oracle-proven by similarity_topk_exact + similarity_ann_ivf (exact)
-    doc="multi-table sign-LSH approximate top-5 (the 100 TB scale path); "
-    "recall tracks the (k,L)-LSH formula — see tests/test_ann_recall.py",
+    oracle=_LSH_LATTICE_ORACLE,
+    doc="multi-table sign-LSH approximate top-5, HASH-CHECKED end to end "
+    "(operators/similarity.py:lsh_lattice_topk): md5-derived integer-"
+    "lattice hyperplanes over e6-grid-pinned vectors make every plane "
+    "dot an exact int64 (order-independent), so the buckets, the "
+    "candidate pairs AND the ranked output are bit-identical to the "
+    "DuckDB first-principles re-derivation — the minhash_md5 trick "
+    "applied to hyperplanes, closing the float-plane last-ulp sign gap "
+    "that kept this entry rows-only since r2. The float-Gaussian "
+    "production path (lsh_bucket_topk) shares the candidate-join and "
+    "scoring code verbatim and keeps its (k,L) S-curve recall tests "
+    "(tests/test_ann_recall.py). Scale shape unchanged: base explodes "
+    "xL into (table, bucket) ids, queries broadcast, equi-join replaces "
+    "all-pairs; one int matmul per Arrow batch",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return sim.lsh_bucket_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5)
+    return sim.lsh_lattice_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
 _IVF_ORACLE = f"""

@@ -12,6 +12,35 @@ from tests.conftest import SF_DIR
 
 
 def test_ann_recall_tracks_lsh_theory(spark):
+    """Float-Gaussian production path (lsh_bucket_topk) — driven directly
+    since r11, when the registry entry switched to the oracled
+    integer-lattice twin."""
+    import pyspark.sql.functions as F
+
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.operators.similarity import lsh_bucket_topk
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["similarity_topk_exact"].spark_fn(spark, SF_DIR).collect()
+    }
+    e = load_table(spark, SF_DIR, "embeddings")
+    ann = {
+        (r.query_id, r.vec_id)
+        for r in lsh_bucket_topk(
+            e, e.filter(F.col("vec_id") < 10), dim=64, k=5
+        ).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.5, f"recall@5 {recall:.2f} below LSH-theory envelope"
+
+
+def test_lattice_ann_recall_tracks_lsh_theory(spark):
+    """The md5-integer-lattice twin (the oracled registry entry) must sit
+    in the same (k,L) recall envelope: lattice directions are uniform on
+    the integer grid, and the sign-collision probability is the same
+    monotone function of pair angle (measured 0.70 at sf0.001 / 0.76 at
+    sf0.1 vs the float path's 0.68)."""
     exact = {
         (r.query_id, r.vec_id)
         for r in QUERIES["similarity_topk_exact"].spark_fn(spark, SF_DIR).collect()
@@ -21,7 +50,7 @@ def test_ann_recall_tracks_lsh_theory(spark):
         for r in QUERIES["similarity_ann_lsh"].spark_fn(spark, SF_DIR).collect()
     }
     recall = len(exact & ann) / len(exact)
-    assert recall >= 0.5, f"recall@5 {recall:.2f} below LSH-theory envelope"
+    assert recall >= 0.5, f"lattice recall@5 {recall:.2f} below envelope"
 
 
 def test_ann_clustered_preset_high_recall(spark):
