@@ -249,21 +249,53 @@ def lsh_candidate_pairs(
 
 
 def _cap_buckets(
-    rows: DataFrame, bucket_cols: list[str], max_bucket_size: int | None
+    rows: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int | None,
+    mode: str = "window",
 ) -> DataFrame:
     """Drop LSH buckets larger than ``max_bucket_size`` before pair
     generation (pair count is quadratic in bucket size — one hot bucket of
     100k docs would emit 5e9 pairs that AQE can split but never shrink).
 
-    Plan shape: a window count partitioned on the SAME key the downstream
-    pair self-join shuffles on — so the cap adds zero exchanges (the join
-    requires hash partitioning on the bucket key anyway; the window's sort
-    is the only extra work). The alternatives both cost more: a groupBy
-    keep-list inner join re-shuffles the big side, and a broadcast anti
-    join adds a separate aggregation + broadcast barrier (measured ~2x
-    the whole pipeline at sf0.1)."""
+    ``mode="window"`` (default): a window count partitioned on the SAME
+    key the downstream pair self-join shuffles on — zero extra exchanges
+    (the join requires hash partitioning on the bucket key anyway; the
+    window's buffer is the only extra work). The alternatives both cost
+    more at bench scale: a groupBy keep-list inner join re-shuffles the
+    big side, and a broadcast anti join adds a separate aggregation +
+    broadcast barrier (measured ~2x the whole pipeline at sf0.1).
+
+    ``mode="broadcast"``: the SKEW-SAFE dial for adversarial corpora.
+    The window mode gathers each bucket into one task before counting —
+    a bucket holding 10% of a 100 TB corpus becomes a spill-bound
+    straggler (and AQE cannot split a window partition, only join
+    sides). Broadcast mode never gathers the hot key: bucket sizes come
+    from a groupBy (map-side partial counts make the hot key cheap —
+    each task emits ONE partial row per key), only the OVERSIZED keys
+    (at most n_rows/cap of them, corpus-independent for a fixed
+    fraction) broadcast into a left-anti join, so the big side is
+    neither shuffled nor skew-gathered before the cap. Identical
+    output to window mode on any input (property-pinned in
+    tests/test_store_maintenance_r11.py); factors for both modes on a
+    hot-bucket corpus are recorded by scale_check.py
+    incremental_neardup_hot."""
     if max_bucket_size is None:
         return rows
+    if mode == "broadcast":
+        oversized = (
+            rows.groupBy(*bucket_cols)
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select(*bucket_cols)
+        )
+        # restore the caller's column order (a list-on join floats the
+        # join keys to the left)
+        return rows.join(F.broadcast(oversized), bucket_cols, "left_anti").select(
+            *rows.columns
+        )
+    if mode != "window":
+        raise ValueError(f"unknown cap mode {mode!r}")
     w = Window.partitionBy(*bucket_cols)
     return (
         rows.withColumn("__bsz", F.count(F.lit(1)).over(w))
@@ -1174,6 +1206,11 @@ def incremental_dedup_commit(
     version is None when that table had already absorbed this shard
     (crash-replay no-op); on a FULL no-op replay nothing is recomputed
     and n_survivors is None too.
+
+    Store upkeep at daily ingest (compaction / log checkpoint / vacuum /
+    optional dedup-horizon retention): :func:`maintain_dedup_store` —
+    markers and replays survive every step
+    (tests/test_store_maintenance_r11.py).
     """
     from duck_delta_share_spark.sources.delta_log import (
         last_txn_version,
@@ -1232,6 +1269,8 @@ def incremental_neardup_candidates(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int | None = 2000,
+    band_rows: DataFrame | None = None,
+    cap_mode: str = "window",
 ) -> DataFrame:
     """NEAR-dup candidates of a new shard against the accumulated corpus
     WITHOUT rescanning it — the MinHash twin of
@@ -1257,20 +1296,40 @@ def incremental_neardup_candidates(
     evaluates twice per action — bounded, because the only expensive leg
     is the shard's signature map (one md5 per shingle over the NEW SHARD
     only; the store side is a cheap columnar Delta scan) and a daily
-    shard is small relative to the corpus. Persist the shard's band rows
-    upstream if a shard is ever corpus-sized.
+    shard is small relative to the corpus. MEASURED (r11, sf0.1
+    interleaved A/B, median-of-7): persisting the shard band rows to
+    kill the double-eval is ~10% SLOWER here (1.90s vs 1.72s) — the
+    bm25-r9 rule again (persist I/O > a cheap recompute at this corpus
+    size) — so the default stays unpersisted; pass persisted
+    ``band_rows`` when a shard is corpus-sized or when the rows have
+    multiple consumers anyway (incremental_neardup_commit does: probe +
+    within-shard self-join + store append).
+
+    ``cap_mode``: "window" (default — zero extra exchanges) or
+    "broadcast" — the skew-safe dial when one bucket can hold a
+    corpus-scale fraction of rows; see :func:`_cap_buckets`.
 
     Store maintenance (appending the shard's band rows after ingest,
     exactly-once) composes ``minhash_md5_band_rows`` + ``write_delta``
     with a SetTransaction, the corpus-first order proven by
-    tests/test_multi_table_txn_r10.py.
+    tests/test_multi_table_txn_r10.py. Compaction / vacuum / horizon
+    retention of the band store: :func:`maintain_dedup_store`
+    (candidates are proven stable across maintenance in
+    tests/test_store_maintenance_r11.py).
     """
     from duck_delta_share_spark.sources.delta_log import read_delta
 
-    sigs = minhash_md5_signatures(
-        new_docs, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
-    )
-    shard_rows = minhash_md5_band_rows(sigs, id_col, num_hashes, bands)
+    if band_rows is None:
+        # ``band_rows``: callers that reuse the shard's band rows for
+        # several consumers (candidates + within-shard pairs + the store
+        # append, e.g. incremental_neardup_commit) pass them in — already
+        # persisted — so the signature map is computed once, which also
+        # removes the capped path's documented double-eval.
+        sigs = minhash_md5_signatures(
+            new_docs, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
+        )
+        band_rows = minhash_md5_band_rows(sigs, id_col, num_hashes, bands)
+    shard_rows = band_rows
     store_rows = read_delta(spark, bucket_store_path).select(
         "band", "bucket", F.col(id_col).alias("__old")
     )
@@ -1288,7 +1347,7 @@ def incremental_neardup_candidates(
                 id_col, "band", "bucket", F.lit("shard").alias("__side")
             )
         )
-        capped = _cap_buckets(tagged, ["band", "bucket"], max_bucket_size)
+        capped = _cap_buckets(tagged, ["band", "bucket"], max_bucket_size, cap_mode)
         store_side = capped.filter(F.col("__side") == "store").select(
             "band", "bucket", F.col(id_col).alias("__old")
         )
@@ -1307,3 +1366,186 @@ def incremental_neardup_candidates(
         j.groupBy(F.col(id_col).alias("id_new"), F.col("__old").alias("id_old"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def maintain_dedup_store(
+    spark,
+    store_path,
+    target_file_mb: float = 128,
+    retain_hours: float = 168.0,
+    checkpoint_log: bool = True,
+    drop_where: str | None = None,
+) -> dict:
+    """Maintenance policy for the incremental-dedup stores (the
+    fingerprint store of :func:`incremental_dedup_commit` and the
+    band-bucket store of :func:`incremental_neardup_candidates`) — the
+    piece that keeps "the store is tiny vs the corpus" TRUE at daily
+    100 TB ingest, where one append per shard otherwise accretes
+    thousands of small files and an unbounded log.
+
+    THE POLICY (each step is safe while writers/readers are live):
+
+    1. **Compact** (weekly, or when files >> shards): ``optimize`` folds
+       the per-shard appends into ~``target_file_mb`` files as a
+       ``dataChange: false`` commit — replaying streams skip it, and the
+       protocol retains SetTransaction markers through it, so
+       crash-REPLAY of an in-flight shard still sees its
+       ``last_txn_version`` and stays exactly-once (pinned by
+       tests/test_store_maintenance_r11.py, including a live
+       writer-vs-maintainer race).
+    2. **Checkpoint the log**: the store sees one commit per shard
+       forever; folding into a checkpoint keeps snapshot replay O(1) in
+       shard count. Txn markers are carried INTO the checkpoint, so
+       truncating pre-checkpoint commits never forgets an appId.
+    3. **Content retention** (``drop_where``, OPTIONAL): the stores are
+       the dedup MEMORY — by default they must grow with the corpus
+       (one fp row / ``bands`` bucket rows per kept doc; that ~0.05% /
+       ~0.2% of corpus bytes IS the steady state, not a leak). Pipelines
+       that only dedup against a bounded horizon (e.g. "last 90 days of
+       crawl") stamp an ingest column on their store rows and pass
+       ``drop_where="ingest_day < '...'"``; rows outside the horizon are
+       deleted via ``delete_where`` (a normal logged commit — replayable,
+       time-travelable until vacuum). A doc whose fingerprint aged out
+       becomes ingestable again — that is the SEMANTIC of a dedup
+       horizon, so this step is opt-in and never a default.
+    4. **Vacuum** with ``retain_hours`` >= the longest reader/pinned
+       paired-read window (Delta's 7-day default here): superseded
+       pre-compaction files are physically removed. A paired read pinned
+       PAST the retention window fails LOUD on the missing file (never
+       resurrects stale rows) — the documented trade of retention vs
+       pin age.
+
+    Returns {"optimize": .., "checkpoint_version": .., "deleted": ..,
+    "vacuum": ..} for observability.
+
+    Reference parity: the reference engine has no incremental-store
+    concept (its dedup is one-shot per query); this is the Delta-native
+    maintenance story a production deployment of the same capability
+    needs.
+    """
+    from duck_delta_share_spark.sources.delta_log import (
+        checkpoint as _checkpoint,
+        delete_where as _delete_where,
+        optimize as _optimize,
+        vacuum as _vacuum,
+    )
+
+    opt = _optimize(spark, store_path, target_file_mb=target_file_mb)
+    ck = _checkpoint(store_path) if checkpoint_log else None
+    deleted = (
+        _delete_where(spark, store_path, drop_where)
+        if drop_where is not None
+        else None
+    )
+    vac = _vacuum(store_path, retain_hours=retain_hours)
+    return {
+        "optimize": opt,
+        "checkpoint_version": ck,
+        "deleted": deleted,
+        "vacuum": vac,
+    }
+
+
+def incremental_neardup_commit(
+    spark,
+    new_docs: DataFrame,
+    pairs_path,
+    band_store_path,
+    app_id: str,
+    shard_version: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 2000,
+) -> dict:
+    """Two-table transactional step of the incremental NEAR-dup pipeline —
+    the MinHash twin of :func:`incremental_dedup_commit`, in the same
+    exactly-once shape: per shard, append (1) the candidate PAIRS (the
+    shard vs the maintained band-bucket store, PLUS within-shard pairs)
+    to ``pairs_path``, and (2) the shard's own band rows to
+    ``band_store_path``, both carrying SetTransaction
+    ``(app_id, shard_version)`` and each gated on ``last_txn_version``.
+
+    Commit ORDER is pairs FIRST, band store SECOND — the corpus-first
+    rule instantiated here: a crash between the two leaves pairs whose
+    shard band rows are not yet in the store, and the replay — probing
+    the UNCHANGED store — reproduces the identical pair set and
+    completes the store append. The REVERSE order poisons the replay:
+    with the shard's band rows already in the store, every within-shard
+    pair would also arrive from the store probe (duplicated as
+    vs='history') and the shard's docs would candidate against
+    themselves.
+
+    Pairs schema: (id_new, id_old, n_shared_bands, vs) with vs in
+    {'history', 'shard'} — id_new/id_old are min/max-ordered for the
+    within-shard side, matching incremental_neardup_new_shard's oracle
+    convention.
+
+    The shard's band rows are computed ONCE and persisted across the
+    store probe, the within-shard self-join, and the store append
+    (three consumers — the multi-subtree rule), which also removes the
+    capped path's documented double-eval for this caller.
+
+    Returns {"n_pairs", "pairs_version", "store_version"} (None values =
+    crash-replay no-op, like the exact twin).
+    """
+    from duck_delta_share_spark.sources.delta_log import (
+        last_txn_version,
+        write_delta,
+    )
+
+    if shard_version <= last_txn_version(
+        pairs_path, app_id
+    ) and shard_version <= last_txn_version(band_store_path, app_id):
+        return {"n_pairs": None, "pairs_version": None, "store_version": None}
+
+    sigs = minhash_md5_signatures(
+        new_docs, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    shard_rows = minhash_md5_band_rows(sigs, id_col, num_hashes, bands).persist()
+    try:
+        vs_hist = incremental_neardup_candidates(
+            spark,
+            new_docs,
+            band_store_path,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            max_bucket_size=max_bucket_size,
+            band_rows=shard_rows,
+        ).withColumn("vs", F.lit("history"))
+        a = shard_rows.select(F.col(id_col).alias("__ia"), "band", "bucket")
+        b = shard_rows.select(F.col(id_col).alias("__ib"), "band", "bucket")
+        within = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("__ia") < F.col("__ib"))
+            .groupBy(
+                F.col("__ia").alias("id_new"), F.col("__ib").alias("id_old")
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+            .withColumn("vs", F.lit("shard"))
+        )
+        pairs = vs_hist.unionByName(within).persist()
+        n = pairs.count()
+        pairs_version = None
+        if shard_version > last_txn_version(pairs_path, app_id):
+            pairs_version = write_delta(
+                pairs, pairs_path, txn=(app_id, shard_version)
+            )
+        store_version = None
+        if shard_version > last_txn_version(band_store_path, app_id):
+            store_version = write_delta(
+                shard_rows, band_store_path, txn=(app_id, shard_version)
+            )
+        pairs.unpersist()
+    finally:
+        shard_rows.unpersist()
+    return {
+        "n_pairs": n,
+        "pairs_version": pairs_version,
+        "store_version": store_version,
+    }

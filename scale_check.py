@@ -840,7 +840,7 @@ def main() -> None:
             spark, emb.filter(F.col("vec_id") < 10), idx, k=5, n_probe=8
         )
 
-    def incremental_neardup_shape(d):
+    def incremental_neardup_shape(d, cap_mode="window", cap=2000):
         # the e2e daily near-dup ingest: build the band-bucket store from
         # history (signatures + Delta write INCLUDED — that cost scales
         # too), then the shard-vs-store candidate join at the production
@@ -874,13 +874,45 @@ def main() -> None:
         )
         return incremental_neardup_candidates(
             spark, shard, store, num_hashes=8, bands=4, shingle_n=3,
-            max_bucket_size=2000,
+            max_bucket_size=cap, cap_mode=cap_mode,
         )
+
+    def _hot_corpus(d):
+        # SKEW-ADVERSARIAL variant (VERDICT r10 item 8): ~10% of EVERY
+        # copy gets the SAME text — the hot (band, bucket) GROWS with N
+        # (doc_id % 1e8 makes the hot set align across blowup copies),
+        # unlike the uniform corpus where perturb_text keeps buckets
+        # copy-local. One bucket then carries ~10% of all band rows.
+        hot = F.pmod(F.col("doc_id"), F.lit(100_000_000)) % 10 == 0
+        return d.withColumn(
+            "text",
+            F.when(hot, F.lit("identical hot boilerplate body " * 8)).otherwise(
+                F.col("text")
+            ),
+        )
+
+    def _incremental_neardup_hot(mode):
+        # cap 400 < the 1x hot-bucket size (~500 union rows), so the hot
+        # bucket is over-cap at BOTH scales — the factor then measures
+        # the cap machinery under a growing hot key, not an asymmetric
+        # drop (at 1x under-cap the hot pairs would be GENERATED, making
+        # the 1x side artificially expensive and the factor meaningless)
+        def shape(d):
+            return incremental_neardup_shape(_hot_corpus(d), cap_mode=mode, cap=400)
+
+        return shape
 
     ops = [
         ("q1_agg", q1_shape, l1, lN),
         ("incremental_dedup", incremental_dedup_shape, d1, dN),
         ("incremental_neardup", incremental_neardup_shape, d1, dN),
+        ("incremental_neardup_hot", _incremental_neardup_hot("window"), d1, dN),
+        (
+            "incremental_neardup_hot_bcast",
+            _incremental_neardup_hot("broadcast"),
+            d1,
+            dN,
+        ),
         ("stratified_audit", stratified_audit_shape, d1, dN),
         ("crawl_novelty", _crawl_novelty_core, d1, dN),
         ("dedup_savings", _dedup_savings_core, d1, dN),
