@@ -177,6 +177,13 @@ HEADLINE = [
     # probe — Delta I/O included).
     "crawl_novelty_by_shard",
     "similarity_ann_ivf_persisted",
+    # round-11: the two-table transactional near-dup commit (pairs +
+    # band store, Delta I/O + replay check included) and incremental
+    # dedup across a full store-maintenance cycle (OPTIMIZE + checkpoint
+    # + vacuum between ingests) — the heaviest new r11 shapes. Baselines
+    # recorded as added_r11 from a clean full-bench run.
+    "incremental_neardup_pipeline",
+    "incremental_dedup_maintained",
 ]
 
 

@@ -32,6 +32,8 @@ from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 # registered; only order changes.
 _R11_WINDOW = [
     # (a) r11 NEW queries / changed oracles or plans this round
+    "incremental_neardup_pipeline",  # new: two-table txn near-dup commit e2e
+    "incremental_dedup_maintained",  # new: dedup across store maintenance
     "similarity_ann_lsh",  # rows-only -> ORACLED (md5 integer-lattice planes)
     "dedup_savings_by_source",  # total division guard (ADVICE r10)
     "doc_embedding_coverage",  # pre-join null-vector count (ADVICE r10)
@@ -83,8 +85,6 @@ _R11_WINDOW = [
     "embedding_quantize_int8",
     "embedding_variance_by_dim",
     "event_debounce_dedup",
-    "event_volume_anomaly",
-    "events_windowed_agg",
 ]
 
 

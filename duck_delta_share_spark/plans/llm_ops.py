@@ -5280,6 +5280,212 @@ def incremental_neardup_new_shard(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "incremental_neardup_pipeline",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+                        i -> ARRAY_TO_STRING(toks[i:i+2], ' ')) AS shingles,
+         CASE WHEN {_BUCKET4_SQL} < 70 THEN 'hist' ELSE 'shard' END AS side
+  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+),
+hv AS (
+  SELECT doc_id, side,
+         LIST_TRANSFORM(shingles,
+           s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)) AS hs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, side,
+{_MD5_SIG_SQL}
+  FROM hv
+),
+bands AS (
+  SELECT doc_id, side, 0 AS band,
+         md5(CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR)) AS bucket
+  FROM sig
+  UNION ALL SELECT doc_id, side, 1,
+         md5(CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR)) FROM sig
+  UNION ALL SELECT doc_id, side, 2,
+         md5(CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR)) FROM sig
+  UNION ALL SELECT doc_id, side, 3,
+         md5(CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR)) FROM sig
+),
+hist_cand AS (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_bands, 'history' AS vs
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id <> b.doc_id
+  WHERE a.side = 'shard' AND b.side = 'hist'
+  GROUP BY 1, 2
+),
+shard_cand AS (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_bands, 'shard' AS vs
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+  WHERE a.side = 'shard' AND b.side = 'shard'
+  GROUP BY 1, 2
+)
+SELECT id_new, id_old, n_shared_bands, vs FROM hist_cand
+UNION ALL
+SELECT id_new, id_old, n_shared_bands, vs FROM shard_cand
+ORDER BY vs, id_new, id_old
+""",
+    doc="the incremental near-dup pipeline's TRANSACTIONAL step, hash-"
+    "checked through the persisted tables (operators/dedup.py "
+    "incremental_neardup_commit): history band rows seed the Delta "
+    "band-bucket store, one shard commits — candidate PAIRS appended "
+    "first, the shard's band rows second, both under SetTransaction — "
+    "then the SAME shard crash-REPLAYS (must be a full no-op on both "
+    "tables, asserted in-query like the exact twin), and the result is "
+    "read back FROM the pairs table, so the hash also pins the Delta "
+    "round-trip + exactly-once semantics, not just the pair math. The "
+    "oracle re-derives both pair kinds from first principles over the "
+    "same md5-stable hist/shard split. Pairs-first commit order is the "
+    "corpus-first rule: a crash between the commits replays against "
+    "the UNCHANGED store (tests/test_streaming_incremental_neardup_r11"
+    ".py drives the same wrapper from a real foreachBatch)",
+)
+def incremental_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.operators.dedup import (
+        incremental_neardup_commit,
+        minhash_md5_band_rows,
+    )
+    from duck_delta_share_spark.sources.delta_log import read_delta, write_delta
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    d = d.select("doc_id", "text", bucket.alias("__bucket"))
+    hist = d.where(F.col("__bucket") < 70).drop("__bucket")
+    shard = d.where(F.col("__bucket") >= 70).drop("__bucket")
+
+    base = Path(tempfile.mkdtemp(prefix="ddss_incndp_"))
+    pairs, store = base / "pairs", base / "bands"
+    hist_sigs = dd.minhash_md5_signatures(hist, num_hashes=8, shingle_n=3)
+    write_delta(minhash_md5_band_rows(hist_sigs, num_hashes=8, bands=4), store)
+
+    r1 = incremental_neardup_commit(
+        spark, shard, pairs, store, "ndloader", 1, max_bucket_size=None
+    )
+    r2 = incremental_neardup_commit(
+        spark, shard, pairs, store, "ndloader", 1, max_bucket_size=None
+    )
+    if r2["pairs_version"] is not None or r2["store_version"] is not None:
+        raise AssertionError(f"shard replay was not a no-op: {r2}")
+    if r1["pairs_version"] is None or r1["store_version"] is None:
+        raise AssertionError(f"first ingest did not commit both tables: {r1}")
+    return read_delta(spark, pairs).orderBy("vs", "id_new", "id_old")
+
+
+@query(
+    "incremental_dedup_maintained",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         md5({_NORM}) AS fp,
+         {_BUCKET4_SQL} AS bucket
+  FROM documents WHERE text IS NOT NULL
+),
+hist_kept AS (
+  SELECT doc_id, lang, source, fp FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM d WHERE bucket < 60
+  ) t WHERE rn = 1
+),
+s1_kept AS (
+  SELECT doc_id, lang, source, fp FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM d WHERE bucket >= 60 AND bucket < 80
+  ) t WHERE rn = 1 AND fp NOT IN (SELECT fp FROM hist_kept)
+),
+s2_kept AS (
+  SELECT doc_id, lang, source, fp FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM d WHERE bucket >= 80
+  ) t WHERE rn = 1
+    AND fp NOT IN (SELECT fp FROM hist_kept)
+    AND fp NOT IN (SELECT fp FROM s1_kept)
+)
+SELECT doc_id, lang, source, fp FROM hist_kept
+UNION ALL SELECT doc_id, lang, source, fp FROM s1_kept
+UNION ALL SELECT doc_id, lang, source, fp FROM s2_kept
+ORDER BY doc_id
+""",
+    doc="incremental exact dedup ACROSS a store-maintenance cycle, "
+    "hash-checked: seed history, ingest shard 1, run the FULL "
+    "maintenance policy on BOTH tables (operators/dedup.py "
+    "maintain_dedup_store: OPTIMIZE compaction + log checkpoint + "
+    "vacuum), ingest shard 2 against the MAINTAINED store, "
+    "crash-replay shard 2 (in-query no-op assert), and return the "
+    "final corpus joined to the store — so the oracle hash proves "
+    "maintenance is RESULT-invisible (markers, fingerprints and "
+    "survivors all survive compaction), not just crash-safe. The "
+    "oracle emulates the sequential three-batch process (hist keep -> "
+    "shard-1 anti-join -> shard-2 anti-join vs both) and never "
+    "mentions maintenance — that is the point. Split = md5(doc_id) "
+    "buckets <60 / 60-79 / >=80",
+)
+def incremental_dedup_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from duck_delta_share_spark.functions.text import fingerprint
+    from duck_delta_share_spark.operators.dedup import (
+        incremental_dedup_commit,
+        maintain_dedup_store,
+    )
+    from duck_delta_share_spark.sources.delta_log import read_delta, write_delta
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    d = d.select("doc_id", "lang", "source", "text", bucket.alias("__bucket"))
+    hist = d.where(F.col("__bucket") < 60).drop("__bucket")
+    s1 = d.where((F.col("__bucket") >= 60) & (F.col("__bucket") < 80)).drop(
+        "__bucket"
+    )
+    s2 = d.where(F.col("__bucket") >= 80).drop("__bucket")
+
+    base = Path(tempfile.mkdtemp(prefix="ddss_incmaint_"))
+    corpus, store = base / "corpus", base / "fps"
+    seed = dd.exact_dedup(hist, "text", "doc_id")
+    write_delta(seed, corpus)
+    write_delta(seed.select(fingerprint("text").alias("fp"), "doc_id"), store)
+
+    incremental_dedup_commit(spark, s1, corpus, store, "loader", 1)
+    # full maintenance on both tables between the two ingests
+    maintain_dedup_store(spark, store)
+    maintain_dedup_store(spark, corpus)
+    r1 = incremental_dedup_commit(spark, s2, corpus, store, "loader", 2)
+    r2 = incremental_dedup_commit(spark, s2, corpus, store, "loader", 2)
+    if r2["corpus_version"] is not None or r2["store_version"] is not None:
+        raise AssertionError(f"shard-2 replay was not a no-op: {r2}")
+    if r1["corpus_version"] is None or r1["store_version"] is None:
+        raise AssertionError(f"post-maintenance ingest did not commit: {r1}")
+
+    final = read_delta(spark, corpus).select("doc_id", "lang", "source")
+    fps = read_delta(spark, store)
+    return (
+        final.join(fps, "doc_id")
+        .select("doc_id", "lang", "source", "fp")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "crawl_novelty_by_shard",
     oracle=f"""
 WITH d AS (
