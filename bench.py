@@ -184,6 +184,10 @@ HEADLINE = [
     # recorded as added_r11 from a clean full-bench run.
     "incremental_neardup_pipeline",
     "incremental_dedup_maintained",
+    # round-11 second wave: per-dim scalar quantizer scan and the MRL
+    # truncation audit (two-granularity brute-force pass).
+    "similarity_ann_sq8",
+    "matryoshka_truncation_audit",
 ]
 
 

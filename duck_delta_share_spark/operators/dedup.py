@@ -1530,18 +1530,22 @@ def incremental_neardup_commit(
             .withColumn("vs", F.lit("shard"))
         )
         pairs = vs_hist.unionByName(within).persist()
-        n = pairs.count()
-        pairs_version = None
-        if shard_version > last_txn_version(pairs_path, app_id):
-            pairs_version = write_delta(
-                pairs, pairs_path, txn=(app_id, shard_version)
-            )
-        store_version = None
-        if shard_version > last_txn_version(band_store_path, app_id):
-            store_version = write_delta(
-                shard_rows, band_store_path, txn=(app_id, shard_version)
-            )
-        pairs.unpersist()
+        try:
+            n = pairs.count()
+            pairs_version = None
+            if shard_version > last_txn_version(pairs_path, app_id):
+                pairs_version = write_delta(
+                    pairs, pairs_path, txn=(app_id, shard_version)
+                )
+            store_version = None
+            if shard_version > last_txn_version(band_store_path, app_id):
+                store_version = write_delta(
+                    shard_rows, band_store_path, txn=(app_id, shard_version)
+                )
+        finally:
+            # unpersist on the crash path too (a mid-commit failure in a
+            # foreachBatch otherwise leaks one cached frame per retry)
+            pairs.unpersist()
     finally:
         shard_rows.unpersist()
     return {

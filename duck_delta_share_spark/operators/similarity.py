@@ -1444,3 +1444,110 @@ def ivf_probe_index(
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "cosine", "rk")
     )
+
+
+def sq8_train(
+    base: DataFrame, dim: int, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-DIMENSION affine scalar-quantizer stats (FAISS
+    ``ScalarQuantizer`` QT_8bit): for each dimension j, the corpus min and
+    the step ``(max-min)/255``. The collect is control-plane bounded —
+    exactly ``dim`` rows regardless of corpus size (the per-dim-means
+    precedent) — and the reduction underneath is one posexplode +
+    partial-agg min/max, a single narrow shuffle of d-keyed partials.
+
+    Returns ``(mins, deltas, delta_mask)`` float64 arrays; constant
+    dimensions get delta=1 (never divided into a zero) and mask=0 (their
+    reconstruction is exactly ``min``).
+    """
+    stats = (
+        base.select(F.posexplode(vec_col).alias("j", "v"))
+        .groupBy("j")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    )
+    mns = np.zeros(dim, dtype=np.float64)
+    dels = np.ones(dim, dtype=np.float64)
+    dmask = np.zeros(dim, dtype=np.float64)
+    for r in stats:
+        mns[r.j] = float(r.mn)
+        if r.mx != r.mn:
+            d = (float(r.mx) - float(r.mn)) / 255.0
+            dels[r.j] = d
+            dmask[r.j] = d
+    return mns, dels, dmask
+
+
+def sq8_reconstruct_udf(mns: np.ndarray, dels: np.ndarray, dmask: np.ndarray):
+    """Arrow-batched encode→decode round trip: code = clip(floor((x-min)/
+    delta + 0.5), 0, 255); reconstruction = min + code*delta. Every step
+    is a scalar IEEE op sequence a SQL engine reproduces bit-for-bit
+    (floor(x*k+0.5) pin discipline), so SQ8 rankings sit under a DuckDB
+    oracle even though the codes are lossy."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def rec(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        codes = np.minimum(
+            np.maximum(np.floor((V - mns) / dels + 0.5), 0.0), 255.0
+        )
+        return pd.Series(list(mns + codes * dmask))
+
+    return rec
+
+
+def sq8_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (SQ8) cosine top-k — the FAISS ``IndexScalarQuantizer``
+    scan shape: 1 byte per dimension (4x less memory bandwidth than
+    float32, like int8_topk) but with PER-DIMENSION affine ranges, which
+    survives feature-wise scale differences that break a single symmetric
+    per-vector scale. Symmetric variant: BOTH sides score on
+    reconstructed vectors, so the whole train→encode→decode→score→rank
+    pipeline is deterministic and hash-checkable (the reconstruction is
+    an exact IEEE op sequence; the cosine uses the order-pinned fold that
+    matches DuckDB ``list_reduce`` bit-for-bit).
+
+    Scale shape: train is one d-row collect; encode/decode is one Arrow
+    matrix pass per batch; scoring broadcasts the |queries|-row probe set
+    (BNLJ-allowlisted like the other topk probes) — no corpus shuffle at
+    all. At 100 TB the scan reads 1/4 the bytes; exact float rescore of a
+    shortlist composes via brute_force_topk.
+    """
+    rec = sq8_reconstruct_udf(*sq8_train(base, dim, vec_col))
+    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    # materialize the reconstruction in its own projection (HOF
+    # discipline), then guard zero-norm reconstructions before division
+    b = (
+        base.filter(ok)
+        .select(F.col(id_col).alias("vec_id"), rec(vec_col).alias("__bv"))
+        .filter(norm_fast(F.col("__bv")) > 0)
+    )
+    q = (
+        queries.filter(ok)
+        .select(F.col(id_col).alias("query_id"), rec(vec_col).alias("__qv"))
+        .filter(norm_fast(F.col("__qv")) > 0)
+    )
+    scored = (
+        b.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            dot_fast(F.col("__qv"), F.col("__bv"))
+            / (norm_fast(F.col("__qv")) * norm_fast(F.col("__bv"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )

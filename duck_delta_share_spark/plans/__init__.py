@@ -34,6 +34,8 @@ _R11_WINDOW = [
     # (a) r11 NEW queries / changed oracles or plans this round
     "incremental_neardup_pipeline",  # new: two-table txn near-dup commit e2e
     "incremental_dedup_maintained",  # new: dedup across store maintenance
+    "similarity_ann_sq8",  # new: per-dim scalar quantizer, hash-checked
+    "matryoshka_truncation_audit",  # new: MRL truncation recall audit
     "similarity_ann_lsh",  # rows-only -> ORACLED (md5 integer-lattice planes)
     "dedup_savings_by_source",  # total division guard (ADVICE r10)
     "doc_embedding_coverage",  # pre-join null-vector count (ADVICE r10)
@@ -67,8 +69,11 @@ _R11_WINDOW = [
     "sort_limit",
     "topk_per_group",
     "unigram_perplexity_score",
-    # (c) oldest-r7 fill (alphabetical head; the 24 that don't fit lead
-    # r12: join_asof_tolerance .. vocab_coverage_curve)
+    # (c) oldest-r7 fill (alphabetical head; the 29 that don't fit —
+    # embedding_variance_by_dim, event_debounce_dedup,
+    # event_volume_anomaly, events_windowed_agg,
+    # interval_join_attribution, then join_asof_tolerance ..
+    # vocab_coverage_curve — lead the r12 window)
     "agg_percentiles",
     "bloom_semi_join_orders",
     "conditional_functions",
@@ -83,8 +88,6 @@ _R11_WINDOW = [
     "doc_fingerprint_rolling",
     "edit_distance_neardup",
     "embedding_quantize_int8",
-    "embedding_variance_by_dim",
-    "event_debounce_dedup",
 ]
 
 

@@ -1058,6 +1058,160 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_lattice_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+_SQ8_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND LEN(embedding) = 64
+),
+ex AS (
+  SELECT vec_id, j.jj AS j, CAST(embedding[j.jj] AS DOUBLE) AS v
+  FROM e, range(1, 65) j(jj)
+),
+dims AS (SELECT j, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY j),
+ds AS (
+  SELECT LIST(mn ORDER BY j) AS mns,
+         LIST(CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END
+              ORDER BY j) AS dels,
+         LIST(CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END
+              ORDER BY j) AS dmask
+  FROM dims
+),
+rec AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(RANGE(1, 65),
+           j -> mns[j]
+                + LEAST(GREATEST(floor(
+                      (CAST(embedding[j] AS DOUBLE) - mns[j]) / dels[j]
+                      + 0.5), 0.0), 255.0) * dmask[j]) AS r
+  FROM e, ds
+),
+n AS (
+  SELECT vec_id, r, {_DOT.format(a='r', b='r')} AS n2 FROM rec
+),
+scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         {_DOT.format(a='q.r', b='b.r')} / (SQRT(q.n2) * SQRT(b.n2))
+           AS cosine
+  FROM n q JOIN n b ON b.vec_id <> q.vec_id
+  WHERE q.vec_id < 10 AND q.n2 > 0 AND b.n2 > 0
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+@query(
+    "similarity_ann_sq8",
+    oracle=_SQ8_ORACLE,
+    doc="per-DIMENSION scalar-quantized top-5 (operators/similarity.py:"
+    "sq8_topk — FAISS ScalarQuantizer QT_8bit, symmetric): train = one "
+    "d-row min/max collect (control-plane bounded); encode->decode is "
+    "an exact IEEE op sequence (floor(x/delta+0.5) pin, constant dims "
+    "masked so no division ever sees zero); scoring = order-pinned "
+    "fold cosine over the RECONSTRUCTED vectors — so a lossy "
+    "quantizer's full ranking still hashes against a DuckDB first-"
+    "principles re-derivation. Complements int8 (per-vector symmetric "
+    "scale) where feature-wise ranges differ. No corpus shuffle: "
+    "broadcast probe set, 1 byte/dim scan at scale",
+)
+def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.sq8_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5)
+
+
+_MRL_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding, embedding[1:16] AS emb16 FROM embeddings
+  WHERE embedding IS NOT NULL AND LEN(embedding) = 64
+),
+nf AS (
+  SELECT vec_id, embedding, emb16,
+         {_DOT.format(a='embedding', b='embedding')} AS n2f,
+         {_DOT.format(a='emb16', b='emb16')} AS n2t
+  FROM e
+),
+fullk AS (
+  SELECT query_id, vec_id, rk FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_DOT.format(a='q.embedding', b='b.embedding')}
+                      / (SQRT(q.n2f) * SQRT(b.n2f)) DESC, b.vec_id) AS rk
+    FROM nf q JOIN nf b ON b.vec_id <> q.vec_id
+    WHERE q.vec_id < 10 AND q.n2f > 0 AND b.n2f > 0
+  ) WHERE rk <= 5
+),
+trunck AS (
+  SELECT query_id, vec_id, rk FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_DOT.format(a='q.emb16', b='b.emb16')}
+                      / (SQRT(q.n2t) * SQRT(b.n2t)) DESC, b.vec_id) AS rk
+    FROM nf q JOIN nf b ON b.vec_id <> q.vec_id
+    WHERE q.vec_id < 10 AND q.n2t > 0 AND b.n2t > 0
+  ) WHERE rk <= 5
+)
+SELECT f.query_id,
+       CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap_top5,
+       CAST(MAX(CASE WHEN f.rk = 1 THEN f.vec_id END) AS BIGINT)
+         AS top1_full,
+       CAST(MAX(t1.vec_id) AS BIGINT) AS top1_trunc
+FROM fullk f
+LEFT JOIN trunck t ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+LEFT JOIN (SELECT query_id, vec_id FROM trunck WHERE rk = 1) t1
+       ON t1.query_id = f.query_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+"""
+
+
+@query(
+    "matryoshka_truncation_audit",
+    oracle=_MRL_ORACLE,
+    doc="Matryoshka (MRL) truncation audit — the report run before "
+    "switching retrieval to truncated embeddings (Kusupati 2022: serve "
+    "the first k dims at a fraction of the memory/bandwidth): per "
+    "query, the exact top-5 under FULL 64 dims vs under the FIRST 16 "
+    "dims, as overlap count + both top-1 ids. All-exact plumbing "
+    "(order-pinned fold cosines on both engines; F.slice / list-slice "
+    "truncation; row_number vec_id tie-break) so the audit itself is "
+    "hash-checked — the measured overlap IS the recall evidence, not a "
+    "tolerance assertion. PLAN: one broadcast probe set scores both "
+    "granularities in one pass over the corpus (the truncated vector "
+    "rides the same row); no corpus shuffle",
+)
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    full = sim.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    t = e.withColumn("embedding", F.slice("embedding", 1, 16))
+    trunc = sim.brute_force_topk(t, t.filter(F.col("vec_id") < 10), k=5)
+    tsel = trunc.select("query_id", "vec_id", F.lit(1).alias("__m"))
+    t1 = trunc.filter(F.col("rk") == 1).select(
+        "query_id", F.col("vec_id").alias("__t1")
+    )
+    return (
+        full.join(tsel, ["query_id", "vec_id"], "left")
+        .join(t1, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__m"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap_top5"),
+            F.max(F.when(F.col("rk") == 1, F.col("vec_id")))
+            .cast("long")
+            .alias("top1_full"),
+            F.max("__t1").cast("long").alias("top1_trunc"),
+        )
+        .orderBy("query_id")
+    )
+
+
 _IVF_ORACLE = f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, b.vec_id AS vec_id,

@@ -43,6 +43,8 @@ BNLJ_ALLOWED = {
     "salted_join_lineitem",      # n_salts-row replication frame
     "q20_promotion_suppliers",   # 1-row scalar-subquery threshold
     "doc_embedding_coverage",    # 1-row pre-join null-vector count
+    "similarity_ann_sq8",        # |queries|-row broadcast probe set
+    "matryoshka_truncation_audit",  # |queries|-row broadcast probe set x2
 }
 
 
