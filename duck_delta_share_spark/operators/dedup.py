@@ -1518,8 +1518,12 @@ def incremental_neardup_commit(
             max_bucket_size=max_bucket_size,
             band_rows=shard_rows,
         ).withColumn("vs", F.lit("history"))
-        a = shard_rows.select(F.col(id_col).alias("__ia"), "band", "bucket")
-        b = shard_rows.select(F.col(id_col).alias("__ib"), "band", "bucket")
+        # the within-shard self-join honors the same cap as the store
+        # probe (a boilerplate-heavy shard can have its own hot bucket;
+        # pair count is quadratic in bucket size)
+        within_rows = _cap_buckets(shard_rows, ["band", "bucket"], max_bucket_size)
+        a = within_rows.select(F.col(id_col).alias("__ia"), "band", "bucket")
+        b = within_rows.select(F.col(id_col).alias("__ib"), "band", "bucket")
         within = (
             a.join(b, ["band", "bucket"])
             .where(F.col("__ia") < F.col("__ib"))

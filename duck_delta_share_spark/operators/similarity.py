@@ -1461,7 +1461,11 @@ def sq8_train(
     reconstruction is exactly ``min``).
     """
     stats = (
-        base.select(F.posexplode(vec_col).alias("j", "v"))
+        # same malformed-row rule as the scorer (and the oracle's
+        # LEN(embedding)=dim filter): a wrong-dim vector must not
+        # contribute stats (an oversized one would even index past dim)
+        base.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .select(F.posexplode(vec_col).alias("j", "v"))
         .groupBy("j")
         .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
         .collect()

@@ -3976,7 +3976,15 @@ def clone_delta(
         actions.append({"add": add})
     log = _log_dir(dst)
     log.mkdir(parents=True, exist_ok=True)
-    _atomic_commit(dst, 0, actions, operation="CLONE")
+    _atomic_commit(
+        dst,
+        0,
+        actions,
+        operation="CLONE",
+        # delta-spark-style provenance: DESCRIBE HISTORY on a clone shows
+        # where (and at which version) it was taken from
+        operation_params={"source": str(src), "sourceVersion": snap.version},
+    )
     return {"version": 0, "files_referenced": len(snap.files)}
 
 
