@@ -36,6 +36,8 @@ _R11_WINDOW = [
     "incremental_dedup_maintained",  # new: dedup across store maintenance
     "similarity_ann_sq8",  # new: per-dim scalar quantizer, hash-checked
     "matryoshka_truncation_audit",  # new: MRL truncation recall audit
+    "k_anonymity_audit",  # new: QI equivalence-class privacy gate
+    "referential_integrity_audit",  # new: FK orphan/fanout join health
     "similarity_ann_lsh",  # rows-only -> ORACLED (md5 integer-lattice planes)
     "dedup_savings_by_source",  # total division guard (ADVICE r10)
     "doc_embedding_coverage",  # pre-join null-vector count (ADVICE r10)
@@ -69,7 +71,8 @@ _R11_WINDOW = [
     "sort_limit",
     "topk_per_group",
     "unigram_perplexity_score",
-    # (c) oldest-r7 fill (alphabetical head; the 29 that don't fit —
+    # (c) oldest-r7 fill (alphabetical head; the 31 that don't fit —
+    # edit_distance_neardup, embedding_quantize_int8,
     # embedding_variance_by_dim, event_debounce_dedup,
     # event_volume_anomaly, events_windowed_agg,
     # interval_join_attribution, then join_asof_tolerance ..
@@ -86,8 +89,6 @@ _R11_WINDOW = [
     "delta_share_dv_rest_scan",
     "delta_txn_idempotent_append",
     "doc_fingerprint_rolling",
-    "edit_distance_neardup",
-    "embedding_quantize_int8",
 ]
 
 

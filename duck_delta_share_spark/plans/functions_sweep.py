@@ -1837,3 +1837,139 @@ def mad_outlier_profile_core(e: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS sz
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(sz) AS BIGINT) AS n_rows,
+       CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+       CAST(MAX(sz) AS BIGINT) AS max_group,
+       CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_below_5,
+       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_below_5
+FROM g
+""",
+    doc="k-anonymity audit over the quasi-identifier set "
+    "(event_type, day) — the privacy gate run before event data feeds "
+    "a training pipeline: k = the SMALLEST equivalence-class size (one "
+    "row sharing its QI combination with fewer than k-1 others is "
+    "re-identifiable), plus the below-threshold group/row exposure "
+    "counts a suppression pass would drop. One hash agg on the QI key "
+    "then a 1-row fold — map-side partial counts make this one narrow "
+    "shuffle at any corpus size. All exact integers; day is a GROUP "
+    "key only (the computed-date dtype rule never fires)",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.min("sz").cast("long").alias("k_anonymity"),
+        F.max("sz").cast("long").alias("max_group"),
+        F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_below_5"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_below_5"),
+    )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+WITH co AS (
+  SELECT 'orders->customer' AS fk,
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child_rows,
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+              AS BIGINT) AS n_orphans,
+         CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_parents,
+         CAST((SELECT COUNT(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey))
+              AS BIGINT) AS n_childless_parents,
+         CAST((SELECT MAX(n) FROM (SELECT COUNT(*) AS n FROM orders
+                                   GROUP BY o_custkey)) AS BIGINT)
+           AS max_fanout
+),
+lo AS (
+  SELECT 'lineitem->orders' AS fk,
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+              AS BIGINT),
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                 WHERE l.l_orderkey = o.o_orderkey))
+              AS BIGINT),
+         CAST((SELECT MAX(n) FROM (SELECT COUNT(*) AS n FROM lineitem
+                                   GROUP BY l_orderkey)) AS BIGINT)
+)
+SELECT * FROM co UNION ALL SELECT * FROM lo ORDER BY fk
+""",
+    doc="referential-integrity audit over the two TPC-H FK edges "
+    "(orders.o_custkey -> customer, lineitem.l_orderkey -> orders) — "
+    "the join-health report run before any pipeline trusts a join: "
+    "orphan child rows (inner joins silently drop them), childless "
+    "parents, and the max fanout (the skew bound for the join's hot "
+    "key). PLAN per edge: ONE hash agg on the child FK (map-side "
+    "partial counts), then a single full-outer join of d-i-s-t-i-n-c-t "
+    "keys against the parent key set — child rows are never shuffled "
+    "twice and orphan detection needs no second scan. All exact "
+    "integers",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def edge(
+        child: DataFrame, fk_col: str, parent: DataFrame, pk_col: str, name: str
+    ) -> DataFrame:
+        fan = child.groupBy(F.col(fk_col).alias("__k")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        pk = parent.select(F.col(pk_col).alias("__k")).distinct().withColumn(
+            "__p", F.lit(1)
+        )
+        j = fan.join(pk, "__k", "full_outer")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.sum(F.coalesce(F.col("__n"), F.lit(0)))
+            .cast("long")
+            .alias("n_child_rows"),
+            F.sum(F.when(F.col("__p").isNull(), F.col("__n")).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+            F.sum(F.coalesce(F.col("__p"), F.lit(0)))
+            .cast("long")
+            .alias("n_parents"),
+            F.sum(
+                F.when(F.col("__p").isNotNull() & F.col("__n").isNull(), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_childless_parents"),
+            F.max("__n").cast("long").alias("max_fanout"),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        edge(o, "o_custkey", c, "c_custkey", "orders->customer")
+        .unionByName(edge(l, "l_orderkey", o, "o_orderkey", "lineitem->orders"))
+        .orderBy("fk")
+    )
