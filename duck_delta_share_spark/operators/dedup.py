@@ -779,6 +779,94 @@ def benchmark_containment(
     )
 
 
+def decontaminate_rewrite(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION rewrite: where :func:`benchmark_containment`
+    *detects* eval overlap, this removes it — every token covered by a word
+    ``shingle_n``-gram that appears anywhere in the benchmark set is dropped
+    from the document, and the cleaned text is re-emitted (the GPT-3 /
+    PaLM-style "dirty n-gram" scrub applied as a rewrite instead of a
+    document drop, so long documents survive with only the contaminated
+    spans excised).
+
+    Scale shape: the benchmark's distinct-shingle set is bounded (an eval
+    set) and BROADCAST; the corpus pays (1) one narrow (id, shingle-start)
+    explode probed by the broadcast — only HITS survive, so the per-doc
+    hit-start lists that flow into the rebuild join are empty for clean
+    docs and tiny for dirty ones — and (2) one rebuild pass joining those
+    lists back to the original rows on ``id_col``. The corpus text is
+    never shuffled; the (doc_id, text) projection is scanned twice (probe
+    branch + rebuild branch), the standard two-scan trade documented on
+    semantic_dedup — persisting the narrow projection upstream removes the
+    second scan at real corpus scale.
+
+    Token positions are reconstructed ARRAY-side (sorted hit starts →
+    covered-index set → indexed ``filter``), never by re-aggregating
+    exploded tokens, so the output text needs no order-sensitive
+    ``collect_list``. Reference surface: the reference engine has no
+    decontamination op; the op follows the public n-gram scrub recipe
+    (GPT-3 appendix C, PaLM §5).
+
+    Output: (id_col, n_tokens, n_removed, clean_text), one row per corpus
+    document with non-NULL text.
+    """
+    spans = F.col("__starts")
+
+    def shingle_starts(df: DataFrame) -> DataFrame:
+        # materialize the shingle array in its own projection BEFORE the
+        # explode (interpreted-HOF + per-exploded-row re-eval hazards)
+        arr = df.select(
+            F.col(id_col),
+            word_shingles(tokenize(text_col), shingle_n).alias("__shs"),
+        )
+        return arr.select(
+            id_col, F.posexplode("__shs").alias("__s", "__sh")
+        )
+
+    bench = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(word_shingles(tokenize(text_col), shingle_n))
+            ).alias("__sh")
+        )
+        .distinct()
+    )
+    hits = shingle_starts(corpus).join(F.broadcast(bench), "__sh")
+    starts = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("__s")).alias("__starts")
+    )
+    joined = corpus.select(id_col, text_col).join(starts, id_col, "left")
+    staged = joined.select(
+        id_col,
+        tokenize(text_col).alias("__toks"),
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce(spans, F.array().cast("array<int>")),
+                    lambda s: F.sequence(s, s + F.lit(shingle_n - 1)),
+                )
+            )
+        ).alias("__cov"),
+    )
+    return staged.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        F.size("__cov").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                "__toks",
+                lambda t, i: ~F.array_contains(F.col("__cov"), i),
+            ),
+        ).alias("clean_text"),
+    )
+
+
 def duplicated_span_stats(
     df: DataFrame,
     n: int = 40,

@@ -1210,6 +1210,155 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pagerank_transition_round",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events WHERE event_type IS NOT NULL
+),
+edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+),
+nodes AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL),
+nn AS (SELECT GREATEST(COUNT(*), 1) AS n FROM nodes),
+outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+contrib AS (
+  SELECT e.dst AS event_type,
+         SUM(e.w) AS in_w,
+         SUM(((1000000 // nn.n) * e.w) // o.out_w) AS c_e6
+  FROM edges e JOIN outw o ON o.src = e.src CROSS JOIN nn
+  GROUP BY e.dst
+)
+SELECT n.event_type,
+       CAST(COALESCE(o.out_w, 0) AS BIGINT) AS out_w,
+       CAST(COALESCE(c.in_w, 0) AS BIGINT) AS in_w,
+       CAST((150000 // nn.n) + (85 * COALESCE(c.c_e6, 0)) // 100 AS BIGINT)
+         AS rank_e6
+FROM nodes n CROSS JOIN nn
+LEFT JOIN outw o ON o.src = n.event_type
+LEFT JOIN contrib c ON c.event_type = n.event_type
+ORDER BY n.event_type
+""",
+    doc="one PageRank power-iteration round over the event-type transition "
+    "graph (nodes = event types, edge weights = per-user consecutive-event "
+    "transition counts; lead over (ts, event_id) — deterministic under "
+    "timestamp ties): rank' = 0.15/N + 0.85 * sum_in(rank_u * w_uv / "
+    "out_u) from a uniform start, the centrality signal a "
+    "crawl-prioritization or curriculum pipeline derives from behavior "
+    "graphs. ALL-INTEGER fixed-point e6 arithmetic (integer DIV only — "
+    "no float op anywhere, so the round is hash-exact by construction; "
+    "the simple-damped variant: dangling-node mass is not redistributed). "
+    "PLAN: one window shuffle keyed on user_id, then hash aggs on the "
+    "tiny (src, dst) key space; the 1-row node count joins via a "
+    "broadcast cross of a single-row agg, never a driver collect. "
+    "Iterating = repeating the same one-shuffle round on the "
+    "edges/outw frames (components.py-style loop); a single round is "
+    "registered so the step itself is oracle-checked",
+)
+def pagerank_transition_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = e.select("event_type").distinct()
+    # 1-row node-count frame, broadcast (BNLJ_ALLOWED precedent:
+    # tfidf_top_terms / bm25_topk corpus-stat frames)
+    nn = F.broadcast(
+        nodes.agg(F.greatest(F.count(F.lit(1)), F.lit(1)).alias("n"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    contrib = (
+        edges.join(outw, "src")
+        .crossJoin(nn)
+        .groupBy(F.col("dst").alias("event_type"))
+        .agg(
+            F.sum("w").alias("in_w"),
+            F.sum(
+                F.expr("((1000000 div n) * w) div out_w")
+            ).alias("c_e6"),
+        )
+    )
+    return (
+        nodes.crossJoin(nn)
+        .join(outw, nodes["event_type"] == outw["src"], "left")
+        .join(contrib, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("out_w", F.lit(0)).cast("long").alias("out_w"),
+            F.coalesce("in_w", F.lit(0)).cast("long").alias("in_w"),
+            (
+                F.expr("150000 div n")
+                + F.expr("(85 * coalesce(c_e6, 0)) div 100")
+            )
+            .cast("long")
+            .alias("rank_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         COUNT(*) AS sz, COUNT(DISTINCT user_id) AS l
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(l) AS BIGINT) AS l_diversity,
+       CAST(MAX(l) AS BIGINT) AS max_l,
+       CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_below_3,
+       CAST(SUM(CASE WHEN l < 3 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_below_3
+FROM g
+""",
+    doc="l-diversity audit over the same quasi-identifier set as "
+    "k_anonymity_audit (event_type, day), sensitive attribute = user_id: "
+    "k-anonymity alone is defeated by a homogeneous group (every row in "
+    "the class belongs to ONE user), so the privacy gate also needs l = "
+    "the smallest per-class count of DISTINCT sensitive values, plus the "
+    "below-threshold exposure a suppression pass would drop. One hash "
+    "agg on the QI key (single-column COUNT(DISTINCT) — no Expand "
+    "blowup) then a 1-row fold; all exact integers",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("user_id").alias("l"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("l").cast("long").alias("l_diversity"),
+        F.max("l").cast("long").alias("max_l"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_below_3"),
+        F.sum(F.when(F.col("l") < 3, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_below_3"),
+    )
+
+
+@query(
     "interarrival_histogram",
     oracle="""
 WITH s AS (
@@ -1944,21 +2093,31 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__p", F.lit(1)
         )
         j = fan.join(pk, "__k", "full_outer")
+        # every SUM is coalesced AFTER aggregating: a global agg over an
+        # EMPTY join emits one row with NULL sums, while the oracle's
+        # COUNT(*) subqueries yield 0 — empty-table parity (r11 fuzz).
+        # max_fanout stays NULL on both (MAX over empty is NULL in SQL).
         return j.agg(
             F.lit(name).alias("fk"),
-            F.sum(F.coalesce(F.col("__n"), F.lit(0)))
+            F.coalesce(F.sum(F.coalesce(F.col("__n"), F.lit(0))), F.lit(0))
             .cast("long")
             .alias("n_child_rows"),
-            F.sum(F.when(F.col("__p").isNull(), F.col("__n")).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("__p").isNull(), F.col("__n")).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_orphans"),
-            F.sum(F.coalesce(F.col("__p"), F.lit(0)))
+            F.coalesce(F.sum(F.coalesce(F.col("__p"), F.lit(0))), F.lit(0))
             .cast("long")
             .alias("n_parents"),
-            F.sum(
-                F.when(F.col("__p").isNotNull() & F.col("__n").isNull(), 1).otherwise(
-                    0
-                )
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__p").isNotNull() & F.col("__n").isNull(), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("n_childless_parents"),

@@ -697,6 +697,72 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "decontaminate_rewrite",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id,
+         UNNEST(RANGE(1, GREATEST(LEN(toks) - 1, 1))) AS s,
+         UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+                i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS shingle
+  FROM base
+),
+hits AS (
+  SELECT DISTINCT doc_id, s FROM sh
+  WHERE doc_id % 50 <> 0
+    AND shingle IN (SELECT DISTINCT shingle FROM sh
+                    WHERE doc_id % 50 = 0 AND doc_id < 25000)
+),
+cov AS (SELECT DISTINCT doc_id, UNNEST(RANGE(s, s + 3)) AS p FROM hits),
+tok AS (
+  SELECT doc_id,
+         UNNEST(toks) AS tok,
+         UNNEST(RANGE(1, LEN(toks) + 1)) AS p
+  FROM base WHERE doc_id % 50 <> 0
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM tok t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.p = t.p
+  WHERE cov.p IS NULL
+),
+agg AS (
+  SELECT doc_id, COALESCE(STRING_AGG(tok, ' ' ORDER BY p), '') AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(LEN(b.toks) AS INT) AS n_tokens,
+       CAST(LEN(b.toks) - COALESCE(a.n_kept, 0) AS INT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM base b LEFT JOIN agg a USING (doc_id)
+WHERE b.doc_id % 50 <> 0
+ORDER BY doc_id
+""",
+    doc="benchmark DECONTAMINATION rewrite (operators/dedup.py:"
+    "decontaminate_rewrite — the GPT-3 appendix-C / PaLM 'dirty n-gram' "
+    "scrub applied as a REWRITE, not a document drop): every token "
+    "covered by a word 3-gram that appears anywhere in the eval split "
+    "(doc_id % 50 = 0, bounded) is excised and the cleaned text "
+    "re-emitted, so long documents survive decontamination. Benchmark "
+    "shingles broadcast; only HIT starts leave the probe; cleaned text "
+    "is rebuilt array-side (sorted hit starts -> covered-index set -> "
+    "indexed filter) with no order-sensitive collect_list. Pure string "
+    "plumbing — the full rewritten text hash-checks against DuckDB's "
+    "independent string_agg reconstruction",
+)
+def decontaminate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return dd.decontaminate_rewrite(
+        d.filter(F.col("doc_id") % 50 != 0),
+        d.filter((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 25000)),
+        shingle_n=3,
+    ).orderBy("doc_id")
+
+
 _SIMHASH_SIG_ORACLE = """
 WITH tok AS (
   SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
@@ -1187,7 +1253,14 @@ ORDER BY f.query_id
     "rides the same row); no corpus shuffle",
 )
 def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # an MRL audit is only meaningful on full-width vectors: mirror the
+    # oracle's LEN(embedding) = 64 guard so short/NULL vectors are
+    # excluded on BOTH engines (whole-row-faithful rule — on a non-64-dim
+    # corpus the oracle's 64-term dot would NULL-propagate to zero rows
+    # while an unguarded Spark side still scores, r11 fuzz)
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
     full = sim.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
     t = e.withColumn("embedding", F.slice("embedding", 1, 16))
     trunc = sim.brute_force_topk(t, t.filter(F.col("vec_id") < 10), k=5)

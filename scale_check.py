@@ -215,11 +215,29 @@ def main() -> None:
         # the realistic ANN-serving growth mode
         return int8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
+    def sq8_topk_shape(emb):
+        from duck_delta_share_spark.operators.similarity import sq8_topk
+
+        # same growth mode as int8: constant probe set, growing base;
+        # train's d-row collect is corpus-size-independent by design
+        return sq8_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+
     def contamination_shape(d):
         from duck_delta_share_spark.operators.dedup import benchmark_containment
 
         bench = d.filter(F.col("doc_id") % 50 == 0).limit(200)
         return benchmark_containment(d, bench, shingle_n=3)
+
+    def decontaminate_shape(d):
+        from duck_delta_share_spark.operators.dedup import decontaminate_rewrite
+
+        # same growth mode as contamination: benchmark capped (an eval set
+        # is corpus-size-independent), corpus grows — the rewrite adds the
+        # per-doc rebuild join on top of the broadcast probe
+        bench = d.filter(F.col("doc_id") % 50 == 0).limit(200)
+        return decontaminate_rewrite(
+            d.filter(F.col("doc_id") % 50 != 0), bench, shingle_n=3
+        )
 
     def entropy_shape(d):
         from duck_delta_share_spark.functions.text import char_entropy_signals
@@ -930,8 +948,10 @@ def main() -> None:
         ("bloom_semi_join", bloom_shape, e1, eN),
         ("dv_mask_apply", dv_mask_shape, e1, eN),
         ("int8_topk", int8_topk_shape, emb1, embN),
+        ("sq8_topk", sq8_topk_shape, emb1, embN),
         ("pq_topk", pq_shape, emb1, embN),
         ("benchmark_contamination", contamination_shape, d1, dN),
+        ("decontaminate_rewrite", decontaminate_shape, d1, dN),
         ("char_entropy", entropy_shape, d1, dN),
         ("bigram_lm_join", bigram_lm_shape, d1, dN),
         ("substring_dedup", substring_dedup_shape, d1, dN),
