@@ -1251,15 +1251,17 @@ ORDER BY n.event_type
     "graphs. ALL-INTEGER fixed-point e6 arithmetic (integer DIV only — "
     "no float op anywhere, so the round is hash-exact by construction; "
     "the simple-damped variant: dangling-node mass is not redistributed). "
-    "PLAN: one window shuffle keyed on user_id, then hash aggs on the "
-    "tiny (src, dst) key space; the 1-row node count joins via a "
-    "broadcast cross of a single-row agg, never a driver collect. "
-    "Iterating = repeating the same one-shuffle round on the "
-    "edges/outw frames (components.py-style loop); a single round is "
-    "registered so the step itself is oracle-checked",
+    "Drives operators/graph.py:pagerank_rounds with n_rounds=1, so the "
+    "oracle hash-checks the exact per-round math the ITERATIVE operator "
+    "repeats (the components.py pattern: register the SQL-expressible "
+    "step, loop it in the operator). PLAN: one window shuffle keyed on "
+    "user_id, then hash aggs on the tiny (src, dst) key space; only the "
+    "1-scalar node count touches the driver",
 )
 def pagerank_transition_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
+
+    from duck_delta_share_spark.operators.graph import pagerank_rounds
 
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull()
@@ -1275,37 +1277,19 @@ def pagerank_transition_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     nodes = e.select("event_type").distinct()
-    # 1-row node-count frame, broadcast (BNLJ_ALLOWED precedent:
-    # tfidf_top_terms / bm25_topk corpus-stat frames)
-    nn = F.broadcast(
-        nodes.agg(F.greatest(F.count(F.lit(1)), F.lit(1)).alias("n"))
+    pr = pagerank_rounds(
+        edges, src="src", dst="dst", weight="w", nodes=nodes, n_rounds=1
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    contrib = (
-        edges.join(outw, "src")
-        .crossJoin(nn)
-        .groupBy(F.col("dst").alias("event_type"))
-        .agg(
-            F.sum("w").alias("in_w"),
-            F.sum(
-                F.expr("((1000000 div n) * w) div out_w")
-            ).alias("c_e6"),
-        )
-    )
+    inw = edges.groupBy("dst").agg(F.sum("w").alias("in_w"))
     return (
-        nodes.crossJoin(nn)
-        .join(outw, nodes["event_type"] == outw["src"], "left")
-        .join(contrib, "event_type", "left")
+        pr.join(outw, pr["node"] == outw["src"], "left")
+        .join(inw, pr["node"] == inw["dst"], "left")
         .select(
-            "event_type",
+            F.col("node").alias("event_type"),
             F.coalesce("out_w", F.lit(0)).cast("long").alias("out_w"),
             F.coalesce("in_w", F.lit(0)).cast("long").alias("in_w"),
-            (
-                F.expr("150000 div n")
-                + F.expr("(85 * coalesce(c_e6, 0)) div 100")
-            )
-            .cast("long")
-            .alias("rank_e6"),
+            F.col("rank_e").cast("long").alias("rank_e6"),
         )
         .orderBy("event_type")
     )

@@ -45,7 +45,6 @@ BNLJ_ALLOWED = {
     "doc_embedding_coverage",    # 1-row pre-join null-vector count
     "similarity_ann_sq8",        # |queries|-row broadcast probe set
     "matryoshka_truncation_audit",  # |queries|-row broadcast probe set x2
-    "pagerank_transition_round",    # 1-row node-count frame x2
 }
 
 
