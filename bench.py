@@ -184,10 +184,13 @@ HEADLINE = [
     # recorded as added_r11 from a clean full-bench run.
     "incremental_neardup_pipeline",
     "incremental_dedup_maintained",
-    # round-11 second wave: per-dim scalar quantizer scan and the MRL
-    # truncation audit (two-granularity brute-force pass).
+    # round-11 second wave: per-dim scalar quantizer scan, the MRL
+    # truncation audit (two-granularity brute-force pass), and the
+    # dirty-n-gram decontamination rewrite (broadcast probe + full-text
+    # array-side rebuild).
     "similarity_ann_sq8",
     "matryoshka_truncation_audit",
+    "decontaminate_rewrite",
 ]
 
 

@@ -33,6 +33,7 @@ from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 _R11_WINDOW = [
     # (a) r11 NEW queries / changed oracles or plans this round
     "decontaminate_rewrite",  # new: dirty-n-gram scrub as a rewrite
+    "quality_calibration_bins",  # new: reliability-diagram audit
     "pagerank_transition_round",  # new: all-integer PageRank round
     "l_diversity_audit",  # new: sensitive-value diversity privacy gate
     "incremental_neardup_pipeline",  # new: two-table txn near-dup commit e2e
@@ -74,11 +75,12 @@ _R11_WINDOW = [
     "sort_limit",
     "topk_per_group",
     "unigram_perplexity_score",
-    # (c) oldest-r7 fill (alphabetical head; the 34 that don't fit —
-    # delta_share_dv_rest_scan, delta_txn_idempotent_append,
-    # doc_fingerprint_rolling, edit_distance_neardup,
-    # embedding_quantize_int8, embedding_variance_by_dim,
-    # event_debounce_dedup, event_volume_anomaly, events_windowed_agg,
+    # (c) oldest-r7 fill (alphabetical head; the 35 that don't fit —
+    # delta_share_cdf_scan, delta_share_dv_rest_scan,
+    # delta_txn_idempotent_append, doc_fingerprint_rolling,
+    # edit_distance_neardup, embedding_quantize_int8,
+    # embedding_variance_by_dim, event_debounce_dedup,
+    # event_volume_anomaly, events_windowed_agg,
     # interval_join_attribution, then join_asof_tolerance ..
     # vocab_coverage_curve — lead the r12 window)
     "agg_percentiles",
@@ -89,7 +91,6 @@ _R11_WINDOW = [
     "delta_column_mapping_scan",
     "delta_delete_dv",
     "delta_schema_evolution",
-    "delta_share_cdf_scan",
 ]
 
 

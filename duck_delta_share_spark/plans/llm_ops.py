@@ -168,6 +168,93 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_calibration_bins",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(floor(ROUND(
+           (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+            / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)) * 0.7
+           + LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 50.0,
+                   1.0) * 0.3,
+         6) * 1e6 + 0.5) AS BIGINT) AS q_e6,
+         CASE
+           WHEN ' ' || text || ' ' LIKE '% the %'
+             OR ' ' || text || ' ' LIKE '% and %'
+             OR ' ' || text || ' ' LIKE '% of %'
+             OR ' ' || text || ' ' LIKE '% der %'
+             OR ' ' || text || ' ' LIKE '% und %'
+             OR ' ' || text || ' ' LIKE '% die %'
+             OR ' ' || text || ' ' LIKE '% el %'
+             OR ' ' || text || ' ' LIKE '% los %'
+             OR ' ' || text || ' ' LIKE '% que %'
+             OR ' ' || text || ' ' LIKE '% le %'
+             OR ' ' || text || ' ' LIKE '% les %'
+             OR ' ' || text || ' ' LIKE '% des %'
+           THEN 1 ELSE 0 END AS is_natural
+  FROM documents WHERE text IS NOT NULL
+),
+binned AS (
+  SELECT LEAST(q_e6 // 100000, 9) AS bin, q_e6, is_natural FROM scored
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(q_e6) // COUNT(*) AS BIGINT) AS mean_quality_e6,
+       CAST(SUM(is_natural) AS BIGINT) AS n_natural,
+       CAST(floor(CAST(SUM(is_natural) AS DOUBLE) * 1e6 / COUNT(*) + 0.5)
+            AS BIGINT) AS natural_rate_e6
+FROM binned GROUP BY bin ORDER BY bin
+""",
+    doc="quality-classifier CALIBRATION audit (reliability-diagram bins — "
+    "the report run before a learned or heuristic quality score gates a "
+    "corpus): predicted quality (functions/text.py:quality_score) bucketed "
+    "into deciles, each bin's doc count, mean predicted score, and the "
+    "empirical rate of an INDEPENDENT naturalness label (stopword-marker "
+    "language-ID fires, i.e. the text contains any known-language "
+    "function word). A well-calibrated score has natural_rate rising "
+    "with bin — the measured curve IS the calibration evidence. All "
+    "exact: score pinned to e6 (floor(x*1e6+0.5) on both engines), bin "
+    "= integer DIV, mean = exact integer sums + integer DIV, rate = one "
+    "IEEE division of exact integers then floor-pin. One hash agg on a "
+    "10-value key — no shuffle pressure at any corpus size",
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = d.select(
+        F.floor(quality_score("text") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("q_e6"),
+        F.when(language_id("text") != F.lit("und"), 1)
+        .otherwise(0)
+        .alias("is_natural"),
+    )
+    binned = scored.select(
+        F.least(F.expr("q_e6 div 100000"), F.lit(9)).cast("int").alias("bin"),
+        "q_e6",
+        "is_natural",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(q_e6) div count(*)").cast("long").alias(
+                "mean_quality_e6"
+            ),
+            F.sum("is_natural").cast("long").alias("n_natural"),
+            F.floor(
+                F.sum("is_natural").cast("double")
+                * F.lit(1e6)
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("natural_rate_e6"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
     "text_langid_heuristic",
     oracle="""
 SELECT doc_id, lang,
