@@ -104,6 +104,45 @@ def main() -> None:
 
         return sessionize(e, gap_seconds=1800)
 
+    def pagerank_shape(e):
+        from pyspark.sql import Window
+
+        # the LAZY plan of one pagerank_rounds round (the operator itself
+        # checkpoints eagerly, which the harness can't time): id-remapped
+        # user copies grow the transition-edge COUNT (event-type node set
+        # stays 5) — the window + edge-agg shuffles grow with |events|,
+        # the iterated frames stay node-sized
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (
+            e.filter(F.col("event_type").isNotNull())
+            .select(
+                F.col("event_type").alias("src"),
+                F.lead("event_type").over(w).alias("dst"),
+            )
+            .where(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        nodes = edges.select(F.col("src").alias("node")).union(
+            edges.select(F.col("dst").alias("node"))
+        ).distinct()
+        outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+        ranks = nodes.select(
+            F.col("node").alias("src"), F.lit(200000).cast("long").alias("rank_e")
+        )
+        contrib = (
+            edges.join(outw, "src")
+            .join(ranks, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("(rank_e * w) div out_w")).alias("c_e"))
+        )
+        return nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(30000) + F.expr("(85 * coalesce(c_e, 0)) div 100"))
+            .cast("long")
+            .alias("rank_e"),
+        )
+
     def neardup_shape(emb):
         from duck_delta_share_spark.operators.similarity import (
             embedding_near_dup_pairs,
@@ -937,6 +976,7 @@ def main() -> None:
         ("ivf_persisted", ivf_persisted_shape, emb1, embN),
         ("minhash_lsh", minhash_shape, d1, dN),
         ("sessionization", sessionize_shape, e1, eN),
+        ("pagerank_round", pagerank_shape, e1, eN),
         ("embedding_neardup", neardup_shape, emb1, embN),
         ("sequence_packing", packing_shape, d1, dN),
         ("heavy_hitters", heavy_hitters_shape, d1, dN),
