@@ -3679,13 +3679,32 @@ def vacuum(table_path: str | Path, retain_hours: float = 168.0) -> dict:
     cutoff = time.time() - retain_hours * 3600
     tombs = _tombstone_timestamps(table, snap)
     removed = 0
-    candidates = list(table.rglob("*.parquet")) + list(
-        table.rglob("deletion_vector_*.bin")
-    )
+    # candidate listing via os.walk with _delta_log and _staging_* PRUNED
+    # (never descended into), not pathlib rglob + post-filter: an ACTIVE
+    # writer's Spark job creates and removes _staging_*/_temporary task
+    # dirs mid-walk, and a py3.11 rglob that has listed a dir raises
+    # FileNotFoundError descending into it after it vanished — the r11
+    # live maintainer-vs-ingest race. os.walk skips unreadable/vanished
+    # dirs (onerror=None) and pruning means staging churn is never even
+    # visited.
+    candidates: list[Path] = []
+    for dirpath, dirnames, filenames in os.walk(table):
+        dirnames[:] = [
+            s
+            for s in dirnames
+            if s != "_delta_log" and not s.startswith("_staging_")
+        ]
+        for fn in filenames:
+            if fn.endswith(".parquet") or (
+                fn.startswith("deletion_vector_") and fn.endswith(".bin")
+            ):
+                candidates.append(Path(dirpath) / fn)
     for p in candidates:
-        if "_delta_log" in p.parts or any(s.startswith("_staging_") for s in p.parts):
-            continue
-        if p in referenced or p.stat().st_mtime > cutoff:
+        try:
+            mtime = p.stat().st_mtime
+        except FileNotFoundError:
+            continue  # vanished between listing and stat (live table)
+        if p in referenced or mtime > cutoff:
             continue
         rel = _log_rel(table, str(p))
         if tombs.get(rel, 0) / 1000.0 > cutoff:
@@ -3711,12 +3730,17 @@ def vacuum(table_path: str | Path, retain_hours: float = 168.0) -> dict:
             continue
         try:
             newest = d.stat().st_mtime
+            n_files = 0
             for q in d.rglob("*"):
-                newest = max(newest, q.stat().st_mtime)
+                st = q.stat()
+                newest = max(newest, st.st_mtime)
+                if q.is_file():
+                    n_files += 1
         except OSError:
             continue  # entries vanishing under us = an ACTIVE writer
+            # (incl. FileNotFoundError from rglob descending into a task
+            # dir the writer's committer just renamed away)
         if newest <= staging_cutoff:
-            n_files = sum(1 for q in d.rglob("*") if q.is_file())
             _shutil.rmtree(d, ignore_errors=True)
             removed += n_files
     # orphaned atomic-write temps in _delta_log: a writer that crashed
