@@ -142,6 +142,65 @@ class TestPagerankRounds:
         # an isolated node keeps exactly the base (1-d)/N share
         assert got["lonely"] == ((1_000_000 * 15) // 100) // 4
 
+    def test_self_loops_match_integer_model(self, spark):
+        # a self-loop keeps (part of) a node's mass on itself — legal in
+        # transition graphs (repeated identical events); must follow the
+        # same recurrence, no special-casing
+        g = [("a", "a", 3), ("a", "b", 1), ("b", "a", 2)]
+        for rounds in (1, 4):
+            got = {
+                r.node: r.rank_e
+                for r in pagerank_rounds(
+                    _edges(spark, g), weight="w", n_rounds=rounds
+                ).collect()
+            }
+            assert got == _py_pagerank_e(g, ["a", "b"], rounds)
+
+    def test_empty_edge_list_with_node_universe(self, spark):
+        # an all-isolated graph: every node holds exactly the base share
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        empty = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("src", StringType()),
+                    StructField("dst", StringType()),
+                    StructField("w", LongType()),
+                ]
+            ),
+        )
+        nodes = spark.createDataFrame([Row(node=v) for v in ["a", "b", "c"]])
+        got = {
+            r.node: r.rank_e
+            for r in pagerank_rounds(
+                empty, weight="w", nodes=nodes, n_rounds=3
+            ).collect()
+        }
+        base = ((1_000_000 * 15) // 100) // 3
+        assert got == {"a": base, "b": base, "c": base}
+
+    def test_empty_graph_no_nodes_returns_empty(self, spark):
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        empty = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("src", StringType()),
+                    StructField("dst", StringType()),
+                ]
+            ),
+        )
+        out = pagerank_rounds(empty, n_rounds=2)
+        assert out.columns == ["node", "rank_e"]
+        assert out.count() == 0
+
     def test_tol_early_stop_matches_full_run(self, spark):
         full = {
             r.node: r.rank_e
