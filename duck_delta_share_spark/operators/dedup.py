@@ -287,13 +287,18 @@ def _cap_buckets(
             rows.groupBy(*bucket_cols)
             .agg(F.count(F.lit(1)).alias("__bsz"))
             .filter(F.col("__bsz") > max_bucket_size)
-            .select(*bucket_cols)
+            .select(*[F.col(c).alias(f"__cap_{c}") for c in bucket_cols])
         )
-        # restore the caller's column order (a list-on join floats the
-        # join keys to the left)
-        return rows.join(F.broadcast(oversized), bucket_cols, "left_anti").select(
-            *rows.columns
-        )
+        # eqNullSafe: groupBy puts NULL keys in ONE group (matching the
+        # window mode's partitionBy), but a null-unsafe anti join would
+        # never match that group's key row — an over-cap NULL-keyed
+        # bucket would silently survive the cap (ADVICE r11). Aliased
+        # right-side keys keep the condition unambiguous.
+        cond = None
+        for c in bucket_cols:
+            clause = F.col(c).eqNullSafe(F.col(f"__cap_{c}"))
+            cond = clause if cond is None else (cond & clause)
+        return rows.join(F.broadcast(oversized), cond, "left_anti")
     if mode != "window":
         raise ValueError(f"unknown cap mode {mode!r}")
     w = Window.partitionBy(*bucket_cols)
@@ -1547,6 +1552,7 @@ def incremental_neardup_commit(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int | None = 2000,
+    cap_mode: str = "window",
 ) -> dict:
     """Two-table transactional step of the incremental NEAR-dup pipeline —
     the MinHash twin of :func:`incremental_dedup_commit`, in the same
@@ -1576,6 +1582,11 @@ def incremental_neardup_commit(
     (three consumers — the multi-subtree rule), which also removes the
     capped path's documented double-eval for this caller.
 
+    ``cap_mode`` threads to BOTH pair sources (the store probe and the
+    within-shard self-join): "window" (default) or "broadcast" — the
+    skew-safe dial for hot boilerplate buckets at corpus scale; see
+    :func:`_cap_buckets`.
+
     Returns {"n_pairs", "pairs_version", "store_version"} (None values =
     crash-replay no-op, like the exact twin).
     """
@@ -1604,12 +1615,17 @@ def incremental_neardup_commit(
             bands=bands,
             shingle_n=shingle_n,
             max_bucket_size=max_bucket_size,
+            cap_mode=cap_mode,
             band_rows=shard_rows,
         ).withColumn("vs", F.lit("history"))
-        # the within-shard self-join honors the same cap as the store
+        # the within-shard self-join honors the same cap (and cap_mode —
+        # the skew-safe broadcast dial must be reachable from the
+        # transactional/streaming ingest path, ADVICE r11) as the store
         # probe (a boilerplate-heavy shard can have its own hot bucket;
         # pair count is quadratic in bucket size)
-        within_rows = _cap_buckets(shard_rows, ["band", "bucket"], max_bucket_size)
+        within_rows = _cap_buckets(
+            shard_rows, ["band", "bucket"], max_bucket_size, cap_mode
+        )
         a = within_rows.select(F.col(id_col).alias("__ia"), "band", "bucket")
         b = within_rows.select(F.col(id_col).alias("__ib"), "band", "bucket")
         within = (

@@ -848,6 +848,87 @@ def lossless_pq_codebooks(
     return [np.unique(X[:, j * sub : (j + 1) * sub], axis=0) for j in range(m)]
 
 
+def _pq_int8_encoder(books: list["np.ndarray"], m: int, sub: int, id_type):
+    """int8-lattice PQ encoder shared by :func:`pq_topk` and
+    :func:`ivfpq_lossless_topk` (exact mode can never drift from the
+    production scorer): a mapInPandas over ``_int8_prep`` rows
+    ``(vec_id, __q, __n2)`` emitting ``(vec_id, codes, rn2)`` where rn2
+    is the EXACT reconstructed self-dot (long sums of codeword
+    self-dots). Returns ``(schema, encode_fn)``."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    self_dots = [
+        np.einsum("kd,kd->k", b.astype(np.int64), b.astype(np.int64)) for b in books
+    ]
+    schema = StructType(
+        [
+            StructField("vec_id", id_type),
+            StructField("codes", ArrayType(IntegerType())),
+            StructField("rn2", LongType()),
+        ]
+    )
+
+    def encode(it):
+        for pdf in it:
+            if len(pdf) == 0:  # Arrow may deliver empty batches
+                continue
+            Q = np.vstack(pdf["__q"].to_numpy()).astype(np.int16)
+            codes = np.empty((len(Q), m), dtype=np.int32)
+            rn2 = np.zeros(len(Q), dtype=np.int64)
+            for j in range(m):
+                S = Q[:, j * sub : (j + 1) * sub]
+                d2 = ((S[:, None, :].astype(np.int64) - books[j][None, :, :].astype(np.int64)) ** 2).sum(axis=2)
+                # ties break to the LOWEST index (np.argmin) — deterministic
+                cj = np.argmin(d2, axis=1)
+                codes[:, j] = cj
+                rn2 += self_dots[j][cj]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes), "rn2": rn2}
+            )
+
+    return schema, encode
+
+
+def _pq_int8_adc_udf(books: list["np.ndarray"], m: int, sub: int):
+    """Integer asymmetric-distance scorer shared by :func:`pq_topk` and
+    :func:`ivfpq_lossless_topk`: per-distinct-query ADC tables hold EXACT
+    integer partial dots, a candidate's numerator is an exact long sum of
+    m lookups, and the final ``idot / sqrt(qn2 * rn2)`` is two
+    correctly-rounded IEEE ops — bit-identical across engines."""
+
+    @F.pandas_udf("double")
+    def adc_score(codes: pd.Series, qv: pd.Series, qn2: pd.Series, rn2: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        C = np.vstack(codes.to_numpy()).astype(np.int64)
+        QV = np.vstack(qv.to_numpy()).astype(np.int64)
+        # per-distinct-query ADC tables: T[j][c] = q_sub_j . codeword_jc
+        out = np.zeros(len(C), dtype=np.int64)
+        uniq, inv = np.unique(QV, axis=0, return_inverse=True)
+        for u in range(len(uniq)):
+            mask = inv == u
+            tables = [
+                books[j].astype(np.int64) @ uniq[u, j * sub : (j + 1) * sub]
+                for j in range(m)
+            ]
+            acc = np.zeros(mask.sum(), dtype=np.int64)
+            for j in range(m):
+                acc += tables[j][C[mask, j]]
+            out[mask] = acc
+        return pd.Series(
+            out.astype(np.float64)
+            / np.sqrt((qn2.to_numpy() * rn2.to_numpy()).astype(np.float64))
+        )
+
+    return adc_score
+
+
 def pq_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -882,8 +963,6 @@ def pq_topk(
 
     Output: (query_id, vec_id, score_e6, rk), self-matches excluded.
     """
-    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
-
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
     sub = dim // m
@@ -899,35 +978,12 @@ def pq_topk(
         base, dim, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col
     )
     books = [np.asarray(b, dtype=np.int16) for b in books]
-    self_dots = [np.einsum("kd,kd->k", b.astype(np.int64), b.astype(np.int64)) for b in books]
 
     # preserve the actual id type (string/int ids must survive the Arrow
     # round-trip — a hardcoded LongType breaks non-bigint id columns)
-    enc_schema = StructType(
-        [
-            StructField("vec_id", base.schema[id_col].dataType),
-            StructField("codes", ArrayType(IntegerType())),
-            StructField("rn2", LongType()),
-        ]
+    enc_schema, encode = _pq_int8_encoder(
+        books, m, sub, base.schema[id_col].dataType
     )
-
-    def encode(it):
-        for pdf in it:
-            if len(pdf) == 0:  # Arrow may deliver empty batches
-                continue
-            Q = np.vstack(pdf["__q"].to_numpy()).astype(np.int16)
-            codes = np.empty((len(Q), m), dtype=np.int32)
-            rn2 = np.zeros(len(Q), dtype=np.int64)
-            for j in range(m):
-                S = Q[:, j * sub : (j + 1) * sub]
-                d2 = ((S[:, None, :].astype(np.int64) - books[j][None, :, :].astype(np.int64)) ** 2).sum(axis=2)
-                # ties break to the LOWEST index (np.argmin) — deterministic
-                cj = np.argmin(d2, axis=1)
-                codes[:, j] = cj
-                rn2 += self_dots[j][cj]
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "codes": list(codes), "rn2": rn2}
-            )
 
     b = (
         _int8_prep(base.select(id_col, vec_col), id_col, vec_col, "vec_id")
@@ -936,29 +992,7 @@ def pq_topk(
     )
     q = _int8_prep(queries.select(id_col, vec_col), id_col, vec_col, "query_id")
 
-    @F.pandas_udf("double")
-    def adc_score(codes: pd.Series, qv: pd.Series, qn2: pd.Series, rn2: pd.Series) -> pd.Series:
-        if len(codes) == 0:
-            return pd.Series([], dtype="float64")
-        C = np.vstack(codes.to_numpy()).astype(np.int64)
-        QV = np.vstack(qv.to_numpy()).astype(np.int64)
-        # per-distinct-query ADC tables: T[j][c] = q_sub_j . codeword_jc
-        out = np.zeros(len(C), dtype=np.int64)
-        uniq, inv = np.unique(QV, axis=0, return_inverse=True)
-        for u in range(len(uniq)):
-            mask = inv == u
-            tables = [
-                books[j].astype(np.int64) @ uniq[u, j * sub : (j + 1) * sub]
-                for j in range(m)
-            ]
-            acc = np.zeros(mask.sum(), dtype=np.int64)
-            for j in range(m):
-                acc += tables[j][C[mask, j]]
-            out[mask] = acc
-        return pd.Series(
-            out.astype(np.float64)
-            / np.sqrt((qn2.to_numpy() * rn2.to_numpy()).astype(np.float64))
-        )
+    adc_score = _pq_int8_adc_udf(books, m, sub)
 
     scored = b.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).withColumn(
         "score",
@@ -1335,6 +1369,100 @@ def ivfpq_topk(
         exact.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+def ivfpq_lossless_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """VERIFICATION-mode IVFPQ: the full IVF-route → inverted-list join →
+    PQ-ADC-score → rank pipeline run at its two EXACT dials —
+    ``n_probe = n_centroids`` (every list probed, no candidate ever
+    dropped) and :func:`lossless_pq_codebooks` on the int8 lattice
+    (encode is exactly invertible, so ADC == the exact int8 dot). The
+    COMPOSED pipeline therefore provably equals :func:`int8_topk`
+    bit-for-bit, which puts the whole routing/encode/ADC machinery —
+    previously only ingredient-by-ingredient oracled — under one exact
+    DuckDB oracle (VERDICT r11 item 3). Candidates still flow
+    exclusively through the inverted-list ``__cid`` join (each base
+    vector sits in exactly ONE list; queries probe all of them), so the
+    IVF plumbing is exercised, not bypassed.
+
+    NOT a scale mode: lossless codebooks collect distinct subvectors
+    (bounded bases only — guarded inside
+    :func:`lossless_pq_codebooks`); the production lossy path is
+    :func:`ivfpq_topk`. Same trainer/assignment UDFs as
+    :func:`ivf_topk` — shared code, no drift.
+
+    Output: (query_id, vec_id, score_e6, rk) — :func:`int8_topk`'s
+    schema, under the same oracle.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    sub = dim // m
+    # float-zero-norm rows quantize to all-zero int8 (__n2 = 0), which
+    # _int8_prep already excludes — the norm_fast pre-filter only keeps
+    # the routing UDFs away from degenerate normalizations, it cannot
+    # change the final row set vs int8_topk
+    nzbase = base.filter(norm_fast(F.col(vec_col)) > 0)
+    nzq = queries.filter(norm_fast(F.col(vec_col)) > 0)
+    books = [
+        np.asarray(b, dtype=np.int16)
+        for b in lossless_pq_codebooks(
+            nzbase, dim, m=m, id_col=id_col, vec_col=vec_col
+        )
+    ]
+    C = train_ivf_centroids(nzbase, dim, n_centroids, id_col, vec_col, seed=seed)
+    nearest_centroid = _nearest_centroid_udf(C)
+    probe_centroids = _probe_centroids_udf(C, len(C))  # exact-probe dial
+
+    enc_schema, encode = _pq_int8_encoder(
+        books, m, sub, base.schema[id_col].dataType
+    )
+    enc = (
+        _int8_prep(nzbase.select(id_col, vec_col), id_col, vec_col, "vec_id")
+        .mapInPandas(encode, enc_schema)
+        .filter(F.col("rn2") > 0)
+    )
+    cids = nzbase.select(
+        F.col(id_col).alias("vec_id"), nearest_centroid(vec_col).alias("__cid")
+    )
+    b = enc.join(cids, "vec_id")
+
+    qprep = _int8_prep(nzq.select(id_col, vec_col), id_col, vec_col, "query_id")
+    qprobes = nzq.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_centroids(vec_col)).alias("__cid"),
+    )
+    q = qprep.join(qprobes, "query_id")
+
+    adc_score = _pq_int8_adc_udf(books, m, sub)
+    scored = (
+        b.join(F.broadcast(q), "__cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            adc_score(F.col("codes"), F.col("__q"), F.col("__n2"), F.col("rn2")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("score_e6"),
+            "rk",
+        )
     )
 
 

@@ -137,7 +137,12 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_dim"),
-        F.element_at("embedding", 64).cast("double").alias("last_dim"),
+        # try_element_at: plain element_at THROWS under ANSI on a <64-dim
+        # corpus while the DuckDB oracle's embedding[64] returns NULL —
+        # the total form runs (and agrees: both NULL) on any corpus
+        # (VERDICT r11 item 5). Index 1 always exists (non-null arrays
+        # in every fixture), so it stays on the strict form.
+        F.try_element_at("embedding", F.lit(64)).cast("double").alias("last_dim"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
 
@@ -1293,6 +1298,104 @@ def pagerank_transition_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "pagerank_three_rounds",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events WHERE event_type IS NOT NULL
+),
+edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+),
+nodes AS (
+  SELECT DISTINCT event_type AS node FROM events
+  WHERE event_type IS NOT NULL
+),
+nn AS (SELECT GREATEST(COUNT(*), 1) AS n FROM nodes),
+outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+r0 AS (
+  SELECT node, CAST(1000000 // nn.n AS BIGINT) AS rank_e
+  FROM nodes CROSS JOIN nn
+),
+c1 AS (
+  SELECT e.dst AS node, SUM((r.rank_e * e.w) // o.out_w) AS c
+  FROM edges e JOIN outw o ON o.src = e.src JOIN r0 r ON r.node = e.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT n.node,
+         CAST((150000 // nn.n) + (85 * COALESCE(c1.c, 0)) // 100 AS BIGINT)
+           AS rank_e
+  FROM nodes n CROSS JOIN nn LEFT JOIN c1 ON c1.node = n.node
+),
+c2 AS (
+  SELECT e.dst AS node, SUM((r.rank_e * e.w) // o.out_w) AS c
+  FROM edges e JOIN outw o ON o.src = e.src JOIN r1 r ON r.node = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT n.node,
+         CAST((150000 // nn.n) + (85 * COALESCE(c2.c, 0)) // 100 AS BIGINT)
+           AS rank_e
+  FROM nodes n CROSS JOIN nn LEFT JOIN c2 ON c2.node = n.node
+),
+c3 AS (
+  SELECT e.dst AS node, SUM((r.rank_e * e.w) // o.out_w) AS c
+  FROM edges e JOIN outw o ON o.src = e.src JOIN r2 r ON r.node = e.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT n.node,
+         CAST((150000 // nn.n) + (85 * COALESCE(c3.c, 0)) // 100 AS BIGINT)
+           AS rank_e
+  FROM nodes n CROSS JOIN nn LEFT JOIN c3 ON c3.node = n.node
+)
+SELECT node AS event_type, rank_e AS rank_e6 FROM r3 ORDER BY node
+""",
+    doc="THREE chained PageRank rounds over the event-type transition "
+    "graph — pins the loop COMPOSITION of operators/graph.py:"
+    "pagerank_rounds (checkpoint boundaries, per-round rank handoff, "
+    "release of the superseded round), not just the single-step math "
+    "that pagerank_transition_round already oracles (VERDICT r11 item "
+    "7). The all-integer e6 fixed point is what makes a multi-round "
+    "oracle EXPRESSIBLE at all: each round is a pure integer "
+    "re-derivation, so three chained CTEs reproduce the iterated "
+    "operator bit-for-bit — a float PageRank would drift in the last "
+    "ulp per round and could never hash. Same simple-damped variant, "
+    "same deterministic LEAD ordering",
+)
+def pagerank_three_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from duck_delta_share_spark.operators.graph import pagerank_rounds
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = e.select("event_type").distinct()
+    pr = pagerank_rounds(
+        edges, src="src", dst="dst", weight="w", nodes=nodes, n_rounds=3
+    )
+    return pr.select(
+        F.col("node").alias("event_type"),
+        F.col("rank_e").cast("long").alias("rank_e6"),
+    ).orderBy("event_type")
 
 
 @query(

@@ -30,6 +30,52 @@ from duck_delta_share_spark.plans.registry import DEC, query, sql_davg
 
 _NORM = "regexp_replace(trim(lower(text)), ' +', ' ', 'g')"
 
+_SCRATCH_ROOT = None
+
+
+def _scratch_dir(name: str):
+    """Bounded per-process scratch dir for queries that materialize Delta
+    tables as part of their plan (the lifecycle e2e queries + the
+    persisted IVF index). A fresh ``tempfile.mkdtemp`` per invocation
+    leaks unbounded /tmp across bench/sweep/scale loops (ADVICE r11 —
+    ``incremental_dedup_maintained`` rewrites a compacted corpus every
+    run). Instead: ONE root per process (PID-keyed so concurrent drivers
+    never collide), removed at interpreter exit; inside it one dir per
+    query name, TRUNCATED on the next invocation (every harness —
+    driver, bench, verify, scale_check — consumes a query's frame before
+    invoking the next, so the prior invocation's lazy plan is never
+    still live); roots left by dead PIDs are swept on first use, so
+    repeated kills can't accrete either.
+    """
+    global _SCRATCH_ROOT
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    base = Path(tempfile.gettempdir())
+    if _SCRATCH_ROOT is None:
+        for p in base.glob("ddss_scratch_*"):
+            try:
+                pid = int(p.name.rsplit("_", 1)[1])
+            except ValueError:
+                continue
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                shutil.rmtree(p, ignore_errors=True)
+            except PermissionError:
+                pass  # PID alive under another uid — not ours to sweep
+        _SCRATCH_ROOT = base / f"ddss_scratch_{os.getpid()}"
+        _SCRATCH_ROOT.mkdir(exist_ok=True)
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    d = _SCRATCH_ROOT / name
+    if d.exists():
+        shutil.rmtree(d, ignore_errors=True)
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
 
 def _int_str(x):
     """Element serializer for integer arrays (1-arg transform lambda —
@@ -847,6 +893,57 @@ def decontaminate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 50 != 0),
         d.filter((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 25000)),
         shingle_n=3,
+    ).orderBy("doc_id")
+
+
+@query(
+    "decontaminate_blocklist",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+block AS (
+  SELECT DISTINCT UNNEST(toks) AS tok FROM base
+  WHERE doc_id % 200 = 0 AND doc_id < 25000
+),
+tok AS (
+  SELECT doc_id, UNNEST(toks) AS tok, UNNEST(RANGE(1, LEN(toks) + 1)) AS p
+  FROM base WHERE doc_id % 200 <> 0
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM tok t LEFT JOIN block b ON t.tok = b.tok
+  WHERE b.tok IS NULL
+),
+agg AS (
+  SELECT doc_id, COALESCE(STRING_AGG(tok, ' ' ORDER BY p), '') AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(LEN(b.toks) AS INT) AS n_tokens,
+       CAST(LEN(b.toks) - COALESCE(a.n_kept, 0) AS INT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM base b LEFT JOIN agg a USING (doc_id)
+WHERE b.doc_id % 200 <> 0
+ORDER BY doc_id
+""",
+    doc="token-BLOCKLIST scrub: decontaminate_rewrite at shingle_n=1 — a "
+    "registered variant because the plan shape is genuinely distinct "
+    "(coverage degenerates to the hit positions themselves: no "
+    "start-coverage expansion, no sequence/flatten — the PII/toxicity "
+    "blocklist mode of the same rewrite machinery). Blocklist = the "
+    "distinct tokens of a bounded provider split (doc_id % 200 = 0), "
+    "broadcast; the oracle simplifies to an order-preserving anti-join "
+    "reconstruction (VERDICT r11 item 6 / builder r12 candidate)",
+)
+def decontaminate_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return dd.decontaminate_rewrite(
+        d.filter(F.col("doc_id") % 200 != 0),
+        d.filter((F.col("doc_id") % 200 == 0) & (F.col("doc_id") < 25000)),
+        shingle_n=1,
     ).orderBy("doc_id")
 
 
@@ -2945,6 +3042,27 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=8,
         k_codes=32,
         rerank_factor=8,
+    )
+
+
+@query(
+    "similarity_ann_ivfpq_lossless",
+    oracle=_INT8_TOPK_ORACLE,
+    doc="IVFPQ at its EXACT dials "
+    "(operators/similarity.py:ivfpq_lossless_topk): n_probe = "
+    "n_centroids (no candidate dropped) + lossless int8-lattice "
+    "codebooks (encode exactly invertible), so the COMPOSED "
+    "route->inverted-list-join->ADC->rank pipeline is bit-identical to "
+    "the int8 exact scan and sits under the same DuckDB oracle — the "
+    "composition proof the per-ingredient oracles (similarity_ann_ivf, "
+    "similarity_ann_pq) could not give (VERDICT r11 item 3). Candidates "
+    "flow only through the inverted-list __cid join; the production "
+    "lossy path stays similarity_ann_ivfpq",
+)
+def similarity_ann_ivfpq_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.ivfpq_lossless_topk(
+        e, e.filter(F.col("vec_id") < 10), dim=64, k=5, n_centroids=16, m=8
     )
 
 
@@ -5442,9 +5560,6 @@ ORDER BY doc_id
     "within-shard dedup + anti-join over the same md5-stable split",
 )
 def incremental_dedup_new_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    from pathlib import Path
-
     from duck_delta_share_spark.functions.text import fingerprint
     from duck_delta_share_spark.operators.dedup import incremental_dedup_commit
     from duck_delta_share_spark.sources.delta_log import read_delta, write_delta
@@ -5459,7 +5574,7 @@ def incremental_dedup_new_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = d.where(F.col("__bucket") < 70).drop("__bucket")
     shard = d.where(F.col("__bucket") >= 70).drop("__bucket")
 
-    base = Path(tempfile.mkdtemp(prefix="ddss_incdedup_"))
+    base = _scratch_dir("incdedup")
     corpus, store = base / "corpus", base / "fps"
     seed = dd.exact_dedup(hist, "text", "doc_id")
     write_delta(seed, corpus)
@@ -5554,9 +5669,6 @@ ORDER BY vs, id_a, id_b
     "md5-stable rule as the exact twin",
 )
 def incremental_neardup_new_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    from pathlib import Path
-
     from duck_delta_share_spark.operators.dedup import (
         incremental_neardup_candidates,
         minhash_md5_band_rows,
@@ -5573,7 +5685,7 @@ def incremental_neardup_new_shard(spark: SparkSession, sf_dir: str) -> DataFrame
     hist = d.where(F.col("__bucket") < 70).drop("__bucket")
     shard = d.where(F.col("__bucket") >= 70).drop("__bucket")
 
-    store = Path(tempfile.mkdtemp(prefix="ddss_incnd_")) / "buckets"
+    store = _scratch_dir("incnd") / "buckets"
     hist_sigs = dd.minhash_md5_signatures(hist, num_hashes=8, shingle_n=3)
     write_delta(minhash_md5_band_rows(hist_sigs, num_hashes=8, bands=4), store)
 
@@ -5664,9 +5776,6 @@ ORDER BY vs, id_new, id_old
     ".py drives the same wrapper from a real foreachBatch)",
 )
 def incremental_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    from pathlib import Path
-
     from duck_delta_share_spark.operators.dedup import (
         incremental_neardup_commit,
         minhash_md5_band_rows,
@@ -5683,7 +5792,7 @@ def incremental_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = d.where(F.col("__bucket") < 70).drop("__bucket")
     shard = d.where(F.col("__bucket") >= 70).drop("__bucket")
 
-    base = Path(tempfile.mkdtemp(prefix="ddss_incndp_"))
+    base = _scratch_dir("incndp")
     pairs, store = base / "pairs", base / "bands"
     hist_sigs = dd.minhash_md5_signatures(hist, num_hashes=8, shingle_n=3)
     write_delta(minhash_md5_band_rows(hist_sigs, num_hashes=8, bands=4), store)
@@ -5750,9 +5859,6 @@ ORDER BY doc_id
     "buckets <60 / 60-79 / >=80",
 )
 def incremental_dedup_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    from pathlib import Path
-
     from duck_delta_share_spark.functions.text import fingerprint
     from duck_delta_share_spark.operators.dedup import (
         incremental_dedup_commit,
@@ -5773,7 +5879,7 @@ def incremental_dedup_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = d.where(F.col("__bucket") >= 80).drop("__bucket")
 
-    base = Path(tempfile.mkdtemp(prefix="ddss_incmaint_"))
+    base = _scratch_dir("incmaint")
     corpus, store = base / "corpus", base / "fps"
     seed = dd.exact_dedup(hist, "text", "doc_id")
     write_delta(seed, corpus)
@@ -5896,11 +6002,8 @@ def crawl_novelty_by_shard_core(d: DataFrame) -> DataFrame:
     "the last ulp (cannot flip ranks at this corpus's cosine gaps)",
 )
 def similarity_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    from pathlib import Path
-
     e = load_table(spark, sf_dir, "embeddings")
-    idx = Path(tempfile.mkdtemp(prefix="ddss_ivfidx_")) / "index"
+    idx = _scratch_dir("ivfidx") / "index"
     sim.ivf_build_index(spark, e, idx, dim=64, n_centroids=32)
     return sim.ivf_probe_index(
         spark, e.filter(F.col("vec_id") < 10), idx, k=5, n_probe=32

@@ -68,3 +68,59 @@ def test_ivfpq_deterministic_on_fixture(spark):
     a = sorted(map(tuple, ivfpq_topk(e, q, dim=64, k=5, n_centroids=8, n_probe=2).collect()))
     b = sorted(map(tuple, ivfpq_topk(e, q, dim=64, k=5, n_centroids=8, n_probe=2).collect()))
     assert a == b and len(a) == 25
+
+
+def test_ivfpq_lossless_equals_int8_exact_scan(spark):
+    """The exact-dials composition (n_probe = n_centroids + lossless
+    int8-lattice codebooks) must reproduce int8_topk BIT-FOR-BIT — the
+    composition proof behind the similarity_ann_ivfpq_lossless oracle
+    (VERDICT r11 item 3). Clustered corpus so the IVF lists are
+    non-trivial, plus a zero vector (no cosine — both sides must drop
+    it) and duplicate vectors (tie-break determinism)."""
+    from duck_delta_share_spark.operators.similarity import (
+        int8_topk,
+        ivfpq_lossless_topk,
+    )
+
+    df = _clustered(spark, n=120, dim=16, n_clusters=5, seed=11)
+    rows = df.collect()
+    dup = [(1000, rows[3].embedding), (1001, rows[3].embedding)]
+    zero = [(1002, [0.0] * 16)]
+    df = df.unionByName(
+        spark.createDataFrame(
+            dup + zero, "vec_id bigint, embedding array<double>"
+        )
+    )
+    queries = df.filter(F.col("vec_id").isin([0, 1, 2, 1000, 1002]))
+    got = sorted(
+        map(
+            tuple,
+            ivfpq_lossless_topk(
+                df, queries, dim=16, k=4, n_centroids=6, m=4
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, int8_topk(df, queries, k=4).collect()))
+    assert got == want
+    # the zero vector produced no query group and is in no result
+    assert all(q != 1002 and v != 1002 for q, v, _, _ in got)
+
+
+def test_ivfpq_lossless_on_fixture_matches_int8(spark):
+    """Same proof on the real embeddings fixture (64-dim, the registered
+    query's geometry)."""
+    from duck_delta_share_spark.operators.similarity import (
+        int8_topk,
+        ivfpq_lossless_topk,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    got = sorted(
+        map(
+            tuple,
+            ivfpq_lossless_topk(e, q, dim=64, k=5, n_centroids=16, m=8).collect(),
+        )
+    )
+    want = sorted(map(tuple, int8_topk(e, q, k=5).collect()))
+    assert got == want

@@ -314,6 +314,14 @@ def test_cap_modes_identical_including_hot_bucket(spark):
     for b in range(40):
         for i in range(30):
             rows.append((1000 + b * 100 + i, b % 4, f"cold{b}"))
+    # NULL bucket keys: window's partitionBy groups NULLs into ONE
+    # bucket, so broadcast mode's anti join must be null-safe to match
+    # (ADVICE r11) — an over-cap NULL bucket (60 rows) plus one with a
+    # NULL band (under cap at high caps, over at cap=50... it has 60
+    # rows too, so over at 50 and under at 200+)
+    for i in range(60):
+        rows.append((5000 + i, 1, None))
+        rows.append((6000 + i, None, "nullband"))
     df = spark.createDataFrame(rows, "doc_id long, band int, bucket string")
     for cap in (50, 200, 399, 400, 5000):
         w = sorted(
