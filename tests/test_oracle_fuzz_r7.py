@@ -65,7 +65,8 @@ ADVERSARIAL_PROPS = [
 
 
 @pytest.fixture(
-    scope="module", params=["plain", "nulls", "tpch", "zerovec", "props"]
+    scope="module",
+    params=["plain", "nulls", "tpch", "zerovec", "props", "graph"],
 )
 def fuzz_dir(request, tmp_path_factory):
     """Four seeded corpora: 'plain' stresses content (dups, ties, empty
@@ -83,7 +84,19 @@ def fuzz_dir(request, tmp_path_factory):
     bit-exact-cosine tie-break claims are only fixture-verified without
     it; 'props' (r9) floods events.props with the ADVERSARIAL_PROPS
     payloads above — json_functions semantics vs DuckDB were
-    fixture-verified only (VERDICT r8 item 6)."""
+    fixture-verified only (VERDICT r8 item 6); 'graph' (r12) replaces
+    the event stream with adversarial GRAPH shapes for the transition /
+    PageRank / sessionization family (VERDICT r11 item 2): one giant
+    single-user chain (half the stream — one monster transition path
+    AND a window-skew key), self-loop runs (u→u edges), an
+    all-identical-timestamp user (LEAD/sessions ordered purely by the
+    event_id tie-break), a self-loop-ONLY user, single-event users
+    whose 'lonely' type is an ISOLATED graph node (no edges at all), a
+    'terminal' type that only ever ends a user's stream (DANGLING:
+    in-edges, zero out-edges), and inter-event gaps drawn from
+    {0, exactly-30min, 30min±1s} so every session split sits on the
+    strict-> boundary (the r8 tie-heavy-grid find, now adversarial by
+    construction)."""
     import random
 
     import numpy as np
@@ -92,11 +105,11 @@ def fuzz_dir(request, tmp_path_factory):
     with_nulls = request.param == "nulls"
     zerovec = request.param == "zerovec"
     adv_props = request.param == "props"
+    graph = request.param == "graph"
     out = tmp_path_factory.mktemp(f"fuzzfix_{request.param}")
     rng = random.Random(
-        {"plain": 7, "nulls": 11, "tpch": 13, "zerovec": 17, "props": 19}[
-            request.param
-        ]
+        {"plain": 7, "nulls": 11, "tpch": 13, "zerovec": 17, "props": 19,
+         "graph": 23}[request.param]
     )
     np_rng = np.random.default_rng(7)
     vocab = [
@@ -133,25 +146,77 @@ def fuzz_dir(request, tmp_path_factory):
 
     ev = []
     base_ts = pd.Timestamp("2024-03-01")
-    for i in range(3000):
-        if rng.random() < 0.5:  # heavy ties on a 10-minute grid
-            ts = base_ts + pd.Timedelta(minutes=10 * rng.randrange(0, 2000))
-        else:
-            ts = base_ts + pd.Timedelta(seconds=rng.randrange(0, 1200000))
-        val = round(rng.uniform(-5, 100), 2)
-        if adv_props:
-            props = rng.choice(ADVERSARIAL_PROPS + ['{"k": %d}' % rng.randrange(100)])
-        else:
-            props = '{"k": %d}' % rng.randrange(100)
-        if with_nulls and rng.random() < 0.05:
-            val = None
-        if with_nulls and rng.random() < 0.05:
-            props = None
-        ev.append(
-            (i, ts, rng.randrange(40),
-             rng.choice(["view", "click", "purchase", "signup", "error"]),
-             val, props)
-        )
+    if graph:
+        core = ["view", "click", "purchase", "signup", "error"]
+        # gaps chosen to sit ON the 30-min session boundary: 0 (exact
+        # tie), exactly 1800 s (strict-> must NOT split), 1799/1801 s
+        # (one second either side), and a clean big split
+        gaps = [0, 0, 1800, 1800, 1799, 1801, 7200]
+        eid = 0
+
+        def emit(user, ts, et):
+            nonlocal eid
+            ev.append(
+                (eid, ts, user, et,
+                 round(rng.uniform(-5, 100), 2),
+                 '{"k": %d}' % rng.randrange(100))
+            )
+            eid += 1
+
+        # user 0: one giant chain — half the stream through ONE window
+        # partition, with self-loop runs (repeat the current type)
+        t, cur = base_ts, "view"
+        for _ in range(1500):
+            if rng.random() >= 0.45:
+                cur = rng.choice(core)
+            t = t + pd.Timedelta(seconds=rng.choice(gaps))
+            emit(0, t, cur)
+        emit(0, t + pd.Timedelta(seconds=1), "terminal")
+        # users 1..12: medium chains, each ENDING in the dangling
+        # 'terminal' type (in-edges only, never a src)
+        for u in range(1, 13):
+            t = base_ts + pd.Timedelta(hours=u)
+            for _ in range(rng.randrange(10, 60)):
+                t = t + pd.Timedelta(seconds=rng.choice(gaps))
+                emit(u, t, rng.choice(core))
+            emit(u, t + pd.Timedelta(seconds=rng.choice(gaps)), "terminal")
+        # user 20: EVERY event at the identical timestamp — LEAD and
+        # session ordering decided purely by the event_id tie-break
+        for _ in range(40):
+            emit(20, base_ts + pd.Timedelta(days=3), rng.choice(core))
+        # user 21: self-loop-ONLY graph contribution (error→error)
+        t = base_ts + pd.Timedelta(days=4)
+        for _ in range(50):
+            t = t + pd.Timedelta(seconds=rng.choice(gaps))
+            emit(21, t, "error")
+        # users 100..159: single-event users — no transitions; their
+        # 'lonely' type is an ISOLATED node (appears in nodes, no edges)
+        for u in range(100, 160):
+            emit(
+                u,
+                base_ts + pd.Timedelta(minutes=30 * (u - 100)),
+                "lonely" if u % 2 else rng.choice(core),
+            )
+    else:
+        for i in range(3000):
+            if rng.random() < 0.5:  # heavy ties on a 10-minute grid
+                ts = base_ts + pd.Timedelta(minutes=10 * rng.randrange(0, 2000))
+            else:
+                ts = base_ts + pd.Timedelta(seconds=rng.randrange(0, 1200000))
+            val = round(rng.uniform(-5, 100), 2)
+            if adv_props:
+                props = rng.choice(ADVERSARIAL_PROPS + ['{"k": %d}' % rng.randrange(100)])
+            else:
+                props = '{"k": %d}' % rng.randrange(100)
+            if with_nulls and rng.random() < 0.05:
+                val = None
+            if with_nulls and rng.random() < 0.05:
+                props = None
+            ev.append(
+                (i, ts, rng.randrange(40),
+                 rng.choice(["view", "click", "purchase", "signup", "error"]),
+                 val, props)
+            )
     pd.DataFrame(
         ev, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     ).to_parquet(out / "events.parquet", index=False)

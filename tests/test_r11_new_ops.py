@@ -138,3 +138,43 @@ class TestLDiversity:
         assert out.l_diversity == 1
         assert out.n_groups_below_3 == 1
         assert out.n_rows_below_3 == 3
+
+
+class TestDecontaminateRebuildModes:
+    def test_arrow_rebuild_identical_incl_edge_shapes(self, spark):
+        """rebuild='arrow' (the O(n+c) scatter-mask dial, r12 A/B) must
+        match the expr default row-for-row on every edge shape the expr
+        lenses above pin: overlap merge, full contamination, clean
+        round-trip with doubled spaces, short docs, disjoint spans."""
+        corpus = _docs(
+            spark,
+            [
+                (1, "a b c d e f"),
+                (2, "x y z"),
+                (3, "a  b c"),
+                (4, "x y"),
+                (5, "s1 s2 s3 mid1 mid2 t1 t2 t3 tail"),
+            ],
+        )
+        bench = _docs(
+            spark,
+            [(100, "b c d"), (101, "c d e"), (102, "x y z"),
+             (103, "s1 s2 s3"), (104, "t1 t2 t3")],
+        )
+        a = sorted(
+            map(tuple, decontaminate_rewrite(corpus, bench, 3).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                decontaminate_rewrite(
+                    corpus, bench, 3, rebuild="arrow"
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_unknown_rebuild_mode_fails_loud(self, spark):
+        corpus = _docs(spark, [(1, "a b c")])
+        with pytest.raises(ValueError, match="unknown rebuild mode"):
+            decontaminate_rewrite(corpus, corpus, 3, rebuild="jvm")
