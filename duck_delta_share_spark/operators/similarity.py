@@ -87,12 +87,47 @@ def brute_force_topk(
     )
 
 
+def _idot_arrow_udf():
+    """Arrow-batched INTEGER dot product over joined int8-vector pairs:
+    one int64 einsum per batch instead of an interpreted zip_with+fold
+    per row (HOFs have no codegen — ~130 interpreted dispatches per pair
+    at dim 64). Exact int64 accumulation, so the result is bit-identical
+    to the expression fold on any input the fold itself can represent
+    (|idot| <= dim * 127^2 — nowhere near int64)."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def idot_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:  # Arrow may deliver empty batches
+            return pd.Series([], dtype="int64")
+        A = np.vstack(a.to_numpy()).astype(np.int64)
+        B = np.vstack(b.to_numpy()).astype(np.int64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return idot_batch
+
+
+def _pair_idot(scorer: str):
+    """idot expression for the (``__qq``, ``__bq``) joined pair columns:
+    ``arrow`` = the vectorized einsum (default, wins whenever pair volume
+    is non-trivial), ``expr`` = the pure-JVM interpreted fold (kept for
+    one-shot/cold calls and as the cross-checkable reference)."""
+    if scorer == "arrow":
+        return _idot_arrow_udf()(F.col("__qq"), F.col("__bq"))
+    return F.aggregate(
+        F.zip_with("__qq", "__bq", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
 def int8_topk(
     base: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "arrow",
 ) -> DataFrame:
     """Quantized (int8) cosine top-k — the memory-bandwidth scale path:
     score candidates on 4x-smaller symmetric-int8 vectors
@@ -120,16 +155,15 @@ def int8_topk(
     q = _int8_prep(queries, id_col, vec_col, "query_id").withColumnsRenamed(
         {"__q": "__qq", "__n2": "__qn2"}
     )
-    idot = F.aggregate(
-        F.zip_with("__qq", "__bq", lambda x, y: (x * y).cast("long")),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
+    # materialize the (exact-integer) idot in its own projection, then
+    # derive the score: division/floor stay Catalyst expressions so the
+    # IEEE op sequence is pinned in ONE place for both scorer dials
     scored = (
         b.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("__idot", _pair_idot(scorer))
         .withColumn(
             "score",
-            idot.cast("double")
+            F.col("__idot").cast("double")
             / F.sqrt((F.col("__qn2") * F.col("__bn2")).cast("double")),
         )
     )
@@ -152,6 +186,7 @@ def int8_range_search(
     min_score_e6: int = 800_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "arrow",
 ) -> DataFrame:
     """Radius (threshold) search — the ANN "range query" companion to
     top-k: every (query, vector) pair whose quantized-int8 cosine clears
@@ -176,16 +211,12 @@ def int8_range_search(
     q = _int8_prep(queries, id_col, vec_col, "query_id").withColumnsRenamed(
         {"__q": "__qq", "__n2": "__qn2"}
     )
-    idot = F.aggregate(
-        F.zip_with("__qq", "__bq", lambda x, y: (x * y).cast("long")),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
     return (
         b.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("__idot", _pair_idot(scorer))
         .withColumn(
             "score",
-            idot.cast("double")
+            F.col("__idot").cast("double")
             / F.sqrt((F.col("__qn2") * F.col("__bn2")).cast("double")),
         )
         .withColumn(

@@ -3346,8 +3346,9 @@ LIMIT 100
     "log-likelihood ratio is linearized to e6-integer ratios so every "
     "term is integer-exact (sum order-independent, no libm ln "
     "divergence) and the full pipeline sits under the DuckDB oracle. "
-    "Scale shape: explode -> two 4096-row aggs -> broadcast ratio join "
-    "-> per-doc sum; nothing quadratic, nothing driver-side",
+    "Scale shape: explode -> one (doc,bucket) partial agg -> bucket "
+    "window for the global ratios -> per-doc sum; the exploded term "
+    "stream is evaluated once; nothing quadratic, nothing driver-side",
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duck_delta_share_spark.functions.text import tokenize, word_shingles
@@ -3372,28 +3373,38 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 4096
         ).alias("bucket"),
     )
-    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("qc"))
-    tgt = (
-        b.where(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # ONE pass over the expensive tokenize->shingle->explode->md5 lineage
+    # (was three: raw agg + target agg + final join each re-evaluated it;
+    # a DataFrame joined against something derived from itself evaluates
+    # its lineage once PER consumer). Pre-aggregate per (doc_id, bucket)
+    # — partial-agg friendly, shuffles only small count rows — then the
+    # global bucket totals ride a window over `bucket` (the carried-stats
+    # pattern) and the per-doc score is sum(k * ratio_e6), integer-exact
+    # equal to summing ratio_e6 once per term row. Interleaved A/B at
+    # sf0.1: 2.345s -> 1.494s median-of-5, bit-identical at sf0.01+sf0.1.
+    from pyspark.sql import Window
+
+    g = b.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("ek"),
     )
-    ratio = raw.join(tgt, "bucket", "left").select(
-        "bucket",
+    bw = Window.partitionBy("bucket")
+    scored = g.select(
+        "doc_id",
+        "k",
         F.floor(
-            (F.coalesce(F.col("tc"), F.lit(0)) + 1)
+            (F.coalesce(F.sum("ek").over(bw), F.lit(0)) + 1)
             * F.lit(1000000.0)
-            / (F.col("qc") + 1)
+            / (F.sum("k").over(bw) + 1)
         )
         .cast("long")
         .alias("ratio_e6"),
     )
     return (
-        b.join(F.broadcast(ratio), "bucket")
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum("ratio_e6").cast("long").alias("dsir_score"),
+            F.sum("k").cast("long").alias("n_terms"),
+            F.sum(F.col("k") * F.col("ratio_e6")).cast("long").alias("dsir_score"),
         )
         .orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(100)
