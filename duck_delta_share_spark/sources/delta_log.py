@@ -2557,6 +2557,32 @@ def _direct_read(
     with_row_ids: bool = False,
     row_id_phys: tuple | None = None,
 ):
+    # Native JVM fast path (same gates as read_delta): a plain file set —
+    # no deletion vectors to mask, no partition values to re-attach, no
+    # row-id materialization — reads through Spark's parquet reader.
+    # This matters doubly under OPTIMIZE's coalesce(n_out): coalesce is a
+    # narrow dependency, so the Python DataSource scan would execute
+    # INSIDE the single output task, serializing ~0.1 s of Python reader
+    # per input file (measured 4.9 s -> 0.5 s compacting a 33-file store).
+    if (
+        not with_row_ids
+        and not part_cols
+        # column-mapped tables store PHYSICAL names in the parquet files;
+        # the native reader would match the logical schema by name and
+        # return all-NULL columns. The physicalName metadata always lives
+        # in the schema string for mapped tables (_mapping_enabled), so a
+        # substring probe is a conservative gate (identity-mapped tables
+        # fall back to the DataSource path, which is correct-if-slower).
+        and _CM_PHYS_KEY not in snap_schema
+        and not any(f.get("deletionVector") for f in files)
+    ):
+        from duck_delta_share_spark.sources.schema import schema_from_string
+
+        sch = schema_from_string(snap_schema)
+        paths = [f["url"] for f in files]
+        if not paths:
+            return spark.createDataFrame([], sch)
+        return spark.read.schema(sch).parquet(*paths)
     from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
 
     spark.dataSource.register(DeltaShareDataSource)
