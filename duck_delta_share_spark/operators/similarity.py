@@ -93,7 +93,15 @@ def _idot_arrow_udf():
     per row (HOFs have no codegen — ~130 interpreted dispatches per pair
     at dim 64). Exact int64 accumulation, so the result is bit-identical
     to the expression fold on any input the fold itself can represent
-    (|idot| <= dim * 127^2 — nowhere near int64)."""
+    (|idot| <= dim * 127^2 — nowhere near int64).
+
+    Marked nondeterministic ON PURPOSE (the function is pure): a
+    score-threshold filter over the UDF output otherwise gets rewritten
+    in terms of the raw UDF CALL and pushed below the scoring
+    projection, leaving TWO ArrowEvalPython nodes in the plan — every
+    pair crosses the Python boundary twice (r12 plan audit of
+    similarity_range_search). The marker bars Catalyst from duplicating
+    or pushing through the call; it never changes a value."""
     from pyspark.sql.types import LongType
 
     @F.pandas_udf(LongType())
@@ -104,7 +112,21 @@ def _idot_arrow_udf():
         B = np.vstack(b.to_numpy()).astype(np.int64)
         return pd.Series(np.einsum("ij,ij->i", A, B))
 
-    return idot_batch
+    return idot_batch.asNondeterministic()
+
+
+def _spread_small(df: DataFrame) -> DataFrame:
+    """Round-robin-spread a frame across all cores ONLY when it arrives
+    in fewer partitions than cores (the local small-file case: a one-file
+    parquet scan is ONE task, so every per-pair score downstream of a
+    broadcast join runs serially on one core). When the scan already has
+    >= cores partitions — always true at 100 TB — this is a no-op: an
+    unconditional repartition would shuffle the corpus before a narrow
+    map (same contract as minhash's spread guard, operators/dedup.py)."""
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= spread:
+        return df
+    return df.repartition(spread)
 
 
 def _pair_idot(scorer: str):
@@ -149,9 +171,9 @@ def int8_topk(
     """
     # staging discipline (three projections, no HOF inlining) lives ONCE
     # in _int8_prep; only the column names differ per side
-    b = _int8_prep(base, id_col, vec_col, "vec_id").withColumnsRenamed(
-        {"__q": "__bq", "__n2": "__bn2"}
-    )
+    b = _int8_prep(
+        _spread_small(base), id_col, vec_col, "vec_id"
+    ).withColumnsRenamed({"__q": "__bq", "__n2": "__bn2"})
     q = _int8_prep(queries, id_col, vec_col, "query_id").withColumnsRenamed(
         {"__q": "__qq", "__n2": "__qn2"}
     )
@@ -205,9 +227,9 @@ def int8_range_search(
     """
     # identical prep/scoring to int8_topk via the SHARED _int8_prep —
     # one copy of the load-bearing projection discipline, not three
-    b = _int8_prep(base, id_col, vec_col, "vec_id").withColumnsRenamed(
-        {"__q": "__bq", "__n2": "__bn2"}
-    )
+    b = _int8_prep(
+        _spread_small(base), id_col, vec_col, "vec_id"
+    ).withColumnsRenamed({"__q": "__bq", "__n2": "__bn2"})
     q = _int8_prep(queries, id_col, vec_col, "query_id").withColumnsRenamed(
         {"__q": "__qq", "__n2": "__qn2"}
     )
@@ -779,22 +801,36 @@ def embedding_near_dup_pairs(
 def _int8_prep(df: DataFrame, id_col: str, vec_col: str, id_alias: str):
     """Shared int8 staging (same discipline as :func:`int8_topk`): scale
     and quantized array each in their OWN projection — higher-order fns
-    have no CSE, inlining the scale is O(dim^2) per row."""
+    have no CSE, inlining the scale is O(dim^2) per row.
+
+    The zero-vector guard filters on the CHEAP ``int8_scale > 0``
+    predicate, NOT on ``__n2 > 0``: predicate pushdown inlines a filter
+    straight through the staging projections (Catalyst's PushDownPredicate
+    has no expression-cost check), so a ``__n2`` filter re-materializes
+    the whole quantize+self-dot chain — scale inlined PER ELEMENT, O(dim²)
+    — twice per input row inside the Filter node (r12 plan audit: the
+    Filter condition held the full aggregate(transform(transform(...)))
+    twice). The two guards keep exactly the same rows: max|x| > 0 makes
+    the max element quantize to ±127 so __n2 >= 127², and max|x| = 0 (or
+    NULL/empty input) zeroes/NULLs __n2 — proven identical output in
+    tests/test_similarity.py + the int8-family oracles."""
     from duck_delta_share_spark.operators.embeddings import int8_scale, quantize_int8
 
-    staged = df.select(
-        F.col(id_col).alias(id_alias),
-        F.col(vec_col).alias("__v"),
-        int8_scale(vec_col).alias("__s"),
-    ).select(id_alias, quantize_int8(F.col("__v"), F.col("__s")).alias("__q"))
+    staged = (
+        df.filter(int8_scale(vec_col) > 0)
+        .select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias("__v"),
+            int8_scale(vec_col).alias("__s"),
+        )
+        .select(id_alias, quantize_int8(F.col("__v"), F.col("__s")).alias("__q"))
+    )
     self_dot = F.aggregate(
         F.transform(F.col("__q"), lambda x: (x * x).cast("long")),
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    return staged.select(id_alias, "__q", self_dot.alias("__n2")).filter(
-        F.col("__n2") > 0
-    )
+    return staged.select(id_alias, "__q", self_dot.alias("__n2"))
 
 
 def train_pq_codebooks(
@@ -913,8 +949,16 @@ def _pq_int8_encoder(books: list["np.ndarray"], m: int, sub: int, id_type):
             codes = np.empty((len(Q), m), dtype=np.int32)
             rn2 = np.zeros(len(Q), dtype=np.int64)
             for j in range(m):
-                S = Q[:, j * sub : (j + 1) * sub]
-                d2 = ((S[:, None, :].astype(np.int64) - books[j][None, :, :].astype(np.int64)) ** 2).sum(axis=2)
+                S = Q[:, j * sub : (j + 1) * sub].astype(np.int64)
+                # argmin_c ||s - c||^2 == argmin_c (||c||^2 - 2 s.c): the
+                # ||s||^2 term is constant per row, every quantity is an
+                # EXACT int64 (|s.c| <= sub * 127^2), so the minimizer AND
+                # the tie order are identical to the squared-difference
+                # form — while one integer matmul replaces the
+                # n_rows x k_codes x sub broadcast-subtract temporaries
+                # (~256 MB/subspace at 2k-codeword lossless books; the r12
+                # sf0.1 audit measured the old form dominating pq/opq)
+                d2 = self_dots[j][None, :] - 2 * (S @ books[j].astype(np.int64).T)
                 # ties break to the LOWEST index (np.argmin) — deterministic
                 cj = np.argmin(d2, axis=1)
                 codes[:, j] = cj

@@ -496,6 +496,60 @@ def _snapshot_once(
     )
 
 
+_NATIVE_PART_TYPES = {"string", "integer", "long", "short", "byte"}
+
+
+def _native_partition_read_ok(snap) -> bool:
+    """True when a PARTITIONED snapshot can be served by Spark's native
+    parquet reader with hive-layout partition inference and provably
+    reproduce the DataSource read. Spark re-derives partition values from
+    the PATH (``unescapePathName`` — only ``%XX`` sequences decode), so
+    the gate requires, per file and per partition column:
+
+    - the literal ``/col=value/`` segment in the file url (a foreign log
+      may legally store values ONLY in ``partitionValues`` with a flat
+      layout, or hive-escape them — both fall back),
+    - a non-NULL, non-empty value with no ``%``/``/``/``=`` (decode or
+      parse ambiguity) and not the hive null marker,
+    - a type whose path round-trip is exact: string (kept verbatim under
+      a user schema) or integral with the canonical digit string.
+
+    Anything else keeps the Python DataSource path, which re-attaches
+    values straight from the log."""
+    import json as _json
+
+    try:
+        types = {
+            f["name"]: f["type"]
+            for f in _json.loads(snap.schema_string).get("fields", [])
+        }
+    except (ValueError, TypeError, KeyError):
+        return False
+    for col in snap.partition_columns:
+        if types.get(col) not in _NATIVE_PART_TYPES:
+            return False
+    for f in snap.files:
+        pv = f.get("partitionValues") or {}
+        url = f.get("url") or ""
+        for col in snap.partition_columns:
+            v = pv.get(col)
+            if (
+                v is None
+                or v == ""
+                or v == "__HIVE_DEFAULT_PARTITION__"
+                or any(c in v for c in "%/=")
+                or f"/{col}={v}/" not in url
+            ):
+                return False
+            if types[col] != "string":
+                try:
+                    if str(int(v)) != v:
+                        return False
+                except ValueError:
+                    return False
+    return True
+
+
 def read_delta(
     spark,
     table_path: str | Path,
@@ -533,9 +587,12 @@ def read_delta(
     if (
         version is None
         and not with_row_ids
-        and not snap.partition_columns
         and not _mapping_enabled(snap)
         and not any(f.get("deletionVector") for f in snap.files)
+        and (
+            not snap.partition_columns
+            or _native_partition_read_ok(snap)
+        )
     ):
         from duck_delta_share_spark.sources.schema import schema_from_string
 
@@ -543,7 +600,18 @@ def read_delta(
         files = [f["url"] for f in snap.files]
         if not files:
             return spark.createDataFrame([], sch)
-        return spark.read.schema(sch).parquet(*files)
+        if not snap.partition_columns:
+            return spark.read.schema(sch).parquet(*files)
+        # hive-layout inference re-derives the partition values from the
+        # path segments the gate just validated; the final select restores
+        # the LOGICAL column order (Spark appends inferred partition
+        # columns last regardless of the user schema's positions)
+        return (
+            spark.read.schema(sch)
+            .option("basePath", str(table_path))
+            .parquet(*files)
+            .select(*[f.name for f in sch.fields])
+        )
     from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
 
     spark.dataSource.register(DeltaShareDataSource)
