@@ -60,6 +60,9 @@ def brute_force_topk(
     # for every query); skip them like the int8 twin's __n2 > 0 guard.
     extra_b = [F.col(contrast_col).alias("__bc")] if contrast_col else []
     extra_q = [F.col(contrast_col).alias("__qc")] if contrast_col else []
+    # the per-pair order-pinned fold below is interpreted (no codegen):
+    # spread an underparallel base scan so it never runs on one core
+    base = _spread_small(base)
     b = base.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("__bv"),

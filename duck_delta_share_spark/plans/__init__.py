@@ -22,75 +22,70 @@ from duck_delta_share_spark.plans import tpch_complete  # noqa: E402,F401
 
 # Round-11 window rotation: the driver's per-round correctness check
 # covers the FIRST 50 entries. r10 went 50/50 green and the judge's
-# full-registry run re-verified every oracled query, so r11 is pure
-# evidence-staleness retirement (VERDICT r10 item 2): (a) queries NEW
-# or with changed oracles/plans this round, (b) ALL 27 entries whose
-# latest driver evidence is r6 (the CORRECTNESS_r1..r10 union says
-# exactly these 27), then (c) the oldest-r7 fill. After this window
-# goes green, no entry's latest evidence predates r7; the 24 r7
-# entries that don't fit lead the r12 fill. Everything stays
-# registered; only order changes.
-_R11_WINDOW = [
-    # (a) r11 NEW queries / changed oracles or plans this round
-    "decontaminate_rewrite",  # new: dirty-n-gram scrub as a rewrite
-    "quality_calibration_bins",  # new: reliability-diagram audit
-    "pagerank_transition_round",  # new: all-integer PageRank round
-    "l_diversity_audit",  # new: sensitive-value diversity privacy gate
-    "incremental_neardup_pipeline",  # new: two-table txn near-dup commit e2e
-    "incremental_dedup_maintained",  # new: dedup across store maintenance
-    "similarity_ann_sq8",  # new: per-dim scalar quantizer, hash-checked
-    "matryoshka_truncation_audit",  # new: MRL truncation recall audit
-    "k_anonymity_audit",  # new: QI equivalence-class privacy gate
-    "referential_integrity_audit",  # new: FK orphan/fanout join health
-    "similarity_ann_lsh",  # rows-only -> ORACLED (md5 integer-lattice planes)
-    "dedup_savings_by_source",  # total division guard (ADVICE r10)
-    "doc_embedding_coverage",  # pre-join null-vector count (ADVICE r10)
-    "minhash_estimator_error_audit",  # persist -> GC-released checkpoint
-    "minhash_lsh_neardup",  # same persist change (rows-only entry)
-    # (b) the 27 r6-evidenced entries
-    "array_functions",
-    "bag_fingerprint_dedup",
-    "correlated_in_subquery",
-    "cross_source_leakage",
-    "embedding_winsorized_stats",
-    "event_type_transitions",
-    "explode_unnest",
-    "filter_in_between_null",
-    "filter_projection",
-    "interarrival_histogram",
-    "math_functions",
-    "multimodal_wav_strict",
-    "ngram_novelty_score",
-    "oov_rate_topk_vocab",
-    "phrase_match_positional",
-    "pit_segment_attribution",
-    "pmi_bigram_scores",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "retention_cohorts",
-    "salted_agg_events",
-    "scalar_subquery",
-    "sequence_packing",
-    "simhash_md5_pairs",
-    "sort_limit",
-    "topk_per_group",
-    "unigram_perplexity_score",
-    # (c) oldest-r7 fill (alphabetical head; the 35 that don't fit —
-    # delta_share_cdf_scan, delta_share_dv_rest_scan,
-    # delta_txn_idempotent_append, doc_fingerprint_rolling,
-    # edit_distance_neardup, embedding_quantize_int8,
-    # embedding_variance_by_dim, event_debounce_dedup,
-    # event_volume_anomaly, events_windowed_agg,
-    # interval_join_attribution, then join_asof_tolerance ..
-    # vocab_coverage_curve — lead the r12 window)
-    "agg_percentiles",
-    "bloom_semi_join_orders",
-    "conditional_functions",
-    "dedup_exact_groups",
-    "dedup_exact_rows",
-    "delta_column_mapping_scan",
-    "delta_delete_dv",
-    "delta_schema_evolution",
+# r12 window (OPTIMIZATION round): (a) the 3 queries REGISTERED this
+# round (never driver-evidenced), (b) every query whose plan shape or
+# operator internals CHANGED in the r12 optimization work (restructured
+# dsir/matryoshka; the int8-family prep/scorer fixes shared by the
+# whole quantized-ANN family; the native Delta read paths under the
+# lifecycle queries), (c) the full 33-entry r7-evidenced tail (the
+# CORRECTNESS_r1..r11 union says exactly these 33 — VERDICT r11 item 1;
+# after this window goes green no entry's latest driver evidence
+# predates r8). 3 + 14 + 33 = 50. Everything stays registered; only
+# order changes.
+_R12_WINDOW = [
+    # (a) new this round
+    "similarity_ann_ivfpq_lossless",
+    "decontaminate_blocklist",
+    "pagerank_three_rounds",
+    # (b) r12-changed plans/operators
+    "dsir_importance_weights",
+    "matryoshka_truncation_audit",
+    "similarity_topk_int8",
+    "similarity_range_search",
+    "similarity_ann_pq",
+    "similarity_ann_opq",
+    "similarity_ann_sq8",
+    "similarity_ann_ivfpq",
+    "similarity_topk_exact",
+    "hard_negative_mining",
+    "similarity_ann_ivf_persisted",
+    "incremental_dedup_maintained",
+    "delta_update_where",
+    "delta_merge_upsert",
+    # (c) the r7-evidenced tail, alphabetical
+    "delta_share_cdf_scan",
+    "delta_share_dv_rest_scan",
+    "delta_txn_idempotent_append",
+    "doc_fingerprint_rolling",
+    "edit_distance_neardup",
+    "embedding_quantize_int8",
+    "embedding_variance_by_dim",
+    "event_debounce_dedup",
+    "event_volume_anomaly",
+    "events_windowed_agg",
+    "interval_join_attribution",
+    "inverted_index_postings",
+    "join_asof_tolerance",
+    "multimodal_binary_meta",
+    "multimodal_features",
+    "per_group_deterministic_sample",
+    "pii_redaction",
+    "pipeline_training_prep",
+    "pivot_event_types",
+    "repetition_signals",
+    "sequence_packing_partitioned",
+    "simhash_neardup",
+    "skipgram_cooccurrence",
+    "source_term_lift",
+    "stats_moments",
+    "text_lang_distribution",
+    "text_langid_heuristic",
+    "text_quality_score",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "token_budget_selection",
+    "unpivot_part_measures",
+    "vocab_coverage_curve",
 ]
 
 
@@ -112,6 +107,6 @@ def _rotate_window(first: list[str]) -> None:
     QUERIES.update({n: snapshot[n] for n in lead + rest})
 
 
-_rotate_window(_R11_WINDOW)
+_rotate_window(_R12_WINDOW)
 
 __all__ = ["QUERIES", "QueryDef", "query"]

@@ -1448,18 +1448,36 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = sim.brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
     t = e.withColumn("embedding", F.slice("embedding", 1, 16))
     trunc = sim.brute_force_topk(t, t.filter(F.col("vec_id") < 10), k=5)
-    tsel = trunc.select("query_id", "vec_id", F.lit(1).alias("__m"))
-    t1 = trunc.filter(F.col("rk") == 1).select(
-        "query_id", F.col("vec_id").alias("__t1")
+    # ONE consumer of the trunc ranking: the old (tsel left-join + t1
+    # left-join) shape derived TWO frames from `trunc`, so the whole
+    # truncated brute-force scan+score+window lineage evaluated TWICE per
+    # action (the r5 self-join rule; r12 plan audit: three BNLJ scorings
+    # for two granularities). Collapsing trunc to one 10-row per-query
+    # frame (top-5 id list + top-1) keeps a single evaluation, and the
+    # broadcast left join replaces two SortMergeJoin exchanges.
+    # Equivalences vs the join shape (whole-row-faithful, incl. corpora
+    # with DUPLICATE vec_ids where the old equi-join fans full rows out):
+    # per full row the match count is the NUMBER of equal ids in the
+    # trunc top-5 list (size of the filtered array), 0 when the query has
+    # no truncated candidates (NULL list — the old unmatched-left-join
+    # coalesce(__m, 0)); max(when(rk=1, vec_id)) inside the agg is the
+    # old t1 frame's value (rk=1 exists whenever the query has any
+    # truncated candidates, and the join stays LEFT for queries whose
+    # truncated vector is zero-norm).
+    tagg = trunc.groupBy("query_id").agg(
+        F.collect_list("vec_id").alias("__tids"),
+        F.max(F.when(F.col("rk") == 1, F.col("vec_id"))).alias("__t1"),
     )
+    vid = F.col("vec_id")
+    n_match = F.when(
+        F.col("__tids").isNotNull(),
+        F.size(F.filter("__tids", lambda t: t == vid)),
+    ).otherwise(0)
     return (
-        full.join(tsel, ["query_id", "vec_id"], "left")
-        .join(t1, "query_id", "left")
+        full.join(F.broadcast(tagg), "query_id", "left")
         .groupBy("query_id")
         .agg(
-            F.sum(F.coalesce(F.col("__m"), F.lit(0)))
-            .cast("long")
-            .alias("n_overlap_top5"),
+            F.sum(n_match).cast("long").alias("n_overlap_top5"),
             F.max(F.when(F.col("rk") == 1, F.col("vec_id")))
             .cast("long")
             .alias("top1_full"),
