@@ -258,12 +258,20 @@ def main() -> None:
     }
     run_totals = [round(sum(r.values()), 3) for r in per_run]
     total = round(sum(median_q.values()), 3)
+    # CONTRACT: the stdout line must stay SHORT enough to survive a
+    # tail-style capture (r11's was truncated mid-line and the round lost
+    # its prev-vs-now geomean — VERDICT r12 item 2). Only the driver
+    # contract fields go to stdout; every diagnostic (per-run totals,
+    # spread, baseline ratios) goes to .bench_detail.json + stderr.
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": median_q,
         "sf": sf,
+    }
+    detail = {
+        **out,
         "runs": runs,
         "run_totals": run_totals,
         "spread_pct": round(
@@ -277,11 +285,19 @@ def main() -> None:
     baseline_path = Path(__file__).resolve().parent / "BENCH_BASELINE.json"
     if baseline_path.exists():
         base = json.loads(baseline_path.read_text()).get("queries", {})
-        out["vs_baseline"] = {
+        detail["vs_baseline"] = {
             name: round(t / base[name], 2)
             for name, t in median_q.items()
             if base.get(name)
         }
+    detail_path = Path(__file__).resolve().parent / ".bench_detail.json"
+    detail_path.write_text(json.dumps(detail, indent=1))
+    print(
+        json.dumps(
+            {k: detail[k] for k in ("runs", "run_totals", "spread_pct")}
+        ),
+        file=sys.stderr,
+    )
     print(json.dumps(out))
     spark.stop()
 

@@ -43,15 +43,78 @@ def _word_freqs(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _train_bpe_driver(
+    word_syms: list[tuple[list[str], int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[str, str]]:
+    """Driver-side merge loop over the collected (syms, freq) table —
+    semantically IDENTICAL to the distributed rounds (same per-word
+    adjacent-pair multiset weighted by freq; same argmax tie-break: count
+    desc, then lexicographically smallest (left, right) — Spark compares
+    strings as UTF-8 bytes = code-point order = Python ``str`` order;
+    same left-to-right non-overlapping merge application). Exact
+    merge-list equality vs the distributed path is pinned in
+    tests/test_bpe.py."""
+    merges: list[tuple[str, str]] = []
+    words = word_syms
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (left, right), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((left, right))
+        joined = left + right
+        nxt: list[tuple[list[str], int]] = []
+        for syms, freq in words:
+            i, res = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(joined)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            nxt.append((res, freq))
+        words = nxt
+    return merges
+
+
 def train_bpe_merges(
     df: DataFrame,
     n_merges: int = 30,
     text_col: str = "text",
     min_pair_count: int = 2,
+    driver_vocab_rows: int = 262_144,
+    driver_sym_budget: int = 1_048_576,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right), ...] in rank
-    order. Stops early when no pair reaches ``min_pair_count``."""
+    order. Stops early when no pair reaches ``min_pair_count``.
+
+    BPE state is the DISTINCT-WORD table — vocab-sized, usually tiny next
+    to the corpus. When it fits a bounded driver budget (≤
+    ``driver_vocab_rows`` rows AND ≤ ``driver_sym_budget`` total symbols,
+    probed with one ``take``), the merge loop runs IN-DRIVER on the
+    collected table: the distributed loop costs 2 Spark jobs + a collect
+    PER MERGE (~0.8 s/round of pure scheduling at any scale — 40 rounds
+    read 101 s on a 31-word sweep vocab), all to re-aggregate a table
+    that fits in one task. Identical merge output by construction
+    (:func:`_train_bpe_driver`); a corpus whose vocab exceeds the budget
+    keeps the distributed rounds unchanged. Set ``driver_vocab_rows=0``
+    to force the distributed path."""
     spark = df.sparkSession
+    if driver_vocab_rows:
+        head = _word_freqs(df, text_col).take(driver_vocab_rows + 1)
+        if len(head) <= driver_vocab_rows:
+            syms = [(list(r["w"]) + [_EOW], r["freq"]) for r in head]
+            if sum(len(s) for s, _ in syms) <= driver_sym_budget:
+                return _train_bpe_driver(syms, n_merges, min_pair_count)
     # localCheckpoint truncates lineage each round — n_merges chained
     # Arrow-UDF plans would otherwise nest into an optimizer/heap blowup
     # (same discipline as operators/components.py)

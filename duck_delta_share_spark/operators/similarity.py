@@ -816,11 +816,21 @@ def _int8_prep(df: DataFrame, id_col: str, vec_col: str, id_alias: str):
     twice). The two guards keep exactly the same rows: max|x| > 0 makes
     the max element quantize to ±127 so __n2 >= 127², and max|x| = 0 (or
     NULL/empty input) zeroes/NULLs __n2 — proven identical output in
-    tests/test_similarity.py + the int8-family oracles."""
+    tests/test_similarity.py + the int8-family oracles.
+
+    NULL-ELEMENT vectors (``[1.0, NULL, 2.0]``) need their own clause
+    (ADVICE r12): ``array_max`` SKIPS NULL elements, so the scale guard
+    alone would let such rows through with NULL ``__q`` elements and a
+    NULL ``__n2`` — the old ``__n2 > 0`` guard dropped them (the long
+    fold NULL-propagates). ``exists(v, isnull)`` is O(dim) and
+    pushdown-safe, restoring exact row equivalence."""
     from duck_delta_share_spark.operators.embeddings import int8_scale, quantize_int8
 
     staged = (
-        df.filter(int8_scale(vec_col) > 0)
+        df.filter(
+            (int8_scale(vec_col) > 0)
+            & ~F.exists(vec_col, lambda x: x.isNull())
+        )
         .select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias("__v"),

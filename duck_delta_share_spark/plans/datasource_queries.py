@@ -613,13 +613,9 @@ def incremental_rollup_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_delta(spark, table, upd.unionByName(ins), ["s_suppkey"])
 
-    changes = (
-        spark.read.format("deltashare")
-        .option("deltaPath", str(table))
-        .option("readChangeFeed", "true")
-        .option("startingVersion", "1")
-        .load()
-    )
+    from duck_delta_share_spark.sources.delta_log import read_delta_changes
+
+    changes = read_delta_changes(spark, table, 1)
     new = apply_changes_to_rollup(
         prev, changes, ["s_nationkey"], {"total_bal": "s_acctbal"}
     )
@@ -1149,13 +1145,10 @@ def scd2_dimension_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["c_custkey"],
     )
-    _register(spark)
+    from duck_delta_share_spark.sources.delta_log import read_delta_changes
+
     changes = (
-        spark.read.format("deltashare")
-        .option("deltaPath", str(table))
-        .option("readChangeFeed", "true")
-        .option("startingVersion", "0")
-        .load()
+        read_delta_changes(spark, table, 0)
         .where("_change_type = 'insert'")
         .select("c_custkey", "c_acctbal", "_commit_version")
     )
@@ -1319,14 +1312,9 @@ def cdc_replication_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_custkey"],
     )
     delete_where(spark, src, "c_acctbal < 0.0")
-    _register(spark)
-    changes = (
-        spark.read.format("deltashare")
-        .option("deltaPath", str(src))
-        .option("readChangeFeed", "true")
-        .option("startingVersion", "0")
-        .load()
-    )
+    from duck_delta_share_spark.sources.delta_log import read_delta_changes
+
+    changes = read_delta_changes(spark, src, 0)
     tgt = base_dir / "tgt"
     apply_cdc_batch(spark, tgt, changes, ["c_custkey"])
     return read_delta(spark, tgt).orderBy("c_custkey")

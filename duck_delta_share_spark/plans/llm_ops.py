@@ -3400,6 +3400,19 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern) and the per-doc score is sum(k * ratio_e6), integer-exact
     # equal to summing ratio_e6 once per term row. Interleaved A/B at
     # sf0.1: 2.345s -> 1.494s median-of-5, bit-identical at sf0.01+sf0.1.
+    #
+    # TRIED AND REJECTED (r13, VERDICT r12 item 8): replacing the window
+    # with a 4096-row groupBy("bucket") + broadcast join back onto `g`.
+    # The hoped-for ReusedExchange never materializes at runtime — the
+    # lineage holds higher-order functions (tokenize/word_shingles) whose
+    # NamedLambdaVariable ids defeat plan canonicalization, so AQE cannot
+    # match the two identical (doc_id,bucket) exchanges — and the final
+    # plan held the explode lineage TWICE (4 Generate nodes) and ran
+    # 1.16x SLOWER (3.22s vs 2.76s interleaved median-of-5, sf0.1). The
+    # window's scale trade-off stands documented instead: partitionBy
+    # over <=4096 buckets caps that one stage at 4096 tasks, each
+    # buffering its bucket's (doc,bucket) COUNT rows (not the term
+    # stream) through WindowExec's spillable buffer.
     from pyspark.sql import Window
 
     g = b.groupBy("doc_id", "bucket").agg(

@@ -55,6 +55,32 @@ def test_merges_match_reference_on_fixture(spark):
     assert got == want and len(got) == 25
 
 
+def test_driver_path_equals_distributed_rounds(spark):
+    # the r13 driver-side fast path (vocab fits the take-probe budget)
+    # must produce the EXACT merge list of the distributed per-round
+    # loop — force the distributed path with driver_vocab_rows=0
+    d = load_table(spark, SF_DIR, "documents").limit(60)
+    fast = train_bpe_merges(d, n_merges=12)
+    slow = train_bpe_merges(d, n_merges=12, driver_vocab_rows=0)
+    assert fast == slow and len(fast) == 12
+
+
+def test_driver_budget_overflow_falls_back(spark):
+    # a vocab larger than driver_vocab_rows must take the distributed
+    # path and still match the reference
+    df = spark.createDataFrame(
+        [("aa ab ba bb aa ab",), ("ba bb aa aa",)], "text string"
+    )
+    got = train_bpe_merges(df, n_merges=3, driver_vocab_rows=2)
+    want = _reference_bpe(["aa ab ba bb aa ab", "ba bb aa aa"], n_merges=3)
+    assert got == want
+    # same with the symbol budget as the binding constraint
+    got2 = train_bpe_merges(
+        df, n_merges=3, driver_vocab_rows=1000, driver_sym_budget=3
+    )
+    assert got2 == want
+
+
 def test_segment_roundtrip_and_consistency(spark):
     d = load_table(spark, SF_DIR, "documents").limit(80)
     merges = train_bpe_merges(d, n_merges=15)

@@ -64,6 +64,11 @@ def test_int8_prep_guard_equivalence(spark):
         (4, [-0.0, 0.0, -0.0]),  # negative zeros: dropped by both
         (5, [1e-30, 0.0, 0.0]),  # tiny but nonzero: kept by both
         (6, [127.0, -127.0, 1.0]),
+        # NULL ELEMENT (ADVICE r12): array_max skips NULLs, so the scale
+        # guard alone would keep this row (with NULL __q elements / NULL
+        # __n2) while the old __n2 > 0 guard NULL-propagates and drops it
+        (7, [1.0, None, 2.0]),
+        (8, [None, None, None]),  # all-NULL elements: dropped by both
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     old = _old_prep(df, "vec_id", "embedding", "vec_id").orderBy("vec_id").collect()

