@@ -198,6 +198,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket_size: int | None = 2000,
+    materialize_capped: bool = False,
 ) -> DataFrame:
     """MinHash-LSH banding: hash each band of the signature; docs sharing a
     band bucket become candidate pairs. Output: (id_a, id_b, n_shared_bands).
@@ -214,6 +215,18 @@ def lsh_candidate_pairs(
     band is degenerate are lost — such groups are "everything matches
     everything" clusters better handled by exact dedup on a normalized
     fingerprint; pass ``None`` to disable.
+
+    ``materialize_capped``: lazily localCheckpoint the capped (id, band,
+    bucket) rows before the self-join. The two join sides are the SAME
+    frame, but higher-order-function lambdas in the signature lineage
+    defeat plan canonicalization, so exchange reuse never fires and the
+    band-explode + cap-window lineage evaluates once PER SIDE (r13 plan
+    audit: two Generate+Window subtrees, one under a BroadcastExchange).
+    Materializing the ~(n_docs x bands)-row frame makes both sides read
+    cached blocks — interleaved A/B on minhash_lsh_neardup: 4.01→3.50 /
+    2.59→2.37 s (two sessions, sf0.1). Off by default: one-shot/small
+    callers (the md5 twin measured FLAT — its 8-hash lineage is too
+    cheap to matter) should not pay the materialization.
     """
     if num_hashes % bands:
         raise ValueError(
@@ -230,6 +243,8 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     exploded = _cap_buckets(exploded, ["band", "bucket"], max_bucket_size)
+    if materialize_capped:
+        exploded = exploded.localCheckpoint(eager=False)
 
     a = exploded.alias("a")
     b = exploded.alias("b")

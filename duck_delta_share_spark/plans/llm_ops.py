@@ -464,7 +464,12 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dd.minhash_signatures(d, num_hashes=32, shingle_n=3).localCheckpoint(
         eager=False
     )
-    pairs = dd.lsh_candidate_pairs(sigs, num_hashes=32, bands=8)
+    # materialize_capped: the band-explode + cap-window lineage otherwise
+    # evaluates once per self-join side (HOF lambdas defeat exchange
+    # reuse) — r13 A/B 4.01->3.50 s / 2.59->2.37 s (see the operator doc)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, num_hashes=32, bands=8, materialize_capped=True
+    )
     return dd.minhash_jaccard_estimate(sigs, pairs, num_hashes=32).orderBy("id_a", "id_b")
 
 

@@ -512,6 +512,94 @@ def _glob_safe(paths) -> bool:
     return not any(c in p for p in paths for c in _GLOB_METACHARS)
 
 
+# Native DV-masked reads decode deletion vectors ON THE DRIVER, so both
+# the decoded index volume and the subplan count must stay bounded;
+# anything larger keeps the Python DataSource path (whose masks are
+# decoded per-task on executors).
+_DV_NATIVE_MAX_CARDINALITY = 4_000_000
+_DV_NATIVE_MAX_FILES = 64
+
+
+def _dv_native_ok(files) -> bool:
+    dvs = [f["deletionVector"] for f in files if f.get("deletionVector")]
+    if len(dvs) > _DV_NATIVE_MAX_FILES:
+        return False
+    total = 0
+    for d in dvs:
+        card = d.get("cardinality")
+        # resolved descriptors are "i" (inline) or "p" (absolute path);
+        # presigned http(s) DVs stay on the executor-side fetch path
+        if card is None or d.get("storageType") not in ("i", "p"):
+            return False
+        if isinstance(d.get("pathOrInlineDv"), str) and d["pathOrInlineDv"].startswith(
+            ("http://", "https://")
+        ):
+            return False
+        total += int(card)
+    return total <= _DV_NATIVE_MAX_CARDINALITY
+
+
+def _native_dv_read(spark, sch, files):
+    """Native JVM scan of a DV-masked snapshot: deletion vectors are
+    decoded driver-side (bounded by :func:`_dv_native_ok`), staged as a
+    tiny parquet of deleted row indexes, and applied as a BROADCAST
+    LEFT ANTI join on ``_metadata.row_index`` — Spark's parquet reader
+    exposes exactly the file-global physical row position the protocol's
+    DV indexes address (the same positions the Python reader masks
+    executor-side). One scan per masked file sidesteps file-path string
+    normalization between ``_metadata.file_path`` and log urls. The
+    index staging goes through parquet, not ``createDataFrame``: the
+    driver contract runs VANILLA sessions where the non-Arrow pandas
+    conversion would cost more than the Python read path itself."""
+    import tempfile as _tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    from duck_delta_share_spark.sources.deletion_vectors import load_dv
+
+    parts = []
+    plain = [f["url"] for f in files if not f.get("deletionVector")]
+    if plain:
+        parts.append(spark.read.schema(sch).parquet(*plain))
+    staging = Path(_tempfile.mkdtemp(prefix="ddss_dv_idx_"))
+    for n, f in enumerate(f for f in files if f.get("deletionVector")):
+        try:
+            deleted = load_dv(f["deletionVector"], "")
+        except FileNotFoundError as ex:
+            # same loud contract as the executor-side mask (the one
+            # unacceptable response is silently resurrecting rows)
+            raise RuntimeError(
+                f"deletion vector {f['deletionVector'].get('pathOrInlineDv')} "
+                f"for data file {f['url']} is referenced by this scan's "
+                "snapshot but no longer exists (VACUUM reclaimed a "
+                "superseded DV under an in-flight read). Re-run from the "
+                "latest snapshot, or raise vacuum retain_hours above the "
+                "scan horizon."
+            ) from ex
+        scan = spark.read.schema(sch).parquet(f["url"])
+        if len(deleted):
+            idx_path = staging / f"dv_{n}.parquet"
+            _pq.write_table(
+                pa.table({"__dv_idx": deleted.astype(np.int64)}), idx_path
+            )
+            idx = spark.read.parquet(str(idx_path))
+            scan = (
+                scan.select(
+                    "*", F.col("_metadata.row_index").alias("__dv_idx")
+                )
+                .join(F.broadcast(idx), "__dv_idx", "left_anti")
+                .drop("__dv_idx")
+            )
+        parts.append(scan)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _native_partition_read_ok(snap) -> bool:
     """True when a PARTITIONED snapshot can be served by Spark's native
     parquet reader with hive-layout partition inference and provably
@@ -579,10 +667,13 @@ def read_delta(
     with ``delta.enableRowTracking=true``.
 
     Fast path: a snapshot that needs NO Python-side read features — no
-    deletion vectors on any live file, no column mapping, no row-id
-    request, no partition columns to re-attach — is served by Spark's
-    native JVM parquet reader over the snapshot's exact file list (the
-    log IS the manifest; no directory listing). The Python DataSource
+    column mapping, no row-id request, no partition columns to re-attach
+    — is served by Spark's native JVM parquet reader over the snapshot's
+    exact file list (the log IS the manifest; no directory listing).
+    Deletion vectors no longer force the Python path on their own: an
+    unpartitioned snapshot whose DVs fit the driver decode budget reads
+    natively with the mask applied as a broadcast anti join on
+    ``_metadata.row_index`` (r13; see :func:`_native_dv_read`). The Python DataSource
     boundary costs ~0.4 s of fixed planning+Arrow overhead per scan and
     double-copies every byte JVM<-Python (guide §4); measured 521->101 ms
     on a corpus-shaped table, 482->83 ms on a fingerprint store.
@@ -597,11 +688,19 @@ def read_delta(
     surface its own FileNotFoundException wording instead
     (tests/test_store_maintenance_r11.py pins this contract)."""
     snap = snapshot(table_path, version)
+    has_dv = any(f.get("deletionVector") for f in snap.files)
     if (
         version is None
         and not with_row_ids
         and not _mapping_enabled(snap)
-        and not any(f.get("deletionVector") for f in snap.files)
+        and (
+            not has_dv
+            # DV-masked snapshots scan natively too when the decoded
+            # index volume fits the driver budget (unpartitioned only;
+            # see _native_dv_read) — the mask becomes a broadcast
+            # left-anti join on _metadata.row_index
+            or (not snap.partition_columns and _dv_native_ok(snap.files))
+        )
         and (
             not snap.partition_columns
             or _native_partition_read_ok(snap)
@@ -615,6 +714,8 @@ def read_delta(
             return spark.createDataFrame([], sch)
         if not _glob_safe(files):
             return _datasource_read(spark, table_path, version, with_row_ids)
+        if has_dv:
+            return _native_dv_read(spark, sch, snap.files)
         if not snap.partition_columns:
             return spark.read.schema(sch).parquet(*files)
         # hive-layout inference re-derives the partition values from the
@@ -866,6 +967,37 @@ def _atomic_commit(
             os.unlink(tmp)
         except OSError:
             pass
+
+
+def _cast_to_table_schema(df, schema_string: str):
+    """Pin a to-be-staged frame to the TABLE schema's exact types (and
+    logical column order). Expression-derived rewrite columns widen under
+    ANSI — ``decimal(23,1) + 100`` is decimal(24,1), a double assignment
+    to a decimal column stays double — and a data file whose PHYSICAL
+    type differs from metaData forces every reader to per-file-cast: the
+    Python DataSource did so silently, but Spark's native parquet reader
+    (the r12/r13 fast paths) refuses e.g. a decimal rescale outright
+    (``PARQUET_COLUMN_DATA_TYPE_MISMATCH``). delta-spark casts in this
+    exact spot; ANSI casts fail LOUD on values that genuinely don't fit
+    the declared type instead of committing them. Same-type casts are
+    optimizer-eliminated no-ops.
+
+    Columns are cast in place (frame order kept, no columns added): a
+    frame legally carrying a SUBSET of the table's columns stays a
+    subset, and non-schema passthrough columns are left untouched."""
+    from pyspark.sql import functions as F
+
+    from duck_delta_share_spark.sources.schema import schema_from_string
+
+    types = {
+        f.name: f.dataType for f in schema_from_string(schema_string).fields
+    }
+    return df.select(
+        *[
+            F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def _stage_files(
@@ -2903,6 +3035,9 @@ def merge_delta(spark, table_path: str | Path, updates, key_cols: list[str]) -> 
         merged = kept.unionByName(updates.select(*existing.columns))
     else:
         merged = updates
+    # staged files must physically match metaData (readers never
+    # per-file-cast on the native paths) — see _cast_to_table_schema
+    merged = _cast_to_table_schema(merged, snap.schema_string)
     staged, staged_part_cols = _to_physical(merged, cm, part_cols)
     adds = _stage_files(staged, table, staged_part_cols)
     # row count for free from the staged files' numRecords stats — a
@@ -4396,6 +4531,9 @@ def update_where(
     # CHECK constraints apply to the rewritten frame like every other
     # write path (limit(1) early-exit per constraint, touched files only)
     try:
+        # assignment expressions may be wider than the column type (ANSI
+        # when() coercion) — pin to the table schema before staging
+        df = _cast_to_table_schema(df, snap.schema_string)
         _enforce_constraints(df, snap.configuration, "UPDATE")
         staged, staged_part_cols = _to_physical(df, cm, part_cols)
         adds = _stage_files(staged, table, staged_part_cols)

@@ -965,7 +965,13 @@ def test_delete_keys_and_cdc_apply(spark, tmp_path):
     assert res["rows_deleted"] == 2
     assert read_delta(spark, other).count() == 38
 
-    # CDC replication: CDF from v0 applied to an empty target
+    # CDC replication: CDF from v0 applied to an empty target.
+    # Register explicitly: this session may never have hit a DataSource
+    # fallback (the r13 native DV read serves the v2 snapshot natively,
+    # so the implicit registration the test used to inherit is gone)
+    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+
+    spark.dataSource.register(DeltaShareDataSource)
     changes = (
         spark.read.format("deltashare")
         .option("deltaPath", str(src))

@@ -112,6 +112,112 @@ def test_native_cdf_dv_change_set_falls_back(spark):
     assert dels.count() > 0 and ins.where("grp = 3").count() == 0
 
 
+def test_lsh_materialize_capped_identical_and_single_evaluation(spark):
+    from duck_delta_share_spark.catalog import load_table
+    from duck_delta_share_spark.operators import dedup as dd
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    sigs = dd.minhash_signatures(d, num_hashes=32, shingle_n=3)
+    base = dd.lsh_candidate_pairs(sigs, num_hashes=32, bands=8)
+    mat = dd.lsh_candidate_pairs(
+        sigs, num_hashes=32, bands=8, materialize_capped=True
+    )
+    assert _rows(base) == _rows(mat)
+    # the checkpoint truncates the lineage: the pair join must read the
+    # materialized band rows on BOTH sides — no band explode (Generate)
+    # or cap window re-evaluation left in the plan
+    plan = mat._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_native_dv_read_identity_and_plan(spark):
+    from duck_delta_share_spark.sources.delta_log import (
+        delete_where,
+        read_delta,
+        write_delta,
+    )
+    from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
+
+    t = Path(tempfile.mkdtemp(prefix="r13_dv_native_")) / "t"
+    base = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 11).cast("long").alias("grp"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    write_delta(base.repartition(4), t)
+    # two DV waves: some files masked twice (superseding DVs), plus a
+    # predicate that leaves at least one file untouched
+    delete_where(spark, t, "grp = 3")
+    delete_where(spark, t, "k < 37")
+    got = read_delta(spark, t)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "deltashare" not in plan, plan  # native scans + anti joins
+    assert "BroadcastHashJoin LeftAnti" in plan or "LeftAnti" in plan, plan
+    spark.dataSource.register(DeltaShareDataSource)
+    via_ds = (
+        spark.read.format("deltashare").option("deltaPath", str(t)).load()
+    )
+    assert _rows(got) == _rows(via_ds)
+    # semantics: exactly the anti-filtered rows survive
+    want = _rows(base.where("grp != 3 and k >= 37"))
+    assert _rows(got.select("k", "grp", "v")) == want
+    # pinned versions keep the DataSource path (vacuumed-pin contract)
+    pinned = read_delta(spark, t, version=1)
+    assert "deltashare" in pinned._jdf.queryExecution().executedPlan().toString()
+
+
+def test_native_dv_read_empty_file_after_mask(spark):
+    from duck_delta_share_spark.sources.delta_log import (
+        delete_where,
+        read_delta,
+        write_delta,
+    )
+
+    t = Path(tempfile.mkdtemp(prefix="r13_dv_empty_")) / "t"
+    base = spark.range(0, 40).select(F.col("id").alias("k"))
+    write_delta(base.repartition(2), t)
+    delete_where(spark, t, "k >= 0")  # masks EVERY row of every file
+    got = read_delta(spark, t)
+    assert got.count() == 0
+    assert "deltashare" not in got._jdf.queryExecution().executedPlan().toString()
+
+
+def test_staged_rewrites_pin_physical_types_to_table_schema(spark):
+    """ANSI-widened rewrite expressions (decimal(23,1)+100 -> (24,1))
+    must not stage files whose physical type differs from metaData: the
+    Python reader silently per-file-cast, the native reader refuses
+    (PARQUET_COLUMN_DATA_TYPE_MISMATCH) — _cast_to_table_schema pins the
+    staged frame writer-side (the delta-spark behavior)."""
+    import pyarrow.parquet as pq
+
+    from duck_delta_share_spark.sources.delta_log import (
+        merge_delta,
+        read_delta,
+        snapshot,
+        update_where,
+        write_delta,
+    )
+
+    t = Path(tempfile.mkdtemp(prefix="r13_cast_")) / "t"
+    base = spark.range(40).selectExpr("id AS k", "id * 1.0 AS v")  # v: decimal(23,1)
+    write_delta(base.repartition(3), t)
+    merge_delta(
+        spark, t, base.where("k % 5 = 0").selectExpr("k", "v + 100 AS v"), ["k"]
+    )
+    update_where(spark, t, "k = 1", {"v": "9.5"})  # double RHS on decimal col
+    snap = snapshot(t)
+    for f in snap.files:
+        phys = pq.ParquetFile(f["url"]).schema_arrow.field("v").type
+        assert str(phys) == "decimal128(23, 1)", (f["url"], str(phys))
+    got = read_delta(spark, t)  # native path must read it
+    assert "deltashare" not in got._jdf.queryExecution().executedPlan().toString()
+    want = {(i, float(i) + (100.0 if i % 5 == 0 else 0.0)) for i in range(40)}
+    want = {(1, 9.5) if k == 1 else (k, v) for k, v in want}
+    assert {(r.k, float(r.v)) for r in got.collect()} == want
+
+
 def test_glob_metachar_table_path_falls_back_with_identical_rows(spark):
     from duck_delta_share_spark.sources.delta_log import (
         _glob_safe,
