@@ -35,6 +35,7 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 25,
     algorithm: str = "star",
+    driver_gate_edges: int = 65536,
 ) -> DataFrame:
     """(src, dst) edge list → (node, component) with component = min node
     id in the connected component. Nodes are the ids appearing in edges.
@@ -49,9 +50,21 @@ def connected_components(
     node id); convergence is detected with a count+hash signature, one
     tiny aggregate per round. ``algorithm='hashmin'`` keeps the simple
     propagation — marginally cheaper per round on shallow near-dup graphs
-    whose diameter is ≤ 3-4."""
+    whose diameter is ≤ 3-4.
+
+    ``driver_gate_edges`` (star path only; the r13 train-BPE-in-driver
+    precedent): the deduped non-self edge set is probed with a bounded
+    ``take(gate+1)`` once it is already materialized as the loop's input
+    checkpoint; at or below the gate, exact union-find runs in the driver
+    (microseconds) instead of paying ~10 tiny Spark jobs per star round —
+    identical (node, min-id) labels by construction. Above the gate the
+    distributed loop runs unchanged, so 100 TB-scale pair graphs never
+    collect. 0 disables the gate. Self-loop singleton re-admission stays
+    distributed either way (that side is not bounded by the gate)."""
     if algorithm == "star":
-        return _connected_components_star(edges, src, dst, max_iterations)
+        return _connected_components_star(
+            edges, src, dst, max_iterations, driver_gate_edges
+        )
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -158,8 +171,38 @@ def _small_star(e: DataFrame) -> DataFrame:
     return moved.union(kept).distinct()
 
 
+def _union_find_labels(rows) -> dict:
+    """Exact driver-side union-find over (a, b) edge rows: node -> min id
+    of its component. Path-halving find + union by attaching; the min is
+    resolved per root afterwards, so labels equal the distributed star
+    fixpoint by definition (component = min node id)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for row in rows:
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return {n: comp_min[find(n)] for n in parent}
+
+
 def _connected_components_star(
-    edges: DataFrame, src: str, dst: str, max_iterations: int
+    edges: DataFrame, src: str, dst: str, max_iterations: int,
+    driver_gate_edges: int = 0,
 ) -> DataFrame:
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = (
@@ -179,12 +222,34 @@ def _connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if not e.take(1):  # no non-self edges: each edge node is a root
+        probe_n = (driver_gate_edges + 1) if driver_gate_edges > 0 else 1
+        head = e.take(probe_n)  # bounded probe of the materialized blocks
+        if not head:  # no non-self edges: each edge node is a root
             # the returned plan reads ONLY loop_nodes — the (empty) edge
             # checkpoint can be dropped deterministically
             release_local_checkpoint(e)
             return loop_nodes.select(
                 "node", F.col("node").alias("component")
+            )
+        if driver_gate_edges > 0 and len(head) <= driver_gate_edges:
+            # whole edge set fits the driver budget: exact union-find,
+            # zero star rounds (each round is ~10 tiny Spark jobs)
+            labels = _union_find_labels(head)
+            from pyspark.sql.types import StructField, StructType
+
+            ntype = e.schema["a"].dataType
+            stars = edges.sparkSession.createDataFrame(
+                sorted(labels.items()),
+                StructType(
+                    [StructField("node", ntype), StructField("component", ntype)]
+                ),
+            )
+            release_local_checkpoint(e)
+            singletons = loop_nodes.join(
+                stars.select("node"), "node", "left_anti"
+            )
+            return stars.union(
+                singletons.select("node", F.col("node").alias("component"))
             )
 
         def sig(d: DataFrame):

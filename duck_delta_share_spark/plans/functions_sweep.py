@@ -477,11 +477,27 @@ GROUP BY l_returnflag
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
+    # PLAN SHAPE (r13, the hll_mergeable_distinct pre-dedup pattern):
+    # count_distinct + approx_count_distinct in ONE agg makes Spark's
+    # single-DISTINCT rewrite key the first partial aggregate on
+    # (l_returnflag, l_orderkey) and drag the rsd=0.02 HLL state — 410
+    # LONG registers — through it PER DISTINCT KEY: a 413-column partial
+    # row per (flag, orderkey) pair, ~GBs of agg state through the first
+    # exchange at scale (plans/r13/agg_approx_distinct_before.txt).
+    # Pre-deduping to (flag, orderkey) pairs first keeps that exchange
+    # narrow (2 cols + a count); HLL registers are duplicate-insensitive
+    # so the sketch over deduped pairs equals the sketch over raw rows,
+    # the exact distinct becomes COUNT(key) (NULL keys skipped on both
+    # engines, like COUNT(DISTINCT)), and n_rows is SUM of the pair
+    # counts. Estimates are bit-identical (same register set).
+    pairs = l.groupBy("l_returnflag", "l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
     approx = F.approx_count_distinct("l_orderkey", rsd=0.02)
-    exact = F.count_distinct("l_orderkey").cast("long")
-    return l.groupBy("l_returnflag").agg(
+    exact = F.count("l_orderkey").cast("long")
+    return pairs.groupBy("l_returnflag").agg(
         exact.alias("exact_orders"),
-        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__n").cast("long").alias("n_rows"),
         (
             F.abs(approx.cast("double") - exact.cast("double"))
             <= F.greatest(F.lit(0.05) * exact.cast("double"), F.lit(2.0))

@@ -600,6 +600,54 @@ def _native_dv_read(spark, sch, files):
     return out
 
 
+def _native_mapped_scan(spark, sch, paths):
+    """Native scan of a flat column-mapped file set: read under the
+    PHYSICAL schema, alias back to logical names — the DataSource's
+    name-keyed relabel minus the Python boundary."""
+    from pyspark.sql.types import StructField, StructType
+
+    from duck_delta_share_spark.sources.schema import PHYSICAL_NAME_KEY
+
+    phys = StructType(
+        [
+            StructField(
+                (f.metadata or {}).get(PHYSICAL_NAME_KEY, f.name),
+                f.dataType,
+                f.nullable,
+            )
+            for f in sch.fields
+        ]
+    )
+    df = spark.read.schema(phys).parquet(*paths)
+    return df.select(
+        *[df[pf.name].alias(lf.name) for pf, lf in zip(phys.fields, sch.fields)]
+    )
+
+
+def _native_mapped_read_ok(snap) -> bool:
+    """True when a COLUMN-MAPPED snapshot can be served natively: the
+    renames are top-level only (nested physicalName relabels stay on the
+    Python path's zero-copy arrow view), the table is unpartitioned
+    (mapped partition layouts key paths/partitionValues by PHYSICAL name)
+    and carries no deletion vectors. The native read then scans under the
+    physical schema and aliases back to logical names — byte-identical to
+    the DataSource's name-keyed relabel (sources/schema.column_mapping
+    serves both name and id mode, since Delta writers always emit
+    physicalName)."""
+    if snap.partition_columns or any(f.get("deletionVector") for f in snap.files):
+        return False
+    from duck_delta_share_spark.sources.schema import (
+        has_nested_mapping,
+        schema_from_string,
+    )
+
+    try:
+        sch = schema_from_string(snap.schema_string)
+    except (ValueError, TypeError, KeyError):
+        return False
+    return not has_nested_mapping(sch)
+
+
 def _native_partition_read_ok(snap) -> bool:
     """True when a PARTITIONED snapshot can be served by Spark's native
     parquet reader with hive-layout partition inference and provably
@@ -689,10 +737,11 @@ def read_delta(
     (tests/test_store_maintenance_r11.py pins this contract)."""
     snap = snapshot(table_path, version)
     has_dv = any(f.get("deletionVector") for f in snap.files)
+    mapped = _mapping_enabled(snap)
     if (
         version is None
         and not with_row_ids
-        and not _mapping_enabled(snap)
+        and (not mapped or _native_mapped_read_ok(snap))
         and (
             not has_dv
             # DV-masked snapshots scan natively too when the decoded
@@ -714,6 +763,9 @@ def read_delta(
             return spark.createDataFrame([], sch)
         if not _glob_safe(files):
             return _datasource_read(spark, table_path, version, with_row_ids)
+        if mapped:
+            # top-level renames only (gated by _native_mapped_read_ok)
+            return _native_mapped_scan(spark, sch, files)
         if has_dv:
             return _native_dv_read(spark, sch, snap.files)
         if not snap.partition_columns:
@@ -2900,23 +2952,29 @@ def _direct_read(
     if (
         not with_row_ids
         and not part_cols
-        # column-mapped tables store PHYSICAL names in the parquet files;
-        # the native reader would match the logical schema by name and
-        # return all-NULL columns. The physicalName metadata always lives
-        # in the schema string for mapped tables (_mapping_enabled), so a
-        # substring probe is a conservative gate (identity-mapped tables
-        # fall back to the DataSource path, which is correct-if-slower).
-        and _CM_PHYS_KEY not in snap_schema
         and not any(f.get("deletionVector") for f in files)
     ):
-        from duck_delta_share_spark.sources.schema import schema_from_string
+        from duck_delta_share_spark.sources.schema import (
+            has_nested_mapping,
+            schema_from_string,
+        )
 
         sch = schema_from_string(snap_schema)
-        paths = [f["url"] for f in files]
-        if not paths:
-            return spark.createDataFrame([], sch)
-        if _glob_safe(paths):
-            return spark.read.schema(sch).parquet(*paths)
+        # column-mapped tables store PHYSICAL names in the parquet files;
+        # a logical-schema native read would match by name and return
+        # all-NULL columns. TOP-LEVEL renames read natively under the
+        # physical schema + alias-back (r13, same relabel the DataSource
+        # applies); nested physicalName relabels keep the Python path's
+        # zero-copy arrow view.
+        is_mapped = _CM_PHYS_KEY in snap_schema
+        if not (is_mapped and has_nested_mapping(sch)):
+            paths = [f["url"] for f in files]
+            if not paths:
+                return spark.createDataFrame([], sch)
+            if _glob_safe(paths):
+                if is_mapped:
+                    return _native_mapped_scan(spark, sch, paths)
+                return spark.read.schema(sch).parquet(*paths)
     from duck_delta_share_spark.sources.delta_share import DeltaShareDataSource
 
     spark.dataSource.register(DeltaShareDataSource)

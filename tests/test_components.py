@@ -67,3 +67,37 @@ def test_star_self_loops_only(spark):
     df = spark.createDataFrame([(7, 7), (9, 9)], ["id_a", "id_b"])
     out = {(r.node, r.component) for r in connected_components(df, algorithm="star").collect()}
     assert out == {(7, 7), (9, 9)}
+
+
+def test_driver_gate_matches_distributed_star(spark):
+    """r13: ≤gate edge sets run exact union-find in the driver — labels
+    must EQUAL the distributed star loop's on the same graph (self-loops,
+    chains, cliques mixed in), and the gate must not swallow the
+    singleton re-admission."""
+    import random
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(150)]
+    edges += [(200, 200), (201, 201)]  # self-loop-only singletons
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    gated = {
+        (r.node, r.component)
+        for r in connected_components(df, driver_gate_edges=100000).collect()
+    }
+    distributed = {
+        (r.node, r.component)
+        for r in connected_components(df, driver_gate_edges=0).collect()
+    }
+    assert gated == distributed and (200, 200) in gated and (201, 201) in gated
+
+
+def test_driver_gate_boundary_falls_back_to_star(spark):
+    """Exactly gate+1 distinct non-self edges must take the distributed
+    path (and still be correct)."""
+    chain = [(i, i + 1) for i in range(8)]  # 8 distinct edges
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    out = {
+        (r.node, r.component)
+        for r in connected_components(df, driver_gate_edges=7).collect()
+    }
+    assert out == {(i, 0) for i in range(9)}

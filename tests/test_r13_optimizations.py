@@ -239,3 +239,76 @@ def test_glob_metachar_table_path_falls_back_with_identical_rows(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "deltashare" in plan, plan  # literal-open fallback, not a glob
     assert _rows(got) == _rows(read_delta(spark, plain))
+
+
+def test_native_mapped_read_identity_and_plan(spark):
+    """r13: a FLAT column-mapped snapshot (top-level physicalName renames
+    only, no DVs/partitions) scans natively — identical rows AND logical
+    column names vs the Python DataSource, and the plan shows a parquet
+    scan, not BatchScan deltashare. Nested renames keep the DataSource."""
+    import json as _json
+
+    from duck_delta_share_spark.sources.delta_log import (
+        _datasource_read,
+        read_delta,
+        write_delta,
+    )
+
+    root = Path(tempfile.mkdtemp(prefix="r13_cm_native_"))
+    t = root / "t"
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("string").alias("grp"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    # hand-build a name-mode mapped table (the delta_column_mapping_merge
+    # fixture shape): files carry physical col-NNN names
+    phys = {"k": "col-001", "grp": "col-002", "v": "col-003"}
+    (t / "_delta_log").mkdir(parents=True)
+    df.toDF(*phys.values()).coalesce(2).write.mode("overwrite").parquet(
+        str(t / "data")
+    )
+    fields = [
+        dict(
+            f,
+            metadata={
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": phys[f["name"]],
+            },
+        )
+        for i, f in enumerate(df.schema.jsonValue()["fields"])
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm-native",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": f"data/{p.name}",
+                "partitionValues": {},
+                "size": p.stat().st_size,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for p in sorted((t / "data").glob("*.parquet"))
+    ]
+    (t / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(_json.dumps(a) for a in actions) + "\n"
+    )
+    native = read_delta(spark, t)
+    via_ds = _datasource_read(spark, t, None, False)
+    assert native.columns == via_ds.columns == ["k", "grp", "v"]
+    assert _rows(native) == _rows(via_ds)
+    plan = native._jdf.queryExecution().executedPlan().toString()
+    assert "deltashare" not in plan and "Scan parquet" in plan
