@@ -1625,13 +1625,42 @@ def ivf_probe_index(
     """
     from pathlib import Path
 
-    from duck_delta_share_spark.sources.delta_log import read_delta
+    from duck_delta_share_spark.sources.delta_log import (
+        _mapping_enabled,
+        read_delta,
+        snapshot,
+    )
 
-    cent_rows = read_delta(spark, Path(index_path) / "centroids").collect()
+    # The coarse quantizer is bounded driver state (n_centroids × dim
+    # floats): for the plain layout ivf_build_index writes (no DVs,
+    # partitions or column mapping), read its snapshot's file list
+    # driver-side with pyarrow instead of paying a Spark job + collect
+    # per probe (r13 — the probe's control-plane cost was 3 jobs; now 1).
+    # Foreign/feature-carrying layouts keep the Spark read.
+    cent_path = Path(index_path) / "centroids"
+    cent_snap = snapshot(cent_path)
+    if (
+        not cent_snap.partition_columns
+        and not _mapping_enabled(cent_snap)
+        and not any(f.get("deletionVector") for f in cent_snap.files)
+    ):
+        import pyarrow.parquet as _pq
+
+        cent_rows = []
+        for f in cent_snap.files:
+            t = _pq.read_table(f["url"], columns=["cid", "centroid"])
+            cent_rows.extend(
+                zip(t.column("cid").to_pylist(), t.column("centroid").to_pylist())
+            )
+    else:
+        cent_rows = [
+            (int(r.cid), r.centroid)
+            for r in read_delta(spark, cent_path).collect()
+        ]
     C = np.vstack(
         [
-            np.asarray(r.centroid, dtype=np.float64)
-            for r in sorted(cent_rows, key=lambda r: r.cid)
+            np.asarray(ctr, dtype=np.float64)
+            for _, ctr in sorted(cent_rows, key=lambda t: t[0])
         ]
     )
     n_probe = min(n_probe, len(C))
@@ -1641,13 +1670,17 @@ def ivf_probe_index(
         F.col(vec_col).alias("__qv"),
         F.explode(_probe_centroids_udf(C, n_probe)(vec_col)).alias("cid"),
     )
-    # the probed-cid union is bounded by n_centroids — collecting it is
-    # control-plane, and turning it into a literal isin() is what lets
-    # the DataSource prune the unprobed hive partitions at the SCAN
-    probed = sorted({int(r.cid) for r in q.select("cid").distinct().collect()})
-    lists = read_delta(spark, Path(index_path) / "lists").filter(
-        F.col("cid").isin(probed)
-    )
+    lists = read_delta(spark, Path(index_path) / "lists")
+    if n_probe < len(C):
+        # the probed-cid union is bounded by n_centroids — collecting it
+        # is control-plane, and turning it into a literal isin() is what
+        # lets the scan prune the unprobed hive partitions. Probing ALL
+        # lists (the provably-exact dial) makes the filter a tautology:
+        # skip both the extra Spark job and the no-op filter (r13).
+        probed = sorted(
+            {int(r.cid) for r in q.select("cid").distinct().collect()}
+        )
+        lists = lists.filter(F.col("cid").isin(probed))
     pairs = lists.join(F.broadcast(q), "cid").filter(
         F.col("vec_id") != F.col("query_id")
     )

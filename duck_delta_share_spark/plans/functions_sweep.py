@@ -1856,24 +1856,27 @@ def table_profile_core(l: DataFrame, exact_distinct: bool = True) -> DataFrame:
     wide = one.select(F.col("n_rows"), F.expr(stack))
     if not exact_distinct:
         return wide.select(*order)
-    # exact path: per-column pruned scans -> two-phase dedup-count.
-    # COUNT(DISTINCT all-NULL) is 0, so the join is LEFT + coalesce.
-    from functools import reduce
-
+    # exact path: one pruned scan per type family -> two-phase
+    # dedup-count. COUNT(DISTINCT all-NULL) is 0, so the join is LEFT +
+    # coalesce.
     def _dedup_counts(cols: list[str], pin_type: str) -> DataFrame:
-        # Pin every branch to ONE explicit type: positional unionAll
-        # set-op widening would otherwise coerce heterogeneous source
-        # types (e.g. decimal vs double after a fixture regeneration)
-        # and count distincts on the COERCED domain while the oracle's
-        # COUNT(DISTINCT) runs per-column on native types.
-        branches = [
-            l.select(
-                F.lit(c).alias("col_name"), F.col(c).cast(pin_type).alias("v")
-            ).where(F.col("v").isNotNull())
-            for c in cols
-        ]
+        # ONE pruned scan per type family (r13; was one scan per column
+        # unioned — 6 scans of the same file): posexplode an array of the
+        # type-pinned values and map position -> col_name via a literal
+        # array lookup. Each column is still cast to ONE explicit type
+        # BEFORE the array build, so heterogeneous source types (e.g.
+        # decimal vs double after a fixture regeneration) coerce exactly
+        # as the old per-branch pin did, and the NULL filter after the
+        # explode matches the old per-branch isNotNull. Total rows into
+        # the partial dedup are identical; scans drop 6 -> 2 (+1 stats).
+        arr = F.array(*[F.col(c).cast(pin_type) for c in cols])
+        names = F.array(*[F.lit(c) for c in cols])
         return (
-            reduce(DataFrame.unionAll, branches)
+            l.select(F.posexplode(arr).alias("__i", "v"))
+            .where(F.col("v").isNotNull())
+            .select(
+                F.element_at(names, F.col("__i") + 1).alias("col_name"), "v"
+            )
             .dropDuplicates(["col_name", "v"])
             .groupBy("col_name")
             .agg(F.count(F.lit(1)).alias("nd_exact"))
