@@ -34,9 +34,13 @@ def test_star_matches_hashmin_on_random_graph(spark):
     rng = random.Random(5)
     edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(120)]
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    # driver_gate_edges=0 keeps this a DISTRIBUTED star-vs-hashmin lens
+    # (r13: the default gate would run union-find for both)
     star = {
         (r.node, r.component)
-        for r in connected_components(df, algorithm="star").collect()
+        for r in connected_components(
+            df, algorithm="star", driver_gate_edges=0
+        ).collect()
     }
     hashmin = {
         (r.node, r.component)
@@ -56,7 +60,10 @@ def test_star_converges_on_long_chain(spark):
 
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # non-convergence warning -> failure
-        out = connected_components(df, algorithm="star").collect()
+        # gate off: O(log^2 n) star convergence is the claim under test
+        out = connected_components(
+            df, algorithm="star", driver_gate_edges=0
+        ).collect()
     assert len(out) == 300
     assert {r.component for r in out} == {0}
 
@@ -65,8 +72,14 @@ def test_star_self_loops_only(spark):
     from duck_delta_share_spark.operators.components import connected_components
 
     df = spark.createDataFrame([(7, 7), (9, 9)], ["id_a", "id_b"])
-    out = {(r.node, r.component) for r in connected_components(df, algorithm="star").collect()}
-    assert out == {(7, 7), (9, 9)}
+    for gate in (65536, 0):  # driver union-find path AND star fixpoint
+        out = {
+            (r.node, r.component)
+            for r in connected_components(
+                df, algorithm="star", driver_gate_edges=gate
+            ).collect()
+        }
+        assert out == {(7, 7), (9, 9)}, f"gate={gate}"
 
 
 def test_driver_gate_matches_distributed_star(spark):

@@ -299,7 +299,9 @@ def test_connected_components_release_checkpoints(spark):
     )
     before = _cached_rdd_ids(spark)
     for algo in ("star", "hashmin"):
-        out = connected_components(edges, algorithm=algo)
+        # gate off so the star LOOP actually runs — the happy-path
+        # release invariant under test lives in the loop (r13)
+        out = connected_components(edges, algorithm=algo, driver_gate_edges=0)
         got = {r["component"] for r in out.collect()}
         assert got == {0}
     # the FINAL round's checkpoint backs the returned plan and is only

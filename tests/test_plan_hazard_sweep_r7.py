@@ -50,6 +50,10 @@ BNLJ_ALLOWED = {
 
 @pytest.fixture(scope="module")
 def plans(spark):
+    # Serial by design: profiled r13 — spark_fn construction (the
+    # lifecycle queries' eager side-effect writes) is 128 s of the
+    # fixture, JVM planning only 7.5 s, so pooling the planning step
+    # buys nothing and concurrent fn()s would race the scratch dirs.
     out = {}
     for name, qd in QUERIES.items():
         df = qd.spark_fn(spark, SF)

@@ -58,9 +58,15 @@ def test_connected_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     want = _union_find(edges)
     for algo in ("star", "hashmin"):
+        # driver_gate_edges=0: the reference IS union-find, so the gated
+        # driver path would compare union-find against itself — this
+        # lens must exercise the DISTRIBUTED loops (r13; the gate's own
+        # parity pin lives in test_components.py)
         got = {
             r["node"]: r["component"]
-            for r in connected_components(df, algorithm=algo).collect()
+            for r in connected_components(
+                df, algorithm=algo, driver_gate_edges=0
+            ).collect()
         }
         assert got == want, algo
 

@@ -174,7 +174,12 @@ def test_bpe_mid_loop_failure_releases_all_checkpoints(spark, monkeypatch):
         [("aaab aab",), ("aab aaab",), ("abab abab",)], "text string"
     )
     with pytest.raises(RuntimeError, match="injected mid-loop failure"):
-        bpe.train_bpe_merges(docs, n_merges=5, min_pair_count=1)
+        # driver_vocab_rows=0 forces the DISTRIBUTED loop — the release
+        # invariant under test lives there (r13: small vocabs train
+        # in-driver and never checkpoint)
+        bpe.train_bpe_merges(
+            docs, n_merges=5, min_pair_count=1, driver_vocab_rows=0
+        )
     assert checkpointed, "the loop must have checkpointed at least once"
     assert set(released) == set(checkpointed), (
         "a mid-loop failure must release every live localCheckpoint "
@@ -201,7 +206,10 @@ def test_components_star_mid_loop_failure_releases_all(spark, monkeypatch):
         [(i, i + 1) for i in range(12)] + [(99, 99)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="injected mid-loop failure"):
-        comp.connected_components(edges).collect()
+        # driver_gate_edges=0 forces the DISTRIBUTED star loop — the
+        # release invariant under test lives there (r13: small edge sets
+        # run union-find in the driver and never enter the loop)
+        comp.connected_components(edges, driver_gate_edges=0).collect()
     assert checkpointed
     assert set(released) == set(checkpointed)
 
